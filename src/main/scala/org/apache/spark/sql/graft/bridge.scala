@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge for Spark 4 (where the converters are
+  * `private[sql]`). Lives in the `org.apache.spark.sql` namespace solely to
+  * access those converters — the standard pattern for Catalyst extension
+  * libraries; everything else in this project stays under `graft`.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
