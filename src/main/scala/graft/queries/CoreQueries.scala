@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-contract queries for the reference's join/aggregation/window/set-op
+  * surface (SURVEY.md §2.4-§2.6: J1-J4, A1-A3, W1, O1, U1) plus two
+  * TPC-H-style headline aggregations used as bench anchors. All results are
+  * deterministic; monetary aggregates go through exact decimal arithmetic and
+  * are presented as doubles so Spark and DuckDB hash identically.
+  */
+object CoreQueries {
+
+  /** Exact-decimal sum presented as double (both engines sum the same
+    * decimals, so the final double conversion is bit-identical).
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** A1 — labeled counters: `groupBy(labels).count()`
+    * (`/root/reference/metrics/metrics.go:19-77` re-skinned to events by
+    * (event_type, day) — the (dataset, status) label pair analogue).
+    */
+  def counters(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyyMMdd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val countersSql: String =
+    """SELECT event_type, strftime(ts, '%Y%m%d') AS day, COUNT(*) AS cnt
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** A2 — distinct set build (`/root/reference/embargo_check.go:41-56`). */
+  def distinctPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select("lang", "source").distinct()
+
+  val distinctPairsSql = "SELECT DISTINCT lang, source FROM documents"
+
+  /** A3 — existence/count checks across every source table
+    * (`/root/reference/gcs_operations.go:142`).
+    */
+  def tableCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Seq("lineitem", "orders", "customer", "supplier", "part",
+      "nation", "region", "documents", "embeddings")
+    val counted = names.map { n =>
+      Tables.table(spark, sfDir, n).select(lit(n).as("tbl"), lit(1).as("one"))
+        .groupBy("tbl").agg(count(lit(1)).as("cnt"))
+    } :+ Tables.events(spark, sfDir)
+      .select(lit("events").as("tbl")).groupBy("tbl").agg(count(lit(1)).as("cnt"))
+    counted.reduce(_ unionAll _)
+  }
+
+  val tableCountsSql: String =
+    Seq("lineitem", "orders", "customer", "supplier", "part",
+      "nation", "region", "documents", "embeddings", "events")
+      .map(n => s"SELECT '$n' AS tbl, COUNT(*) AS cnt FROM $n")
+      .mkString("\n", "\nUNION ALL\n", "")
+
+  /** J1 — broadcast semi-join probe (`/root/reference/embargo_check.go:105-110`):
+    * orders whose customer is in the small filtered dimension.
+    */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bld = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    Tables.orders(spark, sfDir)
+      .join(broadcast(bld), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+      |WHERE EXISTS (SELECT 1 FROM customer
+      |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+      |GROUP BY 1""".stripMargin
+
+  /** J2 — anti-join sync (`/root/reference/gcs_operations.go:200-266`):
+    * customers with no orders, per nation.
+    */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_no_orders"))
+
+  val antiJoinSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_no_orders
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+      |GROUP BY 1""".stripMargin
+
+  /** J3 — upsert / overwrite-join (`/root/reference/unembargo.go:97-133`,
+    * rationale `:4-28`): source rows (10% of part keys, repriced) overwrite
+    * destination rows; relationally `source ∪ (dest ⟕̸ source)` = left-anti
+    * keeps + union, last-writer-wins. Output subsampled for a bounded result.
+    */
+  def upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val dest = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_retailprice").as("price"), lit("dest").as("origin"))
+    val src = Tables.part(spark, sfDir)
+      .filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey"), (col("p_retailprice") * 1.1).as("price"), lit("src").as("origin"))
+    val merged = src.unionAll(
+      dest.join(src.select("p_partkey"), Seq("p_partkey"), "left_anti"))
+    merged.filter(col("p_partkey") % 7 === 0)
+  }
+
+  val upsertSql: String =
+    """WITH src AS (
+      |  SELECT p_partkey, p_retailprice * 1.1 AS price, 'src' AS origin
+      |  FROM part WHERE p_partkey % 10 = 0),
+      |dest AS (
+      |  SELECT p_partkey, p_retailprice AS price, 'dest' AS origin FROM part
+      |  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.p_partkey = part.p_partkey))
+      |SELECT * FROM (SELECT * FROM src UNION ALL SELECT * FROM dest)
+      |WHERE p_partkey % 7 = 0""".stripMargin
+
+  /** J4 — set-compare via symmetric difference
+    * (`/root/reference/gcs_operations.go:269-337`): full-outer join with
+    * null-side flags, counting leftovers on each side.
+    */
+  def symDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey").as("k")).distinct()
+    val b = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey").as("k")).distinct()
+    a.withColumn("in_a", lit(1))
+      .join(b.withColumn("in_b", lit(1)), Seq("k"), "full_outer")
+      .filter(col("in_a").isNull || col("in_b").isNull)
+      .groupBy(when(col("in_b").isNull, "only_src").otherwise("only_dst").as("side"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val symDiffSql: String =
+    """WITH a AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+      |b AS (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT CASE WHEN b.k IS NULL THEN 'only_src' ELSE 'only_dst' END AS side,
+      |       COUNT(*) AS cnt
+      |FROM a FULL OUTER JOIN b ON a.k = b.k
+      |WHERE a.k IS NULL OR b.k IS NULL
+      |GROUP BY 1""".stripMargin
+
+  /** W1 — "latest snapshot per key" (SURVEY §2.6 parity): last event per
+    * user. Ordering is on the µs-truncated timestamp with an id tie-break —
+    * DuckDB 1.0 truncates parquet TIMESTAMP_NS to µs on scan, so ns-exact
+    * ordering would be one-sided.
+    */
+  def latestPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts_us").as("last_ts_us"))
+  }
+
+  val latestPerUserSql: String =
+    """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin
+
+  /** O1 — sort/limit top-k (SURVEY §2.6): 10 largest orders, ties broken by
+    * key so the result set is unique.
+    */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(10)
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** U1 — set ops (SURVEY §2.6): buyers who also clicked, minus users who
+    * ever hit an error (INTERSECT + EXCEPT over distinct key sets).
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String) = ev.filter(col("event_type") === t).select("user_id").distinct()
+    users("purchase").intersect(users("click")).except(users("error"))
+  }
+
+  val setOpsSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin
+
+  /** Headline aggregation (TPC-H Q1 shape) — partial/final hash agg over the
+    * fact table; the monetary sums use exact decimal arithmetic.
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** Headline join pipeline (TPC-H Q5 shape): revenue per nation through
+    * customer ⋈ orders ⋈ lineitem ⋈ nation, with the dimension broadcast.
+    */
+  def q3JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q3JoinAggSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
+  /** S1 — partition-pruned scan: one day of events, predicate pushed to the
+    * parquet scan as a raw int64 range on the nanos column
+    * (`/root/reference/embargo.go:265-271`).
+    */
+  def prefixScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayStartNs = 1704153600000000000L // 2024-01-02T00:00:00Z
+    val dayEndNs = 1704240000000000000L // 2024-01-03T00:00:00Z
+    Tables.events(spark, sfDir)
+      .filter(col("ts_ns") >= dayStartNs && col("ts_ns") < dayEndNs)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+  }
+
+  val prefixScanSql: String =
+    """SELECT event_type, COUNT(*) AS cnt FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_counters" -> counters,
+    "a2_distinct" -> distinctPairs,
+    "a3_table_counts" -> tableCounts,
+    "j1_semi_join" -> semiJoin,
+    "j2_anti_join" -> antiJoin,
+    "j3_upsert" -> upsert,
+    "j4_symdiff" -> symDiff,
+    "w1_latest_per_user" -> latestPerUser,
+    "o1_topk" -> topK,
+    "u1_setops" -> setOps,
+    "q1_agg" -> q1Agg,
+    "q3_join_agg" -> q3JoinAgg,
+    "s1_prefix_scan" -> prefixScan
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_counters" -> countersSql,
+    "a2_distinct" -> distinctPairsSql,
+    "a3_table_counts" -> tableCountsSql,
+    "j1_semi_join" -> semiJoinSql,
+    "j2_anti_join" -> antiJoinSql,
+    "j3_upsert" -> upsertSql,
+    "j4_symdiff" -> symDiffSql,
+    "w1_latest_per_user" -> latestPerUserSql,
+    "o1_topk" -> topKSql,
+    "u1_setops" -> setOpsSql,
+    "q1_agg" -> q1AggSql,
+    "q3_join_agg" -> q3JoinAggSql,
+    "s1_prefix_scan" -> prefixScanSql
+  )
+}

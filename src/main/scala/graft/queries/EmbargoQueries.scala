@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.IpFunctions.local_ip
+import graft.functions.NameFunctions._
+
+/** Driver-contract queries for the embargo pipeline's relational core
+  * (SURVEY.md §2: P1-P11, F1-F9, J1, A1/A2), re-skinned onto the synthetic
+  * `events`/`customer` tables: each event row becomes a sidestream inner-file
+  * name (`yyyymmddT000000Z_<ip>_<seq>.web100`, the format documented at
+  * `/root/reference/embargo_check.go:102`), and the whitelist is derived from
+  * `customer`. Every query is deterministic and mirrored by DuckDB oracle SQL.
+  */
+object EmbargoQueries {
+
+  /** Fixed embargo cutoff (yyyymmdd int) — a *parameter*, as in the reference
+    * (`/root/reference/embargo.go:248`), pinned mid-span of the events table
+    * so both routes are exercised. Never `current_date()` in graded queries.
+    */
+  val Cutoff = 20240116
+
+  private def istr(c: Column): Column = c.cast("string")
+
+  /** Synthetic sidestream inner-file manifest from `events`:
+    * day, ip (IPv4 from user_id; some rows get an IPv6 with the sidestream
+    * `:::` quirk; some rows malformed with no `_`), fname.
+    */
+  def manifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+      .withColumn("ip",
+        concat(lit("10.0."), istr(col("user_id") % 20), lit("."), istr(col("user_id") % 250)))
+      .withColumn("seq", istr(col("event_id") % 100))
+      .withColumn("ext",
+        when(col("event_type") === "error", ".tra").otherwise(".web100"))
+      .withColumn("fname",
+        concat(col("day"), lit("T000000Z_"), col("ip"), lit("_"), col("seq"), col("ext")))
+  }
+
+  /** Common manifest CTE for DuckDB oracles (must mirror [[manifest]]). */
+  private val manifestSql =
+    """ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |         strftime(ts, '%Y%m%d') AS day,
+      |         '10.0.' || CAST(user_id % 20 AS VARCHAR) || '.' || CAST(user_id % 250 AS VARCHAR) AS ip,
+      |         CAST(event_id % 100 AS VARCHAR) AS seq,
+      |         CASE WHEN event_type = 'error' THEN '.tra' ELSE '.web100' END AS ext
+      |  FROM events),
+      |named AS (
+      |  SELECT *, day || 'T000000Z_' || ip || '_' || seq || ext AS fname FROM ev)""".stripMargin
+
+  /** Whitelist build side (J1): distinct site IPs derived from `customer`
+    * (re-skin of `/root/reference/embargo_check.go:39-60`).
+    */
+  def whitelist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(concat(lit("10.0."), istr(col("c_custkey") % 20), lit("."),
+        istr(col("c_custkey") % 250)).as("wip"))
+      .distinct()
+
+  private val whitelistSql =
+    """wl AS (
+      |  SELECT DISTINCT '10.0.' || CAST(c_custkey % 20 AS VARCHAR) || '.' || CAST(c_custkey % 250 AS VARCHAR) AS wip
+      |  FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
+
+  /** P3+J1+F1+F2+P9 — THE embargo routing predicate
+    * (`/root/reference/embargo.go:174`): public iff archive is older than the
+    * one-year cutoff OR the inner file is not web100 OR its server IP is
+    * whitelisted; else private. Broadcast left_outer + null-flag per SURVEY
+    * §2.4; `local_ip` output is coalesced through `""` (never null) so the
+    * OR-predicate cannot silently drop rows under three-valued logic.
+    */
+  def routeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = manifest(spark, sfDir)
+      .withColumn("local_ip", coalesce(local_ip(basename(col("fname"))), lit("")))
+    val wl = whitelist(spark, sfDir)
+    m.join(broadcast(wl), m("local_ip") === wl("wip"), "left_outer")
+      .withColumn("route",
+        when(fileDateInt(col("fname")) < lit(Cutoff)
+          || !basename(col("fname")).contains("web100")
+          || col("wip").isNotNull, "public")
+          .otherwise("private"))
+      .groupBy("day", "route").agg(count(lit(1)).as("cnt"))
+  }
+
+  val routeCountsSql: String =
+    s"""WITH $manifestSql,
+       |parsed AS (
+       |  SELECT day, fname, regexp_extract(fname, '_(.*)_', 1) AS local_ip FROM named),
+       |$whitelistSql
+       |SELECT p.day,
+       |       CASE WHEN CAST(p.day AS INT) < $Cutoff
+       |                 OR NOT contains(p.fname, 'web100')
+       |                 OR wl.wip IS NOT NULL
+       |            THEN 'public' ELSE 'private' END AS route,
+       |       COUNT(*) AS cnt
+       |FROM parsed p LEFT JOIN wl ON p.local_ip = wl.wip
+       |GROUP BY 1, 2""".stripMargin
+
+  /** P1+P11 — archive-name suffix filter (`tgz` + `sidestream`,
+    * `/root/reference/embargo.go:279-281`) over a synthetic archive manifest;
+    * non-sidestream rows get a `switch/...dat` name and must be dropped.
+    */
+  def suffixFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = manifest(spark, sfDir)
+      .withColumn("archive",
+        when(col("event_type") === "error",
+          concat(lit("switch/"), col("day"), lit("/speedtest-"), col("seq"), lit(".dat")))
+          .otherwise(concat(dayPrefix(col("day")), lit("/"), col("day"),
+            lit("T000000Z-mlab"), istr(col("user_id") % 4), lit("-lga0"),
+            istr(col("user_id") % 8), lit("-sidestream-0000.tgz"))))
+    m.filter(isSidestreamArchive(col("archive")))
+      .groupBy("day").agg(count(lit(1)).as("n_archives"))
+  }
+
+  val suffixFilterSql: String =
+    s"""WITH $manifestSql,
+       |arch AS (
+       |  SELECT day,
+       |         CASE WHEN event_type = 'error'
+       |              THEN 'switch/' || day || '/speedtest-' || seq || '.dat'
+       |              ELSE 'sidestream/' || substr(day,1,4) || '/' || substr(day,5,2) || '/' || substr(day,7,2)
+       |                   || '/' || day || 'T000000Z-mlab' || CAST(user_id % 4 AS VARCHAR)
+       |                   || '-lga0' || CAST(user_id % 8 AS VARCHAR) || '-sidestream-0000.tgz'
+       |         END AS archive
+       |  FROM named)
+       |SELECT day, COUNT(*) AS n_archives FROM arch
+       |WHERE contains(archive, 'tgz') AND contains(archive, 'sidestream')
+       |GROUP BY 1""".stripMargin
+
+  /** P4/P5+F3 — age predicate with the cutoff applied to the filename date
+    * (`/root/reference/embargo.go:272-277,306-313`).
+    */
+  def ageFilter(spark: SparkSession, sfDir: String): DataFrame =
+    manifest(spark, sfDir)
+      .filter(fileDateInt(col("fname")) < lit(Cutoff))
+      .groupBy("event_type").agg(count(lit(1)).as("n_old"))
+
+  val ageFilterSql: String =
+    s"""WITH $manifestSql
+       |SELECT event_type, COUNT(*) AS n_old FROM named
+       |WHERE CAST(substr(fname, 1, 8) AS INT) < $Cutoff
+       |GROUP BY 1""".stripMargin
+
+  /** S6/F8/P7/P8/A2 — whitelist build pipeline
+    * (`/root/reference/embargo_check.go:39-60`): site rows are round-tripped
+    * through JSON (`to_json`→`from_json`, exercising F8), the samknows filter
+    * (P7) drops flagged hostnames, ipv4/ipv6 are unpivoted (P8) keeping
+    * non-empty values, and the result is a distinct IP set (A2).
+    */
+  def whitelistBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val sites = Tables.customer(spark, sfDir)
+      .select(
+        concat(lit("mlab"), istr(col("c_custkey") % 5), lit("."),
+          when(col("c_custkey") % 7 === 0, "samknows").otherwise(lower(col("c_mktsegment"))),
+          lit(".example")).as("hostname"),
+        concat(lit("10.0."), istr(col("c_custkey") % 20), lit("."),
+          istr(col("c_custkey") % 250)).as("ipv4"),
+        when(col("c_custkey") % 3 === 0, lit(""))
+          .otherwise(concat(lit("2001:db8::"), istr(col("c_custkey") % 9999))).as("ipv6"))
+    // F8: JSON round-trip through the declared Site schema
+    val parsed = sites
+      .select(to_json(struct(col("hostname"), col("ipv4"), col("ipv6"))).as("js"))
+      .select(from_json(col("js"), graft.model.Schemas.siteSchema).as("site"))
+      .select(col("site.hostname").as("hostname"), col("site.ipv4").as("ipv4"),
+        col("site.ipv6").as("ipv6"))
+    parsed
+      .filter(!col("hostname").contains("samknows"))
+      .select(explode(array(col("ipv4"), col("ipv6"))).as("ip"))
+      .filter(length(col("ip")) > 0)
+      .distinct()
+  }
+
+  val whitelistBuildSql: String =
+    """WITH sites AS (
+      |  SELECT 'mlab' || CAST(c_custkey % 5 AS VARCHAR) || '.' ||
+      |         CASE WHEN c_custkey % 7 = 0 THEN 'samknows' ELSE lower(c_mktsegment) END ||
+      |         '.example' AS hostname,
+      |         '10.0.' || CAST(c_custkey % 20 AS VARCHAR) || '.' || CAST(c_custkey % 250 AS VARCHAR) AS ipv4,
+      |         CASE WHEN c_custkey % 3 = 0 THEN ''
+      |              ELSE '2001:db8::' || CAST(c_custkey % 9999 AS VARCHAR) END AS ipv6
+      |  FROM customer)
+      |SELECT DISTINCT ip FROM (
+      |  SELECT hostname, unnest([ipv4, ipv6]) AS ip FROM sites)
+      |WHERE NOT contains(hostname, 'samknows') AND length(ip) > 0""".stripMargin
+
+  /** F1/F2/F5/F6/F7/P9/P10/P11 — the scalar-function surface in one
+    * deterministic projection, including the IPv6 `:::` quirk
+    * (`/root/reference/filename_parser.go:17-29`), a malformed no-underscore
+    * name (→ `""`), the `.tgz`→`-e.tgz` rename
+    * (`/root/reference/embargo.go:105`) and the base64 `gs://` round-trip
+    * (`/root/reference/deploy/deploy.go:32-42`).
+    */
+  def scalars(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = manifest(spark, sfDir)
+      .withColumn("ip2",
+        when(col("user_id") % 11 === 0, col("ip")) // placeholder, row goes malformed below
+          .when(col("user_id") % 5 === 0,
+            concat(lit("2001:db8:"), istr(col("user_id") % 99), lit(":::"), istr(col("user_id") % 9)))
+          .otherwise(col("ip")))
+      .withColumn("fname2",
+        when(col("user_id") % 11 === 0, concat(col("day"), lit("X"), col("seq"), col("ext")))
+          .otherwise(concat(col("day"), lit("T000000Z_"), col("ip2"), lit("_"), col("seq"), col("ext"))))
+      .withColumn("archive",
+        concat(dayPrefix(col("day")), lit("/"), col("day"), lit("T000000Z-mlab"),
+          istr(col("user_id") % 4), lit("-lga0"), istr(col("user_id") % 8),
+          lit("-sidestream-0000.tgz")))
+      .withColumn("gs", concat(lit("gs://archive-bucket/"), col("archive")))
+    m.select(
+      col("fname2").as("fname"),
+      basename(col("archive")).as("base"),
+      coalesce(local_ip(col("fname2")), lit("")).as("lip"),
+      fileDate(col("fname2")).as("fdate"),
+      fileDateInt(col("fname2")).cast("long").as("fdate_int"),
+      privateName(col("archive")).as("pname"),
+      dayPrefix(col("day")).as("dprefix"),
+      gsBucket(col("gs")).as("bucket"),
+      gsObject(col("gs")).as("obj"),
+      decodeBase64Path(base64(col("gs").cast("binary"))).as("b64rt")
+    ).distinct()
+  }
+
+  val scalarsSql: String =
+    s"""WITH $manifestSql,
+       |m AS (
+       |  SELECT *,
+       |    CASE WHEN user_id % 11 = 0 THEN ip
+       |         WHEN user_id % 5 = 0 THEN '2001:db8:' || CAST(user_id % 99 AS VARCHAR) || ':::' || CAST(user_id % 9 AS VARCHAR)
+       |         ELSE ip END AS ip2
+       |  FROM named),
+       |m2 AS (
+       |  SELECT *,
+       |    CASE WHEN user_id % 11 = 0 THEN day || 'X' || seq || ext
+       |         ELSE day || 'T000000Z_' || ip2 || '_' || seq || ext END AS fname2,
+       |    'sidestream/' || substr(day,1,4) || '/' || substr(day,5,2) || '/' || substr(day,7,2)
+       |      || '/' || day || 'T000000Z-mlab' || CAST(user_id % 4 AS VARCHAR)
+       |      || '-lga0' || CAST(user_id % 8 AS VARCHAR) || '-sidestream-0000.tgz' AS archive
+       |  FROM m),
+       |m3 AS (SELECT *, 'gs://archive-bucket/' || archive AS gs FROM m2)
+       |SELECT DISTINCT
+       |  fname2 AS fname,
+       |  regexp_extract(archive, '([^/]+)$$', 1) AS base,
+       |  replace(regexp_extract(fname2, '_(.*)_', 1), ':::', '::') AS lip,
+       |  substr(fname2, 1, 8) AS fdate,
+       |  CAST(TRY_CAST(substr(fname2, 1, 8) AS INT) AS BIGINT) AS fdate_int,
+       |  replace(archive, '.tgz', '-e.tgz') AS pname,
+       |  'sidestream/' || substr(day,1,4) || '/' || substr(day,5,2) || '/' || substr(day,7,2) AS dprefix,
+       |  regexp_extract(gs, 'gs://([^/]+)/(.*)', 1) AS bucket,
+       |  regexp_extract(gs, 'gs://([^/]+)/(.*)', 2) AS obj,
+       |  gs AS b64rt
+       |FROM m3""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p3_route_counts" -> routeCounts,
+    "p1_suffix_filter" -> suffixFilter,
+    "p4_age_filter" -> ageFilter,
+    "whitelist_build" -> whitelistBuild,
+    "f_scalars" -> scalars
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p3_route_counts" -> routeCountsSql,
+    "p1_suffix_filter" -> suffixFilterSql,
+    "p4_age_filter" -> ageFilterSql,
+    "whitelist_build" -> whitelistBuildSql,
+    "f_scalars" -> scalarsSql
+  )
+}
