@@ -1,24 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every driver-contract query at
+  * `SPARK_GRAFT_SF_DIR` and prints one JSON line. Failed queries report an
+  * `err` entry (and are excluded from `total`) instead of silently
+  * inflating the elapsed total (VERDICT r1).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+      catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map {
+      case (k, v, None) => s"${jq(k)}:$v"
+      case (k, _, Some(e)) => s"${jq(k)}:{${jq("err")}:${jq(e)}}"
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, v, None) => v }
+    val total = ok.sum
+    val nerr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_err":$nerr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,12 +6,21 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
   * One quirk: `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark refuses
-  * by default. We read it with `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (→ `LongType` epoch-nanos) and expose both the raw nanos (`ts_ns`, exact —
-  * use for ordering/tie-breaks so results match engines that keep full nanos)
-  * and a µs-truncated proper `TimestampType` `ts` for date/window arithmetic.
+  * by default. Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
+  * at build time (see [[configure]], called by Verify/Bench/tests) — the
+  * column then reads as `LongType` epoch-nanos and [[events]] exposes both the
+  * raw nanos (`ts_ns`, exact — use for ordering/tie-breaks so results match
+  * engines that keep full nanos) and a µs-truncated proper `TimestampType`
+  * `ts` for date/window arithmetic.
   */
 object Tables {
+
+  /** Session configs every graft session needs; call once at session build
+    * rather than mutating conf inside loaders (ADVICE r2).
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -26,7 +35,11 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** events with `ts_ns: Long` (exact) and `ts: Timestamp` (µs, UTC). */
+  /** events with `ts_ns: Long` (exact) and `ts: Timestamp` (µs, UTC).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` ([[configure]]);
+    * set as runtime conf too for sessions built without it (it is a
+    * per-read option in practice, safe to set late).
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")

@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * Mirrors the tar-header fields the reference preserves when re-packing
   * archives (`/root/reference/embargo.go:163-168`: Name, Size, Mode, ModTime,
   * Typeflag) plus the payload bytes and the enclosing archive's path so one
-  * exploded Dataset can hold entries from many archives.
+  * exploded Dataset can hold entries from many archives. `ordinal` is the
+  * 0-based position within the archive — repacking in `ordinal` order
+  * reproduces the reference's input-order tar writes
+  * (`/root/reference/embargo.go:149-201`).
   *
   * `typeflag` is a one-char string: "0" = regular file, "5" = directory —
   * the reference routes on `tar.TypeReg` (`/root/reference/embargo.go:158-160`).
   */
 final case class TarEntry(
     archive: String,
+    ordinal: Long,
     name: String,
     size: Long,
     mode: Long,
@@ -48,6 +52,7 @@ object Schemas {
   /** Schema of an exploded tar entry — see [[TarEntry]]. */
   val tarEntrySchema: StructType = StructType(Seq(
     StructField("archive", StringType, nullable = false),
+    StructField("ordinal", LongType, nullable = false),
     StructField("name", StringType, nullable = false),
     StructField("size", LongType, nullable = false),
     StructField("mode", LongType, nullable = false),

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.IpFunctions.local_ip
+import graft.functions.NameFunctions.{basename, fileDateInt}
+import graft.io.{TgzSink, TgzSource}
+import graft.model.{Schemas, TarEntry}
+
+/** E1 — THE embargo pipeline (`/root/reference/embargo.go:125-220`):
+  * explode archives → P2 regular-file filter → P3 routing predicate with the
+  * J1 whitelist broadcast join → repack per-archive public/private pairs.
+  *
+  * The whole job is one narrow stage: the broadcast hash join and the
+  * `when/otherwise` route column keep each archive's entries in the task
+  * that read them (order intact), so [[TgzSink.writeSplit]] needs no
+  * shuffle and the day-batch parallelizes purely by archive — the unit the
+  * reference looped over serially (`/root/reference/embargo.go:278-291`).
+  */
+object EmbargoSplit {
+
+  /** P3+J1 — classify each regular entry `public`/`private`
+    * (`/root/reference/embargo.go:174`): public iff the file date is older
+    * than `cutoffDateInt` (P4/P5), OR the basename is not a web100 file, OR
+    * its extracted local IP (F1) is whitelisted. `local_ip` is coalesced
+    * through `""` so the OR never sees a null under three-valued logic.
+    *
+    * `whitelist` must expose one `wip` column (see [[TgzSource.whitelist]]);
+    * it is explicitly `broadcast` — thousands of rows at most
+    * (`/root/reference/embargo_check.go:58`).
+    */
+  def route(entries: Dataset[TarEntry], whitelist: DataFrame,
+            cutoffDateInt: Int): DataFrame = {
+    val regs = entries.filter(col("typeflag") === "0")
+      .withColumn("base", basename(col("name")))
+      .withColumn("local_ip", coalesce(local_ip(col("base")), lit("")))
+    regs.join(broadcast(whitelist), regs("local_ip") === whitelist("wip"), "left_outer")
+      .withColumn("route",
+        when(fileDateInt(col("base")) < lit(cutoffDateInt)
+          || !col("base").contains("web100")
+          || col("wip").isNotNull, Schemas.RoutePublic)
+          .otherwise(Schemas.RoutePrivate))
+      .drop("wip", "base")
+  }
+
+  /** Per-route file/byte counts over all routed entries — matches the golden
+    * split cardinalities (145 public / 59 private for the fixture,
+    * `/root/reference/embargo_test.go:54-90`). The reference's
+    * `embargo_file_total{dataset,status}` metric
+    * (`/root/reference/metrics/metrics.go:45-51`) is the web100-only subset.
+    */
+  def fileCounts(routed: DataFrame): DataFrame =
+    routed.groupBy("route")
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("n_bytes"))
+
+  /** End-to-end day/file run: split every archive under `inPath` into
+    * `-p`/`-e` pairs under `outDir` (`/root/reference/embargo.go:228-241`).
+    */
+  def run(spark: SparkSession, inPath: String, whitelistPath: String,
+          cutoffDateInt: Int, outDir: String): Unit = {
+    val entries = TgzSource.entries(spark, inPath)
+    val wl = TgzSource.whitelist(spark, whitelistPath)
+    TgzSink.writeSplit(route(entries, wl, cutoffDateInt), outDir)
+  }
+}

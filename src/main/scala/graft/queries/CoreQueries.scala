@@ -44,11 +44,13 @@ object CoreQueries {
   def tableCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val names = Seq("lineitem", "orders", "customer", "supplier", "part",
       "nation", "region", "documents", "embeddings")
+    // global agg (no groupBy) so an empty table still yields one row with 0,
+    // matching the oracle's SELECT 'n', COUNT(*) semantics
     val counted = names.map { n =>
-      Tables.table(spark, sfDir, n).select(lit(n).as("tbl"), lit(1).as("one"))
-        .groupBy("tbl").agg(count(lit(1)).as("cnt"))
+      Tables.table(spark, sfDir, n)
+        .agg(count(lit(1)).as("cnt")).select(lit(n).as("tbl"), col("cnt"))
     } :+ Tables.events(spark, sfDir)
-      .select(lit("events").as("tbl")).groupBy("tbl").agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")).select(lit("events").as("tbl"), col("cnt"))
     counted.reduce(_ unionAll _)
   }
 
@@ -76,11 +78,14 @@ object CoreQueries {
       |GROUP BY 1""".stripMargin
 
   /** J2 — anti-join sync (`/root/reference/gcs_operations.go:200-266`):
-    * customers with no orders, per nation.
+    * customers with no URGENT orders, per nation. The probe side is filtered
+    * to a narrow priority subset so the anti-join is non-vacuous at every
+    * scale factor (every customer has *some* order in the synthetic data).
     */
   def antiJoin(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
-      .join(Tables.orders(spark, sfDir).select(col("o_custkey")),
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").cast("long").as("nationkey"))
       .agg(count(lit(1)).as("n_no_orders"))
@@ -88,7 +93,8 @@ object CoreQueries {
   val antiJoinSql: String =
     """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_no_orders
       |FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY 1""".stripMargin
 
   /** J3 — upsert / overwrite-join (`/root/reference/unembargo.go:97-133`,
@@ -181,16 +187,20 @@ object CoreQueries {
     */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    def users(t: String) = ev.filter(col("event_type") === t).select("user_id").distinct()
-    users("purchase").intersect(users("click")).except(users("error"))
+    def users(t: String, valuePred: Column => Column = _ => lit(true)) =
+      ev.filter(col("event_type") === t && valuePred(col("value")))
+        .select("user_id").distinct()
+    // value slices keep the result non-empty at every SF (every user hits
+    // every event type in the synthetic data, so unsliced sets are equal)
+    users("purchase", _ > 50).intersect(users("click")).except(users("error", _ > 90))
   }
 
   val setOpsSql: String =
-    """SELECT user_id FROM events WHERE event_type = 'purchase'
+    """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 50
       |INTERSECT
       |SELECT user_id FROM events WHERE event_type = 'click'
       |EXCEPT
-      |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 90""".stripMargin
 
   /** Headline aggregation (TPC-H Q1 shape) — partial/final hash agg over the
     * fact table; the monetary sums use exact decimal arithmetic.

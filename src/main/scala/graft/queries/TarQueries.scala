@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.TgzSource
+import graft.ops.EmbargoSplit
+
+/** Driver-contract queries over the real reference fixture tarball
+  * (S4 explode + E1 routing, `/root/reference/embargo.go:125-220`).
+  *
+  * DuckDB cannot read `.tgz`, so these have no oracle SQL — the driver
+  * records rows-only checks; the strong equivalence check is the golden
+  * split ScalaTest (145 public / 59 private at entry level,
+  * `/root/reference/embargo_test.go:54-90`).
+  */
+object TarQueries {
+
+  val FixtureTgz =
+    "/root/reference/testdata/20170315T000000Z-mlab3-sea03-sidestream-0000.tgz"
+  val FixtureWhitelist = "/root/reference/testdata/whitelist_full"
+
+  /** Golden-test cutoff: the fixture day itself, so `moreThanOneYear` is
+    * false and routing exercises the web100/whitelist arms
+    * (the reference test passes `moreThanOneYear=false` directly,
+    * `/root/reference/embargo_test.go:66`).
+    */
+  val FixtureCutoff = 20170315
+
+  /** S4 — raw entry manifest of the fixture archive (205 rows incl. the
+    * directory entry; `sfDir` unused — the fixture is fixed-path).
+    */
+  def tarScan(spark: SparkSession, sfDir: String): DataFrame =
+    TgzSource.entries(spark, FixtureTgz)
+      .select(col("ordinal"), col("name"), col("size"), col("typeflag"))
+
+  /** E1 — the golden split as route counts
+    * (145 public / 59 private at the fixture cutoff).
+    */
+  def splitCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val entries = TgzSource.entries(spark, FixtureTgz)
+    val wl = TgzSource.whitelist(spark, FixtureWhitelist)
+    EmbargoSplit.fileCounts(EmbargoSplit.route(entries, wl, FixtureCutoff))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s4_tar_scan" -> tarScan,
+    "e1_split_counts" -> splitCounts
+  )
+
+  /** No oracle SQL — DuckDB cannot read tgz; rows-only by design. */
+  def oracleSql: Map[String, String] = Map.empty
+}

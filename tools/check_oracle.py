@@ -3,7 +3,7 @@
 DuckDB over the sf parquet tables, load the Spark result parquet written by
 graft.Verify, sort columns by name + rows by value, and compare exactly.
 
-Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import glob
 import json
@@ -16,7 +16,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame) -> list:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.astype(object).where(pd.notnull(df), None)
     rows = sorted([tuple(str(v) for v in r) for r in df.itertuples(index=False)])
