@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar surface for the large-scale training-data pipeline
+  * operators (dedup, quality scoring, language ID, fingerprinting).
+  *
+  * Everything here is built from codegen'd Spark built-ins (no UDFs) and is
+  * deliberately mirror-able in ANSI/DuckDB SQL so every operator can be
+  * oracle-checked: tokenization is regex-based, hashes are md5-derived
+  * (md5 is bit-identical across engines, unlike murmur/xxhash variants).
+  */
+object TextFunctions {
+
+  /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Canonical form for fingerprint/dedup: lowercase, collapsed whitespace. */
+  def canonText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of trimmed text (the reference-free baseline). */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish tokens: `regexp_extract_all` over the lowered text. */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(TokenPattern), lit(0))
+
+  /** Word w-shingles (default 3) joined by a space: the minhash unit.
+    * `transform(sequence(...))` keeps it inside codegen; short texts
+    * collapse to a single whole-text shingle.
+    */
+  def wordShingles(c: Column, w: Int = 3): Column = {
+    val toks = wsTokens(c)
+    when(size(toks) < w, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
+  }
+
+  /** Count of alphabetic chars in the lowered text. */
+  def alphaCount(c: Column): Column =
+    length(regexp_replace(lower(c), "[^a-z]", ""))
+
+  /** Count of punctuation (non-alnum, non-space) chars. */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(lower(c), "[a-z0-9\\s]", ""))
+
+  /** Tokens found in `words` (a small inline set), for stopword ratios and
+    * marker-word language scoring.
+    */
+  def tokenHits(c: Column, words: Seq[String]): Column =
+    size(filter(wsTokens(lower(c)), t => t.isin(words.map(lit(_)): _*)))
+
+  /** 128-bit md5 fingerprint of the canonical text (F-fingerprint). */
+  def fingerprint(c: Column): Column = md5(canonText(c))
+
+  /** 32-bit integer fingerprint: first 8 hex digits of the md5 as a long —
+    * the md5-derived hash family used anywhere an integer hash is needed
+    * (minhash, simhash, LSH bucketing) so DuckDB can replicate it exactly
+    * (`CAST('0x' || substr(md5(x),1,8) AS BIGINT)`).
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: hash32 of `seed || '|' || value`. */
+  def hash32(c: Column, seed: Int): Column =
+    hash32(concat(lit(s"$seed|"), c))
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, document fingerprinting — the scalar layer
+  * of a training-data pipeline, every query oracle-checked against DuckDB.
+  *
+  * Documents are augmented with a deterministic punctuation/stopword tail
+  * keyed on `doc_id` so punctuation- and stopword-sensitive metrics are
+  * non-vacuous on the synthetic corpus (which is bare lowercase words).
+  */
+object TextQueries {
+
+  /** Augmented docs: `aug` = text + per-doc deterministic tail. */
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).withColumn("aug",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit("!! 42"))
+          .when(col("doc_id") % 3 === 1, lit(", and more to read."))
+          .otherwise(lit(""))))
+
+  private val docsSql =
+    """docs AS (
+      |  SELECT *, text || CASE WHEN doc_id % 3 = 0 THEN '!! 42'
+      |                         WHEN doc_id % 3 = 1 THEN ', and more to read.'
+      |                         ELSE '' END AS aug
+      |  FROM documents)""".stripMargin
+
+  /** T1 — token counting: whitespace tokens and BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation).
+    */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(wsTokens(col("aug"))).as("n_ws_tokens"),
+      size(bpeTokens(col("aug"))).as("n_bpe_tokens"),
+      length(canonText(col("aug"))).as("n_canon_chars"))
+
+  val tokenStatsSql: String =
+    s"""WITH $docsSql
+       |SELECT doc_id,
+       |  len(string_split_regex(trim(aug), '\\s+')) AS n_ws_tokens,
+       |  len(regexp_extract_all(lower(aug), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+       |  length(trim(regexp_replace(lower(aug), '\\s+', ' ', 'g'))) AS n_canon_chars
+       |FROM docs""".stripMargin
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "on")
+
+  /** T2 — quality scoring: alpha/punct/stopword ratios + a composite score.
+    * All ratios are single divisions of exact integer counts and the score
+    * composes them in a fixed order, so Spark and DuckDB produce
+    * bit-identical doubles.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(wsTokens(col("aug"))).cast("double")
+    val len = length(col("aug")).cast("double")
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"), length(col("aug")).as("n_chars"),
+        (alphaCount(col("aug")).cast("double") / len).as("alpha_ratio"),
+        (punctCount(col("aug")).cast("double") / len).as("punct_ratio"),
+        (tokenHits(col("aug"), Stopwords).cast("double") / nTok).as("stop_ratio"),
+        nTok.as("n_tok"))
+      .select(
+        col("doc_id"), col("n_chars"), col("alpha_ratio"), col("punct_ratio"),
+        col("stop_ratio"),
+        (col("alpha_ratio") * 0.5 + col("stop_ratio") * 0.3
+          + least(col("n_tok") / 50.0, lit(1.0)) * 0.2).as("quality"))
+  }
+
+  val qualityScoreSql: String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH $docsSql,
+       |m AS (
+       |  SELECT doc_id, length(aug) AS n_chars,
+       |    CAST(length(regexp_replace(lower(aug), '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / CAST(length(aug) AS DOUBLE) AS alpha_ratio,
+       |    CAST(length(regexp_replace(lower(aug), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |      / CAST(length(aug) AS DOUBLE) AS punct_ratio,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(aug)), '\\s+'),
+       |                         t -> t IN ($stop))) AS DOUBLE)
+       |      / CAST(len(string_split_regex(trim(aug), '\\s+')) AS DOUBLE) AS stop_ratio,
+       |    CAST(len(string_split_regex(trim(aug), '\\s+')) AS DOUBLE) AS n_tok
+       |  FROM docs)
+       |SELECT doc_id, n_chars, alpha_ratio, punct_ratio, stop_ratio,
+       |  alpha_ratio * 0.5 + stop_ratio * 0.3 + least(n_tok / 50.0, 1.0) * 0.2 AS quality
+       |FROM m""".stripMargin
+  }
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "une"))
+
+  /** T3 — language ID: marker-word (1-gram) scoring with a deterministic
+    * argmax (declaration order wins ties), `unknown` when nothing matches.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Markers.foldLeft(docs(spark, sfDir)) { case (df, (l, ws)) =>
+      df.withColumn(s"c_$l", tokenHits(col("aug"), ws))
+    }
+    val all = Markers.map { case (l, _) => col(s"c_$l") }
+    val guess = Markers.foldRight(lit("unknown"): Column) { case ((l, _), els) =>
+      when(col(s"c_$l") === greatest(all: _*), lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("lang_guess", when(greatest(all: _*) === 0, "unknown").otherwise(guess))
+      .groupBy("lang_guess").agg(count(lit(1)).as("n_docs"))
+  }
+
+  val langIdSql: String = {
+    def hits(ws: Seq[String]) = {
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(trim(lower(aug)), '\\s+'), t -> t IN ($set)))"
+    }
+    val cols = Markers.map { case (l, ws) => s"${hits(ws)} AS c_$l" }.mkString(",\n    ")
+    val gr = s"greatest(${Markers.map { case (l, _) => s"c_$l" }.mkString(", ")})"
+    val argmax = Markers.map { case (l, _) => s"WHEN c_$l = $gr THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH $docsSql,
+       |scored AS (
+       |  SELECT doc_id,
+       |    $cols
+       |  FROM docs)
+       |SELECT CASE WHEN $gr = 0 THEN 'unknown' ELSE $argmax END AS lang_guess,
+       |       COUNT(*) AS n_docs
+       |FROM scored GROUP BY 1""".stripMargin
+  }
+
+  /** T4 — document fingerprinting: 128-bit md5 of the canonical text plus a
+    * 32-bit integer fingerprint (the hash family LSH/minhash builds on).
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      fingerprint(col("aug")).as("fp"),
+      hash32(canonText(col("aug"))).as("fp32"))
+
+  val fingerprintsSql: String =
+    s"""WITH $docsSql
+       |SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(aug), '\\s+', ' ', 'g'))) AS fp,
+       |  CAST(('0x' || substr(md5(trim(regexp_replace(lower(aug), '\\s+', ' ', 'g'))), 1, 8)) AS BIGINT) AS fp32
+       |FROM docs""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> tokenStats,
+    "t2_quality_score" -> qualityScore,
+    "t3_langid" -> langId,
+    "t4_fingerprints" -> fingerprints
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t1_token_stats" -> tokenStatsSql,
+    "t2_quality_score" -> qualityScoreSql,
+    "t3_langid" -> langIdSql,
+    "t4_fingerprints" -> fingerprintsSql
+  )
+}
