@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`): exact
+  * brute-force top-k as the correctness baseline, sign-LSH bucketed near-dup
+  * and IVF coarse-quantized ANN as the scale paths.
+  *
+  * Scale design: probe/centroid sets are `broadcast` (they are small by
+  * construction), the corpus is never shuffled whole — candidate scoring is
+  * map-side, and per-probe top-k goes through [[TopK]], a bounded-heap
+  * `Aggregator` whose partial buffers (≤ k rows each) are merged map-side, so
+  * the only shuffle is k rows per probe per map partition. Cosine math is
+  * done in doubles (`zip_with` + `aggregate`, codegen'd) for engine-portable
+  * results.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Sign-LSH bucket key: the sign pattern of the first `bits` components
+    * (axis-aligned random-hyperplane LSH). Scale-invariant — v and c·v
+    * (c > 0) always share a bucket, which is what makes the near-dup recall
+    * exact for scaled duplicates.
+    */
+  def signKey(emb: Column, bits: Int = 16): Column =
+    concat_ws("", transform(slice(emb, 1, bits),
+      x => when(x >= 0, lit("1")).otherwise(lit("0"))))
+
+  /** D4 — embedding near-dup: sign-LSH bucket join + exact cosine verify
+    * within buckets; pairs with `cos >= threshold` (ids only — float values
+    * never leave the pipeline, keeping results engine-exact).
+    */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val keyed = corpus.select(col("vec_id"), col("embedding"),
+      signKey(col("embedding")).as("bkey"))
+    val a = keyed.select(col("bkey"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = keyed.select(col("bkey"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, Seq("bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Scored candidate for top-k: ordered by (score desc, id asc). */
+  case class Scored(score: Double, id: Long)
+
+  /** Bounded top-k aggregator: the buffer never exceeds k entries, partial
+    * buffers combine map-side, ties break on ascending id for determinism.
+    */
+  class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def best(xs: Seq[Scored]): Seq[Scored] =
+      xs.sortBy(s => (-s.score, s.id)).take(k)
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = best(buf :+ in)
+    override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = best(x ++ y)
+    override def finish(buf: Seq[Scored]): Seq[Scored] = best(buf)
+    override def bufferEncoder: Encoder[Seq[Scored]] = Encoders.kryo[Seq[Scored]]
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** N1 — exact brute-force cosine top-k: broadcast the probe set, score the
+    * corpus map-side, reduce with [[TopK]]. Output (probe_id, neighbor_id,
+    * rank), rank 1-based by (cos desc, vec_id asc).
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pe"))
+    val topk = udaf(new TopK(k), Encoders.product[Scored])
+    corpus.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("p_id"))
+      .withColumn("cos", cosine(col("pe"), col("embedding")))
+      .groupBy("p_id")
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("p_id").as("probe_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("probe_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** IVF coarse quantization: assign every vector to its nearest centroid by
+    * cosine (ties → lowest centroid id). Implemented as a broadcast score +
+    * `max(struct(...))` argmax, which combines map-side — no window shuffle
+    * of the corpus.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    corpus.crossJoin(broadcast(c))
+      .withColumn("cos", cosine(col("ce"), col("embedding")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos").as("s"), (-col("c_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).cast("long").as("cell"))
+  }
+
+  /** N2 — IVF-bucketed ANN: probes search only their own coarse cell
+    * (nprobe=1), exact cosine within the cell, [[TopK]] per probe. The cell
+    * join shuffles by cell id — candidate sets are bounded by cell size,
+    * never the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, probeFilter: Column,
+              k: Int): DataFrame = {
+    val assign = ivfAssign(corpus, centroids)
+    val withCell = corpus.join(assign, "vec_id")
+    val probes = withCell.filter(probeFilter)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("cell"))
+    val topk = udaf(new TopK(k), Encoders.product[Scored])
+    withCell.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("p_id"))
+      .withColumn("cos", cosine(col("pe"), col("embedding")))
+      .groupBy("p_id")
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("p_id").as("probe_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("probe_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+}

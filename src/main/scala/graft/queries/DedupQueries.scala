@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Dedup
+
+/** Dedup queries over `documents`: the synthetic corpus has no natural
+  * duplicates, so a deterministic augmented corpus is built in BOTH engines:
+  * every 20th doc gets a near-dup copy (last word dropped, id+1000000) and
+  * every 25th an exact copy (id+2000000) — the oracle comparisons then
+  * exercise real positive paths, not vacuously-empty results (ADVICE r2).
+  *
+  * The Spark side is the bucketed-LSH production shape; the DuckDB oracle is
+  * an EXHAUSTIVE pair scan — so a passing hash-match also proves the LSH
+  * candidate generation has 100% recall at the verify scale, not just that
+  * both engines agree.
+  */
+object DedupQueries {
+
+  /** Augmented corpus: base ∪ near-dup copies ∪ exact copies. */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val toks = split(trim(col("text")), "\\s+")
+    val near = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+    val exact = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    base.unionAll(near).unionAll(exact)
+  }
+
+  val corpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:len(toks)-1], ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      |  WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0)""".stripMargin
+
+  /** D1 — exact dedup via canonical-text fingerprint groupBy. */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactDuplicates(corpus(spark, sfDir))
+
+  val exactDedupSql: String =
+    s"""WITH $corpusSql
+       |SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id, MAX(doc_id) AS dup_id
+       |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
+
+  /** D2 — banded minhash-LSH near-dup (48 bands × 3 rows), exact-verified
+    * at jaccard ≥ 0.5; the oracle is the exhaustive jaccard scan.
+    */
+  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashNearDups(corpus(spark, sfDir), threshold = 0.5)
+
+  val minhashNearDupSql: String =
+    s"""WITH $corpusSql,
+       |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 1),
+       |                                  i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+       |       FROM tk),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jac
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.5""".stripMargin
+
+  /** D3 — simhash near-dup: 32-bit simhash, 4×8-bit hamming bands (lossless
+    * for distance ≤ 3 by pigeonhole), `bit_count(xor)` verify. The oracle
+    * computes the identical simhash in SQL and scans all pairs.
+    */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashNearDups(corpus(spark, sfDir), maxHamming = 3)
+
+  val simhashNearDupSql: String =
+    s"""WITH $corpusSql,
+       |toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+       |         FROM corpus),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+       |bitsums AS (
+       |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h CROSS JOIN generate_series(0, 31) t(j) GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       |  FROM bitsums GROUP BY 1)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> exactDedup,
+    "d2_minhash_neardup" -> minhashNearDup,
+    "d3_simhash_neardup" -> simhashNearDup
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" -> exactDedupSql,
+    "d2_minhash_neardup" -> minhashNearDupSql,
+    "d3_simhash_neardup" -> simhashNearDupSql
+  )
+}

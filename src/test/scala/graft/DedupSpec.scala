@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity}
+
+/** Operator-level specs for the dedup/similarity suite on tiny inline data
+  * (the sf-table integration path is covered by Verify + the DuckDB oracle).
+  */
+class DedupSpec extends AnyFunSuite with SparkSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("D1: exact duplicates group by canonical fingerprint") {
+    val d = Dedup.exactDuplicates(docs(
+      1L -> "the quick brown fox",
+      2L -> "THE  quick   Brown fox", // same after canon
+      3L -> "something else entirely"))
+      .collect()
+    assert(d.length === 1)
+    assert(d.head.getAs[Long]("n_docs") === 2)
+    assert(d.head.getAs[Long]("keep_id") === 1L)
+    assert(d.head.getAs[Long]("dup_id") === 2L)
+  }
+
+  test("D2: minhash LSH finds near-dups, skips unrelated, verifies jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.split(" ").dropRight(1).mkString(" ")
+    val pairs = Dedup.minhashNearDups(docs(
+      1L -> base, 2L -> near,
+      3L -> "utterly different words with no shared window at all"),
+      threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    val jac = pairs.head.getAs[Double]("jac")
+    assert(jac > 0.8 && jac < 1.0) // 17/19 shared 3-shingles
+  }
+
+  test("D3: simhash hamming 0 for identical token sets, bands are lossless") {
+    val res = Dedup.simhashNearDups(docs(
+      1L -> "one two three four five six seven eight",
+      2L -> "eight seven six five four three two one", // same token SET
+      3L -> "totally disjoint vocabulary everywhere here now then"),
+      maxHamming = 3).collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ===
+      Set((1L, 2L, 0)))
+  }
+
+  test("simhash is set-semantics and deterministic") {
+    val s = Dedup.simhashes(docs(1L -> "a b c a b", 2L -> "c b a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) === s(2L))
+  }
+
+  test("D4: sign-LSH near-dup finds scaled copies only") {
+    import spark.implicits._
+    val v1 = Array(0.5f, -0.25f, 0.125f, 1.0f)
+    val v2 = v1.map(_ * 2.0f)
+    val v3 = Array(-0.5f, 0.25f, -0.125f, -1.0f) // opposite orthant
+    val corpus = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("N1: brute-force top-k ranks by cosine desc, id asc") {
+    import spark.implicits._
+    val probe = Array(1.0f, 0.0f)
+    val corpus = Seq(
+      10L -> Array(1.0f, 0.0f),   // cos 1
+      11L -> Array(2.0f, 0.0f),   // cos 1 (tie -> after 10 by id)
+      12L -> Array(1.0f, 1.0f),   // cos .707
+      13L -> Array(0.0f, 1.0f),   // cos 0
+      1L -> probe
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, corpus.filter($"vec_id" === 1L), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    assert(top.toSeq === Seq((10L, 1L), (11L, 2L), (12L, 3L)))
+  }
+
+  test("N2: IVF assigns to nearest centroid and searches within cell") {
+    import spark.implicits._
+    val corpus = Seq(
+      0L -> Array(1.0f, 0.05f), // centroid A
+      1L -> Array(0.05f, 1.0f), // centroid B
+      50L -> Array(1.0f, 0.1f), // near A (probe)
+      51L -> Array(0.9f, 0.2f), // near A
+      52L -> Array(0.1f, 0.9f) // near B — must NOT appear for probe 50
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(corpus, corpus.filter($"vec_id" < 2),
+      probeFilter = $"vec_id" === 50L, k = 3).collect()
+      .map(r => r.getAs[Long]("neighbor_id")).toSet
+    assert(res.contains(51L) && !res.contains(52L) && !res.contains(1L))
+  }
+
+  test("multiplicative minhash family: odd multipliers, values stay in 2^32") {
+    val ks = Dedup.multipliers(144)
+    assert(ks.distinct.length === 144)
+    assert(ks.forall(k => k % 2 == 1 && k > 0 && k < (1L << 31)))
+  }
+}
