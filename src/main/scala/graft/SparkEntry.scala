@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AnnQueries, CoreQueries, DedupQueries, EmbargoQueries, TarQueries, TextQueries}
+import graft.queries.{AnnQueries, CoreQueries, DedupQueries, EmbargoQueries, MultimodalQueries, TarQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ EmbargoQueries.queries ++ TarQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ AnnQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ AnnQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ EmbargoQueries.oracleSql ++ TarQueries.oracleSql ++
-      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ AnnQueries.oracleSql
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ AnnQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

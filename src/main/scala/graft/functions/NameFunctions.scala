@@ -30,9 +30,12 @@ object NameFunctions {
   def fileDate(name: Column): Column = substring(name, 1, 8)
 
   /** F5 — date string → int, null on malformed (reference's Atoi error path,
-    * `/root/reference/embargo.go:272-276`).
+    * `/root/reference/embargo.go:272-276`). The cast is guarded by a digit
+    * check so non-date names yield null instead of an ANSI cast error
+    * (Spark 4 defaults to ANSI mode).
     */
-  def fileDateInt(name: Column): Column = fileDate(name).cast("int")
+  def fileDateInt(name: Column): Column =
+    when(fileDate(name).rlike("^[0-9]{8}$"), fileDate(name).cast("int"))
 
   /** F3 — `FormatDateAsInt`: `y*10000 + m*100 + d`
     * (`/root/reference/embargo_check.go:24-26`).

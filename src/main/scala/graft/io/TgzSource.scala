@@ -31,12 +31,18 @@ object TgzSource {
 
   /** Explode every `.tgz` under `path` (file, dir, or glob) into entries. */
   def entries(spark: SparkSession, path: String,
-              globFilter: String = "*.tgz"): Dataset[TarEntry] = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", globFilter)
-      .load(path)
-      .select(col("path"), col("content"))
+              globFilter: String = "*.tgz"): Dataset[TarEntry] =
+    explodeEntries(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", globFilter)
+        .load(path))
+
+  /** Explode a DataFrame of `(path, content)` binary-file rows — the shared
+    * core for batch scans and streaming micro-batches (ST1).
+    */
+  def explodeEntries(bin: DataFrame): Dataset[TarEntry] = {
+    import bin.sparkSession.implicits._
+    bin.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => readTgz(p, bytes) }
   }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling for the training-data pipeline: image/audio/
+  * video payloads ride as opaque `binary` columns with typed metadata, and
+  * decode/feature-extract/frame-sample run as typed `mapPartitions` stages
+  * (the Scala analogue of `mapInPandas` batch UDFs: one iterator per
+  * partition, record-batch-shaped, no per-row UDF dispatch).
+  *
+  * The actual codec work is STUBBED — this container has no image/audio
+  * libraries — behind [[FakeCodec]], a deterministic pure function of the
+  * payload bytes. Everything around it (schemas, typed Datasets, partition
+  * iteration, downstream relational ops) is real, tested, and
+  * oracle-checkable because the fake features are exact integer arithmetic
+  * over the bytes that DuckDB can recompute.
+  */
+object Multimodal {
+
+  /** A media payload: binary content + routing metadata. */
+  final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+
+  /** Decoded (stub) features of one media payload. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      lead_byte: Int)
+
+  /** STUB codec — stands in for a real image/audio decoder. Deterministic
+    * arithmetic over the payload so tests and oracles can verify the
+    * surrounding plumbing end-to-end. A production build would replace
+    * `decode` with e.g. an ImageIO/ffmpeg call of the same signature.
+    */
+  object FakeCodec {
+    def decode(r: MediaRow): MediaFeatures = {
+      val len = r.content.length.toLong
+      val lead = if (r.content.isEmpty) 0 else r.content(0) & 0xff
+      MediaFeatures(
+        media_id = r.media_id,
+        kind = r.kind,
+        byte_len = len,
+        width = (len % 640L).toInt,
+        height = ((len / 640L) % 480L).toInt + 1,
+        n_frames = if (r.kind == "video") (len / 100L).toInt + 1 else 1,
+        lead_byte = lead)
+    }
+  }
+
+  /** Decode stage: one batch-shaped pass per partition (mapPartitions), the
+    * shape a real codec needs — library handles initialized once per task,
+    * rows streamed through.
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codecs would init native handles here, once per partition
+      rows.map(FakeCodec.decode)
+    }
+  }
+
+  /** Frame sampling stage: one row per sampled frame (every `stride`-th),
+    * the UDTF-ish explode a video pipeline needs. Stub frame id is the
+    * frame index; a real implementation would carry the frame bytes.
+    */
+  def sampleFrames(feats: Dataset[MediaFeatures], stride: Int): DataFrame = {
+    import feats.sparkSession.implicits._
+    feats.flatMap { f =>
+      (0 until f.n_frames by stride).map(i => (f.media_id, f.kind, i))
+    }.toDF("media_id", "kind", "frame_idx")
+  }
+
+  /** Wrap a DataFrame with (id, kind, payload) columns into the typed
+    * media Dataset.
+    */
+  def asMedia(df: DataFrame): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id"), col("kind"), col("content")).as[MediaRow]
+  }
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Multimodal
+
+/** Multimodal-plumbing queries: documents' text bytes stand in for media
+  * payloads (ASCII, so DuckDB `length(text)`/`ascii()` can mirror the byte
+  * arithmetic of the stub codec exactly). The Spark side runs the REAL
+  * typed pipeline — binary column → `mapPartitions` decode →
+  * `flatMap` frame explode — and only the codec math is fake.
+  */
+object MultimodalQueries {
+
+  /** Media corpus: every doc becomes one payload, kind cycling
+    * image/audio/video by `doc_id`.
+    */
+  def media(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("content"))
+
+  private val mediaSql =
+    """m AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         length(text) AS len,
+      |         ascii(substr(text, 1, 1)) AS lead
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, kind, len AS byte_len, len % 640 AS width,
+      |         (len // 640) % 480 + 1 AS height,
+      |         CASE WHEN kind = 'video' THEN len // 100 + 1 ELSE 1 END AS n_frames,
+      |         lead AS lead_byte
+      |  FROM m)""".stripMargin
+
+  /** M1 — decode features per kind (the mapPartitions stage end-to-end). */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.decodeFeatures(Multimodal.asMedia(media(spark, sfDir)))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"), sum(col("byte_len")).as("total_bytes"),
+        sum(col("width")).as("sum_width"), sum(col("n_frames")).as("sum_frames"),
+        min(col("lead_byte")).as("min_lead"), max(col("lead_byte")).as("max_lead"))
+
+  val mediaFeaturesSql: String =
+    s"""WITH $mediaSql
+       |SELECT kind, COUNT(*) AS n_media,
+       |       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+       |       CAST(SUM(width) AS BIGINT) AS sum_width,
+       |       CAST(SUM(n_frames) AS BIGINT) AS sum_frames,
+       |       MIN(lead_byte) AS min_lead, MAX(lead_byte) AS max_lead
+       |FROM f GROUP BY 1""".stripMargin
+
+  /** M2 — frame sampling (the flatMap explode stage): every 3rd frame. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.decodeFeatures(Multimodal.asMedia(media(spark, sfDir))), stride = 3)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("max_frame_idx"))
+
+  val frameSampleSql: String =
+    s"""WITH $mediaSql
+       |SELECT kind, CAST(SUM((n_frames + 2) // 3) AS BIGINT) AS n_sampled,
+       |       MAX(((n_frames - 1) // 3) * 3) AS max_frame_idx
+       |FROM f GROUP BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_media_features" -> mediaFeatures,
+    "m2_frame_sample" -> frameSample
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "m1_media_features" -> mediaFeaturesSql,
+    "m2_frame_sample" -> frameSampleSql
+  )
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.{MediaFeatures, MediaRow}
+
+/** Multimodal plumbing spec: binary columns flow through the typed
+  * mapPartitions decode and the frame-sampling flatMap; the stub codec is
+  * deterministic arithmetic (the oracle-checked m1/m2 queries cover the
+  * sf-scale path).
+  */
+class MultimodalSpec extends AnyFunSuite with SparkSuite {
+
+  test("decodeFeatures: mapPartitions stub decode is deterministic") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image", Array.fill[Byte](650)('x')),
+      MediaRow(2L, "video", Array.fill[Byte](250)('y')),
+      MediaRow(3L, "audio", Array.emptyByteArray)
+    ).toDS()
+    val f = Multimodal.decodeFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L) === MediaFeatures(1L, "image", 650L, 10, 2, 1, 'x'.toInt))
+    assert(f(2L) === MediaFeatures(2L, "video", 250L, 250, 1, 3, 'y'.toInt))
+    assert(f(3L) === MediaFeatures(3L, "audio", 0L, 0, 1, 1, 0))
+  }
+
+  test("sampleFrames: every Nth frame, one row per frame") {
+    import spark.implicits._
+    val media = Seq(MediaRow(2L, "video", Array.fill[Byte](701)('z'))).toDS()
+    val frames = Multimodal.sampleFrames(Multimodal.decodeFeatures(media), stride = 3)
+      .collect().map(_.getAs[Int]("frame_idx")).sorted
+    assert(frames.toSeq === Seq(0, 3, 6)) // n_frames = 8 -> 0,3,6
+  }
+}

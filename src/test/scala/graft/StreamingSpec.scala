@@ -1,0 +1,76 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.{Files, Path}
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingEmbargo
+
+/** ST1 spec: AvailableNow drains exactly the unprocessed archives; routing
+  * inside the stream matches batch semantics; re-runs are incremental
+  * (checkpointed file index), not reprocessing.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+
+  private def writeTgz(path: Path, entries: (String, String)*): Unit = {
+    val tar = new TarArchiveOutputStream(
+      new GzipCompressorOutputStream(new FileOutputStream(path.toFile)))
+    entries.foreach { case (name, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length.toLong)
+      tar.putArchiveEntry(e)
+      tar.write(bytes)
+      tar.closeArchiveEntry()
+    }
+    tar.close()
+  }
+
+  test("AvailableNow drain routes new archives only, per-batch whitelist") {
+    val root = Files.createTempDirectory("graft-stream")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val wlPath = root.resolve("whitelist")
+    Files.writeString(wlPath, "1.2.3.4\n")
+
+    writeTgz(inDir.resolve("day1-sidestream-0000.tgz"),
+      "d/20170315T00:00:00Z_1.2.3.4_0.web100" -> "whitelisted",
+      "d/20170315T00:00:00Z_9.9.9.9_0.web100" -> "embargoed",
+      "d/notes.tra" -> "not web100")
+
+    StreamingEmbargo.drain(spark, inDir.toString, wlPath.toString,
+      cutoffDateInt = 20170315, outDir = outDir, checkpointDir = ckpt)
+
+    def routes(): Map[(String, String), Long] =
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[String]("route")))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+    val r1 = routes()
+    assert(r1 === Map(
+      ("d/20170315T00:00:00Z_1.2.3.4_0.web100", "public") -> 1L,
+      ("d/notes.tra", "public") -> 1L,
+      ("d/20170315T00:00:00Z_9.9.9.9_0.web100", "private") -> 1L))
+
+    // whitelist change + new file: only the NEW archive is processed, with
+    // the FRESH whitelist (the reference's stale-singleton bug, fixed)
+    Files.writeString(wlPath, "9.9.9.9\n")
+    writeTgz(inDir.resolve("day2-sidestream-0000.tgz"),
+      "d/20170316T00:00:00Z_9.9.9.9_0.web100" -> "now whitelisted")
+
+    StreamingEmbargo.drain(spark, inDir.toString, wlPath.toString,
+      cutoffDateInt = 20170315, outDir = outDir, checkpointDir = ckpt)
+
+    val r2 = routes()
+    // day1 rows unchanged (not reprocessed under the old-vs-new whitelist)
+    assert(r2(("d/20170315T00:00:00Z_1.2.3.4_0.web100", "public")) === 1L)
+    assert(r2(("d/20170315T00:00:00Z_9.9.9.9_0.web100", "private")) === 1L)
+    // day2 routed public under the refreshed whitelist
+    assert(r2(("d/20170316T00:00:00Z_9.9.9.9_0.web100", "public")) === 1L)
+    assert(r2.values.sum === 4L)
+  }
+}
