@@ -107,7 +107,11 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probeFilter: Column,
               k: Int): DataFrame = {
+    // materialize the assignment ONCE (2 ints per vector — tiny even at
+    // corpus scale) so the centroid-scoring subtree isn't recomputed for the
+    // probe and candidate branches; the bare parquet re-scan is cheap
     val assign = ivfAssign(corpus, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withCell = corpus.join(assign, "vec_id")
     val probes = withCell.filter(probeFilter)
       .select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("cell"))

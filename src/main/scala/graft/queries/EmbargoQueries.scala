@@ -254,10 +254,44 @@ object EmbargoQueries {
        |  gs AS b64rt
        |FROM m3""".stripMargin
 
+  /** P6 — unembargo eligibility (`/root/reference/unembargo.go:145-147,
+    * 158-164`): dates outside `(20160000, 21000000]` are invalid; valid
+    * dates are eligible once `date <= cutoff`, else still pending. A slice
+    * of rows gets an out-of-range year so the invalid branch is exercised.
+    */
+  def unembargoCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = manifest(spark, sfDir)
+      .withColumn("fname2",
+        when(col("event_id") % 37 === 0,
+          concat(lit("21990101T000000Z_"), col("ip"), lit("_"), col("seq"), col("ext")))
+          .otherwise(col("fname")))
+    val d = fileDateInt(col("fname2"))
+    m.withColumn("status",
+        when(d.isNull || d <= 20160000 || d > 21000000, "invalid")
+          .when(d <= Cutoff, "eligible")
+          .otherwise("pending"))
+      .groupBy("status").agg(count(lit(1)).as("cnt"))
+  }
+
+  val unembargoCheckSql: String =
+    s"""WITH $manifestSql,
+       |m AS (
+       |  SELECT *, CASE WHEN event_id % 37 = 0
+       |                 THEN '21990101T000000Z_' || ip || '_' || seq || ext
+       |                 ELSE fname END AS fname2
+       |  FROM named),
+       |d AS (SELECT TRY_CAST(substr(fname2, 1, 8) AS INT) AS di FROM m)
+       |SELECT CASE WHEN di IS NULL OR di <= 20160000 OR di > 21000000 THEN 'invalid'
+       |            WHEN di <= $Cutoff THEN 'eligible'
+       |            ELSE 'pending' END AS status,
+       |       COUNT(*) AS cnt
+       |FROM d GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_route_counts" -> routeCounts,
     "p1_suffix_filter" -> suffixFilter,
     "p4_age_filter" -> ageFilter,
+    "p6_unembargo_check" -> unembargoCheck,
     "whitelist_build" -> whitelistBuild,
     "f_scalars" -> scalars
   )
@@ -266,6 +300,7 @@ object EmbargoQueries {
     "p3_route_counts" -> routeCountsSql,
     "p1_suffix_filter" -> suffixFilterSql,
     "p4_age_filter" -> ageFilterSql,
+    "p6_unembargo_check" -> unembargoCheckSql,
     "whitelist_build" -> whitelistBuildSql,
     "f_scalars" -> scalarsSql
   )

@@ -43,8 +43,16 @@ object TarQueries {
     EmbargoSplit.fileCounts(EmbargoSplit.route(entries, wl, FixtureCutoff))
   }
 
+  /** S2 — full catalog listing of the sf directory (rows-only: DuckDB has
+    * no filesystem catalog). Sizes are real file sizes; names are the
+    * stable table set.
+    */
+  def bucketList(spark: SparkSession, sfDir: String): DataFrame =
+    graft.io.FsOps.list(spark, sfDir, ".parquet")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_tar_scan" -> tarScan,
+    "s2_bucket_list" -> bucketList,
     "e1_split_counts" -> splitCounts
   )
 

@@ -102,8 +102,12 @@ object TextQueries {
     * argmax (declaration order wins ties), `unknown` when nothing matches.
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = Markers.foldLeft(docs(spark, sfDir)) { case (df, (l, ws)) =>
-      df.withColumn(s"c_$l", tokenHits(col("aug"), ws))
+    // tokenize once; each language scores the shared array (4x cheaper than
+    // re-splitting per language)
+    val toked = docs(spark, sfDir).withColumn("toks", wsTokens(lower(col("aug"))))
+    val scored = Markers.foldLeft(toked) { case (df, (l, ws)) =>
+      df.withColumn(s"c_$l",
+        size(filter(col("toks"), t => t.isin(ws.map(lit(_)): _*))))
     }
     val all = Markers.map { case (l, _) => col(s"c_$l") }
     val guess = Markers.foldRight(lit("unknown"): Column) { case ((l, _), els) =>
