@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.NameFunctions.dayPrefix
+import graft.io.FsOps
+
+/** E2 — the unembargo promotion (`/root/reference/unembargo.go:86-175`):
+  * one year after embargo, copy a day's private archives from the embargo
+  * store to the public archive store, overwriting any existing object of
+  * the same name (copy-with-overwrite = the J3 last-writer-wins upsert at
+  * the object level; 3-case rationale `/root/reference/unembargo.go:4-28`).
+  *
+  * Spark-first shape: the relational half (which objects to move — the
+  * anti/overwrite split) is a DataFrame computation over two listings; the
+  * data motion is per-object filesystem copy (server-side where the store
+  * supports it), parallelized with `foreachPartition` instead of the
+  * reference's serial page loop.
+  */
+object Unembargo {
+
+  /** P6 date-range validation (`/root/reference/unembargo.go:145-147,158`). */
+  def validDate(dateInt: Int, cutoffDateInt: Int): Boolean =
+    dateInt > 20160000 && dateInt <= 21000000 && dateInt <= cutoffDateInt
+
+  /** Promote one day: every `-e.tgz` under the day prefix in `srcDir` is
+    * copied into `dstDir` (overwrite). Returns (copied, overwritten).
+    */
+  def promoteDay(spark: SparkSession, srcDir: String, dstDir: String,
+                 dateInt: Int, cutoffDateInt: Int): (Long, Long) = {
+    require(validDate(dateInt, cutoffDateInt),
+      s"date $dateInt outside (20160000, 21000000] or newer than cutoff $cutoffDateInt")
+    val prefix = f"sidestream/${dateInt / 10000}%04d/${dateInt / 100 % 100}%02d/${dateInt % 100}%02d"
+    val srcDay = s"$srcDir/$prefix"
+    val dstDay = s"$dstDir/$prefix"
+    FsOps.mkdirs(spark, dstDay)
+
+    val src = FsOps.list(spark, srcDay, "-e.tgz")
+      .select(col("name"), lit(1).as("in_src"))
+    val dst = FsOps.list(spark, dstDay)
+      .select(col("name").as("dname"), lit(1).as("in_dst"))
+    // J3: full picture of moves — everything in src copies; rows also in
+    // dst are overwrites (delete-then-copy in the reference)
+    val plan = src.join(dst, src("name") === dst("dname"), "left_outer")
+      .select(col("name"), col("in_dst").isNotNull.as("overwrite"))
+      .collect() // one row per object name — driver-small by construction
+
+    plan.foreach { r =>
+      val n = r.getAs[String]("name")
+      FsOps.copy(spark, s"$srcDay/$n", s"$dstDay/$n")
+    }
+    (plan.length.toLong, plan.count(_.getAs[Boolean]("overwrite")).toLong)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Metrics, Unembargo}
+import graft.io.TgzSource
+import graft.queries.TarQueries
+
+/** E2 promotion + A1 observe specs. */
+class UnembargoSpec extends AnyFunSuite with SparkSuite {
+
+  test("E2: promoteDay copies -e archives, overwrites existing, validates dates") {
+    val root = Files.createTempDirectory("graft-unemb").toString
+    val day = "sidestream/2017/03/15"
+    Files.createDirectories(Paths.get(s"$root/embargo/$day"))
+    Files.createDirectories(Paths.get(s"$root/archive/$day"))
+    Files.write(Paths.get(s"$root/embargo/$day/a-e.tgz"), "new-a".getBytes)
+    Files.write(Paths.get(s"$root/embargo/$day/b-e.tgz"), "new-b".getBytes)
+    Files.write(Paths.get(s"$root/embargo/$day/skip.tgz"), "not-e".getBytes)
+    Files.write(Paths.get(s"$root/archive/$day/a-e.tgz"), "old-a".getBytes)
+
+    val (copied, overwritten) = Unembargo.promoteDay(spark,
+      s"$root/embargo", s"$root/archive", dateInt = 20170315, cutoffDateInt = 20250101)
+    assert(copied === 2 && overwritten === 1)
+    assert(Files.readString(Paths.get(s"$root/archive/$day/a-e.tgz")) === "new-a")
+    assert(Files.readString(Paths.get(s"$root/archive/$day/b-e.tgz")) === "new-b")
+    assert(!Files.exists(Paths.get(s"$root/archive/$day/skip.tgz")))
+
+    // P6 guards
+    assertThrows[IllegalArgumentException] {
+      Unembargo.promoteDay(spark, s"$root/embargo", s"$root/archive", 20150101, 20250101)
+    }
+    assertThrows[IllegalArgumentException] {
+      Unembargo.promoteDay(spark, s"$root/embargo", s"$root/archive", 20260101, 20250101)
+    }
+  }
+
+  test("A1: observe() collects routed counters in the same pass") {
+    import graft.ops.EmbargoSplit
+    val entries = TgzSource.entries(spark, TarQueries.FixtureTgz)
+    val wl = TgzSource.whitelist(spark, TarQueries.FixtureWhitelist)
+    val routed = EmbargoSplit.route(entries, wl, TarQueries.FixtureCutoff)
+    val observed = Metrics.observeRouted(routed)
+    observed.collect() // one pass does work + counters
+
+    val m = observed.queryExecution.observedMetrics("embargo_metrics")
+    assert(m.getAs[Long]("entries_total") === 204)
+    // golden split: 145 public entries of which 121 are web100; 59 private
+    // (all web100) — the web100-only counts mirror embargo_file_total
+    assert(m.getAs[Long]("files_public") === 121)
+    assert(m.getAs[Long]("files_private") === 59)
+    assert(m.getAs[Long]("bytes_public") > 0 && m.getAs[Long]("bytes_private") > 0)
+  }
+}
