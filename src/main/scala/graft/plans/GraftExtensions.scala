@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ExtractLocalIp, NormalizeIp}
+
+/** SparkSessionExtensions hook: exposes graft's custom Catalyst expressions
+  * to SQL (`SELECT local_ip(name) ...`) so the engine is usable from pure
+  * `spark.sql` just like from the DataFrame API. Wire up with
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)  // or
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * Extending via `injectFunction` (not a UDF registry) keeps the functions
+  * codegen'd Catalyst expressions — no serialization wall in SQL either.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def unary(name: String, clazz: Class[_], build: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val builder: Seq[Expression] => Expression = {
+      case Seq(child) => build(child)
+      case args => throw new IllegalArgumentException(
+        s"$name expects 1 argument, got ${args.length}")
+    }
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getCanonicalName, name),
+      builder)
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(unary("local_ip", classOf[ExtractLocalIp], ExtractLocalIp))
+    ext.injectFunction(unary("normalize_ip", classOf[NormalizeIp], NormalizeIp))
+  }
+}
+
+object GraftExtensions {
+  /** Imperative registration for an existing session (tests, shells). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("local_ip"),
+      new ExpressionInfo(classOf[ExtractLocalIp].getCanonicalName, "local_ip"),
+      { case Seq(c) => ExtractLocalIp(c) })
+    reg.registerFunction(FunctionIdentifier("normalize_ip"),
+      new ExpressionInfo(classOf[NormalizeIp].getCanonicalName, "normalize_ip"),
+      { case Seq(c) => NormalizeIp(c) })
+  }
+}

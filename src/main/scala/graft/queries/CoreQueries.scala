@@ -270,6 +270,44 @@ object CoreQueries {
       |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
       |GROUP BY 1""".stripMargin
 
+  /** O2 — grouping-sets/rollup (§2.5 parity beyond the reference): revenue
+    * rollup over (returnflag, linestatus) with subtotal and grand-total
+    * rows; exact decimal sums presented as doubles.
+    */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  val rollupAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** W2 — analytic window frame: per-user running total (exact decimal,
+    * frame-ordered) and previous-event gap via lag.
+    */
+  def runningTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_value"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"))
+  }
+
+  val runningTotalsSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS DOUBLE)
+      |    AS running_value,
+      |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+      |    AS prev_event_id
+      |FROM events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_counters" -> counters,
     "a2_distinct" -> distinctPairs,
@@ -283,7 +321,9 @@ object CoreQueries {
     "u1_setops" -> setOps,
     "q1_agg" -> q1Agg,
     "q3_join_agg" -> q3JoinAgg,
-    "s1_prefix_scan" -> prefixScan
+    "s1_prefix_scan" -> prefixScan,
+    "o2_rollup" -> rollupAgg,
+    "w2_running" -> runningTotals
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -299,6 +339,8 @@ object CoreQueries {
     "u1_setops" -> setOpsSql,
     "q1_agg" -> q1AggSql,
     "q3_join_agg" -> q3JoinAggSql,
-    "s1_prefix_scan" -> prefixScanSql
+    "s1_prefix_scan" -> prefixScanSql,
+    "o2_rollup" -> rollupAggSql,
+    "w2_running" -> runningTotalsSql
   )
 }

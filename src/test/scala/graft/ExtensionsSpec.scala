@@ -1,0 +1,22 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftExtensions
+
+/** SQL surface spec: the custom expressions resolve from spark.sql after
+  * extension registration, with the same semantics as the column API.
+  */
+class ExtensionsSpec extends AnyFunSuite with SparkSuite {
+
+  test("local_ip / normalize_ip usable from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT local_ip('20170315T17:00:00Z_2001:668:1f:1d:::43_0.web100') AS ip,
+        |       normalize_ip('2001:4c08:2003:3f:::230') AS n,
+        |       local_ip('badname.web100') AS miss""".stripMargin).head()
+    assert(row.getString(0) === "2001:668:1f:1d::43")
+    assert(row.getString(1) === "2001:4c08:2003:3f::230")
+    assert(row.getString(2) === "")
+  }
+}
