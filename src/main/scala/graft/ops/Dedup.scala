@@ -45,9 +45,12 @@ object Dedup {
     * One md5 per distinct shingle, then cheap integer rehashes; the groupBy
     * gets map-side partial `min` combine for free.
     */
-  def minhashSignatures(corpus: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+  def minhashSignatures(corpus: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    signaturesFromSets(shingleSets(corpus), numBands, rowsPerBand)
+
+  private def signaturesFromSets(sets: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
     val ks = multipliers(numBands * rowsPerBand)
-    val hashed = shingleSets(corpus)
+    val hashed = sets
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .withColumn("h", hash32(col("shingle")))
     hashed.groupBy("doc_id")
@@ -86,9 +89,12 @@ object Dedup {
     */
   def minhashNearDups(corpus: DataFrame, threshold: Double = 0.5,
                       numBands: Int = 48, rowsPerBand: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(corpus, numBands, rowsPerBand)
-    val cands = candidatePairs(lshBands(sigs, numBands, rowsPerBand))
+    // the shingle arrays feed three branches (signatures + both verify
+    // joins) — materialize once; they are ~corpus-text sized, not O(n²)
     val sets = shingleSets(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = signaturesFromSets(sets, numBands, rowsPerBand)
+    val cands = candidatePairs(lshBands(sigs, numBands, rowsPerBand))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val union = (size(col("sa")) + size(col("sb"))).cast("double") -
       size(array_intersect(col("sa"), col("sb"))).cast("double")
