@@ -144,14 +144,21 @@ object TextQueries {
     docs(spark, sfDir).select(
       col("doc_id"),
       fingerprint(col("aug")).as("fp"),
-      hash32(canonText(col("aug"))).as("fp32"))
+      hash32(canonText(col("aug"))).as("fp32"),
+      graft.functions.HashFunctions.rolling_hash(canonText(col("aug"))).as("fp_roll"))
 
   val fingerprintsSql: String =
-    s"""WITH $docsSql
+    s"""WITH $docsSql,
+       |canon AS (SELECT doc_id, trim(regexp_replace(lower(aug), '\\s+', ' ', 'g')) AS t FROM docs)
        |SELECT doc_id,
-       |  md5(trim(regexp_replace(lower(aug), '\\s+', ' ', 'g'))) AS fp,
-       |  CAST(('0x' || substr(md5(trim(regexp_replace(lower(aug), '\\s+', ' ', 'g'))), 1, 8)) AS BIGINT) AS fp32
-       |FROM docs""".stripMargin
+       |  md5(t) AS fp,
+       |  CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS fp32,
+       |  list_reduce(
+       |    list_prepend(CAST(7 AS BIGINT),
+       |      list_transform(range(1, length(t) + 1),
+       |                     i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
+       |    (acc, c) -> (acc * 131 + c) % 2147483647) AS fp_roll
+       |FROM canon""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> tokenStats,

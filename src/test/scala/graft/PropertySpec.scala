@@ -1,0 +1,64 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{HashFunctions, IpFunctions}
+import graft.ops.Dedup
+
+/** Property tests (SURVEY §5d): parse/normalize invariants of the scalar
+  * layer and algebraic invariants of the hash families, on generated input
+  * (scalacheck Gens sampled directly — no scalatestplus bridge in the
+  * offline dependency set).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[T](g: Gen[T], n: Int = 300): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("normalizeIp is idempotent and only ever returns valid or empty") {
+    samples(Gen.asciiPrintableStr).foreach { s =>
+      val n = IpFunctions.normalizeIp(s)
+      assert(IpFunctions.normalizeIp(n) === n, s"input: $s")
+      assert(n.isEmpty || IpFunctions.isValidIpv4(n) || IpFunctions.isValidIpv6(n),
+        s"input: $s -> $n")
+    }
+  }
+
+  test("valid dotted quads survive normalizeIp unchanged") {
+    val octet = Gen.choose(0, 255)
+    val quad = for { a <- octet; b <- octet; c <- octet; d <- octet } yield s"$a.$b.$c.$d"
+    samples(quad).foreach(ip => assert(IpFunctions.normalizeIp(ip) === ip))
+  }
+
+  test("extractLocalIp finds the span between first and last underscore") {
+    val octet = Gen.choose(0, 255)
+    val g = for { seq <- Gen.choose(0, 99); a <- octet; b <- octet } yield (seq, a, b)
+    samples(g).foreach { case (seq, a, b) =>
+      val name = s"20170315T01:00:00Z_10.0.$a.${b}_$seq.web100"
+      assert(IpFunctions.extractLocalIp(name) === s"10.0.$a.$b")
+    }
+  }
+
+  test("rollingHash: stays in range, order-sensitive, matches fold model") {
+    samples(Gen.asciiPrintableStr).foreach { s =>
+      val h = HashFunctions.rollingHash(s)
+      assert(h >= 0 && h < HashFunctions.Mod)
+      val model = s.foldLeft(HashFunctions.Seed) {
+        (acc, ch) => (acc * HashFunctions.Mult + ch.toLong) % HashFunctions.Mod
+      }
+      assert(h === model) // ascii: codepoints == chars
+    }
+    assert(HashFunctions.rollingHash("ab") !== HashFunctions.rollingHash("ba"))
+  }
+
+  test("minhash multipliers are bijections mod 2^32 (odd) and distinct") {
+    val ks = Dedup.multipliers(200)
+    assert(ks.distinct.size === 200)
+    // odd k is invertible mod 2^32 -> h*k mod 2^32 is a permutation
+    assert(ks.forall(k => k % 2 === 1 && k > 0 && k < (1L << 31)))
+    val k = ks.head
+    val sample = (0L until 1000L).map(h => (h * k) % 4294967296L)
+    assert(sample.distinct.size === 1000)
+  }
+}
