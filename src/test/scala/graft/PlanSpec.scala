@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale posture (broadcasts where
+  * intended, bucketed joins — never an unintended cartesian, pushed
+  * filters) is asserted against the physical plans at sf0.001 so a future
+  * refactor cannot silently regress the 100 TB story.
+  */
+class PlanSpec extends AnyFunSuite with SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("routing joins the whitelist via broadcast hash join, never shuffle") {
+    val p = plan("p3_route_counts")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("dedup pipelines never cartesian-product") {
+    Seq("d1_exact_dedup", "d2_minhash_neardup", "d3_simhash_neardup",
+      "d4_embed_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("ANN probes broadcast; corpus side is never broadcast-shuffled whole") {
+    // the only cross join allowed is corpus x broadcast(probes|centroids) —
+    // a BroadcastNestedLoopJoin with the SMALL side as build
+    val p = plan("n1_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dimension join broadcasts the small side (q3)") {
+    assert(plan("q3_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("predicate pushdown reaches the parquet scan (s1, j1)") {
+    // day-range on events and the BUILDING segment filter must appear as
+    // pushed data filters, not post-scan filters only
+    assert(plan("j1_semi_join").contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(plan("s1_prefix_scan").contains("GreaterThanOrEqual(ts"))
+  }
+
+  test("top-k aggregation is partial (map-side combine before exchange)") {
+    // ObjectHashAggregate appears twice around the exchange: partial + final
+    val p = plan("n1_ann_topk")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2)
+  }
+}
