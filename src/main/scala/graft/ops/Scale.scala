@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for skew and co-location — the techniques a 100 TB run
+  * needs beyond what AQE does automatically.
+  *
+  * Salting: when one join key dominates (a hot day, a hot site), the
+  * shuffle partition for that key becomes the straggler. [[saltedJoin]]
+  * splits each big-side key into `factor` sub-keys with a deterministic
+  * salt (hash-derived — NOT `rand()`, which would break retry determinism
+  * and our oracle checks) and replicates the small side across all salts;
+  * results are identical to the plain join.
+  *
+  * Bucketing: [[writeBucketed]] persists a table hash-bucketed by join key
+  * so repeated joins on that key skip the shuffle entirely
+  * (`SortMergeJoin` over pre-bucketed scans with no `Exchange`).
+  */
+object Scale {
+
+  /** Equi-join `big ⋈ small` on `key`, with the big side salted `factor`
+    * ways. `small` is replicated `factor`× (explode), so keep it the truly
+    * small side. Inner joins only (the replicate+match trick would need
+    * null-handling care for outer variants).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, factor: Int): DataFrame = {
+    // deterministic per-row salt: spreads a hot key over `factor` reducers
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(factor)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Top-N heavy keys of `df` by count — the skew diagnosis step that
+    * decides whether salting is worth it.
+    */
+  def heavyHitters(df: DataFrame, key: String, topN: Int): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key).asc)
+      .limit(topN)
+
+  /** Persist `df` bucketed by `key` as a managed table (requires a
+    * warehouse-enabled session). Joins between tables bucketed the same way
+    * on `key` need no shuffle.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

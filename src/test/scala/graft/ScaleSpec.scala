@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Scale
+
+/** Skew/co-location utility specs: salted join equivalence with a skewed
+  * key, heavy-hitter diagnosis, and shuffle-free bucketed joins.
+  */
+class ScaleSpec extends AnyFunSuite with SparkSuite {
+
+  test("saltedJoin: identical results to plain join under heavy skew") {
+    import spark.implicits._
+    // 10k rows of hot key 1, a few of everything else
+    val big = ((1 to 10000).map(i => (1L, s"v$i")) ++
+      (2 to 50).map(i => (i.toLong, s"w$i"))).toDF("k", "payload")
+    val small = (1 to 50).map(i => (i.toLong, s"dim$i")).toDF("k", "dim")
+
+    val plain = big.join(small, "k")
+    val salted = Scale.saltedJoin(big, small, "k", factor = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("heavyHitters surfaces the skewed key first") {
+    import spark.implicits._
+    val df = ((1 to 500).map(_ => 7L) ++ (1 to 20).map(_.toLong)).toDF("k")
+    val top = Scale.heavyHitters(df, "k", 1).collect()
+    assert(top.head.getLong(0) === 7L && top.head.getLong(1) === 501L) // 500 + one in 1..20
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val n = 1000
+    Scale.writeBucketed((1 to n).map(i => (i.toLong, s"a$i")).toDF("k", "a"),
+      "bkt_left", "k", buckets = 4)
+    Scale.writeBucketed((1 to n).map(i => (i.toLong, s"b$i")).toDF("k", "b"),
+      "bkt_right", "k", buckets = 4)
+    val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() === n)
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+  }
+}
