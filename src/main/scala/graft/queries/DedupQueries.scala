@@ -95,15 +95,69 @@ object DedupQueries {
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** D5 — the composite training-data cleaning pipeline, end to end:
+    * quality gate (≥ 20 tokens) → exact dedup (keep lowest id per
+    * fingerprint) → near-dup removal (drop the higher id of every verified
+    * jaccard ≥ 0.85 pair among survivors) → shard counts. Mirrored 1:1 in
+    * the oracle, with the near-dup stage exhaustive on the DuckDB side.
+    */
+  def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, wsTokens}
+    val passed = corpus(spark, sfDir)
+      .withColumn("n_tok", size(wsTokens(col("text"))))
+      .filter(col("n_tok") >= 20)
+    val keepIds = passed.withColumn("fp", fingerprint(col("text")))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exactKept = passed.join(keepIds, Seq("doc_id"), "left_semi")
+    val nearDrop = Dedup.minhashNearDups(exactKept.select("doc_id", "text"), threshold = 0.85)
+      .select(col("id_b").as("doc_id")).distinct()
+    exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
+      .groupBy((col("doc_id") % 10).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+  }
+
+  val cleanCorpusSql: String =
+    s"""WITH $corpusSql,
+       |passed AS (
+       |  SELECT doc_id, text, len(string_split_regex(trim(text), '\\s+')) AS n_tok
+       |  FROM corpus
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 20),
+       |keep AS (
+       |  SELECT MIN(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |        FROM passed)
+       |  GROUP BY fp),
+       |exact_kept AS (SELECT p.* FROM passed p WHERE doc_id IN (SELECT doc_id FROM keep)),
+       |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM exact_kept),
+       |sh AS (SELECT doc_id, list_distinct(
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 1),
+       |                                  i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+       |       FROM tk),
+       |drop_ids AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.85)
+       |SELECT doc_id % 10 AS shard, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM exact_kept
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+       |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> exactDedup,
     "d2_minhash_neardup" -> minhashNearDup,
-    "d3_simhash_neardup" -> simhashNearDup
+    "d3_simhash_neardup" -> simhashNearDup,
+    "d5_clean_corpus" -> cleanCorpus
   )
 
   def oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> exactDedupSql,
     "d2_minhash_neardup" -> minhashNearDupSql,
-    "d3_simhash_neardup" -> simhashNearDupSql
+    "d3_simhash_neardup" -> simhashNearDupSql,
+    "d5_clean_corpus" -> cleanCorpusSql
   )
 }
