@@ -66,4 +66,10 @@ object TextFunctions {
   /** Seeded variant: hash32 of `seed || '|' || value`. */
   def hash32(c: Column, seed: Int): Column =
     hash32(concat(lit(s"$seed|"), c))
+
+  /** 48-bit md5-derived hash (first 12 hex digits) — wider simhash space;
+    * still exact in int64 for both engines.
+    */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions._
+import graft.functions.TextFunctions.{fingerprint, hash32, hash48, wordShingles, wsTokens}
 
 /** Deduplication operators for the training-data pipeline: exact, banded
   * minhash-LSH, and simhash hamming-band near-dup — all bucketed (shuffle on
@@ -106,33 +106,40 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
-  /** 32-bit simhash over distinct whitespace tokens: bit j of the hash is 1
+  /** Simhash bit width: 48 (first 12 md5 hex digits — wide enough that the
+    * small-vocabulary test corpus doesn't saturate with coincidental
+    * near-collisions, and every value/shift stays exact in int64).
+    */
+  val SimhashBits = 48
+
+  /** 48-bit simhash over distinct whitespace tokens: bit j of the hash is 1
     * iff more token hashes set bit j than clear it (sum of ±1 > 0).
     */
   def simhashes(corpus: DataFrame): DataFrame = {
     val toks = corpus
       .select(col("doc_id"), explode(array_distinct(wsTokens(lower(col("text"))))).as("tok"))
-      .withColumn("h", hash32(col("tok")))
+      .withColumn("h", hash48(col("tok")))
     val sums = toks.groupBy("doc_id").agg(
       sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
-      (1 until 32).map { j =>
+      (1 until SimhashBits).map { j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
       }: _*)
-    val sim = (0 until 32)
+    val sim = (0 until SimhashBits)
       .map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
       .reduce(_ + _)
     sums.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** D3 — simhash near-dup with EXACT hamming-band recall: 4 bands of 8
-    * bits; by pigeonhole any pair within hamming distance 3 shares at least
-    * one intact band, so the band join is a lossless candidate generator
-    * (not probabilistic), and the `bit_count(xor)` verify makes the result
-    * identical to an exhaustive scan.
+  /** D3 — simhash near-dup with EXACT hamming-band recall: 6 bands of 8
+    * bits; by pigeonhole any pair within hamming distance 3 (≤ 5, in fact)
+    * shares at least one intact band, so the band join is a lossless
+    * candidate generator (not probabilistic), and the `bit_count(xor)`
+    * verify makes the result identical to an exhaustive scan.
     */
   def simhashNearDups(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sims = simhashes(corpus)
-    val bandKeys = (0 until 4).map(k => shiftright(col("simhash"), 8 * k).bitwiseAND(255))
+    val bandKeys = (0 until SimhashBits / 8)
+      .map(k => shiftright(col("simhash"), 8 * k).bitwiseAND(255))
     val bands = sims.select(col("doc_id"), col("simhash"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
     val a = bands.select(col("band"), col("key"), col("doc_id").as("id_a"), col("simhash").as("ha"))

@@ -72,7 +72,7 @@ object DedupQueries {
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.5""".stripMargin
 
-  /** D3 — simhash near-dup: 32-bit simhash, 4×8-bit hamming bands (lossless
+  /** D3 — simhash near-dup: 48-bit simhash, 6×8-bit hamming bands (lossless
     * for distance ≤ 3 by pigeonhole), `bit_count(xor)` verify. The oracle
     * computes the identical simhash in SQL and scans all pairs.
     */
@@ -83,10 +83,10 @@ object DedupQueries {
     s"""WITH $corpusSql,
        |toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
        |         FROM corpus),
-       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h FROM toks),
        |bitsums AS (
        |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM h CROSS JOIN generate_series(0, 31) t(j) GROUP BY 1, 2),
+       |  FROM h CROSS JOIN generate_series(0, 47) t(j) GROUP BY 1, 2),
        |sim AS (
        |  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
        |  FROM bitsums GROUP BY 1)
