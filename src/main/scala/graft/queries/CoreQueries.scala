@@ -308,6 +308,35 @@ object CoreQueries {
       |    AS prev_event_id
       |FROM events""".stripMargin
 
+  /** ST2 — gap-based sessionization (6-hour gap) through the SAME
+    * `session_window` code the streaming path uses (batch = backfill);
+    * the oracle rebuilds sessions with lag + cumulative-sum islands.
+    * Session start is exported as epoch µs so timezone rendering cannot
+    * skew the hash.
+    */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventSessions.sessionize(
+      Tables.events(spark, sfDir).select(col("user_id"), col("ts"), col("value")),
+      gap = "6 hours")
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n_events"), col("total_value"))
+
+  val sessionsSql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT user_id, epoch_us(MIN(ts)) AS start_us, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_counters" -> counters,
     "a2_distinct" -> distinctPairs,
@@ -323,7 +352,8 @@ object CoreQueries {
     "q3_join_agg" -> q3JoinAgg,
     "s1_prefix_scan" -> prefixScan,
     "o2_rollup" -> rollupAgg,
-    "w2_running" -> runningTotals
+    "w2_running" -> runningTotals,
+    "st2_sessionize" -> sessions
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -341,6 +371,7 @@ object CoreQueries {
     "q3_join_agg" -> q3JoinAggSql,
     "s1_prefix_scan" -> prefixScanSql,
     "o2_rollup" -> rollupAggSql,
-    "w2_running" -> runningTotalsSql
+    "w2_running" -> runningTotalsSql,
+    "st2_sessionize" -> sessionsSql
   )
 }

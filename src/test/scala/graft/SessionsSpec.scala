@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventSessions
+import graft.streaming.EventSessions.{Event, UserRunning}
+
+/** Stateful-streaming specs: session windows (batch = backfill path) and
+  * mapGroupsWithState running totals across micro-batches (MemoryStream).
+  */
+class SessionsSpec extends AnyFunSuite with SparkSuite {
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("session_window splits on the gap, aggregates within") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(0), 10.0), (1L, ts(5), 20.0),  // session A (gap 10m)
+      (1L, ts(30), 5.0),                     // session B
+      (2L, ts(1), 1.0)                       // user 2
+    ).toDF("user_id", "ts", "value")
+    val s = EventSessions.sessionize(ev, gap = "10 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(s.length === 3)
+    assert(s(0).getAs[Long]("n_events") === 2 && s(0).getAs[Double]("total_value") === 30.0)
+    assert(s(1).getAs[Long]("n_events") === 1 && s(1).getAs[Double]("total_value") === 5.0)
+    assert(s(2).getAs[Long]("user_id") === 2L)
+  }
+
+  test("mapGroupsWithState keeps per-user running totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventSessions.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    try {
+      in.addData(Event(1L, 1000L, 2.0), Event(1L, 2000L, 3.0), Event(2L, 1500L, 7.0))
+      q.processAllAvailable()
+      in.addData(Event(1L, 3000L, 5.0)) // second micro-batch: state must carry
+      q.processAllAvailable()
+      val rows = spark.table("running").as[UserRunning].collect()
+      val u1 = rows.filter(_.user_id == 1L).maxBy(_.n_events)
+      assert(u1 === UserRunning(1L, 3L, 10.0, 3000L))
+      val u2 = rows.filter(_.user_id == 2L).maxBy(_.n_events)
+      assert(u2 === UserRunning(2L, 1L, 7.0, 1500L))
+    } finally q.stop()
+  }
+}
