@@ -83,12 +83,14 @@ object Dedup {
 
   /** D2 — banded minhash-LSH near-dup, exact-verified: candidates from
     * shared buckets, then true jaccard over distinct shingle sets; only
-    * pairs with `jac >= threshold` survive. With 48×3 bands the miss
-    * probability at j=0.9 is (1-0.9³)^48 ≈ 1e-27 — empirically 100% recall
-    * vs the exhaustive oracle at every test scale factor.
+    * pairs with `jac >= threshold` survive. With 32×3 bands the miss
+    * probability at j=0.8 is (1-0.8³)^32 ≈ 4e-10 (and ≈1e-18 at j=0.9) —
+    * empirically 100% recall vs the exhaustive oracle at every test scale
+    * factor; raise `numBands` if a corpus has borderline pairs near the
+    * threshold.
     */
   def minhashNearDups(corpus: DataFrame, threshold: Double = 0.5,
-                      numBands: Int = 48, rowsPerBand: Int = 3): DataFrame = {
+                      numBands: Int = 32, rowsPerBand: Int = 3): DataFrame = {
     // the shingle arrays feed three branches (signatures + both verify
     // joins) — materialize once; they are ~corpus-text sized, not O(n²)
     val sets = shingleSets(corpus)

@@ -51,7 +51,7 @@ object DedupQueries {
        |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id, MAX(doc_id) AS dup_id
        |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
 
-  /** D2 — banded minhash-LSH near-dup (48 bands × 3 rows), exact-verified
+  /** D2 — banded minhash-LSH near-dup (32 bands × 3 rows), exact-verified
     * at jaccard ≥ 0.5; the oracle is the exhaustive jaccard scan.
     */
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
@@ -109,7 +109,10 @@ object DedupQueries {
     val keepIds = passed.withColumn("fp", fingerprint(col("text")))
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+    // the survivor set feeds the LSH pass, the anti-join, and the final
+    // aggregate — materialize once (rows ≈ corpus, columns: id/text/n_tok)
     val exactKept = passed.join(keepIds, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearDrop = Dedup.minhashNearDups(exactKept.select("doc_id", "text"), threshold = 0.85)
       .select(col("id_b").as("doc_id")).distinct()
     exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
