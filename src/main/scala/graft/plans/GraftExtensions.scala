@@ -37,10 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(unary("local_ip", classOf[ExtractLocalIp], ExtractLocalIp))
     ext.injectFunction(unary("normalize_ip", classOf[NormalizeIp], NormalizeIp))
+    ext.injectFunction(GraftExtensions.explodeTarEntry)
   }
 }
 
 object GraftExtensions {
+
+  private[plans] val explodeTarEntry
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("explode_tar"),
+      new ExpressionInfo(classOf[ExplodeTar].getCanonicalName, "explode_tar"),
+      { case Seq(p, c) => ExplodeTar(p, c)
+        case args => throw new IllegalArgumentException(
+          s"explode_tar expects (path, content), got ${args.length} args") })
+
   /** Imperative registration for an existing session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
@@ -50,5 +60,7 @@ object GraftExtensions {
     reg.registerFunction(FunctionIdentifier("normalize_ip"),
       new ExpressionInfo(classOf[NormalizeIp].getCanonicalName, "normalize_ip"),
       { case Seq(c) => NormalizeIp(c) })
+    val (id, info, builder) = explodeTarEntry
+    reg.registerFunction(id, info, builder)
   }
 }

@@ -9,6 +9,21 @@ import graft.plans.GraftExtensions
   */
 class ExtensionsSpec extends AnyFunSuite with SparkSuite {
 
+  test("explode_tar generator explodes the fixture from SQL") {
+    GraftExtensions.register(spark)
+    spark.read.format("binaryFile").load(graft.queries.TarQueries.FixtureTgz)
+      .createOrReplaceTempView("bin")
+    val rows = spark.sql(
+      """SELECT t.name, t.size, t.typeflag
+        |FROM bin LATERAL VIEW explode_tar(path, content) t""".stripMargin)
+      .collect()
+    assert(rows.length === 205)
+    assert(rows.count(_.getString(2) == "5") === 1)
+    val viaDs = graft.io.TgzSource.entries(spark, graft.queries.TarQueries.FixtureTgz)
+      .collect().map(e => (e.name, e.size)).toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet === viaDs)
+  }
+
   test("local_ip / normalize_ip usable from SQL") {
     GraftExtensions.register(spark)
     val row = spark.sql(
