@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ExtractLocalIp, NormalizeIp}
+import graft.functions.{ExtractLocalIp, NormalizeIp, RollingHash}
 
 /** SparkSessionExtensions hook: exposes graft's custom Catalyst expressions
   * to SQL (`SELECT local_ip(name) ...`) so the engine is usable from pure
@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(unary("local_ip", classOf[ExtractLocalIp], ExtractLocalIp))
     ext.injectFunction(unary("normalize_ip", classOf[NormalizeIp], NormalizeIp))
+    ext.injectFunction(unary("rolling_hash", classOf[RollingHash], RollingHash))
     ext.injectFunction(GraftExtensions.explodeTarEntry)
   }
 }
@@ -60,6 +61,9 @@ object GraftExtensions {
     reg.registerFunction(FunctionIdentifier("normalize_ip"),
       new ExpressionInfo(classOf[NormalizeIp].getCanonicalName, "normalize_ip"),
       { case Seq(c) => NormalizeIp(c) })
+    reg.registerFunction(FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getCanonicalName, "rolling_hash"),
+      { case Seq(c) => RollingHash(c) })
     val (id, info, builder) = explodeTarEntry
     reg.registerFunction(id, info, builder)
   }

@@ -37,6 +37,16 @@ object EventSessions {
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
                                last_ts_ms: Long)
 
+  /** Streaming exact dedup: drop events whose id was already seen, with
+    * state bounded by the watermark (the streaming counterpart of the
+    * batch dedup suite — late duplicates beyond `delay` age out of the
+    * state store instead of growing it forever).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Custom keyed state: per-user running totals maintained across
     * micro-batches with `mapGroupsWithState` — the `KeyValueGroupedDataset`
     * state-store path (what the reference's in-memory singleton state would

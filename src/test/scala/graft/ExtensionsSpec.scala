@@ -29,9 +29,11 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     val row = spark.sql(
       """SELECT local_ip('20170315T17:00:00Z_2001:668:1f:1d:::43_0.web100') AS ip,
         |       normalize_ip('2001:4c08:2003:3f:::230') AS n,
-        |       local_ip('badname.web100') AS miss""".stripMargin).head()
+        |       local_ip('badname.web100') AS miss,
+        |       rolling_hash('hello world') AS rh""".stripMargin).head()
     assert(row.getString(0) === "2001:668:1f:1d::43")
     assert(row.getString(1) === "2001:4c08:2003:3f::230")
     assert(row.getString(2) === "")
+    assert(row.getLong(3) === graft.functions.HashFunctions.rollingHash("hello world"))
   }
 }

@@ -30,6 +30,23 @@ class SessionsSpec extends AnyFunSuite with SparkSuite {
     assert(s(2).getAs[Long]("user_id") === 2L)
   }
 
+  test("dedupStream drops in-watermark duplicate event ids across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.EventSessions.dedupStream(
+      in.toDS().toDF("event_id", "ts"), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2)))
+      q.processAllAvailable()
+      in.addData((2L, ts(3)), (3L, ts(4))) // 2 is a cross-batch duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-user running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
