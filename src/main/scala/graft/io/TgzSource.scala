@@ -71,6 +71,9 @@ object TgzSource {
         val e = tin.getNextEntry
         if (e == null) { tin.close(); None }
         else {
+          require(e.getSize <= Int.MaxValue,
+            s"tar entry ${e.getName} is ${e.getSize} bytes; single-entry " +
+              "payloads above 2 GiB need a chunked reader")
           val content =
             if (e.isDirectory) Array.emptyByteArray
             else tin.readNBytes(e.getSize.toInt)

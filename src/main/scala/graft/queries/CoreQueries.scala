@@ -308,6 +308,22 @@ object CoreQueries {
       |    AS prev_event_id
       |FROM events""".stripMargin
 
+  /** A4 — exact percentiles (§2.5 breadth): per-type median and p90 of the
+    * event value via the exact `percentile` aggregate (sort-based), which
+    * both engines define as linear interpolation over the ordered values.
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+
+  val percentilesSql: String =
+    """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.9) AS p90, COUNT(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   /** ST2 — gap-based sessionization (6-hour gap) through the SAME
     * `session_window` code the streaming path uses (batch = backfill);
     * the oracle rebuilds sessions with lag + cumulative-sum islands.
@@ -353,7 +369,8 @@ object CoreQueries {
     "s1_prefix_scan" -> prefixScan,
     "o2_rollup" -> rollupAgg,
     "w2_running" -> runningTotals,
-    "st2_sessionize" -> sessions
+    "st2_sessionize" -> sessions,
+    "a4_percentiles" -> percentiles
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -372,6 +389,7 @@ object CoreQueries {
     "s1_prefix_scan" -> prefixScanSql,
     "o2_rollup" -> rollupAggSql,
     "w2_running" -> runningTotalsSql,
-    "st2_sessionize" -> sessionsSql
+    "st2_sessionize" -> sessionsSql,
+    "a4_percentiles" -> percentilesSql
   )
 }

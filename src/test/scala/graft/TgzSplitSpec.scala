@@ -65,6 +65,18 @@ class TgzSplitSpec extends AnyFunSuite with SparkSuite {
     rt.foreach(e => assert(orig(e.name) === e.content.toSeq, s"bytes differ: ${e.name}"))
   }
 
+  test("S4: corrupt input fails fast, as the reference's reader error path") {
+    val junk = Array.fill[Byte](64)(0x41)
+    assertThrows[java.io.IOException] {
+      TgzSource.readTgz("bad.tgz", junk).toList
+    }
+    // truncated gzip: valid header, cut-off stream
+    val real = Files.readAllBytes(Paths.get(FixtureTgz))
+    assertThrows[java.io.IOException] {
+      TgzSource.readTgz("trunc.tgz", real.take(1000)).toList
+    }
+  }
+
   test("S5/F10: whitelist loads trimmed distinct IPs") {
     val wl = TgzSource.whitelist(spark, FixtureWhitelist).collect().map(_.getString(0))
     assert(wl.length === 3473)
