@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.functions.NameFunctions.dayPrefix
 import graft.io.FsOps
 
 /** E2 — the unembargo promotion (`/root/reference/unembargo.go:86-175`):
