@@ -26,7 +26,10 @@ object Bench {
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
       catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that persist intermediates must not subsidize later ones
+      spark.catalog.clearCache()
+      (name, dt, err)
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map {

@@ -100,20 +100,38 @@ object Similarity {
       .select(col("vec_id"), (-col("m.nc")).cast("long").as("cell"))
   }
 
-  /** N2 — IVF-bucketed ANN: probes search only their own coarse cell
-    * (nprobe=1), exact cosine within the cell, [[TopK]] per probe. The cell
-    * join shuffles by cell id — candidate sets are bounded by cell size,
-    * never the corpus.
+  /** Top-`n` nearest centroids per vector — `(vec_id, cell, crank)` with
+    * crank 1 = primary assignment. Same broadcast-score + bounded [[TopK]]
+    * shape as the search itself.
+    */
+  def ivfAssignTop(vectors: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
+    val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val topn = udaf(new TopK(n), Encoders.product[Scored])
+    vectors.crossJoin(broadcast(c))
+      .withColumn("cos", cosine(col("ce"), col("embedding")))
+      .groupBy("vec_id")
+      .agg(topn(col("cos"), col("c_id")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("vec_id"), col("s.id").cast("long").as("cell"),
+        (col("pos") + 1).as("crank"))
+  }
+
+  /** N2 — IVF-bucketed ANN: probes search their `nprobe` nearest coarse
+    * cells, exact cosine within them, [[TopK]] per probe. The cell join
+    * shuffles by cell id — candidate sets are bounded by cell size ×
+    * nprobe, never the corpus. Higher `nprobe` trades latency for recall,
+    * exactly as in a production IVF index.
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probeFilter: Column,
-              k: Int): DataFrame = {
+              k: Int, nprobe: Int = 1): DataFrame = {
     // materialize the assignment ONCE (2 ints per vector — tiny even at
     // corpus scale) so the centroid-scoring subtree isn't recomputed for the
     // probe and candidate branches; the bare parquet re-scan is cheap
     val assign = ivfAssign(corpus, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withCell = corpus.join(assign, "vec_id")
-    val probes = withCell.filter(probeFilter)
+    val probes = ivfAssignTop(corpus.filter(probeFilter), centroids, nprobe)
+      .join(corpus, "vec_id")
       .select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("cell"))
     val topk = udaf(new TopK(k), Encoders.product[Scored])
     withCell.join(probes, Seq("cell"))

@@ -97,6 +97,23 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(res.contains(51L) && !res.contains(52L) && !res.contains(1L))
   }
 
+  test("N2: nprobe=2 recovers a neighbor just across the cell boundary") {
+    import spark.implicits._
+    val corpus = Seq(
+      0L -> Array(1.0f, 0.0f),   // centroid A
+      1L -> Array(0.7f, 0.7f),   // centroid B
+      50L -> Array(0.94f, 0.38f), // probe: 22.0° -> cell A, true NN in cell B
+      51L -> Array(0.8f, 0.62f),  // cell B, very close to probe
+      52L -> Array(1.0f, 0.05f)   // cell A
+    ).toDF("vec_id", "embedding")
+    val cents = corpus.filter($"vec_id" < 2)
+    def ids(nprobe: Int) = Similarity.ivfTopK(corpus, cents,
+      probeFilter = $"vec_id" === 50L, k = 1, nprobe = nprobe)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids(1) === Set(52L)) // nprobe=1: only its own cell
+    assert(ids(2) === Set(51L)) // nprobe=2: the true nearest neighbor
+  }
+
   test("multiplicative minhash family: odd multipliers, values stay in 2^32") {
     val ks = Dedup.multipliers(144)
     assert(ks.distinct.length === 144)
