@@ -54,6 +54,15 @@ class NameFunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(row.getBoolean(5))
   }
 
+  test("fileDateInt is null (not an ANSI error) on malformed names (F5)") {
+    val got = Seq("notes.tra", "2017031X_rest.web100", "20170315T_ok.web100", "")
+      .toDF("n").select(NF.fileDateInt($"n")).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).isNullAt(0))
+    assert(got(2).getInt(0) == 20170315)
+    assert(got(3).isNullAt(0))
+  }
+
   test("formatDateAsInt and cutoffDateInt (F3/F4)") {
     val df = Seq("2017-03-15 10:00:00").toDF("s")
       .select(to_timestamp($"s").as("t"))

@@ -65,6 +65,22 @@ class TgzSplitSpec extends AnyFunSuite with SparkSuite {
     rt.foreach(e => assert(orig(e.name) === e.content.toSeq, s"bytes differ: ${e.name}"))
   }
 
+  test("P4/P5: archives older than the cutoff route public wholesale") {
+    val oldTgz = "/root/reference/testdata/20160102T000000Z-mlab3-sin01-sidestream-0000.tgz"
+    val entries = TgzSource.entries(spark, oldTgz)
+    val wl = TgzSource.whitelist(spark, FixtureWhitelist)
+    // cutoff after the archive day: moreThanOneYear arm short-circuits
+    val routes = EmbargoSplit.route(entries, wl, cutoffDateInt = 20170101)
+      .groupBy("route").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(routes.keySet === Set(Schemas.RoutePublic))
+    // cutoff at/before the day: the web100/whitelist arms decide again
+    val split = EmbargoSplit.route(entries, wl, cutoffDateInt = 20160102)
+      .groupBy("route").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.getOrElse(Schemas.RoutePrivate, 0L) > 0)
+  }
+
   test("S4: corrupt input fails fast, as the reference's reader error path") {
     val junk = Array.fill[Byte](64)(0x41)
     assertThrows[java.io.IOException] {
