@@ -50,10 +50,20 @@ object TarQueries {
   def bucketList(spark: SparkSession, sfDir: String): DataFrame =
     graft.io.FsOps.list(spark, sfDir, ".parquet")
 
+  /** web100 domain parse (SURVEY §1.1 row 6): latest snapshot per
+    * connection over the fixture's 8062 snapshots (rows-only: tgz input).
+    */
+  def web100Latest(spark: SparkSession, sfDir: String): DataFrame =
+    graft.io.Web100.latestPerConnection(
+      graft.io.Web100.snapshots(TgzSource.entries(spark, FixtureTgz)))
+      .select(col("cid"), unix_micros(col("last_poll")).as("last_poll_us"),
+        col("localAddress"), col("remAddress"), col("data_bytes_out"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_tar_scan" -> tarScan,
     "s2_bucket_list" -> bucketList,
-    "e1_split_counts" -> splitCounts
+    "e1_split_counts" -> splitCounts,
+    "w100_latest_per_cid" -> web100Latest
   )
 
   /** No oracle SQL — DuckDB cannot read tgz; rows-only by design. */
