@@ -59,11 +59,29 @@ object TarQueries {
       .select(col("cid"), unix_micros(col("last_poll")).as("last_poll_us"),
         col("localAddress"), col("remAddress"), col("data_bytes_out"))
 
+  /** ST1 — the AvailableNow streaming drain end to end (rows-only): the
+    * fixture is staged into a fresh landing dir, drained through
+    * [[graft.streaming.StreamingEmbargo]], and the routed manifest read
+    * back as per-route counts (145 public / 59 private, same as batch).
+    */
+  def streamDrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-st1")
+    val in = java.nio.file.Files.createDirectory(root.resolve("in"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(FixtureTgz),
+      in.resolve("20170315T000000Z-mlab3-sea03-sidestream-0000.tgz"))
+    val out = root.resolve("out").toString
+    graft.streaming.StreamingEmbargo.drain(spark, in.toString, FixtureWhitelist,
+      FixtureCutoff, out, root.resolve("ckpt").toString)
+    spark.read.parquet(out)
+      .groupBy("route").agg(count(lit(1)).as("n_files"), sum(col("size")).as("n_bytes"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_tar_scan" -> tarScan,
     "s2_bucket_list" -> bucketList,
     "e1_split_counts" -> splitCounts,
-    "w100_latest_per_cid" -> web100Latest
+    "w100_latest_per_cid" -> web100Latest,
+    "st1_stream_drain" -> streamDrain
   )
 
   /** No oracle SQL — DuckDB cannot read tgz; rows-only by design. */
