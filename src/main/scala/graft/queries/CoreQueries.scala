@@ -324,6 +324,60 @@ object CoreQueries {
       |       quantile_cont(value, 0.9) AS p90, COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  /** O3 — pivot: per-day event counts widened to one column per event
+    * type (explicit value list so both engines emit identical column
+    * names; count coalesced to 0 so sparse days match the SUM-CASE oracle).
+    */
+  def pivotCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+      .groupBy("day").pivot("event_type", types).count()
+    types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
+  val pivotCountsSql: String =
+    """SELECT strftime(ts, '%Y%m%d') AS day,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** O4 — cube: all grouping-set combinations over two dimensions with
+    * exact decimal sums.
+    */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+
+  val cubeAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Q5 — correlated scalar subquery (Catalyst decorrelation): customers
+    * whose balance exceeds their nation's average (exact decimal avg so the
+    * comparison is engine-deterministic).
+    */
+  def decorrelated(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_custkey FROM customer_v c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+        |      (SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+        |       FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  }
+
+  val decorrelatedSql: String =
+    """SELECT c_custkey FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+      |      (SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+      |       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin
+
   /** ST2 — gap-based sessionization (6-hour gap) through the SAME
     * `session_window` code the streaming path uses (batch = backfill);
     * the oracle rebuilds sessions with lag + cumulative-sum islands.
@@ -370,7 +424,10 @@ object CoreQueries {
     "o2_rollup" -> rollupAgg,
     "w2_running" -> runningTotals,
     "st2_sessionize" -> sessions,
-    "a4_percentiles" -> percentiles
+    "a4_percentiles" -> percentiles,
+    "o3_pivot" -> pivotCounts,
+    "o4_cube" -> cubeAgg,
+    "q5_decorrelated" -> decorrelated
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -390,6 +447,9 @@ object CoreQueries {
     "o2_rollup" -> rollupAggSql,
     "w2_running" -> runningTotalsSql,
     "st2_sessionize" -> sessionsSql,
-    "a4_percentiles" -> percentilesSql
+    "a4_percentiles" -> percentilesSql,
+    "o3_pivot" -> pivotCountsSql,
+    "o4_cube" -> cubeAggSql,
+    "q5_decorrelated" -> decorrelatedSql
   )
 }
