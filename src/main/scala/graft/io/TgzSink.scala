@@ -4,9 +4,10 @@ import java.io.OutputStream
 
 import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
 import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.graft.bridge
 
 import graft.model.Schemas
 
@@ -27,29 +28,54 @@ import graft.model.Schemas
   * Hadoop [[org.apache.hadoop.fs.FileSystem]] streams (posix/HDFS/cloud),
   * never buffered whole in memory (the reference's `bytes.Buffer` pair held
   * both output archives in RAM, `/root/reference/embargo.go:126-146`).
+  *
+  * Output is published with a write-tmp-then-commit protocol: every task
+  * writes `outDir/_tmp/<final>.p<partition>.a<attempt>` and the driver
+  * commit renames winners into place. A final name claimed by two DIFFERENT
+  * partitions means the caller broke the per-archive contiguity contract
+  * (e.g. a repartition split an archive across tasks) — the commit fails
+  * fast instead of letting the second writer silently clobber the first.
+  * Two attempts of the SAME partition are normal task retries; the latest
+  * attempt wins, as a Hadoop output committer would pick.
   */
 object TgzSink {
+
+  private val TmpDir = "_tmp"
+  private val TmpSuffix = "\\.p(\\d+)\\.a(\\d+)$".r
 
   /** Write `(archive × route)` tgz pairs under `outDir`.
     *
     * `routed` must have columns `archive, ordinal, name, size, mode, modTime,
     * typeflag, content, route` with each archive's rows contiguous and
     * ordinal-ascending within a partition — true by construction for
-    * `TgzSource.entries → route` pipelines (narrow ops only). Rows of an
-    * archive must not span partitions; re-encountering a closed archive
-    * fails fast rather than silently corrupting output.
+    * `TgzSource.entries → route` pipelines (narrow ops only). Interleaved
+    * archives fail inside the task; an archive split across partitions
+    * fails at commit (see class doc) — never silent corruption.
     *
     * Output names: `<archiveBasename>` for the public half,
     * `<archiveBasename>` with `.tgz` → `-e.tgz` for the private half.
     */
   def writeSplit(routed: Dataset[Row], outDir: String): Unit = {
+    val spark = routed.sparkSession
+    // session conf captured ONCE on the driver and shipped — a fresh
+    // `new Configuration()` in the task would drop spark.hadoop.* settings
+    // (object-store credentials, fs impls) and silently write elsewhere
+    val sconf = new SerializableHadoopConf(bridge.sessionHadoopConf(spark))
+    val out = new Path(outDir)
+    val tmp = new Path(out, TmpDir)
+    val driverFs = out.getFileSystem(sconf.value)
+    driverFs.delete(tmp, true) // stale tmp from a failed prior run
+    driverFs.mkdirs(tmp)
+
     routed.foreachPartition { rows: Iterator[Row] =>
-      val conf = new Configuration()
-      val out = new Path(outDir)
-      val fs = out.getFileSystem(conf)
-      fs.mkdirs(out)
+      val conf = sconf.value
+      val fs = new Path(outDir).getFileSystem(conf)
+      val tmpDir = new Path(new Path(outDir), TmpDir)
+      val tc = TaskContext.get()
+      val taskSuffix = s".p${tc.partitionId()}.a${tc.taskAttemptId()}"
       val closed = scala.collection.mutable.HashSet.empty[String]
       var current: String = null
+      var lastOrdinal = Long.MinValue
       var pub: TarWriter = null
       var priv: TarWriter = null
 
@@ -61,22 +87,76 @@ object TgzSink {
 
       rows.foreach { r =>
         val archive = r.getAs[String]("archive")
+        val ordinal = r.getAs[Long]("ordinal")
         if (archive != current) {
           closeCurrent()
           require(!closed.contains(archive),
             s"entries for $archive are not contiguous — pipeline introduced a shuffle")
           current = archive
+          lastOrdinal = Long.MinValue
           val base = archive.substring(archive.lastIndexOf('/') + 1)
           // S8 rename (/root/reference/embargo.go:105)
           val privName = base.replace(".tgz", "-e.tgz")
-          pub = new TarWriter(fs.create(new Path(out, base), true))
-          priv = new TarWriter(fs.create(new Path(out, privName), true))
+          pub = new TarWriter(fs.create(new Path(tmpDir, base + taskSuffix), true))
+          priv = new TarWriter(fs.create(new Path(tmpDir, privName + taskSuffix), true))
         }
+        require(ordinal > lastOrdinal,
+          s"entries for $archive are out of order at ordinal $ordinal — caller reordered rows")
+        lastOrdinal = ordinal
         val w = if (r.getAs[String]("route") == Schemas.RoutePublic) pub else priv
         w.write(r)
       }
       closeCurrent()
     }
+
+    commit(spark, outDir, sconf)
+  }
+
+  /** Publish `_tmp` outputs: fail on any final name written by two distinct
+    * partitions, keep the latest attempt per (final, partition), rename
+    * winners into place (overwriting prior runs' outputs), drop the rest.
+    * The driver only touches the commit MANIFEST (two names per archive —
+    * small); the renames themselves are distributed, metadata-only ops.
+    */
+  private def commit(spark: org.apache.spark.sql.SparkSession, outDir: String,
+                     sconf: SerializableHadoopConf): Unit = {
+    val out = new Path(outDir)
+    val tmp = new Path(out, TmpDir)
+    val fs = out.getFileSystem(sconf.value)
+    val staged = fs.listStatus(tmp).filter(_.isFile).map(_.getPath.getName)
+
+    val parsed = staged.flatMap { n =>
+      TmpSuffix.findFirstMatchIn(n).map { m =>
+        (n.substring(0, m.start), m.group(1).toLong, m.group(2).toLong, n)
+      }
+    }
+    val conflicts = parsed.groupBy(_._1).filter(_._2.map(_._2).distinct.length > 1)
+    if (conflicts.nonEmpty) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        "archive rows were split across partitions — outputs claimed by " +
+          s"multiple tasks: ${conflicts.keys.toSeq.sorted.take(5).mkString(", ")}")
+    }
+    // latest attempt per final name wins (earlier attempts are retry debris)
+    val winners = parsed.groupBy(_._1).map { case (fin, ws) => fin -> ws.maxBy(_._3)._4 }
+
+    if (winners.nonEmpty) {
+      val plan = winners.toSeq.map { case (fin, tmpName) => (tmpName, fin) }
+      val nSlices = math.max(1, math.min(plan.size, 64))
+      spark.sparkContext.parallelize(plan, nSlices).foreachPartition { it =>
+        val conf = sconf.value
+        val o = new Path(outDir)
+        val pfs = o.getFileSystem(conf)
+        val t = new Path(o, TmpDir)
+        it.foreach { case (tmpName, fin) =>
+          val target = new Path(o, fin)
+          pfs.delete(target, false)
+          if (!pfs.rename(new Path(t, tmpName), target))
+            throw new java.io.IOException(s"commit rename failed for $fin")
+        }
+      }
+    }
+    fs.delete(tmp, true)
   }
 
   /** One gzipped tar stream; copies the 5 header fields the reference

@@ -74,10 +74,21 @@ object TgzSource {
           require(e.getSize <= Int.MaxValue,
             s"tar entry ${e.getName} is ${e.getSize} bytes; single-entry " +
               "payloads above 2 GiB need a chunked reader")
+          // real tar typeflag, so symlinks/devices are not misclassified as
+          // regular files (the reference skips anything != tar.TypeReg,
+          // /root/reference/embargo.go:158-160 — downstream `typeflag == "0"`
+          // filters now reproduce that exactly)
+          val flag =
+            if (e.isDirectory) "5"
+            else if (e.isSymbolicLink) "2"
+            else if (e.isLink) "1"
+            else if (e.isCharacterDevice) "3"
+            else if (e.isBlockDevice) "4"
+            else if (e.isFIFO) "6"
+            else "0"
           val content =
-            if (e.isDirectory) Array.emptyByteArray
-            else tin.readNBytes(e.getSize.toInt)
-          val flag = if (e.isDirectory) "5" else "0"
+            if (flag == "0") tin.readNBytes(e.getSize.toInt)
+            else Array.emptyByteArray
           val te = TarEntry(archive, ord, e.getName, e.getSize, e.getMode.toLong,
             new java.sql.Timestamp(e.getModTime.getTime), flag, content)
           ord += 1

@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The session-scoped Hadoop configuration (core conf + `spark.hadoop.*`
+    * session overrides) — what executor-side FileSystem access must use so
+    * object-store credentials/fs impls set per-session are honored.
+    * `sessionState` is `private[sql]`, hence exposed here.
+    */
+  def sessionHadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.newHadoopConf()
 }

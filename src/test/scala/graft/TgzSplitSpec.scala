@@ -93,6 +93,25 @@ class TgzSplitSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("S7: an archive split across partitions fails at commit, not silently") {
+    val outDir = Files.createTempDirectory("graft-split-conflict").toString
+    val entries = TgzSource.entries(spark, FixtureTgz)
+    val wl = TgzSource.whitelist(spark, FixtureWhitelist)
+    // range-partition by ordinal: each half is contiguous WITHIN its task
+    // (so the in-task interleave guard cannot fire) but the archive spans
+    // two tasks — exactly the silent-clobber case the commit must reject
+    val split = EmbargoSplit.route(entries, wl, FixtureCutoff)
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("ordinal"))
+    val e = intercept[IllegalStateException] {
+      TgzSink.writeSplit(split, outDir)
+    }
+    assert(e.getMessage.contains("split across partitions"))
+    // nothing was published and the staging dir was cleaned up
+    assert(!Files.exists(Paths.get(s"$outDir/_tmp")))
+    val base = FixtureTgz.substring(FixtureTgz.lastIndexOf('/') + 1)
+    assert(!Files.exists(Paths.get(s"$outDir/$base")))
+  }
+
   test("S5/F10: whitelist loads trimmed distinct IPs") {
     val wl = TgzSource.whitelist(spark, FixtureWhitelist).collect().map(_.getString(0))
     assert(wl.length === 3473)
