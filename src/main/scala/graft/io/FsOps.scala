@@ -1,7 +1,9 @@
 package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
 
 /** S1-S3, S9-S11 — object-catalog operations
   * (`/root/reference/gcs_operations.go`), expressed over Hadoop
@@ -17,18 +19,25 @@ object FsOps {
 
   /** S1/S2 — list objects under a prefix (S2 = empty suffix filter), as a
     * DataFrame of (name, size). Mirrors the paginated
-    * `GetFileNamesFromBucket` (`/root/reference/gcs_operations.go:58-85`) —
-    * pagination is the FileSystem's concern here.
+    * `GetFileNamesFromBucket` (`/root/reference/gcs_operations.go:58-85`).
+    *
+    * Routed through the `binaryFile` metadata columns (content pruned away,
+    * never read) instead of a driver-materialized `listStatus` array: the
+    * catalog scan uses Spark's file index — parallel listing above the
+    * discovery threshold, suffix pushed down as the path glob — so a
+    * million-object prefix is a distributed scan, not a driver OOM.
+    * Spark's scan convention skips `_`/`.`-prefixed (hidden) files, which
+    * is also the reference's GCS-object behavior for our outputs.
     */
-  def list(spark: SparkSession, dir: String, suffix: String = ""): DataFrame = {
-    import spark.implicits._
-    val f = fs(spark, dir)
-    val st = f.listStatus(new Path(dir))
-    st.filter(_.isFile).map(s => (s.getPath.getName, s.getLen))
-      .filter(_._1.endsWith(suffix))
-      .sortBy(_._1)
-      .toSeq.toDF("name", "size")
-  }
+  def list(spark: SparkSession, dir: String, suffix: String = "",
+           recursive: Boolean = false): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*" + suffix)
+      .option("recursiveFileLookup", recursive.toString)
+      .load(dir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+        col("length").as("size"))
+      .orderBy("name")
 
   /** S3 — download one object's bytes (`/root/reference/embargo.go:283`). */
   def readBytes(spark: SparkSession, path: String): Array[Byte] = {
@@ -44,6 +53,56 @@ object FsOps {
     val conf = spark.sparkContext.hadoopConfiguration
     FileUtil.copy(fs(spark, src), new Path(src), fs(spark, dst), new Path(dst),
       false, true, conf)
+  }
+
+  /** S9 at fleet scale — copy every `name` in `names` from `srcDir` to
+    * `dstDir` (overwrite), distributed: the copy plan stays a DataFrame and
+    * each task copies its slice with the session's Hadoop conf. This is the
+    * data-motion half of promote/sync — the reference's serial page loop
+    * (`/root/reference/unembargo.go:104-137`) parallelized.
+    */
+  def copyAll(spark: SparkSession, names: DataFrame, srcDir: String,
+              dstDir: String): Unit = {
+    val sconf = new SerializableHadoopConf(bridge.sessionHadoopConf(spark))
+    names.select("name").foreachPartition { rows: Iterator[Row] =>
+      val conf = sconf.value
+      val src = new Path(srcDir)
+      val dst = new Path(dstDir)
+      val sfs = src.getFileSystem(conf)
+      val dfs = dst.getFileSystem(conf)
+      rows.foreach { r =>
+        val n = r.getString(0)
+        FileUtil.copy(sfs, new Path(src, n), dfs, new Path(dst, n), false, true, conf)
+      }
+    }
+  }
+
+  /** J2 at the object level — `SyncTwoBuckets`
+    * (`/root/reference/gcs_operations.go:200-266`): copy the objects present
+    * under `srcDir` but missing under `dstDir` (existing objects are left
+    * untouched, as in the reference). Returns the number copied. The
+    * missing-set is the listing anti-join; the copies are distributed.
+    */
+  def syncCopy(spark: SparkSession, srcDir: String, dstDir: String): Long = {
+    mkdirs(spark, dstDir)
+    val missing = list(spark, srcDir).select("name")
+      .join(list(spark, dstDir).select("name"), Seq("name"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = missing.count()
+      copyAll(spark, missing, srcDir, dstDir)
+      n
+    } finally missing.unpersist()
+  }
+
+  /** J4 at the object level — `CompareBuckets`
+    * (`/root/reference/gcs_operations.go:269-337`): true iff the two
+    * prefixes hold identical (name, size) sets, via symmetric difference.
+    */
+  def compare(spark: SparkSession, dirA: String, dirB: String): Boolean = {
+    val a = list(spark, dirA)
+    val b = list(spark, dirB)
+    a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
   }
 
   /** S10 — delete every object under a prefix

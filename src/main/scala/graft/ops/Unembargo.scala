@@ -25,6 +25,12 @@ object Unembargo {
 
   /** Promote one day: every `-e.tgz` under the day prefix in `srcDir` is
     * copied into `dstDir` (overwrite). Returns (copied, overwritten).
+    *
+    * The copy plan (J3 overwrite-join of the two listings) never leaves the
+    * cluster: counts come from an aggregate, the object copies run
+    * distributed via [[FsOps.copyAll]] — one slow day with thousands of
+    * tarballs parallelizes across executors instead of serializing through
+    * the driver as the reference's page loop does.
     */
   def promoteDay(spark: SparkSession, srcDir: String, dstDir: String,
                  dateInt: Int, cutoffDateInt: Int): (Long, Long) = {
@@ -35,20 +41,19 @@ object Unembargo {
     val dstDay = s"$dstDir/$prefix"
     FsOps.mkdirs(spark, dstDay)
 
-    val src = FsOps.list(spark, srcDay, "-e.tgz")
-      .select(col("name"), lit(1).as("in_src"))
-    val dst = FsOps.list(spark, dstDay)
-      .select(col("name").as("dname"), lit(1).as("in_dst"))
+    val src = FsOps.list(spark, srcDay, "-e.tgz").select(col("name"))
+    val dst = FsOps.list(spark, dstDay).select(col("name").as("dname"))
     // J3: full picture of moves — everything in src copies; rows also in
     // dst are overwrites (delete-then-copy in the reference)
     val plan = src.join(dst, src("name") === dst("dname"), "left_outer")
-      .select(col("name"), col("in_dst").isNotNull.as("overwrite"))
-      .collect() // one row per object name — driver-small by construction
-
-    plan.foreach { r =>
-      val n = r.getAs[String]("name")
-      FsOps.copy(spark, s"$srcDay/$n", s"$dstDay/$n")
-    }
-    (plan.length.toLong, plan.count(_.getAs[Boolean]("overwrite")).toLong)
+      .select(col("name"), col("dname").isNotNull.as("overwrite"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = plan.agg(
+        count(lit(1)).as("copied"),
+        count(when(col("overwrite"), 1)).as("overwritten")).head()
+      FsOps.copyAll(spark, plan.select("name"), srcDay, dstDay)
+      (counts.getAs[Long]("copied"), counts.getAs[Long]("overwritten"))
+    } finally plan.unpersist()
   }
 }

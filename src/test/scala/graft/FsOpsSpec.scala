@@ -36,4 +36,40 @@ class FsOpsSpec extends AnyFunSuite with SparkSuite {
     assert(FsOps.deletePrefix(spark, s"$root/src"))
     assert(!Files.exists(java.nio.file.Paths.get(s"$root/src")))
   }
+
+  test("S2: empty and many-file prefixes list without driver materialization") {
+    val root = Files.createTempDirectory("graft-fs2").toString
+    FsOps.mkdirs(spark, s"$root/empty")
+    assert(FsOps.list(spark, s"$root/empty").count() === 0)
+
+    FsOps.mkdirs(spark, s"$root/many/sub")
+    (0 until 500).foreach { i =>
+      Files.write(java.nio.file.Paths.get(f"$root/many/f$i%03d.tgz"), Array[Byte](1, 2, 3))
+    }
+    Files.write(java.nio.file.Paths.get(s"$root/many/sub/nested.tgz"), "abcd".getBytes)
+    val flat = FsOps.list(spark, s"$root/many", ".tgz")
+    assert(flat.count() === 500) // one level, as the reference's prefix list
+    assert(flat.head().getString(0) === "f000.tgz")
+    // recursive variant picks up the nested object too
+    assert(FsOps.list(spark, s"$root/many", ".tgz", recursive = true).count() === 501)
+  }
+
+  test("J2/J4 object level: syncCopy copies only missing, compare detects drift") {
+    val root = Files.createTempDirectory("graft-sync").toString
+    FsOps.mkdirs(spark, s"$root/a")
+    FsOps.mkdirs(spark, s"$root/b")
+    Files.write(java.nio.file.Paths.get(s"$root/a/x.tgz"), "xx".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$root/a/y.tgz"), "yy".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$root/b/x.tgz"), "KEEP".getBytes) // present: untouched
+
+    assert(!FsOps.compare(spark, s"$root/a", s"$root/b"))
+    assert(FsOps.syncCopy(spark, s"$root/a", s"$root/b") === 1) // only y.tgz
+    assert(new String(FsOps.readBytes(spark, s"$root/b/x.tgz")) === "KEEP")
+    assert(new String(FsOps.readBytes(spark, s"$root/b/y.tgz")) === "yy")
+    // same names but x sizes differ -> still not equal; after mirroring -> equal
+    assert(!FsOps.compare(spark, s"$root/a", s"$root/b"))
+    Files.write(java.nio.file.Paths.get(s"$root/b/x.tgz"), "xx".getBytes)
+    assert(FsOps.compare(spark, s"$root/a", s"$root/b"))
+    assert(FsOps.syncCopy(spark, s"$root/a", s"$root/b") === 0) // idempotent
+  }
 }
