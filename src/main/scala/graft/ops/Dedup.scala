@@ -81,6 +81,20 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Identical-set collapse for LSH candidate generation: tag every doc
+    * with a compact set key (md5 of its sorted shingle set) and the group
+    * representative (lowest doc_id of the key). Docs sharing a key have
+    * EXACTLY the same shingle set — so only the representative needs to go
+    * through banding, and every pair within a group has jaccard 1.0 by
+    * construction.
+    */
+  def setGroups(sets: DataFrame): DataFrame =
+    sets
+      .select(col("doc_id"),
+        md5(concat_ws("\u0000", sort_array(col("shingles")))).as("skey"))
+      .withColumn("rep_id",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy("skey")))
+
   /** D2 — banded minhash-LSH near-dup, exact-verified: candidates from
     * shared buckets, then true jaccard over distinct shingle sets; only
     * pairs with `jac >= threshold` survive. With 32×3 bands the miss
@@ -88,24 +102,52 @@ object Dedup {
     * empirically 100% recall vs the exhaustive oracle at every test scale
     * factor; raise `numBands` if a corpus has borderline pairs near the
     * threshold.
+    *
+    * Hot-bucket bound: identical shingle sets are collapsed to one
+    * representative BEFORE banding ([[setGroups]]). Without this, a cluster
+    * of m exact copies shares all `numBands` band keys and the candidate
+    * join emits `numBands·m²` rows before dedup — the straggler bucket at
+    * 100 TB on boilerplate-heavy corpora. With it, the cluster contributes
+    * one doc to every bucket; within-group pairs are emitted directly with
+    * jaccard 1.0 and cross-group pairs inherit their representatives'
+    * verified jaccard (identical sets ⇒ identical jaccard), so the result
+    * is value-identical to the uncollapsed pipeline.
     */
   def minhashNearDups(corpus: DataFrame, threshold: Double = 0.5,
                       numBands: Int = 32, rowsPerBand: Int = 3): DataFrame = {
-    // the shingle arrays feed three branches (signatures + both verify
-    // joins) — materialize once; they are ~corpus-text sized, not O(n²)
+    // the shingle arrays feed several branches (grouping, signatures, both
+    // verify joins) — materialize once; they are ~corpus-text sized, not O(n²)
     val sets = shingleSets(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = signaturesFromSets(sets, numBands, rowsPerBand)
+    val groups = setGroups(sets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repSets = sets.join(
+      groups.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    val sigs = signaturesFromSets(repSets, numBands, rowsPerBand)
     val cands = candidatePairs(lshBands(sigs, numBands, rowsPerBand))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val union = (size(col("sa")) + size(col("sb"))).cast("double") -
       size(array_intersect(col("sa"), col("sb"))).cast("double")
-    cands
-      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
+    val repPairs = cands
+      .join(repSets.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(repSets.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
       .withColumn("jac", inter / union)
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
+
+    // expand representatives back to full doc pairs
+    val within = groups.as("x").join(groups.as("y"),
+        col("x.skey") === col("y.skey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("jac"))
+    val ma = groups.select(col("rep_id").as("id_a"), col("doc_id").as("da"))
+    val mb = groups.select(col("rep_id").as("id_b"), col("doc_id").as("db"))
+    val cross = repPairs.join(ma, "id_a").join(mb, "id_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("jac"))
+    within.unionAll(cross)
   }
 
   /** Simhash bit width: 48 (first 12 md5 hex digits — wide enough that the

@@ -56,14 +56,44 @@ object Similarity {
 
   /** Bounded top-k aggregator: the buffer never exceeds k entries, partial
     * buffers combine map-side, ties break on ascending id for determinism.
+    *
+    * The buffer is kept SORTED by rank at all times, so the hot path —
+    * `reduce` over every candidate row — is an O(1) early reject when the
+    * candidate can't beat the current worst (the overwhelmingly common case
+    * once the buffer fills), and an O(k) ordered insert otherwise; `merge`
+    * is a linear merge of two sorted runs. No sort-per-row anywhere.
     */
   class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    private def best(xs: Seq[Scored]): Seq[Scored] =
-      xs.sortBy(s => (-s.score, s.id)).take(k)
+
+    /** true iff `a` ranks strictly before `b` (score desc, id asc). */
+    private def before(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+
     override def zero: Seq[Scored] = Vector.empty
-    override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = best(buf :+ in)
-    override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = best(x ++ y)
-    override def finish(buf: Seq[Scored]): Seq[Scored] = best(buf)
+
+    override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = {
+      if (buf.length >= k && !before(in, buf.last)) return buf // early reject
+      var i = buf.length
+      while (i > 0 && before(in, buf(i - 1))) i -= 1
+      val ins = (buf.take(i) :+ in) ++ buf.drop(i)
+      if (ins.length > k) ins.take(k) else ins
+    }
+
+    override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = {
+      val out = Vector.newBuilder[Scored]
+      var i = 0
+      var j = 0
+      var n = 0
+      while (n < k && (i < x.length || j < y.length)) {
+        val takeX = j >= y.length || (i < x.length && before(x(i), y(j)))
+        if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+
+    override def finish(buf: Seq[Scored]): Seq[Scored] = buf
+
     override def bufferEncoder: Encoder[Seq[Scored]] = Encoders.kryo[Seq[Scored]]
     override def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()

@@ -39,6 +39,25 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(jac > 0.8 && jac < 1.0) // 17/19 shared 3-shingles
   }
 
+  test("D2: a 100-copy cluster collapses to one banding representative") {
+    val copies = (1L to 100L).map(_ -> ("boilerplate header text repeated verbatim across " +
+      "many documents in the corpus exactly the same every time"))
+    val distinct1 = 500L -> "a completely different document about unrelated topics altogether"
+    val d = docs(copies :+ distinct1: _*)
+
+    // the banding input is one rep per identical shingle set, not 100 docs
+    val groups = Dedup.setGroups(Dedup.shingleSets(d))
+    assert(groups.where("doc_id = rep_id").count() === 2)
+
+    // and the result is still the full exhaustive answer: C(100,2) pairs, jac 1.0
+    val pairs = Dedup.minhashNearDups(d, threshold = 0.5).collect()
+    assert(pairs.length === 100 * 99 / 2)
+    assert(pairs.forall(_.getAs[Double]("jac") === 1.0))
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.forall { case (a, b) => a < b && b <= 100L })
+    assert(ids.distinct.length === ids.length)
+  }
+
   test("D3: simhash hamming 0 for identical token sets, bands are lossless") {
     val res = Dedup.simhashNearDups(docs(
       1L -> "one two three four five six seven eight",
