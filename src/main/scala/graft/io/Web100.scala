@@ -22,9 +22,14 @@ import graft.model.TarEntry
   */
 object Web100 {
 
-  /** One poll snapshot: typed core + all variables as strings. */
+  /** One poll snapshot: typed core + all variables as strings. `snapSeq` is
+    * the 0-based position of the `C:` row within its entry — it makes the
+    * (pollTime, entry, snapSeq) ordering total, so latest-per-cid picks are
+    * deterministic across engines.
+    */
   final case class Snapshot(
       entry: String,
+      snapSeq: Long,
       cid: Long,
       pollTimeRaw: String,
       localAddress: String,
@@ -33,9 +38,10 @@ object Web100 {
       remPort: Int,
       vars: Map[String, String])
 
-  /** Parse one web100 payload; rows whose value count mismatches the header
-    * are dropped (the reference-era logs are line-oriented and can truncate
-    * at the tail).
+  /** Parse one web100 payload; malformed rows are DROPPED, never thrown on:
+    * value count mismatching the header (the reference-era logs are
+    * line-oriented and can truncate at the tail), or a typed-core field
+    * (cid/ports) that is missing or non-numeric.
     */
   def parsePayload(entryName: String, bytes: Array[Byte]): Iterator[Snapshot] = {
     val lines = new String(bytes, StandardCharsets.UTF_8).linesIterator.toSeq
@@ -49,16 +55,22 @@ object Web100 {
         lines.iterator
           .filter(_.startsWith("C: "))
           .map(_.drop(3).trim.split("\\s+"))
-          .filter(_.length == cols.length)
-          .map { vals =>
-            Snapshot(
+          .zipWithIndex
+          .filter(_._1.length == cols.length)
+          .flatMap { case (vals, seq) =>
+            for {
+              cid <- at(vals, "cid").toLongOption
+              localPort <- at(vals, "LocalPort").toIntOption
+              remPort <- at(vals, "RemPort").toIntOption
+            } yield Snapshot(
               entry = entryName,
-              cid = at(vals, "cid").toLong,
+              snapSeq = seq.toLong,
+              cid = cid,
               pollTimeRaw = at(vals, "PollTime"),
               localAddress = at(vals, "LocalAddress"),
-              localPort = at(vals, "LocalPort").toInt,
+              localPort = localPort,
               remAddress = at(vals, "RemAddress"),
-              remPort = at(vals, "RemPort").toInt,
+              remPort = remPort,
               vars = cols.zip(vals).toMap)
           }
     }
@@ -78,11 +90,12 @@ object Web100 {
   }
 
   /** W1 on the real domain data: the latest snapshot per connection id
-    * (`row_number` over cid by poll time desc, entry tie-break).
+    * (`row_number` over cid by poll time desc; entry + in-entry sequence
+    * tie-breaks make the pick total and engine-independent).
     */
   def latestPerConnection(snaps: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cid"))
-      .orderBy(col("pollTime").desc, col("entry").desc)
+      .orderBy(col("pollTime").desc, col("entry").desc, col("snapSeq").desc)
     snaps.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cid"), col("pollTime").as("last_poll"),

@@ -168,11 +168,8 @@ object EmbargoQueries {
       .select(from_json(col("js"), graft.model.Schemas.siteSchema).as("site"))
       .select(col("site.hostname").as("hostname"), col("site.ipv4").as("ipv4"),
         col("site.ipv6").as("ipv6"))
-    parsed
-      .filter(!col("hostname").contains("samknows"))
-      .select(explode(array(col("ipv4"), col("ipv6"))).as("ip"))
-      .filter(length(col("ip")) > 0)
-      .distinct()
+    // P7/P8/A2 are the same pipeline the S6 URL source uses
+    graft.io.Sites.whitelist(parsed).withColumnRenamed("wip", "ip")
   }
 
   val whitelistBuildSql: String =

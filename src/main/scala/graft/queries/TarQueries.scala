@@ -9,16 +9,25 @@ import graft.ops.EmbargoSplit
 /** Driver-contract queries over the real reference fixture tarball
   * (S4 explode + E1 routing, `/root/reference/embargo.go:125-220`).
   *
-  * DuckDB cannot read `.tgz`, so these have no oracle SQL — the driver
-  * records rows-only checks; the strong equivalence check is the golden
-  * split ScalaTest (145 public / 59 private at entry level,
-  * `/root/reference/embargo_test.go:54-90`).
+  * DuckDB cannot read `.tgz`, so queries whose RESULT is the raw tar parse
+  * stage their parsed rows to parquet first and recompute the answer from
+  * the staged store — both engines then run the same transformation over
+  * the same input and the driver hash-checks them. Queries whose result is
+  * a filesystem side effect (e1, st1, s2) stay rows-only; their strong
+  * equivalence check is the golden split ScalaTest (145 public / 59
+  * private at entry level, `/root/reference/embargo_test.go:54-90`).
   */
 object TarQueries {
 
   val FixtureTgz =
     "/root/reference/testdata/20170315T000000Z-mlab3-sea03-sidestream-0000.tgz"
   val FixtureWhitelist = "/root/reference/testdata/whitelist_full"
+
+  /** Deterministic absolute staging dir for oracle-checkable dumps of
+    * tgz-parsed rows; the oracle SQL references it literally via
+    * `read_parquet`.
+    */
+  val StageDir = "/tmp/graft_stage"
 
   /** Golden-test cutoff: the fixture day itself, so `moreThanOneYear` is
     * false and routing exercises the web100/whitelist arms
@@ -28,11 +37,19 @@ object TarQueries {
   val FixtureCutoff = 20170315
 
   /** S4 — raw entry manifest of the fixture archive (205 rows incl. the
-    * directory entry; `sfDir` unused — the fixture is fixed-path).
+    * directory entry; `sfDir` unused — the fixture is fixed-path). Staged
+    * to parquet so DuckDB hash-checks the manifest.
     */
-  def tarScan(spark: SparkSession, sfDir: String): DataFrame =
+  def tarScan(spark: SparkSession, sfDir: String): DataFrame = {
     TgzSource.entries(spark, FixtureTgz)
       .select(col("ordinal"), col("name"), col("size"), col("typeflag"))
+      .write.mode("overwrite").parquet(s"$StageDir/s4_entries.parquet")
+    spark.read.parquet(s"$StageDir/s4_entries.parquet")
+  }
+
+  val tarScanSql: String =
+    s"""SELECT ordinal, name, size, typeflag
+       |FROM read_parquet('$StageDir/s4_entries.parquet/*.parquet')""".stripMargin
 
   /** E1 — the golden split as route counts
     * (145 public / 59 private at the fixture cutoff).
@@ -51,13 +68,39 @@ object TarQueries {
     graft.io.FsOps.list(spark, sfDir, ".parquet")
 
   /** web100 domain parse (SURVEY §1.1 row 6): latest snapshot per
-    * connection over the fixture's 8062 snapshots (rows-only: tgz input).
+    * connection over the fixture's 8062 snapshots. The parsed snapshots
+    * stage to parquet and BOTH engines run the same latest-per-cid window
+    * over the staged store — a real hash check of the W1 logic on the
+    * domain data (the `(poll_us, entry, snap_seq)` ordering is total, so
+    * the pick is engine-independent).
     */
-  def web100Latest(spark: SparkSession, sfDir: String): DataFrame =
-    graft.io.Web100.latestPerConnection(
-      graft.io.Web100.snapshots(TgzSource.entries(spark, FixtureTgz)))
-      .select(col("cid"), unix_micros(col("last_poll")).as("last_poll_us"),
-        col("localAddress"), col("remAddress"), col("data_bytes_out"))
+  def web100Latest(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.io.Web100.snapshots(TgzSource.entries(spark, FixtureTgz))
+      .select(col("entry"), col("snapSeq").as("snap_seq"), col("cid"),
+        unix_micros(col("pollTime")).as("poll_us"),
+        col("localAddress").as("local_address"),
+        col("remAddress").as("rem_address"),
+        element_at(col("vars"), "DataBytesOut").cast("long").as("data_bytes_out"))
+      .write.mode("overwrite").parquet(s"$StageDir/w100_snapshots.parquet")
+    val staged = spark.read.parquet(s"$StageDir/w100_snapshots.parquet")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+      .orderBy(col("poll_us").desc_nulls_last, col("entry").desc, col("snap_seq").desc)
+    staged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("poll_us").as("last_poll_us"),
+        col("local_address"), col("rem_address"), col("data_bytes_out"))
+  }
+
+  val web100LatestSql: String =
+    s"""WITH s AS (
+       |  SELECT * FROM read_parquet('$StageDir/w100_snapshots.parquet/*.parquet')),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY cid
+       |    ORDER BY poll_us DESC NULLS LAST, entry DESC, snap_seq DESC) AS rn
+       |  FROM s)
+       |SELECT cid, poll_us AS last_poll_us, local_address, rem_address, data_bytes_out
+       |FROM r WHERE rn = 1""".stripMargin
 
   /** ST1 — the AvailableNow streaming drain end to end (rows-only): the
     * fixture is staged into a fresh landing dir, drained through
@@ -84,6 +127,11 @@ object TarQueries {
     "st1_stream_drain" -> streamDrain
   )
 
-  /** No oracle SQL — DuckDB cannot read tgz; rows-only by design. */
-  def oracleSql: Map[String, String] = Map.empty
+  /** Staged-parquet oracles for the parse queries; e1/st1/s2 are
+    * filesystem-effect queries — rows-only by design, golden-split-tested.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "s4_tar_scan" -> tarScanSql,
+    "w100_latest_per_cid" -> web100LatestSql
+  )
 }

@@ -38,5 +38,21 @@ class Web100Spec extends AnyFunSuite with SparkSuite {
       "C: 2 2017-03-15-05:00:37Z 1.2.3.4 9090 5.6.7.8 47730\n"
     val rows = Web100.parsePayload("x", truncated.getBytes).toList
     assert(rows.map(_.cid) === List(2L))
+    assert(rows.head.snapSeq === 1L) // seq counts raw C-rows, dropped or not
+  }
+
+  test("non-numeric typed-core fields drop the row, never fail the task") {
+    val bad = "K: cid PollTime LocalAddress LocalPort RemAddress RemPort\n" +
+      "C: notanumber 2017-03-15-05:00:37Z 1.2.3.4 9090 5.6.7.8 47730\n" + // bad cid
+      "C: 3 2017-03-15-05:00:37Z 1.2.3.4 badport 5.6.7.8 47730\n" + // bad port
+      "C: 4 2017-03-15-05:00:37Z 1.2.3.4 9090 5.6.7.8 47730\n"
+    val rows = Web100.parsePayload("x", bad.getBytes).toList
+    assert(rows.map(_.cid) === List(4L))
+  }
+
+  // K-header missing the typed-core columns entirely: at() yields "" -> drop
+  test("payload without cid/port columns yields no snapshots") {
+    val noCore = "K: PollTime SomethingElse\nC: 2017-03-15-05:00:37Z 42\n"
+    assert(Web100.parsePayload("x", noCore.getBytes).isEmpty)
   }
 }
