@@ -90,6 +90,69 @@ object IpFunctions {
     else ""
   }
 
+  /** Expand a VALID IPv6 literal to its 8 16-bit groups (v4 tail folded
+    * into the last two groups).
+    */
+  private def ipv6Groups(s: String): Array[Int] = {
+    def frag(part: String): Array[Int] =
+      if (part.isEmpty) Array.empty
+      else part.split(":", -1).flatMap { g =>
+        if (g.indexOf('.') >= 0) {
+          val o = g.split("\\.").map(_.toInt)
+          Array((o(0) << 8) | o(1), (o(2) << 8) | o(3))
+        } else Array(Integer.parseInt(g, 16))
+      }
+    val dc = s.indexOf("::")
+    if (dc < 0) frag(s)
+    else {
+      val l = frag(s.substring(0, dc))
+      val r = frag(s.substring(dc + 2))
+      l ++ Array.fill(8 - l.length - r.length)(0) ++ r
+    }
+  }
+
+  /** RFC 5952 canonical text of a VALID IPv6 literal: lowercase hex, no
+    * leading zeros, the longest (leftmost on ties) run of ≥2 zero groups
+    * collapsed to `::`; a v4-mapped address renders as its dotted quad —
+    * exactly what Go's `net.IP.String()` (hence the reference's
+    * `web100.NormalizeIPv6`, `/root/reference/filename_parser.go:23`) emits.
+    */
+  def canonicalizeIpv6(s: String): String = {
+    val gs = ipv6Groups(s)
+    if (gs.take(5).forall(_ == 0) && gs(5) == 0xffff)
+      return s"${gs(6) >> 8}.${gs(6) & 0xff}.${gs(7) >> 8}.${gs(7) & 0xff}"
+    var bestStart = -1
+    var bestLen = 0
+    var i = 0
+    while (i < 8) {
+      if (gs(i) == 0) {
+        var j = i
+        while (j < 8 && gs(j) == 0) j += 1
+        if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+        i = j
+      } else i += 1
+    }
+    if (bestLen < 2) gs.map(Integer.toHexString).mkString(":")
+    else {
+      val pre = gs.take(bestStart).map(Integer.toHexString).mkString(":")
+      val post = gs.drop(bestStart + bestLen).map(Integer.toHexString).mkString(":")
+      s"$pre::$post"
+    }
+  }
+
+  /** Canonical comparable form of an IP literal: [[normalizeIp]] (the `:::`
+    * collapse + validation) then RFC 5952 canonicalization for IPv6; ""
+    * when invalid. This is the form whitelist MEMBERSHIP must compare on —
+    * `2001:0DB8::1`, `2001:db8:0:0:0:0:0:1` and `2001:db8::1` are the same
+    * server. [[extractLocalIp]] deliberately keeps the literal
+    * (post-collapse) spelling for surfaced columns; joins canonicalize both
+    * sides, so routing matches Go's canonical-form semantics either way.
+    */
+  def canonicalIp(raw: String): String = {
+    val n = normalizeIp(raw)
+    if (n.indexOf(':') >= 0) canonicalizeIpv6(n) else n
+  }
+
   /** Substring between first and last `_` of a basename, normalized;
     * "" for old-format / malformed names
     * (`/root/reference/filename_parser.go:17-29`).
@@ -111,6 +174,9 @@ object IpFunctions {
   def normalizeIpUTF8(raw: UTF8String): UTF8String =
     UTF8String.fromString(normalizeIp(if (raw == null) null else raw.toString))
 
+  def canonicalIpUTF8(raw: UTF8String): UTF8String =
+    UTF8String.fromString(canonicalIp(if (raw == null) null else raw.toString))
+
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
   /** Column form: extract + normalize the local IP from a basename column. */
@@ -118,6 +184,9 @@ object IpFunctions {
 
   /** Column form: normalize an IP-literal column ("" when invalid). */
   def normalize_ip(c: Column): Column = column(NormalizeIp(expression(c)))
+
+  /** Column form: canonical comparable IP ("" when invalid). */
+  def canonical_ip(c: Column): Column = column(CanonicalIp(expression(c)))
 }
 
 /** Catalyst expression for [[IpFunctions.extractLocalIp]] — participates in
@@ -132,6 +201,18 @@ case class ExtractLocalIp(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ExtractLocalIp =
     copy(child = newChild)
   override def prettyName: String = "local_ip"
+}
+
+/** Catalyst expression for [[IpFunctions.canonicalIp]]. */
+case class CanonicalIp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    IpFunctions.canonicalIpUTF8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.IpFunctions.canonicalIpUTF8($c)")
+  override protected def withNewChildInternal(newChild: Expression): CanonicalIp =
+    copy(child = newChild)
+  override def prettyName: String = "canonical_ip"
 }
 
 /** Catalyst expression for [[IpFunctions.normalizeIp]]. */

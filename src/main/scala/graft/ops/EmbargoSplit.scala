@@ -29,13 +29,25 @@ object EmbargoSplit {
     * `whitelist` must expose one `wip` column (see [[TgzSource.whitelist]]);
     * it is explicitly `broadcast` — thousands of rows at most
     * (`/root/reference/embargo_check.go:58`).
+    *
+    * Membership compares CANONICAL IP forms on both sides
+    * ([[graft.functions.IpFunctions.canonicalIp]]): the reference's
+    * `web100.NormalizeIPv6` canonicalizes the filename side, so a
+    * whitelist entry `2001:DB8:0:0:0:0:0:1` must match a file at
+    * `2001:db8::1` — literal string equality would miss it. Invalid
+    * whitelist lines canonicalize to "" and are dropped before the join
+    * so they can never meet a malformed filename's empty local_ip.
     */
   def route(entries: Dataset[TarEntry], whitelist: DataFrame,
             cutoffDateInt: Int): DataFrame = {
+    import graft.functions.IpFunctions.canonical_ip
     val regs = entries.filter(col("typeflag") === "0")
       .withColumn("base", basename(col("name")))
       .withColumn("local_ip", coalesce(local_ip(col("base")), lit("")))
-    regs.join(broadcast(whitelist), regs("local_ip") === whitelist("wip"), "left_outer")
+    val wl = whitelist.select(canonical_ip(col("wip")).as("wip"))
+      .filter(length(col("wip")) > 0)
+      .distinct()
+    regs.join(broadcast(wl), canonical_ip(regs("local_ip")) === wl("wip"), "left_outer")
       .withColumn("route",
         when(fileDateInt(col("base")) < lit(cutoffDateInt)
           || !col("base").contains("web100")

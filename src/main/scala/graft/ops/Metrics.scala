@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.functions.NameFunctions.basename
 import graft.model.Schemas
@@ -28,5 +30,44 @@ object Metrics {
       count(when(isWeb100 && col("route") === Schemas.RoutePrivate, 1)).as("files_private"),
       sum(when(col("route") === Schemas.RoutePublic, col("size")).otherwise(0L)).as("bytes_public"),
       sum(when(col("route") === Schemas.RoutePrivate, col("size")).otherwise(0L)).as("bytes_private"))
+  }
+
+  /** The export half of the reference's counter surface
+    * (`/root/reference/metrics/metrics.go:79-102`, the Prometheus handler):
+    * a [[QueryExecutionListener]] that captures every `observe()` metric row
+    * by observation name as jobs complete — register once per session and
+    * counters flow out-of-band of the queries, no second scan, ready to be
+    * scraped/pushed by whatever metrics backend wraps it.
+    *
+    * Listener delivery is asynchronous; [[ObservedMetricsListener.get]]
+    * polls with a timeout for callers that need read-after-job semantics.
+    */
+  final class ObservedMetricsListener extends QueryExecutionListener {
+    private val seen = new java.util.concurrent.ConcurrentHashMap[String, Row]()
+
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) => seen.put(name, row) }
+
+    override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+
+    /** Latest metric row for `name`, waiting up to `timeoutMs` for the
+      * async listener bus to deliver it.
+      */
+    def get(name: String, timeoutMs: Long = 10000): Option[Row] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var r = seen.get(name)
+      while (r == null && System.nanoTime() < deadline) {
+        Thread.sleep(20)
+        r = seen.get(name)
+      }
+      Option(r)
+    }
+  }
+
+  /** Register a fresh observed-metrics listener on the session. */
+  def registerListener(spark: SparkSession): ObservedMetricsListener = {
+    val l = new ObservedMetricsListener
+    spark.listenerManager.register(l)
+    l
   }
 }

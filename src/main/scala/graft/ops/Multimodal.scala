@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * (the Scala analogue of `mapInPandas` batch UDFs: one iterator per
   * partition, record-batch-shaped, no per-row UDF dispatch).
   *
-  * The actual codec work is STUBBED — this container has no image/audio
-  * libraries — behind [[FakeCodec]], a deterministic pure function of the
-  * payload bytes. Everything around it (schemas, typed Datasets, partition
-  * iteration, downstream relational ops) is real, tested, and
-  * oracle-checkable because the fake features are exact integer arithmetic
-  * over the bytes that DuckDB can recompute.
+  * Image decode is REAL: actual PNG/JPEG/GIF/BMP payloads go through the
+  * JDK's ImageIO and report true dimensions. Audio/video decode is STUBBED
+  * — this container has no media libraries — behind [[FakeCodec]], a
+  * deterministic pure function of the payload bytes, as are non-image
+  * byte payloads (the oracle corpora), so everything around the codec
+  * (schemas, typed Datasets, partition iteration, downstream relational
+  * ops) stays oracle-checkable: the fake features are exact integer
+  * arithmetic over the bytes that DuckDB can recompute.
   */
 object Multimodal {
 
@@ -51,6 +53,38 @@ object Multimodal {
     }
   }
 
+  /** Magic-byte sniff for the formats the JDK's ImageIO decodes unaided.
+    * Non-image payloads (and the synthetic text-byte corpora) fail this in
+    * a few byte compares and never touch the ImageIO SPI machinery.
+    */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) || // JPEG
+      (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b.length >= 2 && b(0) == 'B' && b(1) == 'M') // BMP
+
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP need no
+    * external libraries); None when the payload isn't a decodable image.
+    */
+  private def decodeImage(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (!looksLikeImage(bytes)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(img => (img.getWidth, img.getHeight))
+      catch { case _: Exception => None }
+
+  /** Decode one payload: REAL dimensions for actual image bytes, the
+    * deterministic [[FakeCodec]] arithmetic otherwise (audio/video decoders
+    * aren't available in this environment — that half stays an honest stub).
+    */
+  def decode(r: MediaRow): MediaFeatures =
+    (if (r.kind == "image") decodeImage(r.content) else None) match {
+      case Some((w, h)) =>
+        MediaFeatures(r.media_id, r.kind, r.content.length.toLong, w, h,
+          n_frames = 1, lead_byte = r.content(0) & 0xff)
+      case None => FakeCodec.decode(r)
+    }
+
   /** Decode stage: one batch-shaped pass per partition (mapPartitions), the
     * shape a real codec needs — library handles initialized once per task,
     * rows streamed through.
@@ -59,7 +93,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real codecs would init native handles here, once per partition
-      rows.map(FakeCodec.decode)
+      rows.map(decode)
     }
   }
 

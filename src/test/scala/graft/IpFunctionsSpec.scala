@@ -70,6 +70,41 @@ class IpFunctionsSpec extends AnyFunSuite {
     assert(normalizeIp(null) == "")
   }
 
+  test("canonicalIp: RFC 5952 parity with Go's net.IP.String forms") {
+    // case folding and leading zeros
+    assert(canonicalIp("2001:0DB8::1") == "2001:db8::1")
+    assert(canonicalIp("2001:DB8:0:0:0:0:0:1") == "2001:db8::1")
+    assert(canonicalIp("2001:db8:00aa:0:0:0:0:1") == "2001:db8:aa::1")
+    // longest run wins; leftmost on ties; single zero group NOT collapsed
+    assert(canonicalIp("2001:db8:0:0:1:0:0:1") == "2001:db8::1:0:0:1")
+    assert(canonicalIp("2001:db8:0:1:1:1:1:1") == "2001:db8:0:1:1:1:1:1")
+    assert(canonicalIp("1:0:0:0:0:0:0:0") == "1::")
+    assert(canonicalIp("0:0:0:0:0:0:0:0") == "::")
+    assert(canonicalIp("::1") == "::1")
+    // v4-mapped prints as its dotted quad (Go To4() behavior)
+    assert(canonicalIp("::ffff:1.2.3.4") == "1.2.3.4")
+    // v4-compatible (not mapped) stays hex with the v4 tail folded
+    assert(canonicalIp("::1.2.3.4") == "::102:304")
+    // already canonical stays put
+    assert(canonicalIp("2001:4c08:2003:2::148") == "2001:4c08:2003:2::148")
+    // the sidestream ::: quirk collapses first, then canonicalizes
+    assert(canonicalIp("2001:4c08:2003:3f:::230") == "2001:4c08:2003:3f::230")
+    // v4 and invalid inputs ride the normalizeIp behavior
+    assert(canonicalIp("4.34.58.34") == "4.34.58.34")
+    assert(canonicalIp("not an ip") == "")
+    assert(canonicalIp("") == "")
+  }
+
+  test("canonicalIp is idempotent over the whitelist fixture forms") {
+    val src = scala.io.Source.fromFile("/root/reference/testdata/whitelist_full")
+    val ips = try src.getLines().map(_.trim).filter(_.nonEmpty).toList finally src.close()
+    ips.foreach { ip =>
+      val c = canonicalIp(ip)
+      assert(c.nonEmpty, s"fixture IP rejected: $ip")
+      assert(canonicalIp(c) == c, s"not idempotent: $ip -> $c")
+    }
+  }
+
   test("property: valid IPv4 roundtrips unchanged (seeded)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 500) {

@@ -25,6 +25,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(f(3L) === MediaFeatures(3L, "audio", 0L, 0, 1, 1, 0))
   }
 
+  test("real PNG payloads decode to true dimensions via ImageIO") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val media = Seq(
+      MediaRow(1L, "image", png), // real image: true 7x5
+      MediaRow(2L, "image", Array.fill[Byte](650)('x')), // not an image: stub math
+      MediaRow(3L, "audio", png) // image bytes but audio kind: stub (honest)
+    ).toDS()
+    val f = Multimodal.decodeFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).width === 7 && f(1L).height === 5 && f(1L).n_frames === 1)
+    assert(f(1L).byte_len === png.length.toLong)
+    assert(f(2L) === MediaFeatures(2L, "image", 650L, 10, 2, 1, 'x'.toInt))
+    assert(f(3L).width === (png.length % 640)) // stub arithmetic, not 7
+  }
+
   test("sampleFrames: every Nth frame, one row per frame") {
     import spark.implicits._
     val media = Seq(MediaRow(2L, "video", Array.fill[Byte](701)('z'))).toDS()

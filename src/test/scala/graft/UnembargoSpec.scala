@@ -53,4 +53,20 @@ class UnembargoSpec extends AnyFunSuite with SparkSuite {
     assert(m.getAs[Long]("files_private") === 59)
     assert(m.getAs[Long]("bytes_public") > 0 && m.getAs[Long]("bytes_private") > 0)
   }
+
+  test("A1 export: the QueryExecutionListener sees the counters out-of-band") {
+    import graft.ops.EmbargoSplit
+    val listener = Metrics.registerListener(spark)
+    try {
+      val entries = TgzSource.entries(spark, TarQueries.FixtureTgz)
+      val wl = TgzSource.whitelist(spark, TarQueries.FixtureWhitelist)
+      Metrics.observeRouted(EmbargoSplit.route(entries, wl, TarQueries.FixtureCutoff))
+        .collect()
+      val m = listener.get("embargo_metrics")
+        .getOrElse(fail("listener never delivered embargo_metrics"))
+      assert(m.getAs[Long]("entries_total") === 204)
+      assert(m.getAs[Long]("files_public") === 121)
+      assert(m.getAs[Long]("files_private") === 59)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
