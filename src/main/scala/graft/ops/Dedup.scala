@@ -113,12 +113,37 @@ object Dedup {
     * verified jaccard (identical sets ⇒ identical jaccard), so the result
     * is value-identical to the uncollapsed pipeline.
     */
+  /** Exact-jaccard verification of candidate pairs against their shingle
+    * sets; keeps pairs at or above `threshold`.
+    */
+  private def verifyPairs(cands: DataFrame, sets: DataFrame,
+                          threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val union = (size(col("sa")) + size(col("sb"))).cast("double") -
+      size(array_intersect(col("sa"), col("sb"))).cast("double")
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
+      .withColumn("jac", inter / union)
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
   def minhashNearDups(corpus: DataFrame, threshold: Double = 0.5,
-                      numBands: Int = 32, rowsPerBand: Int = 3): DataFrame = {
+                      numBands: Int = 32, rowsPerBand: Int = 3,
+                      collapseIdentical: Boolean = true): DataFrame = {
     // the shingle arrays feed several branches (grouping, signatures, both
     // verify joins) — materialize once; they are ~corpus-text sized, not O(n²)
     val sets = shingleSets(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (!collapseIdentical) {
+      // callers that already exact-deduped (the d5 composite) skip the
+      // collapse machinery: identical sets are (all but pathologically)
+      // impossible there, and the extra shuffles buy nothing
+      val sigs = signaturesFromSets(sets, numBands, rowsPerBand)
+      return verifyPairs(candidatePairs(lshBands(sigs, numBands, rowsPerBand)),
+        sets, threshold)
+    }
     val groups = setGroups(sets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repSets = sets.join(
@@ -126,16 +151,8 @@ object Dedup {
       Seq("doc_id"), "left_semi")
 
     val sigs = signaturesFromSets(repSets, numBands, rowsPerBand)
-    val cands = candidatePairs(lshBands(sigs, numBands, rowsPerBand))
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    val union = (size(col("sa")) + size(col("sb"))).cast("double") -
-      size(array_intersect(col("sa"), col("sb"))).cast("double")
-    val repPairs = cands
-      .join(repSets.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
-      .join(repSets.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
-      .withColumn("jac", inter / union)
-      .filter(col("jac") >= threshold)
-      .select("id_a", "id_b", "jac")
+    val repPairs = verifyPairs(
+      candidatePairs(lshBands(sigs, numBands, rowsPerBand)), repSets, threshold)
 
     // expand representatives back to full doc pairs
     val within = groups.as("x").join(groups.as("y"),

@@ -113,7 +113,10 @@ object DedupQueries {
     // aggregate — materialize once (rows ≈ corpus, columns: id/text/n_tok)
     val exactKept = passed.join(keepIds, Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nearDrop = Dedup.minhashNearDups(exactKept.select("doc_id", "text"), threshold = 0.85)
+    // exact dedup already ran above, so identical shingle sets can't mass-
+    // cluster here — skip the collapse machinery (collapseIdentical=false)
+    val nearDrop = Dedup.minhashNearDups(exactKept.select("doc_id", "text"),
+        threshold = 0.85, collapseIdentical = false)
       .select(col("id_b").as("doc_id")).distinct()
     exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
       .groupBy((col("doc_id") % 10).as("shard"))
