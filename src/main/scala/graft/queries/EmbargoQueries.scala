@@ -152,8 +152,11 @@ object EmbargoQueries {
     * (P7) drops flagged hostnames, ipv4/ipv6 are unpivoted (P8) keeping
     * non-empty values, and the result is a distinct IP set (A2).
     */
-  def whitelistBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val sites = Tables.customer(spark, sfDir)
+  /** The synthetic site table (hostname, ipv4, ipv6) derived from customer —
+    * shared by the F8 JSON round-trip and the S6 URL-fetch queries.
+    */
+  private def siteRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
       .select(
         concat(lit("mlab"), istr(col("c_custkey") % 5), lit("."),
           when(col("c_custkey") % 7 === 0, "samknows").otherwise(lower(col("c_mktsegment"))),
@@ -162,6 +165,9 @@ object EmbargoQueries {
           istr(col("c_custkey") % 250)).as("ipv4"),
         when(col("c_custkey") % 3 === 0, lit(""))
           .otherwise(concat(lit("2001:db8::"), istr(col("c_custkey") % 9999))).as("ipv6"))
+
+  def whitelistBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val sites = siteRows(spark, sfDir)
     // F8: JSON round-trip through the declared Site schema
     val parsed = sites
       .select(to_json(struct(col("hostname"), col("ipv4"), col("ipv6"))).as("js"))
@@ -183,6 +189,29 @@ object EmbargoQueries {
       |  FROM customer)
       |SELECT DISTINCT ip FROM (
       |  SELECT hostname, unnest([ipv4, ipv6]) AS ip FROM sites)
+      |WHERE NOT contains(hostname, 'samknows') AND length(ip) > 0""".stripMargin
+
+  /** S6 end-to-end — the URL site-feed source as a driver-checked query:
+    * the site table is published as a JSON array document (the real feed is
+    * a small dimension, `/root/reference/embargo_check.go:64-81`), fetched
+    * back through [[graft.io.Sites.fromUrl]] over a `file:` URL, and
+    * reduced to the whitelist; DuckDB reads the same document with
+    * `read_json`, so the fetch+parse+filter loop is hash-verified.
+    */
+  def sitesFetch(spark: SparkSession, sfDir: String): DataFrame = {
+    val doc = siteRows(spark, sfDir).orderBy("hostname", "ipv4", "ipv6")
+      .toJSON.collect().mkString("[\n", ",\n", "\n]")
+    val p = java.nio.file.Paths.get("/tmp/graft_stage/sites.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, doc)
+    graft.io.Sites.whitelist(graft.io.Sites.fromUrl(spark, p.toUri.toString))
+      .withColumnRenamed("wip", "ip")
+  }
+
+  val sitesFetchSql: String =
+    """SELECT DISTINCT ip FROM (
+      |  SELECT hostname, unnest([ipv4, ipv6]) AS ip
+      |  FROM read_json_auto('/tmp/graft_stage/sites.json'))
       |WHERE NOT contains(hostname, 'samknows') AND length(ip) > 0""".stripMargin
 
   /** F1/F2/F5/F6/F7/P9/P10/P11 — the scalar-function surface in one
@@ -290,10 +319,12 @@ object EmbargoQueries {
     "p4_age_filter" -> ageFilter,
     "p6_unembargo_check" -> unembargoCheck,
     "whitelist_build" -> whitelistBuild,
+    "s6_sites_fetch" -> sitesFetch,
     "f_scalars" -> scalars
   )
 
   def oracleSql: Map[String, String] = Map(
+    "s6_sites_fetch" -> sitesFetchSql,
     "p3_route_counts" -> routeCountsSql,
     "p1_suffix_filter" -> suffixFilterSql,
     "p4_age_filter" -> ageFilterSql,

@@ -47,6 +47,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(plan("s1_prefix_scan").contains("GreaterThanOrEqual(ts"))
   }
 
+  test("catalog listing prunes file content out of the binaryFile scan (s2)") {
+    // the listing must be metadata-only: a ReadSchema carrying `content`
+    // would stream every object's bytes just to print names and sizes
+    val p = plan("s2_bucket_list")
+    assert(p.contains("Format: BINARYFILE"))
+    assert(p.contains("ReadSchema: struct<path:string,length:bigint>"))
+  }
+
   test("top-k aggregation is partial (map-side combine before exchange)") {
     // ObjectHashAggregate appears twice around the exchange: partial + final
     val p = plan("n1_ann_topk")
