@@ -52,13 +52,23 @@ object TarQueries {
        |FROM read_parquet('$StageDir/s4_entries.parquet/*.parquet')""".stripMargin
 
   /** E1 — the golden split as route counts
-    * (145 public / 59 private at the fixture cutoff).
+    * (145 public / 59 private at the fixture cutoff). The routed manifest
+    * stages to parquet; both engines aggregate the same store, so the
+    * driver hash-checks the per-route counts.
     */
   def splitCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val entries = TgzSource.entries(spark, FixtureTgz)
     val wl = TgzSource.whitelist(spark, FixtureWhitelist)
-    EmbargoSplit.fileCounts(EmbargoSplit.route(entries, wl, FixtureCutoff))
+    EmbargoSplit.route(entries, wl, FixtureCutoff)
+      .select(col("route"), col("name"), col("size"))
+      .write.mode("overwrite").parquet(s"$StageDir/e1_routed.parquet")
+    EmbargoSplit.fileCounts(spark.read.parquet(s"$StageDir/e1_routed.parquet"))
   }
+
+  val splitCountsSql: String =
+    s"""SELECT route, COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS n_bytes
+       |FROM read_parquet('$StageDir/e1_routed.parquet/*.parquet')
+       |GROUP BY 1""".stripMargin
 
   /** S2 — full catalog listing of the sf directory (rows-only: DuckDB has
     * no filesystem catalog). Sizes are real file sizes; names are the
@@ -102,22 +112,32 @@ object TarQueries {
        |SELECT cid, poll_us AS last_poll_us, local_address, rem_address, data_bytes_out
        |FROM r WHERE rn = 1""".stripMargin
 
-  /** ST1 — the AvailableNow streaming drain end to end (rows-only): the
-    * fixture is staged into a fresh landing dir, drained through
-    * [[graft.streaming.StreamingEmbargo]], and the routed manifest read
-    * back as per-route counts (145 public / 59 private, same as batch).
+  /** ST1 — the AvailableNow streaming drain end to end: the fixture is
+    * staged into a fresh landing dir, drained through
+    * [[graft.streaming.StreamingEmbargo]] into a staged manifest dir, and
+    * the routed manifest read back as per-route counts (145 public / 59
+    * private, same as batch) — which DuckDB recomputes from the same
+    * manifest, hash-checking the drain's output.
     */
   def streamDrain(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-st1")
     val in = java.nio.file.Files.createDirectory(root.resolve("in"))
     java.nio.file.Files.copy(java.nio.file.Paths.get(FixtureTgz),
       in.resolve("20170315T000000Z-mlab3-sea03-sidestream-0000.tgz"))
-    val out = root.resolve("out").toString
+    val out = s"$StageDir/st1_routed.parquet"
+    // fresh checkpoint each run re-drains everything; clear prior output so
+    // the append sink can't double-count
+    graft.io.FsOps.deletePrefix(spark, out)
     graft.streaming.StreamingEmbargo.drain(spark, in.toString, FixtureWhitelist,
       FixtureCutoff, out, root.resolve("ckpt").toString)
     spark.read.parquet(out)
       .groupBy("route").agg(count(lit(1)).as("n_files"), sum(col("size")).as("n_bytes"))
   }
+
+  val streamDrainSql: String =
+    s"""SELECT route, COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS n_bytes
+       |FROM read_parquet('$StageDir/st1_routed.parquet/*/*.parquet', hive_partitioning = true)
+       |GROUP BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_tar_scan" -> tarScan,
@@ -127,11 +147,13 @@ object TarQueries {
     "st1_stream_drain" -> streamDrain
   )
 
-  /** Staged-parquet oracles for the parse queries; e1/st1/s2 are
-    * filesystem-effect queries — rows-only by design, golden-split-tested.
+  /** Staged-parquet oracles; only s2 (the live filesystem catalog) stays
+    * rows-only — there is no stable store a second engine could re-list.
     */
   def oracleSql: Map[String, String] = Map(
     "s4_tar_scan" -> tarScanSql,
-    "w100_latest_per_cid" -> web100LatestSql
+    "w100_latest_per_cid" -> web100LatestSql,
+    "e1_split_counts" -> splitCountsSql,
+    "st1_stream_drain" -> streamDrainSql
   )
 }
