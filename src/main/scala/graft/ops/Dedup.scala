@@ -117,17 +117,16 @@ object Dedup {
     * sets; keeps pairs at or above `threshold`.
     */
   private def verifyPairs(cands: DataFrame, sets: DataFrame,
-                          threshold: Double): DataFrame = {
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    val union = (size(col("sa")) + size(col("sb"))).cast("double") -
-      size(array_intersect(col("sa"), col("sb"))).cast("double")
+                          threshold: Double): DataFrame =
     cands
       .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
-      .withColumn("jac", inter / union)
+      // intersect is the expensive term — bind it once, derive union from it
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jac",
+        col("inter") / ((size(col("sa")) + size(col("sb"))).cast("double") - col("inter")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
-  }
 
   def minhashNearDups(corpus: DataFrame, threshold: Double = 0.5,
                       numBands: Int = 32, rowsPerBand: Int = 3,
