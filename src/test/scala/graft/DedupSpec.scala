@@ -133,6 +133,22 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(ids(2) === Set(51L)) // nprobe=2: the true nearest neighbor
   }
 
+  test("TopK: early reject, ordered insert and linear merge keep exact order") {
+    import Similarity.{Scored, TopK}
+    val agg = new TopK(3)
+    val inputs = Seq(Scored(0.5, 5), Scored(0.9, 1), Scored(0.9, 0),
+      Scored(0.1, 9), Scored(0.7, 3), Scored(0.9, 2))
+    val red = inputs.foldLeft(agg.zero)(agg.reduce)
+    assert(red === Seq(Scored(0.9, 0), Scored(0.9, 1), Scored(0.9, 2)))
+    // a full buffer rejects a strictly-worse candidate unchanged
+    assert(agg.reduce(red, Scored(0.2, 99)) eq red)
+    // merge of sorted partials: interleaves and caps at k
+    assert(agg.merge(Seq(Scored(0.95, 7)), red) ===
+      Seq(Scored(0.95, 7), Scored(0.9, 0), Scored(0.9, 1)))
+    assert(agg.merge(agg.zero, red) === red)
+    assert(agg.finish(red) === red)
+  }
+
   test("multiplicative minhash family: odd multipliers, values stay in 2^32") {
     val ks = Dedup.multipliers(144)
     assert(ks.distinct.length === 144)
