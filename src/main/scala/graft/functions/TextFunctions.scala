@@ -30,13 +30,37 @@ object TextFunctions {
   /** Word w-shingles (default 3) joined by a space: the minhash unit.
     * `transform(sequence(...))` keeps it inside codegen; short texts
     * collapse to a single whole-text shingle.
+    *
+    * PERFORMANCE: expressions referenced inside a `transform` lambda are
+    * re-evaluated PER ELEMENT — pass a materialized token-array column
+    * (see [[shinglesFromTokens]]), not a raw text column, on hot paths;
+    * this convenience form re-splits the text once per emitted shingle.
     */
-  def wordShingles(c: Column, w: Int = 3): Column = {
-    val toks = wsTokens(c)
+  def wordShingles(c: Column, w: Int = 3): Column =
+    shinglesFromTokens(wsTokens(c), w)
+
+  /** w-shingles over an (ideally already materialized) token array. */
+  def shinglesFromTokens(toks: Column, w: Int = 3): Column =
     when(size(toks) < w, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - w),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
-  }
+
+  /** Char n-grams over an (ideally already materialized) canonical-text
+    * column — see the per-element caveat on [[wordShingles]].
+    */
+  def charShinglesFromCanon(canon: Column, n: Int = 5): Column =
+    when(length(canon) < n, array(canon))
+      .otherwise(transform(sequence(lit(1), length(canon) - (n - 1)),
+        i => canon.substr(i, lit(n))))
+
+  /** Character n-grams (default 5) of the CANONICAL text — the char-level
+    * jaccard unit, more robust to word-boundary edits than word shingles.
+    * Texts shorter than `n` collapse to one whole-text gram. Convenience
+    * form: materialize [[canonText]] first on hot paths (per-element
+    * re-evaluation caveat on [[wordShingles]]).
+    */
+  def charShingles(c: Column, n: Int = 5): Column =
+    charShinglesFromCanon(canonText(c), n)
 
   /** Count of alphabetic chars in the lowered text. */
   def alphaCount(c: Column): Column =

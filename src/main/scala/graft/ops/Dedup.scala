@@ -37,9 +37,16 @@ object Dedup {
         min(col("doc_id")).as("keep_id"), max(col("doc_id")).as("dup_id"))
       .filter(col("n_docs") > 1)
 
-  /** Per-doc distinct word-3-shingle array (the minhash/jaccard unit). */
+  /** Per-doc distinct word-3-shingle array (the minhash/jaccard unit).
+    * Tokens are bound to a column BEFORE the shingle `transform`: lambda
+    * bodies re-evaluate captured expressions per element, so shingling the
+    * raw text would re-split it once per emitted shingle.
+    */
   def shingleSets(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shingles"))
+    corpus
+      .select(col("doc_id"), graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.shinglesFromTokens(col("toks"))).as("shingles"))
 
   /** Minhash signatures: `numBands * rowsPerBand` permutation minima per doc.
     * One md5 per distinct shingle, then cheap integer rehashes; the groupBy
@@ -130,10 +137,44 @@ object Dedup {
 
   def minhashNearDups(corpus: DataFrame, threshold: Double = 0.5,
                       numBands: Int = 32, rowsPerBand: Int = 3,
-                      collapseIdentical: Boolean = true): DataFrame = {
+                      collapseIdentical: Boolean = true): DataFrame =
+    nearDupsFromSets(shingleSets(corpus), threshold, numBands, rowsPerBand,
+      collapseIdentical)
+
+  /** Character-n-gram jaccard near-dup: the same banded-minhash candidate
+    * generation and exact verification, but over char n-grams of the
+    * canonical text ([[graft.functions.TextFunctions.charShingles]]) —
+    * robust to word-boundary edits (hyphenation, concatenation) that word
+    * shingles miss. Note char-gram sets are ~one gram per character, so
+    * this pass costs ~tokensPerWord× more than the word-shingle pass —
+    * run it on the survivors of cheaper stages at scale. The default
+    * 16×4 banding is sized for char-gram statistics: unrelated documents
+    * share far more char grams than word shingles (base jaccard ~0.1-0.2,
+    * not ~0), so shallow bands would flood the verify stage with false
+    * candidates — 4 rows pushes an unrelated pair's per-band collision to
+    * j⁴ ≈ 1e-4 while a real near-dup at j ≥ 0.9 still misses all 16 bands
+    * with probability < 1e-8.
+    */
+  def ngramJaccardNearDups(corpus: DataFrame, threshold: Double = 0.8,
+                           n: Int = 5, numBands: Int = 16, rowsPerBand: Int = 4,
+                           collapseIdentical: Boolean = true): DataFrame =
+    nearDupsFromSets(
+      corpus
+        // canon bound to a column first — the gram lambda would otherwise
+        // re-run the regex canonicalization once per emitted gram
+        .select(col("doc_id"), graft.functions.TextFunctions.canonText(col("text")).as("ctext"))
+        .select(col("doc_id"),
+          array_distinct(graft.functions.TextFunctions.charShinglesFromCanon(col("ctext"), n))
+            .as("shingles")),
+      threshold, numBands, rowsPerBand, collapseIdentical)
+
+  /** Shared LSH near-dup core over precomputed `(doc_id, shingles)` sets. */
+  private def nearDupsFromSets(rawSets: DataFrame, threshold: Double,
+                               numBands: Int, rowsPerBand: Int,
+                               collapseIdentical: Boolean): DataFrame = {
     // the shingle arrays feed several branches (grouping, signatures, both
     // verify joins) — materialize once; they are ~corpus-text sized, not O(n²)
-    val sets = shingleSets(corpus)
+    val sets = rawSets
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (!collapseIdentical) {
       // callers that already exact-deduped (the d5 composite) skip the

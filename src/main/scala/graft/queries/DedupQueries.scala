@@ -95,6 +95,35 @@ object DedupQueries {
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** D6 — character-5-gram jaccard near-dup, on the deterministic 1-in-10
+    * doc_id sample of the augmented corpus (the copy offsets are ≡0 mod 10,
+    * so sampled base docs keep their near/exact copies). Char-gram sets
+    * are ~one gram per character — an order denser than word shingles —
+    * so the sample keeps the EXHAUSTIVE DuckDB recall proof affordable
+    * while d2 covers the full corpus at word level.
+    */
+  def ngramNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardNearDups(
+      corpus(spark, sfDir).filter(col("doc_id") % 10 === 0), threshold = 0.8)
+
+  val ngramNearDupSql: String =
+    s"""WITH $corpusSql,
+       |samp AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c
+       |  FROM corpus WHERE doc_id % 10 = 0),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(c) < 5 THEN [c]
+       |              ELSE list_distinct(list_transform(range(1, len(c) - 3),
+       |                                                i -> substr(c, i, 5))) END AS s
+       |  FROM samp),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jac
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.8""".stripMargin
+
   /** D5 — the composite training-data cleaning pipeline, end to end:
     * quality gate (≥ 20 tokens) → exact dedup (keep lowest id per
     * fingerprint) → near-dup removal (drop the higher id of every verified
@@ -157,13 +186,15 @@ object DedupQueries {
     "d1_exact_dedup" -> exactDedup,
     "d2_minhash_neardup" -> minhashNearDup,
     "d3_simhash_neardup" -> simhashNearDup,
-    "d5_clean_corpus" -> cleanCorpus
+    "d5_clean_corpus" -> cleanCorpus,
+    "d6_ngram_jaccard" -> ngramNearDup
   )
 
   def oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> exactDedupSql,
     "d2_minhash_neardup" -> minhashNearDupSql,
     "d3_simhash_neardup" -> simhashNearDupSql,
-    "d5_clean_corpus" -> cleanCorpusSql
+    "d5_clean_corpus" -> cleanCorpusSql,
+    "d6_ngram_jaccard" -> ngramNearDupSql
   )
 }

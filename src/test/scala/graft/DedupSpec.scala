@@ -58,6 +58,22 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(ids.distinct.length === ids.length)
   }
 
+  test("D6: char-n-gram jaccard catches word-boundary edits word shingles miss") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val hyph = base.replace("riverbank", "river bank") // identity guard
+    require(hyph == base)
+    // concatenate one word pair: every word 3-shingle around it changes,
+    // but char 5-grams barely move
+    val joined = base.replace("river bank", "riverbank")
+    val pairs = Dedup.ngramJaccardNearDups(docs(
+      1L -> base, 2L -> joined,
+      3L -> "completely unrelated text talking about other things entirely"),
+      threshold = 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    val jac = pairs.head.getAs[Double]("jac")
+    assert(jac > 0.8 && jac < 1.0)
+  }
+
   test("D3: simhash hamming 0 for identical token sets, bands are lossless") {
     val res = Dedup.simhashNearDups(docs(
       1L -> "one two three four five six seven eight",
