@@ -40,6 +40,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalIp: all spellings of one address canonicalize identically (seeded)") {
+    val rnd = new scala.util.Random(11)
+    def spell(gs: Array[Int]): String =
+      gs.map { g =>
+        val h = Integer.toHexString(g)
+        val padded = ("0" * rnd.nextInt(3)) + (if (rnd.nextBoolean()) h.toUpperCase else h)
+        padded.takeRight(math.max(h.length, math.min(4, padded.length)))
+      }.mkString(":")
+    for (i <- 1 to 500) {
+      val gs = Array.fill(8)(rnd.nextInt(0x10000))
+      if (i % 3 == 0) { // plant a zero run so :: compression paths are hit
+        val s = rnd.nextInt(7)
+        val l = 1 + rnd.nextInt(8 - s)
+        (s until s + l).foreach(gs(_) = 0)
+      }
+      val a = IpFunctions.canonicalIp(spell(gs))
+      val b = IpFunctions.canonicalIp(spell(gs)) // independent random spelling
+      assert(a.nonEmpty && a === b, s"groups ${gs.mkString(":")}: $a vs $b")
+      assert(IpFunctions.canonicalIp(a) === a, s"not idempotent: $a")
+    }
+  }
+
   test("rollingHash: stays in range, order-sensitive, matches fold model") {
     samples(Gen.asciiPrintableStr).foreach { s =>
       val h = HashFunctions.rollingHash(s)
