@@ -146,6 +146,37 @@ object Similarity {
         (col("pos") + 1).as("crank"))
   }
 
+  /** IVF index build — Lloyd's k-means for the coarse quantizer, in plain
+    * DataFrame ops: seeds are the `k` lowest-id vectors (deterministic,
+    * re-keyed 0..k-1), then `iters` rounds of cosine assignment
+    * ([[ivfAssign]], broadcast score + argmax) and per-cell element-wise
+    * mean via `posexplode → groupBy(cell, pos) → avg`. Each round is two
+    * shuffles whose width is k·dim — never the corpus. Cells that lose all
+    * members keep their previous centroid. Float summation order makes the
+    * low bits run-dependent (as in any distributed k-means), so the
+    * quantizer is trained once and persisted in a real deployment.
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    var cents = corpus.orderBy("vec_id").limit(k)
+      .select((row_number().over(w) - 1).cast("long").as("vec_id"), col("embedding"))
+    var i = 0
+    while (i < iters) {
+      val assign = ivfAssign(corpus, cents)
+      val means = corpus.join(assign, "vec_id")
+        .select(col("cell"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).cast("array<float>").as("embedding"))
+        .select(col("cell").as("vec_id"), col("embedding"))
+      val kept = cents.join(means.select("vec_id"), Seq("vec_id"), "left_anti")
+      cents = means.unionAll(kept)
+      i += 1
+    }
+    cents
+  }
+
   /** N2 — IVF-bucketed ANN: probes search their `nprobe` nearest coarse
     * cells, exact cosine within them, [[TopK]] per probe. The cell join
     * shuffles by cell id — candidate sets are bounded by cell size ×

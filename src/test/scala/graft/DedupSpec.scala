@@ -149,6 +149,30 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(ids(2) === Set(51L)) // nprobe=2: the true nearest neighbor
   }
 
+  test("IVF build: trained centroids converge to the blobs and drive search") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Float]) = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val blobA = Array(1.0f, 0.0f)
+    val blobB = Array(0.0f, 1.0f)
+    val corpus = ((0L until 20L).map(i => (i, jitter(blobA))) ++
+      (100L until 120L).map(i => (i, jitter(blobB)))).toDF("vec_id", "embedding")
+
+    val cents = Similarity.trainCentroids(corpus, k = 2, iters = 4)
+    val c = cents.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    assert(c.keySet === Set(0L, 1L))
+    // one centroid per blob, each near its blob's direction
+    val dirs = c.values.map(v => if (v(0) > v(1)) "A" else "B").toSet
+    assert(dirs === Set("A", "B"))
+    c.values.foreach(v => assert(math.max(v(0), v(1)) > 0.9f))
+
+    // trained centroids drive ivfTopK: a blob-A probe finds blob-A neighbors
+    val got = Similarity.ivfTopK(corpus, cents, probeFilter = $"vec_id" === 0L, k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(got.nonEmpty && got.forall(_ < 100L))
+  }
+
   test("TopK: early reject, ordered insert and linear merge keep exact order") {
     import Similarity.{Scored, TopK}
     val agg = new TopK(3)
