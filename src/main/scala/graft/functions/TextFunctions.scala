@@ -79,21 +79,22 @@ object TextFunctions {
   /** 128-bit md5 fingerprint of the canonical text (F-fingerprint). */
   def fingerprint(c: Column): Column = md5(canonText(c))
 
-  /** 32-bit integer fingerprint: first 8 hex digits of the md5 as a long —
+  /** 32-bit integer fingerprint: the first 4 md5 digest bytes as a long —
     * the md5-derived hash family used anywhere an integer hash is needed
     * (minhash, simhash, LSH bucketing) so DuckDB can replicate it exactly
-    * (`CAST('0x' || substr(md5(x),1,8) AS BIGINT)`).
+    * (`CAST('0x' || substr(md5(x),1,8) AS BIGINT)`). Computed by the
+    * [[graft.functions.HashFunctions.md5_prefix]] codegen Expression —
+    * value-identical to the `conv(substring(md5(x),1,8),16,10)`
+    * composition but with no hex-string intermediate per row.
     */
-  def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def hash32(c: Column): Column = graft.functions.HashFunctions.md5_prefix(c, 4)
 
   /** Seeded variant: hash32 of `seed || '|' || value`. */
   def hash32(c: Column, seed: Int): Column =
     hash32(concat(lit(s"$seed|"), c))
 
-  /** 48-bit md5-derived hash (first 12 hex digits) — wider simhash space;
+  /** 48-bit md5-derived hash (first 6 digest bytes) — wider simhash space;
     * still exact in int64 for both engines.
     */
-  def hash48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  def hash48(c: Column): Column = graft.functions.HashFunctions.md5_prefix(c, 6)
 }

@@ -74,6 +74,22 @@ class PropertySpec extends AnyFunSuite {
     assert(HashFunctions.rollingHash("ab") !== HashFunctions.rollingHash("ba"))
   }
 
+  test("md5Prefix equals the hex-prefix composition both engines agree on (seeded)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    samples(Gen.asciiPrintableStr, 500).foreach { s =>
+      val h = hex(s)
+      assert(HashFunctions.md5PrefixUTF8(UTF8String.fromString(s), 4) ===
+        java.lang.Long.parseLong(h.take(8), 16), s"input: $s")
+      assert(HashFunctions.md5PrefixUTF8(UTF8String.fromString(s), 6) ===
+        java.lang.Long.parseLong(h.take(12), 16), s"input: $s")
+    }
+    assert(HashFunctions.md5PrefixUTF8(null, 4) ===
+      java.lang.Long.parseLong(hex("").take(8), 16))
+  }
+
   test("minhash multipliers are bijections mod 2^32 (odd) and distinct") {
     val ks = Dedup.multipliers(200)
     assert(ks.distinct.size === 200)
