@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ExtractLocalIp, NormalizeIp, RollingHash}
+import graft.functions.{CanonicalIp, ExtractLocalIp, Md5Prefix, NormalizeIp, RollingHash}
 
 /** SparkSessionExtensions hook: exposes graft's custom Catalyst expressions
   * to SQL (`SELECT local_ip(name) ...`) so the engine is usable from pure
@@ -37,7 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(unary("local_ip", classOf[ExtractLocalIp], ExtractLocalIp))
     ext.injectFunction(unary("normalize_ip", classOf[NormalizeIp], NormalizeIp))
+    ext.injectFunction(unary("canonical_ip", classOf[CanonicalIp], CanonicalIp))
     ext.injectFunction(unary("rolling_hash", classOf[RollingHash], RollingHash))
+    ext.injectFunction(GraftExtensions.md5PrefixEntry)
     ext.injectFunction(GraftExtensions.explodeTarEntry)
   }
 }
@@ -52,6 +54,15 @@ object GraftExtensions {
         case args => throw new IllegalArgumentException(
           s"explode_tar expects (path, content), got ${args.length} args") })
 
+  private[plans] val md5PrefixEntry
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("md5_prefix"),
+      new ExpressionInfo(classOf[Md5Prefix].getCanonicalName, "md5_prefix"),
+      { case Seq(c, n) if n.foldable =>
+          Md5Prefix(c, n.eval().asInstanceOf[Number].intValue)
+        case args => throw new IllegalArgumentException(
+          s"md5_prefix expects (str, constant nBytes), got ${args.length} args") })
+
   /** Imperative registration for an existing session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
@@ -61,10 +72,14 @@ object GraftExtensions {
     reg.registerFunction(FunctionIdentifier("normalize_ip"),
       new ExpressionInfo(classOf[NormalizeIp].getCanonicalName, "normalize_ip"),
       { case Seq(c) => NormalizeIp(c) })
+    reg.registerFunction(FunctionIdentifier("canonical_ip"),
+      new ExpressionInfo(classOf[CanonicalIp].getCanonicalName, "canonical_ip"),
+      { case Seq(c) => CanonicalIp(c) })
     reg.registerFunction(FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getCanonicalName, "rolling_hash"),
       { case Seq(c) => RollingHash(c) })
-    val (id, info, builder) = explodeTarEntry
-    reg.registerFunction(id, info, builder)
+    Seq(md5PrefixEntry, explodeTarEntry).foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
   }
 }

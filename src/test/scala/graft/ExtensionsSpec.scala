@@ -36,4 +36,14 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(row.getString(2) === "")
     assert(row.getLong(3) === graft.functions.HashFunctions.rollingHash("hello world"))
   }
+
+  test("canonical_ip / md5_prefix usable from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT canonical_ip('2001:DB8:0:0:0:0:0:1') AS c,
+        |       md5_prefix('abc', 4) AS h4,
+        |       conv(substring(md5('abc'), 1, 8), 16, 10) AS h4ref""".stripMargin).head()
+    assert(row.getString(0) === "2001:db8::1")
+    assert(row.getLong(1).toString === row.getString(2))
+  }
 }
