@@ -236,20 +236,44 @@ object Dedup {
     * shares at least one intact band, so the band join is a lossless
     * candidate generator (not probabilistic), and the `bit_count(xor)`
     * verify makes the result identical to an exhaustive scan.
+    *
+    * Hot-bucket bound (same story as [[minhashNearDups]]): docs with EQUAL
+    * simhash values collapse to one banding representative — a cluster of
+    * m identical docs otherwise shares all 6 band keys and emits 6·m²
+    * candidate rows. Within-group pairs are hamming 0 by definition;
+    * cross-group pairs inherit their representatives' hamming (it depends
+    * only on the two values), so the result is value-identical.
     */
   def simhashNearDups(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sims = simhashes(corpus)
+      .withColumn("rep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = sims.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("simhash"))
+
     val bandKeys = (0 until SimhashBits / 8)
       .map(k => shiftright(col("simhash"), 8 * k).bitwiseAND(255))
-    val bands = sims.select(col("doc_id"), col("simhash"),
+    val bands = reps.select(col("doc_id"), col("simhash"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
     val a = bands.select(col("band"), col("key"), col("doc_id").as("id_a"), col("simhash").as("ha"))
     val b = bands.select(col("band"), col("key"), col("doc_id").as("id_b"), col("simhash").as("hb"))
-    a.join(b, Seq("band", "key"))
+    val repPairs = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+
+    val within = sims.as("x").join(sims.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0).as("hamming"))
+    val ma = sims.select(col("rep_id").as("id_a"), col("doc_id").as("da"))
+    val mb = sims.select(col("rep_id").as("id_b"), col("doc_id").as("db"))
+    val cross = repPairs.join(ma, "id_a").join(mb, "id_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("hamming"))
+    within.unionAll(cross)
   }
 }

@@ -84,6 +84,16 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       Set((1L, 2L, 0)))
   }
 
+  test("D3: a 100-copy cluster yields all hamming-0 pairs without banding blowup") {
+    val copies = (1L to 100L).map(_ -> "identical boilerplate document body text here")
+    val other = 500L -> "separate vocabulary entirely unlike the cluster contents"
+    val res = Dedup.simhashNearDups(docs(copies :+ other: _*), maxHamming = 3)
+      .collect()
+    val pairs = res.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length === 100 * 99 / 2)
+    assert(pairs.forall { case (a, b, h) => a < b && b <= 100L && h === 0 })
+  }
+
   test("simhash is set-semantics and deterministic") {
     val s = Dedup.simhashes(docs(1L -> "a b c a b", 2L -> "c b a"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
