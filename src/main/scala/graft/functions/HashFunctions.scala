@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.graft.bridge.AbstractType
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Rolling-hash document fingerprinting: the polynomial hash
@@ -76,8 +77,13 @@ object HashFunctions {
   * with no hex-string intermediate (the `md5 → substring → conv`
   * composition it replaces allocated and parsed a 32-char string per row).
   */
-case class Md5Prefix(child: Expression, nBytes: Int) extends UnaryExpression {
+case class Md5Prefix(child: Expression, nBytes: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
   require(nBytes >= 1 && nBytes <= 7, s"nBytes $nBytes outside [1,7]")
+  // Non-string children (e.g. SQL `md5_prefix(123, 4)`) are implicitly cast
+  // to string at analysis time, matching the conv(substring(md5(x),…))
+  // composition this expression replaced.
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     HashFunctions.md5PrefixUTF8(v.asInstanceOf[UTF8String], nBytes)
@@ -89,7 +95,9 @@ case class Md5Prefix(child: Expression, nBytes: Int) extends UnaryExpression {
 }
 
 /** Catalyst expression for [[HashFunctions.rollingHash]]. */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     HashFunctions.rollingHashUTF8(v.asInstanceOf[UTF8String])

@@ -98,7 +98,12 @@ object Dedup {
   def setGroups(sets: DataFrame): DataFrame =
     sets
       .select(col("doc_id"),
-        md5(concat_ws("\u0000", sort_array(col("shingles")))).as("skey"))
+        // Hash each element BEFORE concatenating: a separator-based
+        // encoding of raw shingles is ambiguous when tokens may contain
+        // the separator byte (["a b"] vs ["a","b"] would collapse and
+        // emit a false jac=1.0 pair); fixed-width hex digests
+        // concatenate injectively.
+        md5(concat_ws(",", sort_array(transform(col("shingles"), s => md5(s))))).as("skey"))
       .withColumn("rep_id",
         min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy("skey")))
 

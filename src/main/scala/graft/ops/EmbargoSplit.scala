@@ -31,12 +31,21 @@ object EmbargoSplit {
     * (`/root/reference/embargo_check.go:58`).
     *
     * Membership compares CANONICAL IP forms on both sides
-    * ([[graft.functions.IpFunctions.canonicalIp]]): the reference's
-    * `web100.NormalizeIPv6` canonicalizes the filename side, so a
-    * whitelist entry `2001:DB8:0:0:0:0:0:1` must match a file at
-    * `2001:db8::1` — literal string equality would miss it. Invalid
-    * whitelist lines canonicalize to "" and are dropped before the join
-    * so they can never meet a malformed filename's empty local_ip.
+    * ([[graft.functions.IpFunctions.canonicalIp]]). This is an INTENTIONAL
+    * DIVERGENCE from the reference: `CheckInWhiteList`
+    * (`/root/reference/embargo_check.go:103-108`) does a literal map lookup
+    * of the Go-canonical filename IP against the RAW whitelist strings, so
+    * a whitelist entry spelled non-canonically (`2001:DB8:0:0:0:0:0:1`)
+    * silently never matches there — the file stays embargoed even though
+    * the operator whitelisted its IP. Canonicalizing both sides makes every
+    * spelling of a whitelisted address match. The divergence only ever
+    * routes MORE files public than the reference, and only for addresses
+    * the operator explicitly listed — the intended semantics of the
+    * whitelist, so acceptable under the embargo safety contract (an IP is
+    * either listed or not; its textual spelling is not a security
+    * boundary). Invalid whitelist lines canonicalize to "" and are dropped
+    * before the join so they can never meet a malformed filename's empty
+    * local_ip.
     */
   def route(entries: Dataset[TarEntry], whitelist: DataFrame,
             cutoffDateInt: Int): DataFrame = {

@@ -20,4 +20,9 @@ object bridge {
     */
   def sessionHadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.newHadoopConf()
+
+  /** `AbstractDataType` is `private[sql]` in Spark 4; re-exported so graft
+    * expressions can declare `inputTypes` (for `ImplicitCastInputTypes`).
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -46,4 +46,15 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(row.getString(0) === "2001:db8::1")
     assert(row.getLong(1).toString === row.getString(2))
   }
+
+  test("md5_prefix / rolling_hash implicitly cast non-string input") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT md5_prefix(123, 4) AS hi,
+        |       md5_prefix('123', 4) AS hs,
+        |       rolling_hash(123) AS ri,
+        |       rolling_hash('123') AS rs""".stripMargin).head()
+    assert(row.getLong(0) === row.getLong(1))
+    assert(row.getLong(2) === row.getLong(3))
+  }
 }
