@@ -28,6 +28,12 @@ object FsOps {
     * million-object prefix is a distributed scan, not a driver OOM.
     * Spark's scan convention skips `_`/`.`-prefixed (hidden) files, which
     * is also the reference's GCS-object behavior for our outputs.
+    *
+    * The listing is deliberately UNORDERED: its main consumers
+    * ([[syncCopy]]/[[compare]]/`promoteDay`) feed joins that hash-partition
+    * anyway, so a global sort here would be a full exchange paid on every
+    * catalog access. Display consumers that want the reference's
+    * lexicographic page order sort at the edge (`s2_bucket_list`).
     */
   def list(spark: SparkSession, dir: String, suffix: String = "",
            recursive: Boolean = false): DataFrame =
@@ -37,7 +43,6 @@ object FsOps {
       .load(dir)
       .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
         col("length").as("size"))
-      .orderBy("name")
 
   /** S3 — download one object's bytes (`/root/reference/embargo.go:283`). */
   def readBytes(spark: SparkSession, path: String): Array[Byte] = {

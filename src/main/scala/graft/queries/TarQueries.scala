@@ -72,10 +72,13 @@ object TarQueries {
 
   /** S2 — full catalog listing of the sf directory (rows-only: DuckDB has
     * no filesystem catalog). Sizes are real file sizes; names are the
-    * stable table set.
+    * stable table set. The lexicographic order the reference's paged
+    * listing yields (`/root/reference/gcs_operations.go:58-85`) is applied
+    * here at the display edge — [[graft.io.FsOps.list]] itself stays
+    * unordered so join consumers don't pay a global sort.
     */
   def bucketList(spark: SparkSession, sfDir: String): DataFrame =
-    graft.io.FsOps.list(spark, sfDir, ".parquet")
+    graft.io.FsOps.list(spark, sfDir, ".parquet").orderBy("name")
 
   /** web100 domain parse (SURVEY §1.1 row 6): latest snapshot per
     * connection over the fixture's 8062 snapshots. The parsed snapshots

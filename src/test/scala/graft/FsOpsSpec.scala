@@ -18,8 +18,9 @@ class FsOpsSpec extends AnyFunSuite with SparkSuite {
     Files.write(java.nio.file.Paths.get(s"$root/src/b.tgz"), "beta!!".getBytes)
     Files.write(java.nio.file.Paths.get(s"$root/src/c.txt"), "gamma".getBytes)
 
-    // S1 suffix-filtered vs S2 full listing
-    val tgz = FsOps.list(spark, s"$root/src", ".tgz").collect()
+    // S1 suffix-filtered vs S2 full listing (list() is unordered by design
+    // — sort at the consumer, like s2_bucket_list does)
+    val tgz = FsOps.list(spark, s"$root/src", ".tgz").collect().sortBy(_.getString(0))
     assert(tgz.map(_.getString(0)).toSeq === Seq("a.tgz", "b.tgz"))
     assert(tgz.map(_.getLong(1)).toSeq === Seq(5L, 6L))
     assert(FsOps.list(spark, s"$root/src").count() === 3)
@@ -49,7 +50,7 @@ class FsOpsSpec extends AnyFunSuite with SparkSuite {
     Files.write(java.nio.file.Paths.get(s"$root/many/sub/nested.tgz"), "abcd".getBytes)
     val flat = FsOps.list(spark, s"$root/many", ".tgz")
     assert(flat.count() === 500) // one level, as the reference's prefix list
-    assert(flat.head().getString(0) === "f000.tgz")
+    assert(flat.orderBy("name").head().getString(0) === "f000.tgz")
     // recursive variant picks up the nested object too
     assert(FsOps.list(spark, s"$root/many", ".tgz", recursive = true).count() === 501)
   }
@@ -71,5 +72,27 @@ class FsOpsSpec extends AnyFunSuite with SparkSuite {
     Files.write(java.nio.file.Paths.get(s"$root/b/x.tgz"), "xx".getBytes)
     assert(FsOps.compare(spark, s"$root/a", s"$root/b"))
     assert(FsOps.syncCopy(spark, s"$root/a", s"$root/b") === 0) // idempotent
+  }
+
+  test("list() plans no sort: join consumers pay no listing exchange") {
+    val root = Files.createTempDirectory("graft-plan").toString
+    FsOps.mkdirs(spark, s"$root/a")
+    FsOps.mkdirs(spark, s"$root/b")
+    Files.write(java.nio.file.Paths.get(s"$root/a/x.tgz"), "xx".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$root/b/y.tgz"), "yy".getBytes)
+
+    // the raw listing itself: no Sort, no Exchange of any kind
+    val listPlan = FsOps.list(spark, s"$root/a").queryExecution.executedPlan.toString
+    assert(!listPlan.contains("Sort"), s"listing plans a sort:\n$listPlan")
+    assert(!listPlan.contains("Exchange"), s"listing plans an exchange:\n$listPlan")
+
+    // the syncCopy missing-set (listing anti-join): the only exchanges are
+    // the join's own hash partitioning — no global-order exchange (which
+    // would show as rangepartitioning) from either listing side
+    val missing = FsOps.list(spark, s"$root/a").select("name")
+      .join(FsOps.list(spark, s"$root/b").select("name"), Seq("name"), "left_anti")
+    val joinPlan = missing.queryExecution.executedPlan.toString
+    assert(!joinPlan.contains("Sort ") && !joinPlan.contains("rangepartitioning"),
+      s"listing join pays an ordering exchange:\n$joinPlan")
   }
 }

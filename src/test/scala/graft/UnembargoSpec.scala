@@ -54,6 +54,30 @@ class UnembargoSpec extends AnyFunSuite with SparkSuite {
     assert(m.getAs[Long]("bytes_public") > 0 && m.getAs[Long]("bytes_private") > 0)
   }
 
+  test("A1: ipv6_errors counts names with an _IP_ span that fails normalization") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val routed = Seq(
+      // valid IPv6 (triple-colon web100 form) — parses, no error
+      ("d/20170315T17:00:00Z_2001:668:1f:1d:::43_0.web100", 10L, "public"),
+      // span present but not an IP — the reference increments
+      // embargo_ipv6_errors_total here (filename_parser.go:25)
+      ("d/20170315T17:00:00Z_notanip_0.web100", 10L, "private"),
+      // old-format name, no _IP_ span — NOT an error (parser returns ""
+      // before attempting normalization, filename_parser.go:19-23)
+      ("d/oldformat.web100", 10L, "public"),
+      // valid IPv4 — no error
+      ("d/20170315T17:00:00Z_173.205.3.39_0.web100", 10L, "public")
+    ).toDF("name", "size", "route")
+      .withColumn("local_ip",
+        graft.functions.IpFunctions.local_ip(graft.functions.NameFunctions.basename(col("name"))))
+    val observed = Metrics.observeRouted(routed)
+    observed.collect()
+    val m = observed.queryExecution.observedMetrics("embargo_metrics")
+    assert(m.getAs[Long]("ipv6_errors") === 1)
+    assert(m.getAs[Long]("entries_total") === 4)
+  }
+
   test("A1 export: the QueryExecutionListener sees the counters out-of-band") {
     import graft.ops.EmbargoSplit
     val listener = Metrics.registerListener(spark)
