@@ -103,7 +103,7 @@ object Dedup {
         // the separator byte (["a b"] vs ["a","b"] would collapse and
         // emit a false jac=1.0 pair); fixed-width hex digests
         // concatenate injectively.
-        md5(concat_ws(",", sort_array(transform(col("shingles"), s => md5(s))))).as("skey"))
+        md5(concat_ws(",", sort_array(transform(col("shingles"), s => md5(s.cast("string")))))).as("skey"))
       .withColumn("rep_id",
         min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy("skey")))
 
@@ -168,8 +168,17 @@ object Dedup {
         // canon bound to a column first — the gram lambda would otherwise
         // re-run the regex canonicalization once per emitted gram
         .select(col("doc_id"), graft.functions.TextFunctions.canonText(col("text")).as("ctext"))
+        // Grams are hashed to int64 (md5 7-byte prefix) BEFORE any set op:
+        // char-gram sets run ~one gram per character, so the exact-jaccard
+        // verify intersects arrays an order denser than word shingles —
+        // 8-byte integer compares there instead of string hashing is the
+        // dominant constant factor of this pass. Jaccard over hashed grams
+        // equals jaccard over raw grams up to md5-prefix collisions, and
+        // the oracle applies the same hash, so both engines agree exactly.
         .select(col("doc_id"),
-          array_distinct(graft.functions.TextFunctions.charShinglesFromCanon(col("ctext"), n))
+          array_distinct(transform(
+            graft.functions.TextFunctions.charShinglesFromCanon(col("ctext"), n),
+            g => graft.functions.HashFunctions.md5_prefix(g, 7)))
             .as("shingles")),
       threshold, numBands, rowsPerBand, collapseIdentical)
 

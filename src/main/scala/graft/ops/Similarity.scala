@@ -157,9 +157,16 @@ object Similarity {
     * quantizer is trained once and persisted in a real deployment.
     */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    // Each round references the current centroids twice (assignment +
+    // kept-cells anti-join), so every iteration's result is materialized
+    // (persist + count) before the previous round is dropped — without
+    // this the unresolved plan doubles per round and the final evaluation
+    // recomputes corpus assignments ~2^iters times.
     var cents = corpus.orderBy("vec_id").limit(k)
       .select((row_number().over(w) - 1).cast("long").as("vec_id"), col("embedding"))
+      .persist(lvl)
     var i = 0
     while (i < iters) {
       val assign = ivfAssign(corpus, cents)
@@ -171,7 +178,10 @@ object Similarity {
           s => s.getField("m")).cast("array<float>").as("embedding"))
         .select(col("cell").as("vec_id"), col("embedding"))
       val kept = cents.join(means.select("vec_id"), Seq("vec_id"), "left_anti")
-      cents = means.unionAll(kept)
+      val next = means.unionAll(kept).persist(lvl)
+      next.count() // force k·dim rows NOW, while the parent is still cached
+      cents.unpersist()
+      cents = next
       i += 1
     }
     cents

@@ -324,6 +324,51 @@ object CoreQueries {
       |       quantile_cont(value, 0.9) AS p90, COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  /** A4b — the SCALE path for percentiles: `approx_percentile` (a
+    * fixed-size quantile sketch with map-side combine) instead of the exact
+    * sort-based aggregate, which buffers every group's values and is the
+    * wrong shape at 100 TB. The sketch guarantees rank error ≤ n/accuracy;
+    * the query emits the exact percentiles (hash-checked cross-engine, as
+    * in A4) plus booleans asserting the sketch landed inside the exact
+    * quantile envelope `[q − eps, q + eps]` — DuckDB's sketch differs, so
+    * the SKETCH VALUES can't hash-match, but the bound check can and does:
+    * the oracle states `TRUE` and a hash match proves Spark's sketch met
+    * the bound.
+    *
+    * The envelope is ±1% of quantile space: the sketch's own guarantee is
+    * 1/accuracy = 0.01% of rank, but it returns an ACTUAL group element, a
+    * ±1-rank discretization that dominates at test-scale group sizes
+    * (interpolated exact percentiles sit BETWEEN elements, so an envelope
+    * tighter than one rank step can exclude the very element the sketch
+    * correctly picked). 1% stays far above one rank at every test SF while
+    * still failing loudly on a broken sketch.
+    */
+  def percentilesApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val acc = 10000 // sketch rank error <= n/acc
+    val eps = 0.01 // quantile envelope half-width for the bound check
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        count(lit(1)).as("n"),
+        expr(s"approx_percentile(value, 0.5, $acc)").as("ap50"),
+        expr(s"approx_percentile(value, 0.9, $acc)").as("ap90"),
+        expr(s"percentile(value, ${0.5 - eps})").as("p50_lo"),
+        expr(s"percentile(value, ${0.5 + eps})").as("p50_hi"),
+        expr(s"percentile(value, ${0.9 - eps})").as("p90_lo"),
+        expr(s"percentile(value, ${0.9 + eps})").as("p90_hi"))
+      .select(col("event_type"), col("p50"), col("p90"), col("n"),
+        (col("ap50") >= col("p50_lo") && col("ap50") <= col("p50_hi")).as("p50_ok"),
+        (col("ap90") >= col("p90_lo") && col("ap90") <= col("p90_hi")).as("p90_ok"))
+  }
+
+  val percentilesApproxSql: String =
+    """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.9) AS p90, COUNT(*) AS n,
+      |       TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM events GROUP BY 1""".stripMargin
+
   /** O3 — pivot: per-day event counts widened to one column per event
     * type (explicit value list so both engines emit identical column
     * names; count coalesced to 0 so sparse days match the SUM-CASE oracle).
@@ -425,6 +470,7 @@ object CoreQueries {
     "w2_running" -> runningTotals,
     "st2_sessionize" -> sessions,
     "a4_percentiles" -> percentiles,
+    "a4b_percentiles_approx" -> percentilesApprox,
     "o3_pivot" -> pivotCounts,
     "o4_cube" -> cubeAgg,
     "q5_decorrelated" -> decorrelated
@@ -448,6 +494,7 @@ object CoreQueries {
     "w2_running" -> runningTotalsSql,
     "st2_sessionize" -> sessionsSql,
     "a4_percentiles" -> percentilesSql,
+    "a4b_percentiles_approx" -> percentilesApproxSql,
     "o3_pivot" -> pivotCountsSql,
     "o4_cube" -> cubeAggSql,
     "q5_decorrelated" -> decorrelatedSql

@@ -112,10 +112,13 @@ object DedupQueries {
        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c
        |  FROM corpus WHERE doc_id % 10 = 0),
        |sh AS (
+       |  -- grams hashed to int64 via the md5 7-byte prefix, mirroring the
+       |  -- Spark side's md5_prefix(gram, 7) exactly
        |  SELECT doc_id,
-       |         CASE WHEN len(c) < 5 THEN [c]
+       |         CASE WHEN len(c) < 5
+       |              THEN [CAST(('0x' || substr(md5(c), 1, 14)) AS BIGINT)]
        |              ELSE list_distinct(list_transform(range(1, len(c) - 3),
-       |                                                i -> substr(c, i, 5))) END AS s
+       |                     i -> CAST(('0x' || substr(md5(substr(c, i, 5)), 1, 14)) AS BIGINT))) END AS s
        |  FROM samp),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
