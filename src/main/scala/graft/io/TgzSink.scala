@@ -30,18 +30,25 @@ import graft.model.Schemas
   * both output archives in RAM, `/root/reference/embargo.go:126-146`).
   *
   * Output is published with a write-tmp-then-commit protocol: every task
-  * writes `outDir/_tmp/<final>.p<partition>.a<attempt>` and the driver
-  * commit renames winners into place. A final name claimed by two DIFFERENT
+  * writes `outDir/_tmp/<final>.p<partition>.a<attempt>`, and when ALL its
+  * writers have closed cleanly it marks each staged file complete by
+  * renaming it to `....done` — the success record a bare attempt id cannot
+  * provide. Commit considers ONLY marked files: a task that died mid-write
+  * (or a speculative attempt killed after a slower-but-complete sibling
+  * finished) leaves unmarked debris that can never beat a complete file,
+  * regardless of attempt-id order. A final name marked by two DIFFERENT
   * partitions means the caller broke the per-archive contiguity contract
   * (e.g. a repartition split an archive across tasks) — the commit fails
   * fast instead of letting the second writer silently clobber the first.
-  * Two attempts of the SAME partition are normal task retries; the latest
-  * attempt wins, as a Hadoop output committer would pick.
+  * Two marked attempts of the SAME partition are duplicate successes
+  * (retry after a lost heartbeat, speculation) writing identical content;
+  * the latest is picked for determinism.
   */
 object TgzSink {
 
   private val TmpDir = "_tmp"
-  private val TmpSuffix = "\\.p(\\d+)\\.a(\\d+)$".r
+  private val DoneSuffix = ".done"
+  private val TmpSuffix = ("\\.p(\\d+)\\.a(\\d+)" + DoneSuffix.replace(".", "\\.") + "$").r
 
   /** Write `(archive × route)` tgz pairs under `outDir`.
     *
@@ -74,6 +81,7 @@ object TgzSink {
       val tc = TaskContext.get()
       val taskSuffix = s".p${tc.partitionId()}.a${tc.taskAttemptId()}"
       val closed = scala.collection.mutable.HashSet.empty[String]
+      val stagedNames = scala.collection.mutable.ArrayBuffer.empty[String]
       var current: String = null
       var lastOrdinal = Long.MinValue
       var pub: TarWriter = null
@@ -97,6 +105,8 @@ object TgzSink {
           val base = archive.substring(archive.lastIndexOf('/') + 1)
           // S8 rename (/root/reference/embargo.go:105)
           val privName = base.replace(".tgz", "-e.tgz")
+          stagedNames += base + taskSuffix
+          stagedNames += privName + taskSuffix
           pub = new TarWriter(fs.create(new Path(tmpDir, base + taskSuffix), true))
           priv = new TarWriter(fs.create(new Path(tmpDir, privName + taskSuffix), true))
         }
@@ -107,19 +117,27 @@ object TgzSink {
         w.write(r)
       }
       closeCurrent()
+      // every writer closed cleanly — mark this attempt's files complete so
+      // commit can tell them from the debris of attempts that died mid-write
+      stagedNames.foreach { n =>
+        if (!fs.rename(new Path(tmpDir, n), new Path(tmpDir, n + DoneSuffix)))
+          throw new java.io.IOException(s"failed to mark staged file $n complete")
+      }
     }
 
     commit(spark, outDir, sconf)
   }
 
-  /** Publish `_tmp` outputs: fail on any final name written by two distinct
-    * partitions, keep the latest attempt per (final, partition), rename
-    * winners into place (overwriting prior runs' outputs), drop the rest.
+  /** Publish `_tmp` outputs: consider only `.done`-marked files (attempts
+    * whose task closed every writer — unmarked files are mid-write debris
+    * and are dropped with the staging dir), fail on any final name marked
+    * by two distinct partitions, keep the latest marked attempt per final
+    * name, rename winners into place (overwriting prior runs' outputs).
     * The driver only touches the commit MANIFEST (two names per archive —
     * small); the renames themselves are distributed, metadata-only ops.
     */
-  private def commit(spark: org.apache.spark.sql.SparkSession, outDir: String,
-                     sconf: SerializableHadoopConf): Unit = {
+  private[io] def commit(spark: org.apache.spark.sql.SparkSession, outDir: String,
+                         sconf: SerializableHadoopConf): Unit = {
     val out = new Path(outDir)
     val tmp = new Path(out, TmpDir)
     val fs = out.getFileSystem(sconf.value)
