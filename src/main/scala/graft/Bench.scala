@@ -21,6 +21,11 @@ object Bench {
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // ContextCleaner is GC-driven: with a large, un-pressured heap the
+      // default 30min periodic GC means shuffle files/broadcasts from ~100
+      // query executions accumulate for the whole bench run and later
+      // queries degrade. Keep the cleaner live.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,6 +44,9 @@ object Bench {
       // queries that persist intermediates must not subsidize later ones
       // (and the second sample must not be a cache replay of the first)
       spark.catalog.clearCache()
+      // nudge the GC-driven ContextCleaner so this query's shuffle files /
+      // broadcasts are reclaimed before the next timing starts
+      System.gc()
       (dt, err)
     }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
