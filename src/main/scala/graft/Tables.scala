@@ -21,6 +21,11 @@ object Tables {
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // ContextCleaner is GC-driven; under a large un-pressured heap the
+      // default 30min periodic GC lets shuffle files/broadcasts from a
+      // long query sequence (Verify/Bench run ~50 queries in one JVM)
+      // accumulate until later queries degrade. Keep the cleaner live.
+      .config("spark.cleaner.periodicGC.interval", "30s")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -221,6 +221,60 @@ object Dedup {
     within.unionAll(cross)
   }
 
+  /** D7 — duplicate clustering: connected components over a verified
+    * near-dup pair set (the step between pair detection and
+    * keep-one-per-cluster dedup — without it, transitive near-dups
+    * A~B~C survive pairwise removal as A,C). Iterative min-label
+    * propagation: every node starts as its own representative and each
+    * round takes the min over its neighbors' labels, so the component
+    * minimum spreads one hop per round and the loop stops when a round
+    * changes nothing.
+    *
+    * Scale posture: each round is one equi-join edges⋈labels plus a
+    * map-side-combining `min` groupBy — shuffles keyed on node id only,
+    * never materializing anything wider than (node, label). Rounds needed
+    * = component diameter, and dedup graphs are the FAVORABLE case: a
+    * cluster of near-identical documents is near-clique-shaped (tiny
+    * diameter independent of corpus size), so the loop converges in a
+    * handful of rounds at any scale. For adversarial long-chain graphs
+    * use a star-contraction variant (O(log n) rounds); not needed here.
+    *
+    * Each round's labels go through `localCheckpoint` (eager), which
+    * TRUNCATES the logical lineage — `persist` alone is not enough for an
+    * iterative loop whose round references the previous labels three times
+    * (neighbor join, fallback, change count): the analyzed plan would
+    * branch and roughly triple per round, and analysis time — not
+    * execution — becomes the bottleneck within a few iterations. On a
+    * cluster, swap for reliable `checkpoint` if executor loss mid-loop
+    * must be survivable; the loop itself is restartable from any round's
+    * labels either way.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep")), "dst")
+        .groupBy("src").agg(min("rep").as("nrep"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nrep")), Seq("id"), "left_outer")
+        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      val nChanged = next
+        .join(labels.select(col("id"), col("rep").as("prev")), "id")
+        .filter(col("rep") =!= col("prev")).count()
+      labels = next
+      converged = nChanged == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
+  }
+
   /** Simhash bit width: 48 (first 12 md5 hex digits — wide enough that the
     * small-vocabulary test corpus doesn't saturate with coincidental
     * near-collisions, and every value/shift stays exact in int64).

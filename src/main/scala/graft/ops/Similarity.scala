@@ -157,16 +157,17 @@ object Similarity {
     * quantizer is trained once and persisted in a real deployment.
     */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
     // Each round references the current centroids twice (assignment +
-    // kept-cells anti-join), so every iteration's result is materialized
-    // (persist + count) before the previous round is dropped — without
-    // this the unresolved plan doubles per round and the final evaluation
-    // recomputes corpus assignments ~2^iters times.
+    // kept-cells anti-join), so every iteration's result goes through an
+    // eager `localCheckpoint`, which BOTH materializes the k·dim rows and
+    // truncates the logical lineage — with persist alone the analyzed
+    // plan still doubles per round and analysis time blows up with the
+    // iteration count (the execution would be saved by the cache, but
+    // Catalyst walks the full tree every action).
     var cents = corpus.orderBy("vec_id").limit(k)
       .select((row_number().over(w) - 1).cast("long").as("vec_id"), col("embedding"))
-      .persist(lvl)
+      .localCheckpoint()
     var i = 0
     while (i < iters) {
       val assign = ivfAssign(corpus, cents)
@@ -178,10 +179,7 @@ object Similarity {
           s => s.getField("m")).cast("array<float>").as("embedding"))
         .select(col("cell").as("vec_id"), col("embedding"))
       val kept = cents.join(means.select("vec_id"), Seq("vec_id"), "left_anti")
-      val next = means.unionAll(kept).persist(lvl)
-      next.count() // force k·dim rows NOW, while the parent is still cached
-      cents.unpersist()
-      cents = next
+      cents = means.unionAll(kept).localCheckpoint()
       i += 1
     }
     cents

@@ -185,12 +185,48 @@ object DedupQueries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
        |GROUP BY 1""".stripMargin
 
+  /** D7 — duplicate clustering: connected components over the D2 verified
+    * near-dup pairs (min-reachable-id per node). The oracle recomputes the
+    * pairs exhaustively and takes the transitive closure with a recursive
+    * CTE — a pass proves the distributed label propagation reached the
+    * same fixpoint as a from-scratch closure in a different engine.
+    */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.minhashNearDups(corpus(spark, sfDir), threshold = 0.5)
+        .select("id_a", "id_b"))
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $corpusSql,
+       |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 1),
+       |                                  i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+       |       FROM tk),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+       |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep_id
+       |FROM reach GROUP BY src""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> exactDedup,
     "d2_minhash_neardup" -> minhashNearDup,
     "d3_simhash_neardup" -> simhashNearDup,
     "d5_clean_corpus" -> cleanCorpus,
-    "d6_ngram_jaccard" -> ngramNearDup
+    "d6_ngram_jaccard" -> ngramNearDup,
+    "d7_dup_clusters" -> dupClusters
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -198,6 +234,7 @@ object DedupQueries {
     "d2_minhash_neardup" -> minhashNearDupSql,
     "d3_simhash_neardup" -> simhashNearDupSql,
     "d5_clean_corpus" -> cleanCorpusSql,
-    "d6_ngram_jaccard" -> ngramNearDupSql
+    "d6_ngram_jaccard" -> ngramNearDupSql,
+    "d7_dup_clusters" -> dupClustersSql
   )
 }

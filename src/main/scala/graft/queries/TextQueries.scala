@@ -160,17 +160,87 @@ object TextQueries {
        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS fp_roll
        |FROM canon""".stripMargin
 
+  /** T5 — PII redaction: scrub email/phone spans before a corpus ships to
+    * training. Synthetic PII is planted deterministically (every 10th doc
+    * gets an email, every 10th+5 a phone) so the redaction paths are
+    * non-vacuous; patterns stay in the regex subset where Java and RE2
+    * semantics coincide. Emits per-doc redaction counts and the redacted
+    * length — all codegen'd `regexp_*` built-ins, no UDFs.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "555-[0-9]{4}"
+    val planted = Tables.documents(spark, sfDir).withColumn("aug",
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 10 === 5,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+        .otherwise(col("text")))
+    planted.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("aug"), lit(email), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("aug"), lit(phone), lit(0))).as("n_phones"),
+      length(regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
+        phone, "<PHONE>")).as("red_len"))
+  }
+
+  val piiRedactSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 10 = 0
+      |              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |              WHEN doc_id % 10 = 5
+      |              THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      |              ELSE text END AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(aug, '555-[0-9]{4}')) AS n_phones,
+      |  length(regexp_replace(regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |                        '555-[0-9]{4}', '<PHONE>', 'g')) AS red_len
+      |FROM planted""".stripMargin
+
+  /** T6 — deterministic stratified sampling: per-language rates applied by
+    * hashing the doc id into 100 buckets (md5-prefix, the engine-portable
+    * family) — exact reproducibility with no `rand()`, no sort, no extra
+    * shuffle beyond the counting agg; the 100 TB way to downsample a
+    * stratum (`WHERE hash(id) % 100 < rate` pushes straight into the scan).
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket =
+      graft.functions.HashFunctions.md5_prefix(col("doc_id").cast("string"), 4) % 100
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", bucket)
+      .filter(when(col("lang") === "en", col("bucket") < 20)
+        .otherwise(col("bucket") < 50))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, COUNT(*) AS n_sampled
+      |FROM (SELECT lang,
+      |             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |      FROM documents)
+      |WHERE CASE WHEN lang = 'en' THEN bucket < 20 ELSE bucket < 50 END
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
-    "t4_fingerprints" -> fingerprints
+    "t4_fingerprints" -> fingerprints,
+    "t5_pii_redact" -> piiRedact,
+    "t6_stratified_sample" -> stratifiedSample
   )
 
   def oracleSql: Map[String, String] = Map(
     "t1_token_stats" -> tokenStatsSql,
     "t2_quality_score" -> qualityScoreSql,
     "t3_langid" -> langIdSql,
-    "t4_fingerprints" -> fingerprintsSql
+    "t4_fingerprints" -> fingerprintsSql,
+    "t5_pii_redact" -> piiRedactSql,
+    "t6_stratified_sample" -> stratifiedSampleSql
   )
 }

@@ -26,6 +26,18 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(d.head.getAs[Long]("dup_id") === 2L)
   }
 
+  test("D7: dupClusters propagates the component minimum across chains") {
+    import spark.implicits._
+    // chain 5-3-8 (min spreads two hops), separate pair 10-7, and a
+    // pair 1-2 that also closes into a triangle with 9
+    val pairs = Seq((5L, 3L), (3L, 8L), (10L, 7L), (1L, 2L), (2L, 9L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 3L, 5L -> 3L, 8L -> 3L,
+      7L -> 7L, 10L -> 7L, 1L -> 1L, 2L -> 1L, 9L -> 1L))
+  }
+
   test("D2: minhash LSH finds near-dups, skips unrelated, verifies jaccard") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
