@@ -250,9 +250,14 @@ object Dedup {
     * labels either way.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the (possibly expensive) pair pipeline ONCE before the
+    // union doubles it into both edge directions
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
+    p.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep")).localCheckpoint()
     var converged = false
