@@ -60,4 +60,31 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val p = plan("n1_ann_topk")
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("iterative loops truncate lineage (d7 labels are a checkpoint scan)") {
+    // dupClusters runs its propagation eagerly; the RESULT plan must be a
+    // bare scan of the last round's checkpoint — if a Join/Aggregate shows
+    // up here, lineage truncation regressed and analysis cost returns to
+    // growing with the iteration count
+    val p = plan("d7_dup_clusters")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"d7 result is not a checkpoint scan:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"d7 result drags the propagation lineage along:\n$p")
+  }
+
+  test("trained-IVF search never cartesian-products (n3)") {
+    val p = plan("n3_ann_ivf_trained")
+    assert(!p.contains("CartesianProduct"))
+    // candidate generation is an equi-join on cell ids, top-k is partial
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("stratified sampling is filter + one aggregation exchange (t6)") {
+    // the hash-bucket predicate must stay a scan-side filter; the only
+    // shuffle is the per-language count
+    val p = plan("t6_stratified_sample")
+    assert("Exchange".r.findAllIn(p).size === 1, s"extra exchange in t6:\n$p")
+    assert(p.contains("Filter"))
+  }
 }
