@@ -280,6 +280,34 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
   }
 
+  /** D8 — benchmark decontamination: flag training documents that share at
+    * least one word n-gram (default 8, the usual contamination window) with
+    * an evaluation set, so eval answers can be scrubbed from the training
+    * corpus. Returns `(doc_id, n_shared)` for flagged training docs only.
+    *
+    * Shape: an inverted-index equi-join — both sides reduce to hashed
+    * n-gram postings, the training postings semi-join the (distinct) eval
+    * gram set on the 8-byte gram hash, and a map-side-combining count
+    * rolls flagged postings back up to documents. The corpus is touched
+    * once, nothing wider than (doc_id, gram) shuffles, and the shuffle key
+    * is the gram hash — the same posture as the LSH candidate joins.
+    * Documents shorter than `n` tokens collapse to a whole-text gram
+    * (exact short-text match = contamination).
+    */
+  def contaminated(training: DataFrame, evalSet: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.md5_prefix
+    import graft.functions.TextFunctions.shinglesFromTokens
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(shinglesFromTokens(col("toks"), n),
+          g => md5_prefix(g, 7)))).as("gram"))
+    val evalGrams = grams(evalSet).select("gram").distinct()
+    grams(training)
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Simhash bit width: 48 (first 12 md5 hex digits — wide enough that the
     * small-vocabulary test corpus doesn't saturate with coincidental
     * near-collisions, and every value/shift stays exact in int64).

@@ -227,13 +227,45 @@ object DedupQueries {
        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep_id
        |FROM reach GROUP BY src""".stripMargin
 
+  /** D8 — benchmark decontamination over the augmented corpus: every 100th
+    * base doc plays the evaluation set, everything else is training data.
+    * The +1M/+2M copies of eval docs are planted contamination (they share
+    * nearly all 8-grams with their eval base), so the flagged set is
+    * non-vacuous by construction; the oracle recomputes the same inverted
+    * index exhaustively.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    val isEval = col("doc_id") < 1000000 && col("doc_id") % 100 === 0
+    Dedup.contaminated(c.filter(!isEval), c.filter(isEval), n = 8)
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $corpusSql,
+       |gr AS (
+       |  SELECT doc_id,
+       |         (doc_id < 1000000 AND doc_id % 100 = 0) AS is_eval,
+       |         list_distinct(list_transform(
+       |           CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+       |                ELSE list_transform(range(1, len(toks) - 6),
+       |                                    i -> array_to_string(toks[i:i+7], ' ')) END,
+       |           g -> CAST(('0x' || substr(md5(g), 1, 14)) AS BIGINT))) AS grams
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM corpus)),
+       |evg AS (SELECT DISTINCT unnest(grams) AS gram FROM gr WHERE is_eval),
+       |trg AS (SELECT doc_id, unnest(grams) AS gram FROM gr WHERE NOT is_eval)
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM trg WHERE gram IN (SELECT gram FROM evg)
+       |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> exactDedup,
     "d2_minhash_neardup" -> minhashNearDup,
     "d3_simhash_neardup" -> simhashNearDup,
     "d5_clean_corpus" -> cleanCorpus,
     "d6_ngram_jaccard" -> ngramNearDup,
-    "d7_dup_clusters" -> dupClusters
+    "d7_dup_clusters" -> dupClusters,
+    "d8_decontaminate" -> decontaminate
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -242,6 +274,7 @@ object DedupQueries {
     "d3_simhash_neardup" -> simhashNearDupSql,
     "d5_clean_corpus" -> cleanCorpusSql,
     "d6_ngram_jaccard" -> ngramNearDupSql,
-    "d7_dup_clusters" -> dupClustersSql
+    "d7_dup_clusters" -> dupClustersSql,
+    "d8_decontaminate" -> decontaminateSql
   )
 }

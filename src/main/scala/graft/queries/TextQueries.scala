@@ -226,13 +226,45 @@ object TextQueries {
       |WHERE CASE WHEN lang = 'en' THEN bucket < 20 ELSE bucket < 50 END
       |GROUP BY 1""".stripMargin
 
+  /** T7 — corpus vocabulary statistics: per-language document frequency and
+    * the top-5 tokens per language (integer counts, token-asc tie-break —
+    * no floats cross the engine boundary). The df aggregation is the
+    * inverted-index build every tf-idf/BM25 weighting needs; at 100 TB the
+    * two-level `groupBy` combines map-side and shuffles only
+    * `(lang, token, count)` rows, and the final top-k window partitions by
+    * language — k rows per language survive. For extreme cardinality swap
+    * the window for the bounded TopK aggregator
+    * ([[graft.ops.Similarity.TopK]]); the ranked-window form is kept here
+    * because it is the oracle-expressible shape.
+    */
+  def docFrequency(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(array_distinct(wsTokens(lower(col("text"))))).as("token"))
+    val df = toks.groupBy("lang", "token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("df").desc, col("token").asc)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
+  val docFrequencySql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS token
+      |  FROM documents),
+      |d AS (SELECT lang, token, COUNT(*) AS df FROM tok GROUP BY 1, 2)
+      |SELECT lang, token, df, CAST(rnk AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY df DESC, token ASC) AS rnk
+      |      FROM d)
+      |WHERE rnk <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
     "t4_fingerprints" -> fingerprints,
     "t5_pii_redact" -> piiRedact,
-    "t6_stratified_sample" -> stratifiedSample
+    "t6_stratified_sample" -> stratifiedSample,
+    "t7_doc_frequency" -> docFrequency
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -241,6 +273,7 @@ object TextQueries {
     "t3_langid" -> langIdSql,
     "t4_fingerprints" -> fingerprintsSql,
     "t5_pii_redact" -> piiRedactSql,
-    "t6_stratified_sample" -> stratifiedSampleSql
+    "t6_stratified_sample" -> stratifiedSampleSql,
+    "t7_doc_frequency" -> docFrequencySql
   )
 }

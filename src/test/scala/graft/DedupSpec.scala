@@ -38,6 +38,16 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       7L -> 7L, 10L -> 7L, 1L -> 1L, 2L -> 1L, 9L -> 1L))
   }
 
+  test("D8: contaminated flags training docs sharing an 8-gram with eval") {
+    val eval = docs(100L -> "one two three four five six seven eight nine ten")
+    val training = docs(
+      // embeds the eval 8-gram "one ... eight" mid-sentence
+      1L -> "xx one two three four five six seven eight yy",
+      2L -> "totally different words that never overlap with anything else here")
+    val flagged = Dedup.contaminated(training, eval).collect()
+    assert(flagged.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 1L)))
+  }
+
   test("D2: minhash LSH finds near-dups, skips unrelated, verifies jaccard") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
