@@ -253,9 +253,19 @@ object Dedup {
     // materialize the (possibly expensive) pair pipeline ONCE before the
     // union doubles it into both edge directions
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count()
+    val nPairs = p.count()
+    // Partition the edge list by its SIZE, not by the parent pipeline's
+    // layout: the union would otherwise carry 2x the pair pipeline's
+    // partition count into every propagation round, and a small dup graph
+    // (the common case — near-dup pairs are rare relative to the corpus)
+    // pays dozens of near-empty tasks per round. ~100k edges per partition
+    // keeps round jobs proportional to the graph, capped at 4x parallelism.
+    val sc = pairs.sparkSession.sparkContext
+    val parts = math.max(1,
+      math.min((2L * nPairs / 100000L).toInt + 1, sc.defaultParallelism * 4))
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(parts)
       .localCheckpoint()
     p.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()

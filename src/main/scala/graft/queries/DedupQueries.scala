@@ -191,21 +191,21 @@ object DedupQueries {
     * CTE — a pass proves the distributed label propagation reached the
     * same fixpoint as a from-scratch closure in a different engine.
     *
-    * Graded on the deterministic 1-in-5 doc_id sample (the d6 precedent):
-    * the copy offsets are ≡ 0 mod 5, so sampled base docs keep their whole
-    * dup clusters and the bench measures the CLUSTERING, not a second
-    * helping of d2's pair-generation bill.
+    * Graded on the deterministic 1-in-10 doc_id sample (the d6 precedent):
+    * the copy offsets are ≡ 0 mod 10, so sampled base docs keep their
+    * whole dup clusters and the bench measures the CLUSTERING, not a
+    * second helping of d2's pair-generation bill.
     */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.dupClusters(
       Dedup.minhashNearDups(
-        corpus(spark, sfDir).filter(col("doc_id") % 5 === 0), threshold = 0.5)
+        corpus(spark, sfDir).filter(col("doc_id") % 10 === 0), threshold = 0.5)
         .select("id_a", "id_b"))
 
   val dupClustersSql: String =
     s"""WITH RECURSIVE $corpusSql,
        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-       |       FROM corpus WHERE doc_id % 5 = 0),
+       |       FROM corpus WHERE doc_id % 10 = 0),
        |sh AS (SELECT doc_id, list_distinct(
        |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        |              ELSE list_transform(range(1, len(toks) - 1),
