@@ -33,6 +33,24 @@ object Scale {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Skew-safe aggregation: two-phase salt → partial → merge count/sum on
+    * a hot key. A direct `groupBy(key)` sends every row of a hot key to one
+    * reducer; here the partial aggregate runs on `(key, salt)` — `factor`
+    * reducers share the hot key — and the merge handles only
+    * `keys × factor` pre-aggregated rows. The value sums go through exact
+    * decimal so the two-phase result is bit-identical to a direct
+    * aggregation in any engine (double summation order would differ).
+    */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String, factor: Int): DataFrame =
+    df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(factor)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__s"))
+      .groupBy(col(key))
+      .agg(sum(col("__n")).as("cnt"),
+        sum(col("__s")).cast("double").as("sum_value"))
+
   /** Top-N heavy keys of `df` by count — the skew diagnosis step that
     * decides whether salting is worth it.
     */

@@ -369,6 +369,24 @@ object CoreQueries {
       |       TRUE AS p50_ok, TRUE AS p90_ok
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Q6 — skew-safe salted aggregation ([[graft.ops.Scale.saltedAgg]]):
+    * the five event types are the textbook hot keys (20k+ rows each at
+    * sf0.1 onto 5 reducers); the salted two-phase shape spreads each over
+    * `factor` reducers and must produce EXACTLY the direct groupBy answer,
+    * which is what DuckDB computes — the hash match proves the salting is
+    * value-neutral, upgrading the technique from spec-only to
+    * oracle-checked.
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Scale.saltedAgg(
+      Tables.events(spark, sfDir).select(col("event_type"), col("value")),
+      "event_type", "value", factor = 8)
+
+  val saltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** O3 — pivot: per-day event counts widened to one column per event
     * type (explicit value list so both engines emit identical column
     * names; count coalesced to 0 so sparse days match the SUM-CASE oracle).
@@ -473,7 +491,8 @@ object CoreQueries {
     "a4b_percentiles_approx" -> percentilesApprox,
     "o3_pivot" -> pivotCounts,
     "o4_cube" -> cubeAgg,
-    "q5_decorrelated" -> decorrelated
+    "q5_decorrelated" -> decorrelated,
+    "q6_salted_agg" -> saltedAgg
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -497,6 +516,7 @@ object CoreQueries {
     "a4b_percentiles_approx" -> percentilesApproxSql,
     "o3_pivot" -> pivotCountsSql,
     "o4_cube" -> cubeAggSql,
-    "q5_decorrelated" -> decorrelatedSql
+    "q5_decorrelated" -> decorrelatedSql,
+    "q6_salted_agg" -> saltedAggSql
   )
 }

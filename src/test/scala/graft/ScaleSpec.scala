@@ -22,6 +22,21 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("saltedAgg: two-phase salted aggregation equals the direct groupBy") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = ((1 to 5000).map(i => ("hot", i * 0.01)) ++
+      (1 to 40).map(i => (s"cold$i", i * 1.0))).toDF("k", "value")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val salted = Scale.saltedAgg(df, "k", "value", factor = 8)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+    // the salted plan really is two-phase: partial on (k, salt), merge on k
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"))
+  }
+
   test("heavyHitters surfaces the skewed key first") {
     import spark.implicits._
     val df = ((1 to 500).map(_ => 7L) ++ (1 to 20).map(_.toLong)).toDF("k")
