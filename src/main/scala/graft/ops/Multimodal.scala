@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * partition, record-batch-shaped, no per-row UDF dispatch).
   *
   * Image decode is REAL: actual PNG/JPEG/GIF/BMP payloads go through the
-  * JDK's ImageIO and report true dimensions. Audio/video decode is STUBBED
-  * — this container has no media libraries — behind [[FakeCodec]], a
-  * deterministic pure function of the payload bytes, as are non-image
+  * JDK's ImageIO and report true dimensions. Audio decode is REAL for
+  * RIFF/WAVE payloads via the JDK's `javax.sound.sampled` (sample rate,
+  * channels, PCM frame count). Compressed audio and video codecs are
+  * STUBBED — this container has no media libraries — behind [[FakeCodec]],
+  * a deterministic pure function of the payload bytes, as are non-media
   * byte payloads (the oracle corpora), so everything around the codec
   * (schemas, typed Datasets, partition iteration, downstream relational
   * ops) stays oracle-checkable: the fake features are exact integer
@@ -77,12 +79,46 @@ object Multimodal {
     * deterministic [[FakeCodec]] arithmetic otherwise (audio/video decoders
     * aren't available in this environment — that half stays an honest stub).
     */
+  /** Magic sniff for RIFF/WAVE containers — the audio format the JDK's
+    * `javax.sound.sampled` decodes without external libraries.
+    */
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Real WAV decode via `AudioSystem`: (sampleRate, channels, frames).
+    * None for non-WAV payloads — compressed codecs (mp3/aac/video) have no
+    * JDK decoder and stay on the stub path.
+    */
+  private def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    if (!looksLikeWav(bytes)) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          Some((f.getSampleRate.toInt, f.getChannels, in.getFrameLength))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
   def decode(r: MediaRow): MediaFeatures =
     (if (r.kind == "image") decodeImage(r.content) else None) match {
       case Some((w, h)) =>
         MediaFeatures(r.media_id, r.kind, r.content.length.toLong, w, h,
           n_frames = 1, lead_byte = r.content(0) & 0xff)
-      case None => FakeCodec.decode(r)
+      case None =>
+        (if (r.kind == "audio") decodeWav(r.content) else None) match {
+          case Some((rate, channels, frames)) =>
+            // audio semantics for the shared feature shape: width carries
+            // the sample rate, height the channel count, n_frames the PCM
+            // frame count — real values from the real decoder
+            MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+              width = rate, height = channels,
+              n_frames = math.min(frames, Int.MaxValue.toLong).toInt,
+              lead_byte = r.content(0) & 0xff)
+          case None => FakeCodec.decode(r)
+        }
     }
 
   /** Decode stage: one batch-shaped pass per partition (mapPartitions), the

@@ -45,6 +45,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(f(3L).width === (png.length % 640)) // stub arithmetic, not 7
   }
 
+  test("real WAV payloads decode rate/channels/frames via javax.sound") {
+    import spark.implicits._
+    // synthesize a genuine 16-bit stereo WAV: 8000 Hz, 400 PCM frames
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = Array.fill[Byte](400 * fmt.getFrameSize)(0x11)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 400L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val media = Seq(
+      MediaRow(1L, "audio", wav), // real WAV: true rate/channels/frames
+      MediaRow(2L, "audio", Array.fill[Byte](250)('y')), // not WAV: stub math
+      MediaRow(3L, "video", wav) // WAV bytes but video kind: stub (honest)
+    ).toDS()
+    val f = Multimodal.decodeFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).width === 8000 && f(1L).height === 2 && f(1L).n_frames === 400)
+    assert(f(2L) === graft.ops.Multimodal.FakeCodec.decode(
+      MediaRow(2L, "audio", Array.fill[Byte](250)('y'))))
+    assert(f(3L).width === (wav.length % 640)) // stub arithmetic, not 8000
+  }
+
   test("sampleFrames: every Nth frame, one row per frame") {
     import spark.implicits._
     val media = Seq(MediaRow(2L, "video", Array.fill[Byte](701)('z'))).toDS()
