@@ -241,10 +241,10 @@ object Dedup {
     *
     * Each round's labels go through `localCheckpoint` (eager), which
     * TRUNCATES the logical lineage — `persist` alone is not enough for an
-    * iterative loop whose round references the previous labels three times
-    * (neighbor join, fallback, change count): the analyzed plan would
-    * branch and roughly triple per round, and analysis time — not
-    * execution — becomes the bottleneck within a few iterations. On a
+    * iterative loop whose round references the previous labels twice
+    * (neighbor join, no-neighbor fallback): the analyzed plan would branch
+    * and roughly double per round, and analysis time — not execution —
+    * becomes the bottleneck within a few iterations. On a
     * cluster, swap for reliable `checkpoint` if executor loss mid-loop
     * must be survivable; the loop itself is restartable from any round's
     * labels either way.
@@ -276,18 +276,82 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("rep")), "dst")
         .groupBy("src").agg(min("rep").as("nrep"))
+      // the convergence signal rides in the SAME projection the checkpoint
+      // materializes: one join+agg job per round, and the change count is
+      // then a column scan over the already-local checkpoint blocks — not a
+      // second re-join of next against the previous labels
       val next = labels
         .join(nbrMin.select(col("src").as("id"), col("nrep")), Seq("id"), "left_outer")
-        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
+          (col("nrep") < col("rep")).as("changed"))
         .localCheckpoint()
-      val nChanged = next
-        .join(labels.select(col("id"), col("rep").as("prev")), "id")
-        .filter(col("rep") =!= col("prev")).count()
-      labels = next
+      val nChanged = next.filter(col("changed")).count()
+      labels = next.select("id", "rep")
       converged = nChanged == 0
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
+  }
+
+  /** D7 fallback — connected components by alternating large-star /
+    * small-star contraction (the two-round MapReduce scheme of Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"), for ADVERSARIAL
+    * graph shapes: [[dupClusters]]' min-label propagation needs rounds =
+    * component diameter, which is right for near-clique dup graphs but
+    * degenerates on long chains (a 10⁶-node path = 10⁶ rounds).
+    * Star contraction converges in O(log n) rounds on ANY shape because
+    * each large-star/small-star pair at least halves the distance of every
+    * node to its component minimum.
+    *
+    * large-star(u): every neighbor v > u re-attaches to min(Γ(u) ∪ {u}).
+    * small-star(u), edges oriented big→small: u and every neighbor except
+    * the minimum attach to min(Γ(u)). Both are an equi-join of the edge
+    * list against a per-node `min` aggregate — shuffles keyed on node id,
+    * nothing wider than an edge ever materializes, same posture as the
+    * propagation loop. Fixpoint = the edge set is stable, at which point
+    * the graph is a forest of depth-1 stars rooted at component minima.
+    *
+    * Same contract as [[dupClusters]]: in `(id_a, id_b)` pairs, out
+    * `(doc_id, rep_id)` with `rep_id` = component minimum —
+    * `DedupSpec` property-checks label equality on random graphs.
+    */
+  def dupClustersStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      sym.filter(col("dst") > col("src"))
+        .join(m, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val m = or.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("u"), col("mn").as("m"))
+      or.join(m, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(m.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    var edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // stable edge set = every node one hop from its component minimum;
+      // both checks scan checkpointed blocks (lineage is truncated per round)
+      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    edges.select(col("src").as("doc_id"), col("dst").as("rep_id"))
+      .unionAll(edges.select(col("dst").as("doc_id"), col("dst").as("rep_id")))
+      .distinct()
   }
 
   /** D8 — benchmark decontamination: flag training documents that share at

@@ -38,6 +38,33 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       7L -> 7L, 10L -> 7L, 1L -> 1L, 2L -> 1L, 9L -> 1L))
   }
 
+  test("D7: star contraction matches min-label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 25
+      val pairs = (0 until n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2)
+      val df = pairs.toDF("id_a", "id_b")
+      val prop = Dedup.dupClusters(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.dupClustersStar(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === prop, s"trial $trial: star labels diverge from propagation")
+    }
+  }
+
+  test("D7: star contraction collapses a long chain (propagation's worst case)") {
+    import spark.implicits._
+    // a 64-node path: min-label needs 63 rounds, star contraction O(log n)
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClustersStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === (1L to 64L).toSet)
+    assert(labels.values.toSet === Set(1L))
+  }
+
   test("D8: contaminated flags training docs sharing an 8-gram with eval") {
     val eval = docs(100L -> "one two three four five six seven eight nine ten")
     val training = docs(
