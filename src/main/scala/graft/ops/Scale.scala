@@ -52,21 +52,26 @@ object Scale {
         sum(col("__s")).cast("double").as("sum_value"))
 
   /** Top-N heavy keys of `df` by count — the skew diagnosis step that
-    * decides whether salting is worth it.
+    * decides whether salting ([[saltedAgg]]/[[saltedJoin]]) is worth it.
+    * Ties broken by key ascending so the limit is deterministic
+    * (oracle-checked as `q7_heavy_hitters`).
     */
   def heavyHitters(df: DataFrame, key: String, topN: Int): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(key).asc)
       .limit(topN)
 
-  /** Persist `df` bucketed by `key` as a managed table (requires a
-    * warehouse-enabled session). Joins between tables bucketed the same way
-    * on `key` need no shuffle.
+  /** Persist `df` bucketed by `key` as a table — managed (warehouse) by
+    * default, external when `path` is given. Joins between tables bucketed
+    * the same way on `key` need no shuffle (`ScaleSpec` pins the
+    * no-Exchange plan; `q8_bucketed_join` oracle-checks the round-trip).
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

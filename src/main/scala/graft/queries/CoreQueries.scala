@@ -375,7 +375,8 @@ object CoreQueries {
     * `factor` reducers and must produce EXACTLY the direct groupBy answer,
     * which is what DuckDB computes — the hash match proves the salting is
     * value-neutral, upgrading the technique from spec-only to
-    * oracle-checked.
+    * oracle-checked. Whether a key is hot enough to salt is what the
+    * [[heavyHittersQ q7_heavy_hitters]] diagnosis query answers.
     */
   def saltedAgg(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Scale.saltedAgg(
@@ -386,6 +387,83 @@ object CoreQueries {
     """SELECT event_type, COUNT(*) AS cnt,
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
+
+  /** A5 — the SCALE path for distinct counting: HyperLogLog++
+    * `approx_count_distinct` (fixed-size sketch, map-side combine) instead
+    * of exact `COUNT(DISTINCT ...)`, whose de-dup shuffle is the bottleneck
+    * at 100 TB cardinalities (the reference's distinct set build A2,
+    * `/root/reference/embargo_check.go:41-56`, held the whole set in a map).
+    * Graded like A4b: the exact count is hash-checked cross-engine and a
+    * boolean asserts Spark's sketch landed inside its error envelope —
+    * DuckDB's own HLL differs bit-wise so the ESTIMATE can't hash-match,
+    * but the envelope check can and does (the oracle states TRUE).
+    *
+    * Envelope: ±5·rsd relative. The sketch's standard error is `rsd`; five
+    * standard deviations is far beyond any plausible HLL++ excursion yet
+    * still fails loudly on a broken sketch, and Spark's HLL++ is
+    * deterministic for fixed input so the boolean is stable across runs.
+    */
+  def distinctApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val rsd = 0.02
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd).as("n_hll"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_hll") - col("n_exact")) <= col("n_exact") * lit(5 * rsd)).as("hll_ok"))
+  }
+
+  val distinctApproxSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Q7 — heavy-hitter diagnosis ([[graft.ops.Scale.heavyHitters]]): the
+    * top-N keys by row count — the scan that decides whether a key is
+    * skewed enough for Q6's salting. Integer-only; ties broken by key
+    * ascending so the LIMIT cut is deterministic in both engines.
+    */
+  def heavyHittersQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Scale.heavyHitters(
+      Tables.events(spark, sfDir).select(col("user_id")), "user_id", topN = 10)
+
+  val heavyHittersSql: String =
+    """SELECT user_id, COUNT(*) AS cnt FROM events
+      |GROUP BY 1 ORDER BY cnt DESC, user_id ASC LIMIT 10""".stripMargin
+
+  /** Q8 — bucketed co-located join: fact and dim are PERSISTED hash-bucketed
+    * on the join key ([[graft.ops.Scale.writeBucketed]], S7-style external
+    * parquet tables under the staging dir), then joined — the join needs no
+    * shuffle because both scans already expose the bucket partitioning
+    * (`ScaleSpec` pins the no-Exchange plan). The driver hash-check proves
+    * the bucketed write→read round-trip preserved the data exactly: the
+    * oracle recomputes the same join-aggregate from the ORIGINAL parquet.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Scale
+    val stage = TarQueries.StageDir
+    Scale.writeBucketed(
+      Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_totalprice")),
+      "q8_orders_b", "o_custkey", buckets = 8, path = Some(s"$stage/q8_orders_b"))
+    Scale.writeBucketed(
+      Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey")),
+      "q8_customer_b", "c_custkey", buckets = 8, path = Some(s"$stage/q8_customer_b"))
+    bucketedJoinRead(spark)
+  }
+
+  /** The read half of Q8 (also the `ScaleSpec` plan-pin target): join the
+    * two staged bucketed tables and aggregate.
+    */
+  def bucketedJoinRead(spark: SparkSession): DataFrame =
+    spark.table("q8_orders_b")
+      .join(spark.table("q8_customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+
+  val bucketedJoinSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
 
   /** O3 — pivot: per-day event counts widened to one column per event
     * type (explicit value list so both engines emit identical column
@@ -492,7 +570,10 @@ object CoreQueries {
     "o3_pivot" -> pivotCounts,
     "o4_cube" -> cubeAgg,
     "q5_decorrelated" -> decorrelated,
-    "q6_salted_agg" -> saltedAgg
+    "q6_salted_agg" -> saltedAgg,
+    "a5_distinct_approx" -> distinctApprox,
+    "q7_heavy_hitters" -> heavyHittersQ,
+    "q8_bucketed_join" -> bucketedJoin
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -517,6 +598,9 @@ object CoreQueries {
     "o3_pivot" -> pivotCountsSql,
     "o4_cube" -> cubeAggSql,
     "q5_decorrelated" -> decorrelatedSql,
-    "q6_salted_agg" -> saltedAggSql
+    "q6_salted_agg" -> saltedAggSql,
+    "a5_distinct_approx" -> distinctApproxSql,
+    "q7_heavy_hitters" -> heavyHittersSql,
+    "q8_bucketed_join" -> bucketedJoinSql
   )
 }

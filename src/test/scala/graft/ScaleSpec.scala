@@ -44,6 +44,24 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(top.head.getLong(0) === 7L && top.head.getLong(1) === 501L) // 500 + one in 1..20
   }
 
+  test("Q8 staged bucketed tables join shuffle-free, even without broadcast") {
+    import org.apache.spark.sql.functions.col
+    // stage the real q8 external bucketed tables at the smallest SF
+    graft.queries.CoreQueries.bucketedJoin(spark, "/root/testdata/sf0.001").collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the join itself (pre-aggregation) must carry no shuffle exchange:
+      // both scans expose the bucket hash partitioning on the join key
+      val j = spark.table("q8_orders_b")
+        .join(spark.table("q8_customer_b"), col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed q8 join should not shuffle:\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val n = 1000
