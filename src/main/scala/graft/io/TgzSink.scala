@@ -48,7 +48,6 @@ object TgzSink {
 
   private val TmpDir = "_tmp"
   private val DoneSuffix = ".done"
-  private val TmpSuffix = ("\\.p(\\d+)\\.a(\\d+)" + DoneSuffix.replace(".", "\\.") + "$").r
 
   /** Write `(archive × route)` tgz pairs under `outDir`.
     *
@@ -133,47 +132,61 @@ object TgzSink {
     * and are dropped with the staging dir), fail on any final name marked
     * by two distinct partitions, keep the latest marked attempt per final
     * name, rename winners into place (overwriting prior runs' outputs).
-    * The driver only touches the commit MANIFEST (two names per archive —
-    * small); the renames themselves are distributed, metadata-only ops.
+    *
+    * The staging catalog is DATA: the listing is a distributed `binaryFile`
+    * METADATA scan (content pruned, file discovery parallelized by Spark's
+    * file index — the same shape as [[FsOps.list]]) and the winner election
+    * is a `groupBy(finalName)` aggregation, so commit holds no per-archive
+    * state on the driver and survives ~10⁷ staged archives where a
+    * driver-side `listStatus` array would be the scaling wall. The renames
+    * are likewise distributed, metadata-only ops; the driver sees only the
+    * conflict verdict (a handful of example names).
     */
   private[io] def commit(spark: org.apache.spark.sql.SparkSession, outDir: String,
                          sconf: SerializableHadoopConf): Unit = {
+    import org.apache.spark.sql.functions._
     val out = new Path(outDir)
     val tmp = new Path(out, TmpDir)
     val fs = out.getFileSystem(sconf.value)
-    val staged = fs.listStatus(tmp).filter(_.isFile).map(_.getPath.getName)
 
-    val parsed = staged.flatMap { n =>
-      TmpSuffix.findFirstMatchIn(n).map { m =>
-        (n.substring(0, m.start), m.group(1).toLong, m.group(2).toLong, n)
+    val stagedRe = "^(.*)\\.p(\\d+)\\.a(\\d+)\\" + DoneSuffix + "$"
+    val perFin = spark.read.format("binaryFile").load(tmp.toString)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("tmpName"))
+      .select(col("tmpName"),
+        regexp_extract(col("tmpName"), stagedRe, 1).as("fin"),
+        regexp_extract(col("tmpName"), stagedRe, 2).cast("long").as("part"),
+        regexp_extract(col("tmpName"), stagedRe, 3).cast("long").as("attempt"))
+      .filter(col("fin") =!= "") // unmarked debris doesn't parse — dropped
+      .groupBy("fin").agg(
+        countDistinct(col("part")).as("n_parts"),
+        // latest attempt per final name wins (earlier = retry debris of the
+        // same partition writing identical content)
+        max_by(col("tmpName"), col("attempt")).as("winner"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      val conflicts = perFin.filter(col("n_parts") > 1)
+        .select("fin").orderBy("fin").limit(5)
+        .collect().map(_.getString(0))
+      if (conflicts.nonEmpty) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          "archive rows were split across partitions — outputs claimed by " +
+            s"multiple tasks: ${conflicts.mkString(", ")}")
       }
-    }
-    val conflicts = parsed.groupBy(_._1).filter(_._2.map(_._2).distinct.length > 1)
-    if (conflicts.nonEmpty) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(
-        "archive rows were split across partitions — outputs claimed by " +
-          s"multiple tasks: ${conflicts.keys.toSeq.sorted.take(5).mkString(", ")}")
-    }
-    // latest attempt per final name wins (earlier attempts are retry debris)
-    val winners = parsed.groupBy(_._1).map { case (fin, ws) => fin -> ws.maxBy(_._3)._4 }
-
-    if (winners.nonEmpty) {
-      val plan = winners.toSeq.map { case (fin, tmpName) => (tmpName, fin) }
-      val nSlices = math.max(1, math.min(plan.size, 64))
-      spark.sparkContext.parallelize(plan, nSlices).foreachPartition { it =>
+      perFin.select("winner", "fin").foreachPartition { it: Iterator[Row] =>
         val conf = sconf.value
         val o = new Path(outDir)
         val pfs = o.getFileSystem(conf)
         val t = new Path(o, TmpDir)
-        it.foreach { case (tmpName, fin) =>
-          val target = new Path(o, fin)
+        it.foreach { r =>
+          val target = new Path(o, r.getString(1))
           pfs.delete(target, false)
-          if (!pfs.rename(new Path(t, tmpName), target))
-            throw new java.io.IOException(s"commit rename failed for $fin")
+          if (!pfs.rename(new Path(t, r.getString(0)), target))
+            throw new java.io.IOException(s"commit rename failed for ${r.getString(1)}")
         }
       }
-    }
+    } finally perFin.unpersist()
     fs.delete(tmp, true)
   }
 
