@@ -185,6 +185,33 @@ object Similarity {
     cents
   }
 
+  /** D9 — SemDeDup-style semantic deduplication (the public recipe of
+    * Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): cluster the corpus with the coarse
+    * quantizer, then exact pairwise cosine WITHIN cells only; a vector
+    * with a same-cell neighbor at `cos >= threshold` and a lower id is a
+    * semantic duplicate. Returns the dropped `(vec_id, cell)` set.
+    *
+    * Same verify as [[embeddingNearDups]], different bucketing: k-means
+    * cells follow the DATA's density (a boilerplate-heavy region is split
+    * into many small cells by its own centroids) where sign-LSH hyperplanes
+    * are data-oblivious. Cell granularity is the scale knob — grow k with
+    * the corpus so cells stay bounded; the pairing join shuffles on cell id
+    * only and never materializes cross-cell pairs. Recall trade: cross-cell
+    * near-dups are missed by design (the paper's own approximation); run
+    * [[embeddingNearDups]] when hyperplane recall semantics are wanted.
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame,
+               threshold: Double = 0.9): DataFrame = {
+    val withCell = corpus.join(ivfAssign(corpus, centroids), "vec_id")
+    val a = withCell.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = withCell.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("id_b").as("vec_id"), col("cell")).distinct()
+  }
+
   /** N2 — IVF-bucketed ANN: probes search their `nprobe` nearest coarse
     * cells, exact cosine within them, [[TopK]] per probe. The cell join
     * shuffles by cell id — candidate sets are bounded by cell size ×

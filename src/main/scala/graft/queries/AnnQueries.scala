@@ -46,6 +46,39 @@ object AnnQueries {
        |FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.e, b.e) >= 0.9""".stripMargin
 
+  /** D9 — SemDeDup over the augmented embedding corpus
+    * ([[graft.ops.Similarity.semDedup]]): the id<8 vectors serve as the
+    * coarse centroids (the n2 convention — fixed, so the oracle recomputes
+    * the identical clustering), every vector is assigned to its nearest
+    * cell, and within-cell pairs at cosine ≥ 0.9 mark the higher id as a
+    * semantic duplicate. The scaled copies are scale-invariant under both
+    * the assignment and the cosine, so every planted positive lands in its
+    * base's cell and is dropped; the oracle recomputes assignment + pairs
+    * exhaustively.
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 8)
+    Similarity.semDedup(embCorpus(spark, sfDir), cents, threshold = 0.9)
+  }
+
+  val semDedupSql: String =
+    s"""WITH $embCorpusSql,
+       |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
+       |         FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT e.vec_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY list_cosine_similarity(ce, e.e) DESC, c_id ASC) AS rn
+       |    FROM ecorpus e CROSS JOIN cent)
+       |  WHERE rn = 1),
+       |w AS (SELECT a.vec_id, a.cell, e.e
+       |      FROM assign a JOIN ecorpus e ON e.vec_id = a.vec_id)
+       |SELECT DISTINCT b.vec_id, CAST(b.cell AS BIGINT) AS cell
+       |FROM w a JOIN w b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.e, b.e) >= 0.9""".stripMargin
+
   /** N1 — exact brute-force cosine top-5 for every 50th vector as probe. */
   def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -173,6 +206,7 @@ object AnnQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d4_embed_neardup" -> embedNearDup,
+    "d9_semdedup" -> semDedup,
     "n1_ann_topk" -> annTopK,
     "n2_ann_ivf" -> annIvf,
     "n3_ann_ivf_trained" -> annIvfTrained
@@ -180,6 +214,7 @@ object AnnQueries {
 
   def oracleSql: Map[String, String] = Map(
     "d4_embed_neardup" -> embedNearDupSql,
+    "d9_semdedup" -> semDedupSql,
     "n1_ann_topk" -> annTopKSql,
     "n2_ann_ivf" -> annIvfSql,
     "n3_ann_ivf_trained" -> annIvfTrainedSql

@@ -257,6 +257,58 @@ object TextQueries {
       |      FROM d)
       |WHERE rnk <= 5""".stripMargin
 
+  /** T8 — intra-document repetition signals (the Gopher/MassiveText
+    * repetition filters: highly repetitive documents are boilerplate or
+    * spam and are gated out of LLM training corpora): per doc the token
+    * count, distinct-token count, the most-frequent token's count and the
+    * most-frequent bigram's count — the numerators/denominators of the
+    * "duplicate word fraction" and "top 2-gram fraction" rules, kept as
+    * integers so nothing float crosses the engine boundary (ties in the
+    * argmax don't matter because only the max COUNT is emitted).
+    *
+    * Scale shape: two two-level map-side-combining aggregations (the t7
+    * posture) — nothing wider than `(doc_id, token, count)` shuffles, and
+    * the per-doc roll-up is keyed on doc_id, so a 100 TB corpus streams
+    * through without any per-doc state beyond the hash-agg entries.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.shinglesFromTokens
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+    val tok = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(sum("n").cast("long").as("n_tok"),
+        count(lit(1)).as("n_distinct_tok"), max("n").cast("long").as("top_tok_n"))
+    val big = toks.select(col("doc_id"),
+        explode(shinglesFromTokens(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max("n").cast("long").as("top_bigram_n"))
+    tok.join(big, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"), col("n_distinct_tok"), col("top_tok_n"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+  }
+
+  val repetitionStatsSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, COUNT(*) AS n
+      |       FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2),
+      |per AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok,
+      |               COUNT(*) AS n_distinct_tok, CAST(MAX(n) AS BIGINT) AS top_tok_n
+      |        FROM tc GROUP BY 1),
+      |bgl AS (SELECT doc_id,
+      |               CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+      |                    ELSE list_transform(range(1, len(toks)),
+      |                                        i -> array_to_string(toks[i:i+1], ' ')) END AS gs
+      |        FROM tk),
+      |bc AS (SELECT doc_id, g, COUNT(*) AS n
+      |       FROM (SELECT doc_id, unnest(gs) AS g FROM bgl) GROUP BY 1, 2),
+      |bper AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1)
+      |SELECT per.doc_id, n_tok, n_distinct_tok, top_tok_n,
+      |       CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+      |FROM per LEFT JOIN bper ON per.doc_id = bper.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
@@ -264,7 +316,8 @@ object TextQueries {
     "t4_fingerprints" -> fingerprints,
     "t5_pii_redact" -> piiRedact,
     "t6_stratified_sample" -> stratifiedSample,
-    "t7_doc_frequency" -> docFrequency
+    "t7_doc_frequency" -> docFrequency,
+    "t8_repetition" -> repetitionStats
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -274,6 +327,7 @@ object TextQueries {
     "t4_fingerprints" -> fingerprintsSql,
     "t5_pii_redact" -> piiRedactSql,
     "t6_stratified_sample" -> stratifiedSampleSql,
-    "t7_doc_frequency" -> docFrequencySql
+    "t7_doc_frequency" -> docFrequencySql,
+    "t8_repetition" -> repetitionStatsSql
   )
 }

@@ -160,6 +160,21 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("D9: semDedup drops same-cell scaled copies, keeps cross-cell vectors") {
+    import spark.implicits._
+    val cents = Seq(0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      10L -> Array(1.0f, 0.1f),   // cell 0
+      11L -> Array(2.0f, 0.2f),   // scaled copy of 10 → same cell, cos 1 → dropped
+      12L -> Array(0.1f, 1.0f),   // cell 1 — no same-cell near-dup
+      13L -> Array(1.0f, 0.8f)    // cell 0 but cos(10,13) ≈ 0.84 < 0.9 → kept
+    ).toDF("vec_id", "embedding")
+    val dropped = Similarity.semDedup(corpus, cents, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped === Set((11L, 0L)))
+  }
+
   test("N1: brute-force top-k ranks by cosine desc, id asc") {
     import spark.implicits._
     val probe = Array(1.0f, 0.0f)
