@@ -80,6 +80,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("semantic dedup broadcasts centroids, pairs only within cells (d9)") {
+    val p = plan("d9_semdedup")
+    assert(!p.contains("CartesianProduct"), s"d9 plans a cartesian product:\n$p")
+    // centroid scoring is corpus x broadcast(centroids); the pairing join
+    // is an equi-join on the cell id, never an all-pairs product
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("repetition signals aggregate with map-side combine (t8)") {
+    // both two-level aggs must plan partial_ aggregates before their
+    // exchanges — per-token rows never shuffle raw
+    val p = plan("t8_repetition")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"t8 shuffles raw token rows:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("stratified sampling is filter + one aggregation exchange (t6)") {
     // the hash-bucket predicate must stay a scan-side filter; the only
     // shuffle is the per-language count
