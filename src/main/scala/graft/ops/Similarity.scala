@@ -18,14 +18,39 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Dot product of two double-array columns. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+
   /** Cosine similarity of two float-array columns, computed in double. */
   def cosine(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
+
+  /** Append a unit-normalized double copy of `embCol` as `uCol`.
+    *
+    * Every similarity op here scores each vector against MANY others
+    * (k centroids, a probe set, all same-cell vectors); normalizing once
+    * per vector turns each pairwise cosine — three O(d) dot products —
+    * into a single dot, paying one O(d) normalization per row instead.
+    * The norm must NOT be captured inside the divide lambda: a lambda body
+    * re-evaluates captured non-attribute expressions per element, and
+    * binding the norm to its own column does not survive the optimizer —
+    * `CollapseProject` inlines any alias consumed once, straight into the
+    * lambda body, turning the O(d) normalization into an O(d²) interpreted
+    * reduction per vector (measured 4× on the d4 bench). `array_repeat`
+    * hoists it: an ARGUMENT of a higher-order function is evaluated once
+    * per row wherever the optimizer inlines it.
+    */
+  private def withUnit(df: DataFrame, embCol: String, uCol: String): DataFrame =
+    df.withColumn("__d", col(embCol).cast("array<double>"))
+      .withColumn(uCol,
+        zip_with(col("__d"),
+          array_repeat(sqrt(dot(col("__d"), col("__d"))), size(col("__d"))),
+          (x, n) => x / n))
+      .drop("__d")
 
   /** Sign-LSH bucket key: the sign pattern of the first `bits` components
     * (axis-aligned random-hyperplane LSH). Scale-invariant — v and c·v
@@ -41,6 +66,10 @@ object Similarity {
     * never leave the pipeline, keeping results engine-exact).
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9): DataFrame = {
+    // raw-embedding cosine in the verify, NOT the pre-normalized form the
+    // high-pair-volume ops use: 16-bit sign buckets leave so few candidate
+    // pairs that one three-dot cosine per candidate is cheaper than paying
+    // a per-row normalization over the whole corpus
     val keyed = corpus.select(col("vec_id"), col("embedding"),
       signKey(col("embedding")).as("bkey"))
     val a = keyed.select(col("bkey"), col("vec_id").as("id_a"), col("embedding").as("ea"))
@@ -104,11 +133,11 @@ object Similarity {
     * rank), rank 1-based by (cos desc, vec_id asc).
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pe"))
+    val p = withUnit(probes, "embedding", "pu").select(col("vec_id").as("p_id"), col("pu"))
     val topk = udaf(new TopK(k), Encoders.product[Scored])
-    corpus.crossJoin(broadcast(p))
+    withUnit(corpus, "embedding", "u").crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("p_id"))
-      .withColumn("cos", cosine(col("pe"), col("embedding")))
+      .withColumn("cos", dot(col("pu"), col("u")))
       .groupBy("p_id")
       .agg(topk(col("cos"), col("vec_id")).as("top"))
       .select(col("p_id").as("probe_id"), posexplode(col("top")).as(Seq("pos", "s")))
@@ -122,9 +151,9 @@ object Similarity {
     * of the corpus.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-    corpus.crossJoin(broadcast(c))
-      .withColumn("cos", cosine(col("ce"), col("embedding")))
+    val c = withUnit(centroids, "embedding", "cu").select(col("vec_id").as("c_id"), col("cu"))
+    withUnit(corpus, "embedding", "u").crossJoin(broadcast(c))
+      .withColumn("cos", dot(col("cu"), col("u")))
       .groupBy("vec_id")
       .agg(max(struct(col("cos").as("s"), (-col("c_id")).as("nc"))).as("m"))
       .select(col("vec_id"), (-col("m.nc")).cast("long").as("cell"))
@@ -135,10 +164,10 @@ object Similarity {
     * shape as the search itself.
     */
   def ivfAssignTop(vectors: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
-    val c = centroids.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val c = withUnit(centroids, "embedding", "cu").select(col("vec_id").as("c_id"), col("cu"))
     val topn = udaf(new TopK(n), Encoders.product[Scored])
-    vectors.crossJoin(broadcast(c))
-      .withColumn("cos", cosine(col("ce"), col("embedding")))
+    withUnit(vectors, "embedding", "u").crossJoin(broadcast(c))
+      .withColumn("cos", dot(col("cu"), col("u")))
       .groupBy("vec_id")
       .agg(topn(col("cos"), col("c_id")).as("top"))
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "s")))
@@ -203,12 +232,13 @@ object Similarity {
     */
   def semDedup(corpus: DataFrame, centroids: DataFrame,
                threshold: Double = 0.9): DataFrame = {
-    val withCell = corpus.join(ivfAssign(corpus, centroids), "vec_id")
-    val a = withCell.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = withCell.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val withCell = withUnit(corpus.join(ivfAssign(corpus, centroids), "vec_id"),
+      "embedding", "u")
+    val a = withCell.select(col("cell"), col("vec_id").as("id_a"), col("u").as("ua"))
+    val b = withCell.select(col("cell"), col("vec_id").as("id_b"), col("u").as("ub"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .filter(dot(col("ua"), col("ub")) >= threshold)
       .select(col("id_b").as("vec_id"), col("cell")).distinct()
   }
 
@@ -225,14 +255,14 @@ object Similarity {
     // probe and candidate branches; the bare parquet re-scan is cheap
     val assign = ivfAssign(corpus, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withCell = corpus.join(assign, "vec_id")
-    val probes = ivfAssignTop(corpus.filter(probeFilter), centroids, nprobe)
-      .join(corpus, "vec_id")
-      .select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("cell"))
+    val withCell = withUnit(corpus.join(assign, "vec_id"), "embedding", "u")
+    val probes = withUnit(ivfAssignTop(corpus.filter(probeFilter), centroids, nprobe)
+        .join(corpus, "vec_id"), "embedding", "pu")
+      .select(col("vec_id").as("p_id"), col("pu"), col("cell"))
     val topk = udaf(new TopK(k), Encoders.product[Scored])
     withCell.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("p_id"))
-      .withColumn("cos", cosine(col("pe"), col("embedding")))
+      .withColumn("cos", dot(col("pu"), col("u")))
       .groupBy("p_id")
       .agg(topk(col("cos"), col("vec_id")).as("top"))
       .select(col("p_id").as("probe_id"), posexplode(col("top")).as(Seq("pos", "s")))

@@ -47,25 +47,27 @@ object AnnQueries {
        |WHERE list_cosine_similarity(a.e, b.e) >= 0.9""".stripMargin
 
   /** D9 — SemDeDup over the augmented embedding corpus
-    * ([[graft.ops.Similarity.semDedup]]): the id<8 vectors serve as the
-    * coarse centroids (the n2 convention — fixed, so the oracle recomputes
-    * the identical clustering), every vector is assigned to its nearest
-    * cell, and within-cell pairs at cosine ≥ 0.9 mark the higher id as a
-    * semantic duplicate. The scaled copies are scale-invariant under both
-    * the assignment and the cosine, so every planted positive lands in its
-    * base's cell and is dropped; the oracle recomputes assignment + pairs
-    * exhaustively.
+    * ([[graft.ops.Similarity.semDedup]]): the id<32 vectors serve as the
+    * coarse centroids (fixed, so the oracle recomputes the identical
+    * clustering; 32 cells — 4x the n2 search granularity — because dedup
+    * wants SMALL cells: within-cell pair volume is Σ|cell|², the quadratic
+    * term the cluster count controls, exactly the paper's k-vs-recall
+    * knob), every vector is assigned to its nearest cell, and within-cell
+    * pairs at cosine ≥ 0.9 mark the higher id as a semantic duplicate.
+    * The scaled copies are scale-invariant under both the assignment and
+    * the cosine, so every planted positive lands in its base's cell and is
+    * dropped; the oracle recomputes assignment + pairs exhaustively.
     */
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 32)
     Similarity.semDedup(embCorpus(spark, sfDir), cents, threshold = 0.9)
   }
 
   val semDedupSql: String =
     s"""WITH $embCorpusSql,
        |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
-       |         FROM embeddings WHERE vec_id < 8),
+       |         FROM embeddings WHERE vec_id < 32),
        |assign AS (
        |  SELECT vec_id, c_id AS cell FROM (
        |    SELECT e.vec_id, cent.c_id,
