@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.graft.bridge.AbstractType
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Rolling-hash document fingerprinting: the polynomial hash
@@ -70,6 +70,92 @@ object HashFunctions {
     */
   def md5_prefix(c: Column, nBytes: Int): Column =
     column(Md5Prefix(expression(c), nBytes))
+
+  /** Column form: sorted distinct md5-prefix hashes of the word
+    * `w`-shingles of a token array ([[WordShingleHashes]]).
+    */
+  def word_shingle_hashes(tokens: Column, w: Int, nBytes: Int): Column =
+    column(WordShingleHashes(expression(tokens), w, nBytes))
+
+  /** Column form: sorted distinct md5-prefix hashes of the char `n`-grams
+    * of a string ([[CharGramHashes]]).
+    */
+  def char_gram_hashes(text: Column, n: Int, nBytes: Int): Column =
+    column(CharGramHashes(expression(text), n, nBytes))
+
+  private def digestPrefix(d: Array[Byte], nBytes: Int): Long = {
+    var h = 0L
+    var i = 0
+    while (i < nBytes) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  private def sortedDistinct(hs: Array[Long], m: Int): Array[Long] = {
+    java.util.Arrays.sort(hs, 0, m)
+    var out = 0
+    var i = 0
+    while (i < m) {
+      if (out == 0 || hs(out - 1) != hs(i)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    if (out == hs.length) hs else java.util.Arrays.copyOf(hs, out)
+  }
+
+  private val SpaceByte = ' '.toByte
+
+  /** Native model for [[WordShingleHashes]]: the hash of shingle
+    * `[from, until)` is md5 over exactly the bytes
+    * `concat_ws(" ", tokens)` would produce (nulls skipped without a
+    * separator), streamed into the digest with no intermediate string.
+    */
+  def wordShingleHashesData(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+                            w: Int, nBytes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = md5Local.get()
+    val n = tokens.numElements()
+    def hashWindow(from: Int, until: Int): Long = {
+      md.reset()
+      var wrote = false
+      var i = from
+      while (i < until) {
+        if (!tokens.isNullAt(i)) {
+          if (wrote) md.update(SpaceByte)
+          md.update(tokens.getUTF8String(i).getBytes)
+          wrote = true
+        }
+        i += 1
+      }
+      digestPrefix(md.digest(), nBytes)
+    }
+    val m = if (n < w) 1 else n - w + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = if (n < w) hashWindow(0, n) else hashWindow(i, i + w)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sortedDistinct(hs, m))
+  }
+
+  /** Native model for [[CharGramHashes]]: gram `i` is
+    * `substr(text, i, n)` in Spark's 1-based character semantics
+    * (`UTF8String.substringSQL`), hashed like [[md5PrefixUTF8]].
+    */
+  def charGramHashesData(text: UTF8String, n: Int,
+                         nBytes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = md5Local.get()
+    val len = text.numChars()
+    val m = if (len < n) 1 else len - n + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val gram = if (len < n) text else text.substringSQL(i + 1, n)
+      md.update(gram.getBytes)
+      hs(i) = digestPrefix(md.digest(), nBytes)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sortedDistinct(hs, m))
+  }
 }
 
 /** Catalyst expression for [[HashFunctions.md5PrefixUTF8]] — the integer
@@ -106,4 +192,54 @@ case class RollingHash(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
   override def prettyName: String = "rolling_hash"
+}
+
+/** Sorted distinct md5-prefix hashes of the word `w`-shingles of a token
+  * array — the fused, codegen'd form of
+  * `array_distinct(transform(shinglesFromTokens(toks, w), g => md5_prefix(g, nBytes)))`,
+  * value-identical per shingle (the digest consumes exactly the
+  * `concat_ws(" ", window)` bytes) but one native pass instead of three
+  * interpreted higher-order functions: HOF lambdas don't participate in
+  * whole-stage codegen, and their per-element expression-tree walk
+  * dominated the LSH pipelines' profile (SURVEY §2 D2/D5/D7/D8). Output
+  * order is canonical (ascending) and every downstream consumer is
+  * order-insensitive (explode→agg, set intersection, sort-keyed grouping).
+  */
+case class WordShingleHashes(child: Expression, w: Int, nBytes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(w >= 1, s"shingle width $w must be >= 1")
+  require(nBytes >= 1 && nBytes <= 7, s"nBytes $nBytes outside [1,7]")
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashFunctions.wordShingleHashesData(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w, nBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashFunctions.wordShingleHashesData($c, $w, $nBytes)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingle_hashes"
+}
+
+/** Sorted distinct md5-prefix hashes of the char `n`-grams of a string —
+  * the fused, codegen'd form of
+  * `array_distinct(transform(charShinglesFromCanon(text, n), g => md5_prefix(g, nBytes)))`
+  * with identical per-gram values (grams via the same 1-based
+  * `substringSQL` the `substr` column op lowers to).
+  */
+case class CharGramHashes(child: Expression, n: Int, nBytes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"gram width $n must be >= 1")
+  require(nBytes >= 1 && nBytes <= 7, s"nBytes $nBytes outside [1,7]")
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashFunctions.charGramHashesData(v.asInstanceOf[UTF8String], n, nBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashFunctions.charGramHashesData($c, $n, $nBytes)")
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "char_gram_hashes"
 }

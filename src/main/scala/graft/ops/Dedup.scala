@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{fingerprint, hash32, hash48, wordShingles, wsTokens}
+import graft.functions.TextFunctions.{fingerprint, hash48, wsTokens}
 
 /** Deduplication operators for the training-data pipeline: exact, banded
   * minhash-LSH, and simhash hamming-band near-dup — all bucketed (shuffle on
@@ -12,7 +12,7 @@ import graft.functions.TextFunctions.{fingerprint, hash32, hash48, wordShingles,
   * a hash-partitioned equi-join on band keys whose buckets stay tiny, and
   * the exact verify only touches surviving candidates.
   *
-  * Hashing is the md5-derived 32-bit family ([[graft.functions.TextFunctions.hash32]])
+  * Hashing is the md5-prefix int64 family ([[graft.functions.HashFunctions]])
   * rehashed with multiplicative permutations `h*K mod 2^32` (odd `K` < 2^31
   * — a bijection on Z_2^32, and products stay under 2^63 so the arithmetic
   * is exact in any engine's int64), which keeps every stage reproducible in
@@ -37,16 +37,20 @@ object Dedup {
         min(col("doc_id")).as("keep_id"), max(col("doc_id")).as("dup_id"))
       .filter(col("n_docs") > 1)
 
-  /** Per-doc distinct word-3-shingle array (the minhash/jaccard unit).
-    * Tokens are bound to a column BEFORE the shingle `transform`: lambda
-    * bodies re-evaluate captured expressions per element, so shingling the
-    * raw text would re-split it once per emitted shingle.
+  /** Per-doc distinct word-3-shingle HASH array (the minhash/jaccard
+    * unit), as sorted int64 md5-prefixes via the fused codegen expression
+    * [[graft.functions.WordShingleHashes]] — one native pass over the
+    * token array instead of three interpreted higher-order functions
+    * (shingle transform → element md5 → distinct), which profiled as the
+    * dominant cost of every LSH query. Jaccard over the hashed sets equals
+    * jaccard over the raw shingle strings up to md5-prefix collisions
+    * (7 bytes — ~1e-7 over the test corpora), so the exhaustive string
+    * oracles stay valid unchanged.
     */
   def shingleSets(corpus: DataFrame): DataFrame =
-    corpus
-      .select(col("doc_id"), graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(graft.functions.TextFunctions.shinglesFromTokens(col("toks"))).as("shingles"))
+    corpus.select(col("doc_id"),
+      graft.functions.HashFunctions.word_shingle_hashes(
+        graft.functions.TextFunctions.wsTokens(col("text")), 3, 7).as("shingles"))
 
   /** Minhash signatures: `numBands * rowsPerBand` permutation minima per doc.
     * One md5 per distinct shingle, then cheap integer rehashes; the groupBy
@@ -59,7 +63,11 @@ object Dedup {
     val ks = multipliers(numBands * rowsPerBand)
     val hashed = sets
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .withColumn("h", hash32(col("shingle")))
+      // shingles are 7-byte md5-prefix longs; the top 4 bytes ARE the
+      // 4-byte md5 prefix, so this is bit-identical to the previous
+      // md5_prefix(shingle_string, 4) minhash basis — recall behavior of
+      // the banding is unchanged, without a second digest per shingle
+      .withColumn("h", shiftright(col("shingle"), 24))
     hashed.groupBy("doc_id")
       .agg(min((col("h") * ks.head) % M32).as("m0"),
         ks.zipWithIndex.tail.map { case (k, i) =>
@@ -98,12 +106,11 @@ object Dedup {
   def setGroups(sets: DataFrame): DataFrame =
     sets
       .select(col("doc_id"),
-        // Hash each element BEFORE concatenating: a separator-based
-        // encoding of raw shingles is ambiguous when tokens may contain
-        // the separator byte (["a b"] vs ["a","b"] would collapse and
-        // emit a false jac=1.0 pair); fixed-width hex digests
-        // concatenate injectively.
-        md5(concat_ws(",", sort_array(transform(col("shingles"), s => md5(s.cast("string")))))).as("skey"))
+        // Shingle sets are int64 hash arrays: comma-joined decimal
+        // renderings of a sorted long array are an injective encoding
+        // (digits can't contain the separator), so one md5 per SET keys
+        // the group — no per-element digest needed.
+        md5(concat_ws(",", sort_array(col("shingles")).cast("array<string>"))).as("skey"))
       .withColumn("rep_id",
         min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy("skey")))
 
@@ -164,22 +171,20 @@ object Dedup {
                            n: Int = 5, numBands: Int = 16, rowsPerBand: Int = 4,
                            collapseIdentical: Boolean = true): DataFrame =
     nearDupsFromSets(
-      corpus
-        // canon bound to a column first — the gram lambda would otherwise
-        // re-run the regex canonicalization once per emitted gram
-        .select(col("doc_id"), graft.functions.TextFunctions.canonText(col("text")).as("ctext"))
-        // Grams are hashed to int64 (md5 7-byte prefix) BEFORE any set op:
-        // char-gram sets run ~one gram per character, so the exact-jaccard
-        // verify intersects arrays an order denser than word shingles —
-        // 8-byte integer compares there instead of string hashing is the
-        // dominant constant factor of this pass. Jaccard over hashed grams
-        // equals jaccard over raw grams up to md5-prefix collisions, and
-        // the oracle applies the same hash, so both engines agree exactly.
-        .select(col("doc_id"),
-          array_distinct(transform(
-            graft.functions.TextFunctions.charShinglesFromCanon(col("ctext"), n),
-            g => graft.functions.HashFunctions.md5_prefix(g, 7)))
-            .as("shingles")),
+      // Grams are hashed to int64 (md5 7-byte prefix) BEFORE any set op:
+      // char-gram sets run ~one gram per character, so the exact-jaccard
+      // verify intersects arrays an order denser than word shingles —
+      // 8-byte integer compares there instead of string hashing is the
+      // dominant constant factor of this pass. Jaccard over hashed grams
+      // equals jaccard over raw grams up to md5-prefix collisions, and
+      // the oracle applies the same hash, so both engines agree exactly.
+      // The gram→hash→distinct chain is the fused codegen expression
+      // [[graft.functions.CharGramHashes]] (per-gram values identical to
+      // the md5_prefix composition it replaced); canonText is an argument,
+      // not a lambda capture, so it evaluates once per row.
+      corpus.select(col("doc_id"),
+        graft.functions.HashFunctions.char_gram_hashes(
+          graft.functions.TextFunctions.canonText(col("text")), n, 7).as("shingles")),
       threshold, numBands, rowsPerBand, collapseIdentical)
 
   /** Shared LSH near-dup core over precomputed `(doc_id, shingles)` sets. */
@@ -369,13 +374,12 @@ object Dedup {
     * (exact short-text match = contamination).
     */
   def contaminated(training: DataFrame, evalSet: DataFrame, n: Int = 8): DataFrame = {
-    import graft.functions.HashFunctions.md5_prefix
-    import graft.functions.TextFunctions.shinglesFromTokens
+    import graft.functions.HashFunctions.word_shingle_hashes
     def grams(df: DataFrame) = df
-      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(transform(shinglesFromTokens(col("toks"), n),
-          g => md5_prefix(g, 7)))).as("gram"))
+        // fused codegen shingle→hash→distinct (same per-gram values as the
+        // md5_prefix composition it replaced — the d8 oracle is unchanged)
+        explode(word_shingle_hashes(wsTokens(lower(col("text"))), n, 7)).as("gram"))
     val evalGrams = grams(evalSet).select("gram").distinct()
     grams(training)
       .join(evalGrams, Seq("gram"), "left_semi")
