@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CanonicalIp, ExtractLocalIp, Md5Prefix, NormalizeIp, RollingHash}
+import graft.functions.{CanonicalIp, CharGramHashes, ExtractLocalIp, Md5Prefix, NormalizeIp, RollingHash, WordShingleHashes}
 
 /** SparkSessionExtensions hook: exposes graft's custom Catalyst expressions
   * to SQL (`SELECT local_ip(name) ...`) so the engine is usable from pure
@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("canonical_ip", classOf[CanonicalIp], CanonicalIp))
     ext.injectFunction(unary("rolling_hash", classOf[RollingHash], RollingHash))
     ext.injectFunction(GraftExtensions.md5PrefixEntry)
+    ext.injectFunction(GraftExtensions.wordShingleHashesEntry)
+    ext.injectFunction(GraftExtensions.charGramHashesEntry)
     ext.injectFunction(GraftExtensions.explodeTarEntry)
   }
 }
@@ -63,6 +65,26 @@ object GraftExtensions {
         case args => throw new IllegalArgumentException(
           s"md5_prefix expects (str, constant nBytes), got ${args.length} args") })
 
+  private def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
+
+  private[plans] val wordShingleHashesEntry
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getCanonicalName, "word_shingle_hashes"),
+      { case Seq(toks, w, n) if w.foldable && n.foldable =>
+          WordShingleHashes(toks, intArg(w), intArg(n))
+        case args => throw new IllegalArgumentException(
+          s"word_shingle_hashes expects (tokens, constant w, constant nBytes), got ${args.length} args") })
+
+  private[plans] val charGramHashesEntry
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getCanonicalName, "char_gram_hashes"),
+      { case Seq(text, n, b) if n.foldable && b.foldable =>
+          CharGramHashes(text, intArg(n), intArg(b))
+        case args => throw new IllegalArgumentException(
+          s"char_gram_hashes expects (text, constant n, constant nBytes), got ${args.length} args") })
+
   /** Imperative registration for an existing session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
@@ -78,7 +100,8 @@ object GraftExtensions {
     reg.registerFunction(FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getCanonicalName, "rolling_hash"),
       { case Seq(c) => RollingHash(c) })
-    Seq(md5PrefixEntry, explodeTarEntry).foreach { case (id, info, builder) =>
+    Seq(md5PrefixEntry, wordShingleHashesEntry, charGramHashesEntry,
+      explodeTarEntry).foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)
     }
   }

@@ -47,6 +47,19 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(row.getLong(1).toString === row.getString(2))
   }
 
+  test("word_shingle_hashes / char_gram_hashes usable from SQL, match composition") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT word_shingle_hashes(split('a b c d', ' '), 3, 7) AS ws,
+        |       array_sort(array_distinct(array(md5_prefix('a b c', 7),
+        |                                       md5_prefix('b c d', 7)))) AS wsref,
+        |       char_gram_hashes('abcdef', 5, 7) AS cg,
+        |       array_sort(array_distinct(array(md5_prefix('abcde', 7),
+        |                                       md5_prefix('bcdef', 7)))) AS cgref""".stripMargin).head()
+    assert(row.getSeq[Long](0) === row.getSeq[Long](1))
+    assert(row.getSeq[Long](2) === row.getSeq[Long](3))
+  }
+
   test("md5_prefix / rolling_hash implicitly cast non-string input") {
     GraftExtensions.register(spark)
     val row = spark.sql(
