@@ -16,6 +16,44 @@ class PropertySpec extends AnyFunSuite {
   private def samples[T](g: Gen[T], n: Int = 300): Seq[T] =
     Iterator.continually(g.sample).flatten.take(n).toSeq
 
+  private def modelMd5Prefix(s: String, nBytes: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (0 until nBytes).foldLeft(0L)((h, i) => (h << 8) | (d(i) & 0xffL))
+  }
+
+  test("WordShingleHashes matches the join-digest-distinct-sort model") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tok = Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.const(""), Gen.const("ü±"))
+    val toksGen = for { n <- Gen.choose(0, 12); ts <- Gen.listOfN(n, tok) } yield ts
+    for (w <- Seq(1, 3, 8); toks <- samples(toksGen, 120)) {
+      val shingles =
+        if (toks.length < w) Seq(toks.mkString(" "))
+        else toks.sliding(w).map(_.mkString(" ")).toSeq
+      val expected = shingles.map(modelMd5Prefix(_, 7)).distinct.sorted
+      val got = HashFunctions.wordShingleHashesData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(UTF8String.fromString).toArray[Any]), w, 7).toLongArray().toSeq
+      assert(got === expected, s"w=$w toks=$toks")
+    }
+  }
+
+  test("CharGramHashes matches the substring-digest-distinct-sort model") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val strGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(20)),
+      Gen.const(""), Gen.const("ab"), Gen.const("héllo wörld ünïcode"))
+    for (n <- Seq(2, 5); s <- samples(strGen, 120)) {
+      val u = UTF8String.fromString(s)
+      val len = u.numChars()
+      val grams =
+        if (len < n) Seq(s)
+        else (1 to (len - n + 1)).map(i => u.substringSQL(i, n).toString)
+      val expected = grams.map(modelMd5Prefix(_, 7)).distinct.sorted
+      val got = HashFunctions.charGramHashesData(u, n, 7).toLongArray().toSeq
+      assert(got === expected, s"n=$n s=$s")
+    }
+  }
+
   test("normalizeIp is idempotent and only ever returns valid or empty") {
     samples(Gen.asciiPrintableStr).foreach { s =>
       val n = IpFunctions.normalizeIp(s)
