@@ -226,6 +226,47 @@ object Dedup {
     within.unionAll(cross)
   }
 
+  /** D10 — incremental near-dup: flag documents of a NEW batch that are
+    * near-duplicates of an EXISTING corpus — the daily-ingestion shape
+    * (dedup today's crawl against everything already kept) where
+    * re-running the all-pairs pass over corpus ∪ batch would redo
+    * corpus-internal work that can never change the answer. Both sides go
+    * through the same banding; the candidate join is batch-bands ⋈
+    * corpus-bands (never corpus ⋈ corpus), so candidate volume scales with
+    * the BATCH, and the verify joins fetch only candidate shingle sets.
+    * Returns `(batch_id, corpus_id, jac)` pairs at `jac >= threshold`.
+    *
+    * At 100 TB the corpus-side bands/sets are computed once and persisted
+    * (band keys and hashed sets are small, append-only columns) — the
+    * recurring cost is then banding the batch and one equi-join per band
+    * against the indexed corpus. Boilerplate-heavy corpora compose with
+    * [[setGroups]] on each side exactly as the batch pass does.
+    */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+                          threshold: Double = 0.5, numBands: Int = 32,
+                          rowsPerBand: Int = 3): DataFrame = {
+    val bSets = shingleSets(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cSets = shingleSets(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = lshBands(signaturesFromSets(bSets, numBands, rowsPerBand),
+      numBands, rowsPerBand)
+    val cBands = lshBands(signaturesFromSets(cSets, numBands, rowsPerBand),
+      numBands, rowsPerBand)
+    val cands = bBands.select(col("band"), col("key"), col("doc_id").as("batch_id"))
+      .join(cBands.select(col("band"), col("key"), col("doc_id").as("corpus_id")),
+        Seq("band", "key"))
+      .select("batch_id", "corpus_id").distinct()
+    cands
+      .join(bSets.select(col("doc_id").as("batch_id"), col("shingles").as("sa")), "batch_id")
+      .join(cSets.select(col("doc_id").as("corpus_id"), col("shingles").as("sb")), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jac",
+        col("inter") / ((size(col("sa")) + size(col("sb"))).cast("double") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select("batch_id", "corpus_id", "jac")
+  }
+
   /** D7 — duplicate clustering: connected components over a verified
     * near-dup pair set (the step between pair detection and
     * keep-one-per-cluster dedup — without it, transitive near-dups

@@ -72,6 +72,35 @@ object DedupQueries {
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.5""".stripMargin
 
+  /** D10 — incremental near-dup ([[graft.ops.Dedup.incrementalNearDups]]):
+    * the planted copies (id ≥ 1000000) play the NEW batch, the base docs
+    * the EXISTING corpus — every batch doc's near/exact source must be
+    * found without generating any corpus-internal pair. The oracle is the
+    * exhaustive batch×corpus jaccard scan, so a hash match again proves
+    * 100% cross-recall at test scale.
+    */
+  def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    Dedup.incrementalNearDups(
+      c.filter(col("doc_id") >= 1000000), c.filter(col("doc_id") < 1000000),
+      threshold = 0.5)
+  }
+
+  val incrementalNearDupSql: String =
+    s"""WITH $corpusSql,
+       |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 1),
+       |                                  i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+       |       FROM tk),
+       |pairs AS (
+       |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+       |         CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+       |         CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE) AS jac
+       |  FROM sh b JOIN sh c ON b.doc_id >= 1000000 AND c.doc_id < 1000000)
+       |SELECT batch_id, corpus_id, jac FROM pairs WHERE jac >= 0.5""".stripMargin
+
   /** D3 — simhash near-dup: 48-bit simhash, 6×8-bit hamming bands (lossless
     * for distance ≤ 3 by pigeonhole), `bit_count(xor)` verify. The oracle
     * computes the identical simhash in SQL and scans all pairs.
@@ -265,7 +294,8 @@ object DedupQueries {
     "d5_clean_corpus" -> cleanCorpus,
     "d6_ngram_jaccard" -> ngramNearDup,
     "d7_dup_clusters" -> dupClusters,
-    "d8_decontaminate" -> decontaminate
+    "d8_decontaminate" -> decontaminate,
+    "d10_incremental_neardup" -> incrementalNearDup
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -275,6 +305,7 @@ object DedupQueries {
     "d5_clean_corpus" -> cleanCorpusSql,
     "d6_ngram_jaccard" -> ngramNearDupSql,
     "d7_dup_clusters" -> dupClustersSql,
-    "d8_decontaminate" -> decontaminateSql
+    "d8_decontaminate" -> decontaminateSql,
+    "d10_incremental_neardup" -> incrementalNearDupSql
   )
 }

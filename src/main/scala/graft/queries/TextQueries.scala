@@ -309,6 +309,36 @@ object TextQueries {
       |       CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n
       |FROM per LEFT JOIN bper ON per.doc_id = bper.doc_id""".stripMargin
 
+  /** T9 — per-source quota cap (the "domain balancing" step of web-corpus
+    * construction: no single site may contribute more than K documents):
+    * rank each source's docs by the md5 of their id — a deterministic,
+    * content-independent shuffle, the t6 trick applied to ordering instead
+    * of bucketing — and keep the first K. No `rand()`, reproducible across
+    * runs and engines; ties impossible (doc_id is the final sort key).
+    *
+    * Scale shape: one hash-partitioned window per source. A pathological
+    * mega-source makes its partition the straggler — at that point swap
+    * the window for the bounded [[graft.ops.Similarity.TopK]] aggregator
+    * (k rows per group per partition, map-side combined), the same escape
+    * hatch t7 documents.
+    */
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 15)
+  }
+
+  val sourceCapSql: String =
+    """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+      |FROM (SELECT doc_id, source,
+      |             row_number() OVER (PARTITION BY source
+      |                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM documents)
+      |WHERE rk <= 15""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
@@ -317,7 +347,8 @@ object TextQueries {
     "t5_pii_redact" -> piiRedact,
     "t6_stratified_sample" -> stratifiedSample,
     "t7_doc_frequency" -> docFrequency,
-    "t8_repetition" -> repetitionStats
+    "t8_repetition" -> repetitionStats,
+    "t9_source_cap" -> sourceCap
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -328,6 +359,7 @@ object TextQueries {
     "t5_pii_redact" -> piiRedactSql,
     "t6_stratified_sample" -> stratifiedSampleSql,
     "t7_doc_frequency" -> docFrequencySql,
-    "t8_repetition" -> repetitionStatsSql
+    "t8_repetition" -> repetitionStatsSql,
+    "t9_source_cap" -> sourceCapSql
   )
 }

@@ -160,6 +160,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("D10: incremental near-dup emits batch-vs-corpus pairs, never corpus-internal") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.split(" ").dropRight(1).mkString(" ")
+    // corpus holds an INTERNAL dup pair (1,2) that must not appear
+    val corpus = docs(1L -> base, 2L -> base,
+      3L -> "utterly different text with no shared window anywhere at all")
+    val batch = docs(100L -> near,
+      101L -> "another unrelated batch document about something else")
+    val got = Dedup.incrementalNearDups(batch, corpus, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 1L), (100L, 2L)))
+  }
+
   test("D9: semDedup drops same-cell scaled copies, keeps cross-cell vectors") {
     import spark.implicits._
     val cents = Seq(0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f))
