@@ -97,6 +97,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("incremental dedup joins batch bands against corpus bands only (d10)") {
+    val p = plan("d10_incremental_neardup")
+    assert(!p.contains("CartesianProduct"), s"d10 plans a cartesian product:\n$p")
+    // candidate generation is the (band, key) equi-join — a shuffled join,
+    // never a broadcast of the corpus side or an all-pairs product
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+  }
+
+  test("source cap is one window exchange over the scan (t9)") {
+    val p = plan("t9_source_cap")
+    assert("Exchange".r.findAllIn(p).size === 1, s"extra exchange in t9:\n$p")
+    assert(p.contains("Window"), s"t9 lost its window:\n$p")
+  }
+
   test("stratified sampling is filter + one aggregation exchange (t6)") {
     // the hash-bucket predicate must stay a scan-side filter; the only
     // shuffle is the per-language count
