@@ -101,6 +101,40 @@ object DedupQueries {
        |  FROM sh b JOIN sh c ON b.doc_id >= 1000000 AND c.doc_id < 1000000)
        |SELECT batch_id, corpus_id, jac FROM pairs WHERE jac >= 0.5""".stripMargin
 
+  /** ST3 — streaming exact dedup ([[graft.streaming.StreamDedup]]): the
+    * documents land in a staging dir as three base files plus a fourth
+    * file holding a COPY of every 25th doc, the dir is drained one file
+    * per micro-batch, and `dropDuplicates` must collapse the copies'
+    * fingerprints against state from EARLIER batches. Staged-parquet
+    * oracle: the surviving fingerprint set must equal DuckDB's
+    * `SELECT DISTINCT md5(canon)` over the same table — a duplicate
+    * fingerprint in the sink (state lost between batches) or a missing
+    * one (over-dedup) both break the hash.
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val src = s"${TarQueries.StageDir}/st3_src.parquet"
+    val out = s"${TarQueries.StageDir}/st3_fps.parquet"
+    graft.io.FsOps.deletePrefix(spark, src)
+    graft.io.FsOps.deletePrefix(spark, out)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    docs.filter(col("doc_id") % 25 === 0)
+      .repartition(1).write.mode("append").parquet(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st3")
+      .resolve("ckpt").toString
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .select(fingerprint(col("text")).as("fp"))
+    graft.streaming.StreamDedup.distinctFingerprints(stream, out, ckpt)
+    spark.read.parquet(out)
+  }
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+
   /** D3 — simhash near-dup: 48-bit simhash, 6×8-bit hamming bands (lossless
     * for distance ≤ 3 by pigeonhole), `bit_count(xor)` verify. The oracle
     * computes the identical simhash in SQL and scans all pairs.
@@ -295,7 +329,8 @@ object DedupQueries {
     "d6_ngram_jaccard" -> ngramNearDup,
     "d7_dup_clusters" -> dupClusters,
     "d8_decontaminate" -> decontaminate,
-    "d10_incremental_neardup" -> incrementalNearDup
+    "d10_incremental_neardup" -> incrementalNearDup,
+    "st3_stream_dedup" -> streamDedup
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -306,6 +341,7 @@ object DedupQueries {
     "d6_ngram_jaccard" -> ngramNearDupSql,
     "d7_dup_clusters" -> dupClustersSql,
     "d8_decontaminate" -> decontaminateSql,
-    "d10_incremental_neardup" -> incrementalNearDupSql
+    "d10_incremental_neardup" -> incrementalNearDupSql,
+    "st3_stream_dedup" -> streamDedupSql
   )
 }
