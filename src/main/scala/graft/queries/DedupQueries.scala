@@ -102,7 +102,7 @@ object DedupQueries {
        |SELECT batch_id, corpus_id, jac FROM pairs WHERE jac >= 0.5""".stripMargin
 
   /** ST3 — streaming exact dedup ([[graft.streaming.StreamDedup]]): the
-    * documents land in a staging dir as three base files plus a fourth
+    * documents land in a staging dir as two base files plus a third
     * file holding a COPY of every 25th doc, the dir is drained one file
     * per micro-batch, and `dropDuplicates` must collapse the copies'
     * fingerprints against state from EARLIER batches. Staged-parquet
@@ -118,7 +118,7 @@ object DedupQueries {
     graft.io.FsOps.deletePrefix(spark, src)
     graft.io.FsOps.deletePrefix(spark, out)
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    docs.repartition(3).write.mode("overwrite").parquet(src)
+    docs.repartition(2).write.mode("overwrite").parquet(src)
     docs.filter(col("doc_id") % 25 === 0)
       .repartition(1).write.mode("append").parquet(src)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-st3")
