@@ -136,6 +136,71 @@ object HashFunctions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sortedDistinct(hs, m))
   }
 
+  /** Odd 31-bit multipliers for the minhash permutation family
+    * (`h*K mod 2^32`, odd `K` < 2^31 — a bijection on Z_2^32 with products
+    * exact in int64). The formula is the single source of truth for both
+    * the native banding expression and the DuckDB oracle mirrors
+    * ([[graft.ops.Dedup.multipliers]] delegates here).
+    */
+  def minhashMultipliers(n: Int): Array[Long] =
+    Array.tabulate(n)(i => ((2L * i + 1L) * 2654435761L) % (1L << 31) | 1L)
+
+  private val multiplierCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]
+  private def cachedMultipliers(n: Int): Array[Long] =
+    multiplierCache.computeIfAbsent(n, k => minhashMultipliers(k))
+
+  private val M32 = 4294967296L // 2^32
+
+  /** Native model for [[MinhashBandKeys]]: all `numBands*rowsPerBand`
+    * permutation minima over the shingle-hash array in ONE pass, folded
+    * straight into the per-band join keys. Value-identical to the
+    * explode → `min((h*k) % 2^32)` groupBy → `concat_ws(",", band minima)`
+    * composition it replaces (`h` is the top 4 digest bytes,
+    * `shingle >> 24`; keys are comma-joined decimal renderings), but
+    * evaluated per document with no exchange: the signature aggregation
+    * was the only shuffle in LSH candidate generation besides the band
+    * join itself.
+    */
+  def minhashBandKeysData(shingles: org.apache.spark.sql.catalyst.util.ArrayData,
+                          numBands: Int, rowsPerBand: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val nSig = numBands * rowsPerBand
+    val ks = cachedMultipliers(nSig)
+    val mins = new Array[Long](nSig)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = shingles.getLong(i) >> 24
+      var j = 0
+      while (j < nSig) {
+        val v = (h * ks(j)) % M32
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val keys = new Array[AnyRef](numBands)
+    val sb = new java.lang.StringBuilder(rowsPerBand * 12)
+    var b = 0
+    while (b < numBands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(mins(b * rowsPerBand + r))
+        r += 1
+      }
+      keys(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  /** Column form: per-document LSH band join keys ([[MinhashBandKeys]]). */
+  def minhash_band_keys(shingles: Column, numBands: Int, rowsPerBand: Int): Column =
+    column(MinhashBandKeys(expression(shingles), numBands, rowsPerBand))
+
   /** Native model for [[CharGramHashes]]: gram `i` is
     * `substr(text, i, n)` in Spark's 1-based character semantics
     * (`UTF8String.substringSQL`), hashed like [[md5PrefixUTF8]].
@@ -228,6 +293,35 @@ case class WordShingleHashes(child: Expression, w: Int, nBytes: Int)
   * with identical per-gram values (grams via the same 1-based
   * `substringSQL` the `substr` column op lowers to).
   */
+/** Per-document LSH band join keys from a shingle-hash array — the fused,
+  * codegen'd form of the minhash-signature aggregation:
+  * `explode(shingles) → groupBy(doc).agg(min((h*kᵢ) % 2^32) ∀i) →
+  * concat_ws(",", row minima per band)`. Emitting the band keys inside the
+  * document's own row removes the signature exchange entirely — LSH
+  * candidate generation then shuffles exactly once (the band-key equi-join),
+  * which at cluster scale is the difference between one and two full
+  * corpus-wide shuffles per dedup pass. Keys are value-identical to the
+  * aggregated composition (same multiplier family, same `h = shingle >> 24`
+  * basis, same decimal rendering), pinned by `PropertySpec` against an
+  * independent model.
+  */
+case class MinhashBandKeys(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(numBands >= 1 && rowsPerBand >= 1,
+    s"banding ${numBands}x$rowsPerBand must be >= 1x1")
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashFunctions.minhashBandKeysData(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numBands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashFunctions.minhashBandKeysData($c, $numBands, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_band_keys"
+}
+
 case class CharGramHashes(child: Expression, n: Int, nBytes: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(n >= 1, s"gram width $n must be >= 1")

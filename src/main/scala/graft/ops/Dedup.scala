@@ -20,11 +20,11 @@ import graft.functions.TextFunctions.{fingerprint, hash48, wsTokens}
   */
 object Dedup {
 
-  /** Odd 31-bit multipliers for the minhash permutation family. */
+  /** Odd 31-bit multipliers for the minhash permutation family (the
+    * native banding expression holds the formula — one source of truth).
+    */
   def multipliers(n: Int): Seq[Long] =
-    (0 until n).map(i => ((2L * i + 1L) * 2654435761L) % (1L << 31) | 1L)
-
-  private val M32 = 4294967296L // 2^32
+    graft.functions.HashFunctions.minhashMultipliers(n).toSeq
 
   /** D1 — exact dedup: hash-groupBy on the canonical-text fingerprint,
     * groups with >1 member.
@@ -52,40 +52,22 @@ object Dedup {
       graft.functions.HashFunctions.word_shingle_hashes(
         graft.functions.TextFunctions.wsTokens(col("text")), 3, 7).as("shingles"))
 
-  /** Minhash signatures: `numBands * rowsPerBand` permutation minima per doc.
-    * One md5 per distinct shingle, then cheap integer rehashes; the groupBy
-    * gets map-side partial `min` combine for free.
+  /** LSH banding: one `(doc_id, band, key)` row per band, the key being the
+    * comma-joined `rowsPerBand` permutation minima of that band. The whole
+    * signature — all `numBands*rowsPerBand` minima — is computed inside the
+    * document's own row by the fused codegen expression
+    * [[graft.functions.MinhashBandKeys]] (one native pass over the shingle
+    * array; the top 4 bytes of each 7-byte shingle hash are the minhash
+    * basis, bit-identical to the md5-prefix basis the older explode →
+    * 96-column `min` aggregate produced). Banding is therefore a narrow
+    * map: the candidate equi-join on `(band, key)` is the ONLY shuffle in
+    * LSH candidate generation, and bucket sizes stay bounded because
+    * collisions require all `rowsPerBand` minima to agree.
     */
-  def minhashSignatures(corpus: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
-    signaturesFromSets(shingleSets(corpus), numBands, rowsPerBand)
-
-  private def signaturesFromSets(sets: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
-    val ks = multipliers(numBands * rowsPerBand)
-    val hashed = sets
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      // shingles are 7-byte md5-prefix longs; the top 4 bytes ARE the
-      // 4-byte md5 prefix, so this is bit-identical to the previous
-      // md5_prefix(shingle_string, 4) minhash basis — recall behavior of
-      // the banding is unchanged, without a second digest per shingle
-      .withColumn("h", shiftright(col("shingle"), 24))
-    hashed.groupBy("doc_id")
-      .agg(min((col("h") * ks.head) % M32).as("m0"),
-        ks.zipWithIndex.tail.map { case (k, i) =>
-          min((col("h") * k) % M32).as(s"m$i")
-        }: _*)
-  }
-
-  /** LSH band explode: one `(doc_id, band, key)` row per band, the key being
-    * the concatenated row minima. The candidate join shuffles on
-    * `(band, key)` — the scale-critical property: bucket sizes stay bounded
-    * because collisions require all `rowsPerBand` minima to agree.
-    */
-  def lshBands(sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
-    val keys = (0 until numBands).map { b =>
-      concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-    }
-    sigs.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "key")))
-  }
+  def lshBands(sets: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    sets.select(col("doc_id"),
+      posexplode(graft.functions.HashFunctions.minhash_band_keys(
+        col("shingles"), numBands, rowsPerBand)).as(Seq("band", "key")))
 
   /** Candidate pairs (`id_a < id_b`) from shared LSH buckets, deduped. */
   def candidatePairs(bands: DataFrame): DataFrame = {
@@ -199,8 +181,7 @@ object Dedup {
       // callers that already exact-deduped (the d5 composite) skip the
       // collapse machinery: identical sets are (all but pathologically)
       // impossible there, and the extra shuffles buy nothing
-      val sigs = signaturesFromSets(sets, numBands, rowsPerBand)
-      return verifyPairs(candidatePairs(lshBands(sigs, numBands, rowsPerBand)),
+      return verifyPairs(candidatePairs(lshBands(sets, numBands, rowsPerBand)),
         sets, threshold)
     }
     val groups = setGroups(sets)
@@ -209,9 +190,8 @@ object Dedup {
       groups.filter(col("doc_id") === col("rep_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
-    val sigs = signaturesFromSets(repSets, numBands, rowsPerBand)
     val repPairs = verifyPairs(
-      candidatePairs(lshBands(sigs, numBands, rowsPerBand)), repSets, threshold)
+      candidatePairs(lshBands(repSets, numBands, rowsPerBand)), repSets, threshold)
 
     // expand representatives back to full doc pairs
     val within = groups.as("x").join(groups.as("y"),
@@ -249,10 +229,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cSets = shingleSets(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bBands = lshBands(signaturesFromSets(bSets, numBands, rowsPerBand),
-      numBands, rowsPerBand)
-    val cBands = lshBands(signaturesFromSets(cSets, numBands, rowsPerBand),
-      numBands, rowsPerBand)
+    val bBands = lshBands(bSets, numBands, rowsPerBand)
+    val cBands = lshBands(cSets, numBands, rowsPerBand)
     val cands = bBands.select(col("band"), col("key"), col("doc_id").as("batch_id"))
       .join(cBands.select(col("band"), col("key"), col("doc_id").as("corpus_id")),
         Seq("band", "key"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CanonicalIp, CharGramHashes, ExtractLocalIp, Md5Prefix, NormalizeIp, RollingHash, WordShingleHashes}
+import graft.functions.{CanonicalIp, CharGramHashes, ExtractLocalIp, Md5Prefix, MinhashBandKeys, NormalizeIp, RollingHash, WordShingleHashes}
 
 /** SparkSessionExtensions hook: exposes graft's custom Catalyst expressions
   * to SQL (`SELECT local_ip(name) ...`) so the engine is usable from pure
@@ -42,6 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.md5PrefixEntry)
     ext.injectFunction(GraftExtensions.wordShingleHashesEntry)
     ext.injectFunction(GraftExtensions.charGramHashesEntry)
+    ext.injectFunction(GraftExtensions.minhashBandKeysEntry)
     ext.injectFunction(GraftExtensions.explodeTarEntry)
   }
 }
@@ -85,6 +86,15 @@ object GraftExtensions {
         case args => throw new IllegalArgumentException(
           s"char_gram_hashes expects (text, constant n, constant nBytes), got ${args.length} args") })
 
+  private[plans] val minhashBandKeysEntry
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(classOf[MinhashBandKeys].getCanonicalName, "minhash_band_keys"),
+      { case Seq(shingles, nb, rb) if nb.foldable && rb.foldable =>
+          MinhashBandKeys(shingles, intArg(nb), intArg(rb))
+        case args => throw new IllegalArgumentException(
+          s"minhash_band_keys expects (shingles, constant numBands, constant rowsPerBand), got ${args.length} args") })
+
   /** Imperative registration for an existing session (tests, shells). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
@@ -101,7 +111,7 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RollingHash].getCanonicalName, "rolling_hash"),
       { case Seq(c) => RollingHash(c) })
     Seq(md5PrefixEntry, wordShingleHashesEntry, charGramHashesEntry,
-      explodeTarEntry).foreach { case (id, info, builder) =>
+      minhashBandKeysEntry, explodeTarEntry).foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)
     }
   }

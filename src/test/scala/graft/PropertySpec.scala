@@ -54,6 +54,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MinhashBandKeys matches the per-permutation-min model") {
+    val shinglesGen = for {
+      n <- Gen.choose(1, 40)
+      hs <- Gen.listOfN(n, Gen.choose(0L, (1L << 56) - 1)) // 7-byte hash range
+    } yield hs
+    for ((nb, rb) <- Seq((32, 3), (16, 4), (1, 1)); hs <- samples(shinglesGen, 80)) {
+      val ks = Dedup.multipliers(nb * rb)
+      // independent model: min over shingles of (h*k) mod 2^32, h = top 4 bytes
+      val mins = ks.map(k => hs.map(s => ((s >> 24) * k) % 4294967296L).min)
+      val expected = (0 until nb).map(b =>
+        (0 until rb).map(r => mins(b * rb + r)).mkString(","))
+      val got = HashFunctions.minhashBandKeysData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray), nb, rb)
+      val gotKeys = (0 until nb).map(i => got.getUTF8String(i).toString)
+      assert(gotKeys === expected, s"nb=$nb rb=$rb hs=$hs")
+    }
+  }
+
   test("normalizeIp is idempotent and only ever returns valid or empty") {
     samples(Gen.asciiPrintableStr).foreach { s =>
       val n = IpFunctions.normalizeIp(s)
