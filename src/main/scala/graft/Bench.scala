@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * inflating the elapsed total (VERDICT r1).
   *
   * Each query is timed as the MIN of two back-to-back executions and both
-  * samples are reported (`samples` map). A single sample is vulnerable to
+  * samples are reported (`samples` map in `bench_samples.json`; the
+  * printed contract line carries only the per-query min so it fits the
+  * driver's bounded stdout tail). A single sample is vulnerable to
   * sandbox contention — BENCH_r04 recorded individual queries inflated up
   * to 12x by machine noise, which cost a round of adjudication (VERDICT
   * r4). The min of two runs of a deterministic batch query estimates the
@@ -70,17 +72,29 @@ object Bench {
       }
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
-      case (k, v, _, None) => s"${jq(k)}:$v"
+      case (k, v, _, None) => s"${jq(k)}:${f3(v)}"
       case (k, _, _, Some(e)) => s"${jq(k)}:{${jq("err")}:${jq(e)}}"
     }.mkString("{", ",", "}")
     val samples = results.map { case (k, _, ss, _) =>
-      s"${jq(k)}:${ss.mkString("[", ",", "]")}"
+      s"${jq(k)}:${ss.map(f3).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, v, _, None) => v }
     val total = ok.sum
     val nerr = results.count(_._4.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"n_err":$nerr,"sf":"$sfDir"}""")
+    // The driver captures only the last ~2000 chars of stdout, so the
+    // contract line must stay compact: 3-decimal values, no samples map
+    // (BENCH_r06 recorded `parsed: null` because the full-precision line
+    // with per-query samples overflowed the tail buffer and lost its
+    // head). The full sample detail goes to a side file for humans.
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":$samples,"n_err":$nerr,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_samples.json"),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_err":$nerr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -202,20 +202,40 @@ object HashFunctions {
     column(MinhashBandKeys(expression(shingles), numBands, rowsPerBand))
 
   /** Native model for [[CharGramHashes]]: gram `i` is
-    * `substr(text, i, n)` in Spark's 1-based character semantics
-    * (`UTF8String.substringSQL`), hashed like [[md5PrefixUTF8]].
+    * `substr(text, i, n)` in Spark's 1-based character semantics, hashed
+    * like [[md5PrefixUTF8]]. Grams are taken as byte slices of one UTF-8
+    * buffer via a precomputed char→byte offset table — a per-gram
+    * `UTF8String.substringSQL` would re-walk the string from byte 0 to
+    * find the i-th character every call, turning the pass quadratic in
+    * document length (measured: the one LSH query that got SLOWER when
+    * this expression was fused, BENCH_r06 d6 4.3→6.6 s).
     */
   def charGramHashesData(text: UTF8String, n: Int,
                          nBytes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val md = md5Local.get()
-    val len = text.numChars()
-    val m = if (len < n) 1 else len - n + 1
+    val bytes = text.getBytes
+    val blen = bytes.length
+    // starts(i) = byte offset of char i; starts(numChars) = blen.
+    // A UTF-8 char starts at every non-continuation byte (b & 0xC0) != 0x80.
+    var numChars = 0
+    var b = 0
+    while (b < blen) { if ((bytes(b) & 0xC0) != 0x80) numChars += 1; b += 1 }
+    val starts = new Array[Int](numChars + 1)
+    var ci = 0
+    b = 0
+    while (b < blen) {
+      if ((bytes(b) & 0xC0) != 0x80) { starts(ci) = b; ci += 1 }
+      b += 1
+    }
+    starts(numChars) = blen
+    val m = if (numChars < n) 1 else numChars - n + 1
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {
+      val from = starts(i)
+      val until = starts(math.min(i + n, numChars))
       md.reset()
-      val gram = if (len < n) text else text.substringSQL(i + 1, n)
-      md.update(gram.getBytes)
+      md.update(bytes, from, until - from)
       hs(i) = digestPrefix(md.digest(), nBytes)
       i += 1
     }
