@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AnnQueries, CoreQueries, DedupQueries, EmbargoQueries, MultimodalQueries, TarQueries, TextQueries}
+import graft.queries.{AnnQueries, CoreQueries, DedupQueries, EmbargoQueries, MultimodalQueries, TarQueries, TextQueries, TimeJoinQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ EmbargoQueries.queries ++ TarQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ AnnQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ TimeJoinQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ EmbargoQueries.oracleSql ++ TarQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ AnnQueries.oracleSql ++
-      MultimodalQueries.oracleSql
+      MultimodalQueries.oracleSql ++ TimeJoinQueries.oracleSql
 }

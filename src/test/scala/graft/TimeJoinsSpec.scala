@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.TimeJoins
+
+/** Temporal-join specs: as-of tie/strict/no-match semantics and range-join
+  * boundary behavior, plus the plan property the bucketing exists for (no
+  * nested-loop/cartesian join even when nothing broadcasts).
+  */
+class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
+
+  private def probes = {
+    import spark.implicits._
+    Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 250L), (4L, 99L, 500L))
+      .toDF("event_id", "user_id", "us")
+  }
+
+  // quotes: user 10 at us=100 (two, tie on event_id), us=240; user 50 only
+  private def quotes = {
+    import spark.implicits._
+    Seq((21L, 10L, 100L, 1.0), (22L, 10L, 100L, 2.0), (23L, 10L, 240L, 3.0),
+      (24L, 50L, 1L, 9.0)).toDF("event_id", "user_id", "us", "value")
+  }
+
+  private def asof(strict: Boolean) =
+    TimeJoins.asOfJoin(probes, quotes, Seq("user_id"), "us", "us",
+      Seq("value"), "event_id", "event_id", strict = strict)
+      .select("event_id", "asof_ts", "asof_value")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+
+  test("asOfJoin: inclusive match, greatest-tie quote wins, nulls when none") {
+    assert(asof(strict = false) === Set(
+      (1L, 100L, 2.0), // equal-ts quote visible; event_id 22 beats 21
+      (2L, 100L, 2.0), // carried forward past us=200
+      (3L, 240L, 3.0), // newest preceding quote
+      (4L, null, null) // user 99 has no quotes at all
+    ))
+  }
+
+  test("asOfJoin: strict excludes the equal-timestamp quote") {
+    assert(asof(strict = true).contains((1L, null, null)))
+    assert(asof(strict = true).contains((3L, 240L, 3.0)))
+  }
+
+  test("asOfJoin: probes keep all their columns and row count") {
+    val out = TimeJoins.asOfJoin(probes, quotes, Seq("user_id"), "us", "us",
+      Seq("value"), "event_id", "event_id")
+    assert(out.count() === probes.count())
+    assert(probes.columns.forall(out.columns.contains))
+  }
+
+  test("rangeJoin: half-open bounds, multi-bucket intervals, empty intervals") {
+    import spark.implicits._
+    val intervals = Seq(
+      (1L, 100L, 300L),  // spans buckets 1,2 at width 100
+      (2L, 250L, 250L),  // empty — matches nothing
+      (3L, 0L, 1000L))   // spans everything
+      .toDF("iid", "s", "e")
+    val points = Seq(99L, 100L, 250L, 299L, 300L).toDF("p")
+    val got = TimeJoins.rangeJoin(intervals, "s", "e", points, "p", width = 100L)
+      .select("iid", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set(
+      (1L, 100L), (1L, 250L), (1L, 299L), // 100 in (start inclusive), 300 out
+      (3L, 99L), (3L, 100L), (3L, 250L), (3L, 299L), (3L, 300L)))
+  }
+
+  test("rangeJoin: pairs appear exactly once even for wide intervals") {
+    import spark.implicits._
+    val intervals = Seq((1L, 0L, 10000L)).toDF("iid", "s", "e")
+    val points = Seq(5L, 4321L, 9999L).toDF("p")
+    val out = TimeJoins.rangeJoin(intervals, "s", "e", points, "p", width = 10L)
+    assert(out.count() === 3) // 1000 buckets exploded, no duplicate pairs
+  }
+
+  test("rangeJoin plans a hash join on the bucket key, never a nested loop") {
+    import spark.implicits._
+    // disable broadcast so the plan must stand on the equi-key alone —
+    // an inequality-only join here would be BroadcastNestedLoop/cartesian
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val intervals = (0L until 200L).map(i => (i, i * 10, i * 10 + 25))
+        .toDF("iid", "s", "e")
+      val points = (0L until 1000L).map(i => Tuple1(i * 3)).toDF("p")
+      val joined = TimeJoins.rangeJoin(intervals, "s", "e", points, "p", 25L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      // exhaustive check of the same semantics
+      val expect = intervals.as("i").join(points.as("pt"),
+          col("p") >= col("s") && col("p") < col("e")).count()
+      assert(joined.count() === expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
