@@ -51,7 +51,14 @@ object Bench {
       System.gc()
       (dt, err)
     }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=q1_agg,d6_ngram_jaccard times a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.map { case (name, fn) =>
       val (dt1, err1) = runOnce(fn)
       if (err1.isDefined) (name, dt1, Seq(dt1), err1)
       else {

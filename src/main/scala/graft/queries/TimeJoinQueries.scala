@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TimeJoins
 
-/** Driver-contract queries for the temporal joins ([[graft.ops.TimeJoins]]):
-  * as-of join and interval-point range join over the events table.
+/** Driver-contract queries for the temporal operators: as-of join and
+  * interval-point range join ([[graft.ops.TimeJoins]]) and the
+  * watermarked tumbling-window streaming aggregation
+  * ([[graft.streaming.WindowedAgg]]) over the events table.
   * Timestamps flow as epoch µs on both sides (the engine-portable basis
   * every other time query here uses), so the DuckDB oracles mirror the
   * semantics exactly — the as-of oracle is the same tagged-union running
@@ -86,13 +88,93 @@ object TimeJoinQueries {
        |  ON c.us >= e.start_us AND c.us < e.start_us + $IncidentWindowUs
        |GROUP BY 1, 2""".stripMargin
 
+  /** sfDirs whose st4 source files are already staged in this JVM. */
+  private val st4Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage `df` as ONE parquet file at `dest` with an explicit mtime —
+    * FileStreamSource orders files by modification time, and the st4
+    * drain's correctness depends on the chronological halves arriving
+    * before the sentinel (a same-millisecond tie would make arrival order,
+    * and therefore watermark-lateness, nondeterministic).
+    */
+  private def stageOneFile(df: DataFrame, tmpDir: String,
+                           dest: java.nio.file.Path, mtime: Long): Unit = {
+    df.repartition(1).write.mode("overwrite").parquet(tmpDir)
+    val part = new java.io.File(tmpDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.move(part.toPath, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.toFile.setLastModified(mtime)
+  }
+
+  /** ST4 — watermarked tumbling-window streaming aggregation
+    * ([[graft.streaming.WindowedAgg]]): events split into two
+    * chronological files drained one per micro-batch (so the watermark
+    * genuinely advances across batches and drops nothing — each file's
+    * rows are newer than the previous watermark), then a far-future
+    * sentinel file whose arrival pushes the watermark past every real
+    * window; the engine's no-data batch then emits the remaining open
+    * windows before the AvailableNow drain terminates. Append mode means
+    * the sink holds each finalized window EXACTLY once — a duplicate
+    * (window re-emitted), a missing window (state lost between batches),
+    * or a late-drop (mis-ordered staging) all break the hash against
+    * DuckDB's plain GROUP BY over the same events.
+    */
+  def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = s"${TarQueries.StageDir}/st4_src"
+    val out = s"${TarQueries.StageDir}/st4_win.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    st4Staged.computeIfAbsent(sfDir, _ => {
+      graft.io.FsOps.deletePrefix(spark, src)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("ts"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid = lo + (hi - lo) / 2
+      val tmp = s"${TarQueries.StageDir}/st4_tmp"
+      val base = java.nio.file.Paths.get(src)
+      val t0 = System.currentTimeMillis()
+      stageOneFile(ev.filter(col("us") <= mid).drop("us"),
+        tmp, base.resolve("0001.parquet"), t0)
+      stageOneFile(ev.filter(col("us") > mid).drop("us"),
+        tmp, base.resolve("0002.parquet"), t0 + 2000)
+      import spark.implicits._
+      stageOneFile(
+        Seq((new java.sql.Timestamp((hi + 30L * 86400000000L) / 1000),
+          "__sentinel", 0.0)).toDF("ts", "event_type", "value"),
+        tmp, base.resolve("0003.parquet"), t0 + 4000)
+      src
+    })
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st4")
+      .resolve("ckpt").toString
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    graft.streaming.WindowedAgg.drainTumbling(stream, "1 hour", "1 minute",
+      out, ckpt, statePartitions = Some(8))
+    spark.read.parquet(out).filter(col("event_type") =!= "__sentinel")
+  }
+
+  val windowedAggSql: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us, event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j5_asof_join" -> asofJoin,
-    "j6_range_join" -> rangeJoin
+    "j6_range_join" -> rangeJoin,
+    "st4_windowed_agg" -> windowedAgg
   )
 
   def oracleSql: Map[String, String] = Map(
     "j5_asof_join" -> asofJoinSql,
-    "j6_range_join" -> rangeJoinSql
+    "j6_range_join" -> rangeJoinSql,
+    "st4_windowed_agg" -> windowedAggSql
   )
 }

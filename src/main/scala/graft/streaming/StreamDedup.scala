@@ -24,17 +24,31 @@ object StreamDedup {
   /** Drain `stream` (a streaming DataFrame with a `fp` column) through
     * cross-batch dedup on `fp` into `outDir` as parquet; blocks until the
     * AvailableNow drain finishes.
+    *
+    * `statePartitions` sizes the state store (pinned into the checkpoint
+    * at first run — `spark.sql.shuffle.partitions` at start time). Unlike
+    * a batch shuffle, every state partition pays per-MICRO-BATCH
+    * snapshot/commit file I/O whether or not it holds keys, so this wants
+    * sizing to the keyspace a single store instance can hold (state is
+    * keys-only here), not to the cluster's batch parallelism — far fewer
+    * partitions than cores is normal for streaming dedup.
     */
   def distinctFingerprints(stream: DataFrame, outDir: String,
-                           checkpointDir: String): Unit = {
-    val q = stream
-      .dropDuplicates("fp")
-      .writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                           checkpointDir: String,
+                           statePartitions: Option[Int] = None): Unit = {
+    val conf = stream.sparkSession.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = stream
+        .dropDuplicates("fp")
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
