@@ -206,6 +206,55 @@ object Dedup {
     within.unionAll(cross)
   }
 
+  /** D11 — containment scoring: ordered pairs `(a, b)` with
+    * `|A∩B| / |A| >= tau` over word-shingle sets — the "doc A is quoted
+    * inside doc B" detector. Jaccard near-dup misses these by design: a
+    * paragraph pasted into a 100× longer document has jaccard ≈ 0.01 at
+    * containment 1.0, and quote/boilerplate inclusion is exactly what a
+    * training-corpus pipeline needs to find before per-document dedup
+    * declares the pair unrelated.
+    *
+    * Candidate generation is exact prefix filtering (the SSJoin/PPJoin
+    * principle): if `|A∩B| >= ceil(tau·|A|)`, at most `|A| - ceil(tau·|A|)`
+    * of A's grams fall outside B, so A's first
+    * `|A| - ceil(tau·|A|) + 1` grams IN A GLOBAL TOTAL ORDER must hit B —
+    * only that prefix is posted probe-side (one extra slack element
+    * absorbs FP ceil error at exact boundaries like 0.9·10; the verify
+    * filter, not the prefix, decides membership). The shared canonical
+    * order is the ascending shingle-hash order [[shingleSets]] already
+    * emits — an unbiased random order, so prefix grams carry average
+    * document frequency; a df-ascending order (classic PPJoin) would
+    * shrink candidates further at the cost of a global df pre-pass, worth
+    * it when boilerplate grams dominate a corpus.
+    *
+    * Scale posture: the only shuffles are the postings equi-join on the
+    * gram hash — probe volume bounded by `(1-tau)·Σ|A| + n` rows, index
+    * volume `Σ|B|` (build-once for a static corpus) — and the candidate
+    * verify joins; nothing all-pairs anywhere.
+    */
+  def containmentPairs(corpus: DataFrame, tau: Double = 0.9): DataFrame = {
+    val sets = shingleSets(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probePost = sets
+      .select(col("doc_id").as("id_a"), col("shingles").as("sa"))
+      .withColumn("ka",
+        greatest(size(col("sa")) - ceil(size(col("sa")) * lit(tau)).cast("int") + 2,
+          lit(1)))
+      .select(col("id_a"), explode(slice(col("sa"), lit(1), col("ka"))).as("g"))
+    val indexPost = sets.select(col("doc_id").as("id_b"), explode(col("shingles")).as("g"))
+    val cands = probePost.join(indexPost, Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa")).cast("double"))
+      .filter(col("containment") >= tau)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** D10 — incremental near-dup: flag documents of a NEW batch that are
     * near-duplicates of an EXISTING corpus — the daily-ingestion shape
     * (dedup today's crawl against everything already kept) where

@@ -201,6 +201,47 @@ object DedupQueries {
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.8""".stripMargin
 
+  /** D11 — containment scoring ([[graft.ops.Dedup.containmentPairs]]):
+    * planted half-documents (the first half of every 30th doc's tokens)
+    * must be found contained in their originals at containment ≥ 0.9 even
+    * though the pair's JACCARD is ≈ 0.5 (below every near-dup threshold
+    * here) — the quote/partial-copy case pairwise dedup misses. Runs on
+    * the deterministic 1-in-5 sample so the exhaustive ordered-pair oracle
+    * stays affordable; the oracle recomputes containment over raw shingle
+    * strings (division by the same integers ⇒ identical doubles).
+    */
+  def containmentQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 5 === 0)
+    val toks = split(trim(col("text")), "\\s+")
+    val halves = base.filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1),
+          greatest(floor(size(toks) / 2), lit(1)).cast("int"))).as("text"))
+    Dedup.containmentPairs(base.unionAll(halves), tau = 0.9)
+  }
+
+  val containmentSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |halves AS (
+      |  SELECT doc_id + 3000000 AS doc_id,
+      |         array_to_string(toks[1:greatest(len(toks) // 2, 1)], ' ') AS text
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM base WHERE doc_id % 30 = 0)),
+      |c AS (SELECT * FROM base UNION ALL SELECT * FROM halves),
+      |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM c),
+      |sh AS (SELECT doc_id, list_distinct(
+      |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |              ELSE list_transform(range(1, len(toks) - 1),
+      |                                  i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+      |       FROM tk),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |         CAST(len(a.s) AS DOUBLE) AS containment
+      |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+      |SELECT id_a, id_b, containment FROM pairs WHERE containment >= 0.9""".stripMargin
+
   /** D5 — the composite training-data cleaning pipeline, end to end:
     * quality gate (≥ 20 tokens) → exact dedup (keep lowest id per
     * fingerprint) → near-dup removal (drop the higher id of every verified
@@ -341,6 +382,7 @@ object DedupQueries {
     "d7_dup_clusters" -> dupClusters,
     "d8_decontaminate" -> decontaminate,
     "d10_incremental_neardup" -> incrementalNearDup,
+    "d11_containment" -> containmentQ,
     "st3_stream_dedup" -> streamDedup
   )
 
@@ -353,6 +395,7 @@ object DedupQueries {
     "d7_dup_clusters" -> dupClustersSql,
     "d8_decontaminate" -> decontaminateSql,
     "d10_incremental_neardup" -> incrementalNearDupSql,
+    "d11_containment" -> containmentSql,
     "st3_stream_dedup" -> streamDedupSql
   )
 }

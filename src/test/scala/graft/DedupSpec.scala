@@ -75,6 +75,46 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(flagged.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 1L)))
   }
 
+  test("D11: containment finds a quote inside a long doc that jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = ("filler" + (1 to 80).map(i => s" word$i").mkString) +
+      s" $quote " + (81 to 160).map(i => s"word$i").mkString(" ")
+    val pairs = Dedup.containmentPairs(docs(
+        1L -> quote, 2L -> long,
+        3L -> "unrelated content sharing no shingle with anything"),
+      tau = 0.9).collect()
+    val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // quote-in-long direction only: every shingle of 1 occurs in 2
+    assert(byPair.keySet === Set((1L, 2L)))
+    assert(byPair((1L, 2L)) === 1.0)
+    // sanity: the pair's jaccard is far below any near-dup threshold
+    val d2 = Dedup.minhashNearDups(docs(1L -> quote, 2L -> long), threshold = 0.5)
+    assert(d2.collect().isEmpty)
+  }
+
+  test("D11: prefix filtering loses nothing vs the exhaustive scan (seeded)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 30).map(i => s"w$i")
+    // overlapping token sequences: many borderline containment values
+    val ds = (1L to 40L).map { id =>
+      val n = 5 + rnd.nextInt(25)
+      val start = rnd.nextInt(vocab.size)
+      id -> (0 until n).map(k => vocab((start + k) % vocab.size)).mkString(" ")
+    }
+    val corpus = docs(ds: _*)
+    val got = Dedup.containmentPairs(corpus, tau = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exhaustive reference over the same shingle sets
+    val sets = Dedup.shingleSets(corpus).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      c = sets(a).intersect(sets(b)).size.toDouble / sets(a).size
+      if c >= 0.8
+    } yield (a, b, c)).toSet
+    assert(got === want)
+  }
+
   test("D2: minhash LSH finds near-dups, skips unrelated, verifies jaccard") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
