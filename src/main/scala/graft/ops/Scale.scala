@@ -74,4 +74,18 @@ object Scale {
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** Hive-style partitioned layout: one directory per distinct
+    * `partitionCol` value. The complement of [[writeBucketed]] — bucketing
+    * co-locates JOIN keys, directory partitioning makes selective FILTERS
+    * free: a predicate on the partition column prunes whole directories at
+    * planning time (`PartitionFilters` in the scan), so a 100 TB lake
+    * filtered to one day/type/source reads only that slice's files.
+    * Partition by low-cardinality, query-selective columns; high
+    * cardinality here means millions of tiny files and a listing-bound
+    * scan — that axis belongs in bucketing or file-internal sort order
+    * (min/max row-group pruning) instead.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }

@@ -465,6 +465,68 @@ object CoreQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
+  /** S14 — JSON-lines source round-trip: events staged as jsonl (the
+    * interchange format crawl/annotation deliveries actually arrive in),
+    * read back with an EXPLICIT schema — schema inference over 100 TB of
+    * text is a full extra pass — and aggregated per type with min/max/sum
+    * probes that a mis-parsed field breaks. Timestamps travel as epoch µs
+    * longs so the check is independent of JSON timestamp rendering; the
+    * oracle aggregates the original parquet directly (never the staged
+    * text), so the round-trip through the text format is what's graded.
+    * CSV arrives through the identical `DataFrameReader` surface
+    * (`spark.read.schema(...).csv`).
+    */
+  def jsonlScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = s"${TarQueries.StageDir}/s14_events_jsonl"
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(stage)
+    spark.read
+      .schema("event_id BIGINT, us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .json(stage)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"), max(col("us")).as("max_us"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  val jsonlScanSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |       MIN(event_id) AS min_id, MAX(epoch_us(ts)) AS max_us,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Q9 — partitioned write → pruned scan ([[graft.ops.Scale.writePartitioned]]):
+    * events staged into one directory per event_type, read back with a
+    * partition-column filter that must prune at planning time (directory
+    * skip, `PartitionFilters` — pinned in `PlanSpec`), then aggregated.
+    * The oracle computes the same aggregate over the original parquet, so
+    * a partition dropped on write, mis-assigned rows, or a filter that
+    * silently became a row filter over the full scan all break the hash.
+    */
+  def partitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Scale
+    Scale.writePartitioned(
+      Tables.events(spark, sfDir).select(col("event_type"), col("user_id"), col("value")),
+      PartitionPruneDir, "event_type")
+    partitionPruneRead(spark)
+  }
+
+  /** Staging path + read half of Q9 (the `PlanSpec` pin target). */
+  val PartitionPruneDir: String = s"${TarQueries.StageDir}/q9_events_p"
+
+  def partitionPruneRead(spark: SparkSession): DataFrame =
+    spark.read.parquet(PartitionPruneDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+  val partitionPruneSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1""".stripMargin
+
   /** O3 — pivot: per-day event counts widened to one column per event
     * type (explicit value list so both engines emit identical column
     * names; count coalesced to 0 so sparse days match the SUM-CASE oracle).
@@ -573,7 +635,9 @@ object CoreQueries {
     "q6_salted_agg" -> saltedAgg,
     "a5_distinct_approx" -> distinctApprox,
     "q7_heavy_hitters" -> heavyHittersQ,
-    "q8_bucketed_join" -> bucketedJoin
+    "q8_bucketed_join" -> bucketedJoin,
+    "q9_partition_prune" -> partitionPrune,
+    "s14_jsonl_scan" -> jsonlScan
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -601,6 +665,8 @@ object CoreQueries {
     "q6_salted_agg" -> saltedAggSql,
     "a5_distinct_approx" -> distinctApproxSql,
     "q7_heavy_hitters" -> heavyHittersSql,
-    "q8_bucketed_join" -> bucketedJoinSql
+    "q8_bucketed_join" -> bucketedJoinSql,
+    "q9_partition_prune" -> partitionPruneSql,
+    "s14_jsonl_scan" -> jsonlScanSql
   )
 }

@@ -339,7 +339,34 @@ object TextQueries {
       |      FROM documents)
       |WHERE rk <= 15""".stripMargin
 
+  /** T10 — typed JSON metadata extraction: every training-corpus delivery
+    * carries a semi-structured metadata column (crawl headers, annotation
+    * payloads — here `events.props`); the Spark-first form is a SCHEMA'D
+    * `from_json` (codegen'd Jackson parse straight into an internal
+    * struct, null on malformed) rather than per-path string UDFs that
+    * re-parse the document once per extracted field. Grouped stats over
+    * the extracted field prove the parse: a mis-read digit anywhere moves
+    * a row across buckets or shifts min/max/sum.
+    */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+
+  val jsonPropsSql: String =
+    """WITH x AS (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT k % 10 AS k_mod, COUNT(*) AS n_rows,
+      |       MIN(k) AS min_k, MAX(k) AS max_k, CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM x GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_json_props" -> jsonProps,
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
@@ -352,6 +379,7 @@ object TextQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "t10_json_props" -> jsonPropsSql,
     "t1_token_stats" -> tokenStatsSql,
     "t2_quality_score" -> qualityScoreSql,
     "t3_langid" -> langIdSql,

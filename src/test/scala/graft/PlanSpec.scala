@@ -119,4 +119,42 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("Exchange".r.findAllIn(p).size === 1, s"extra exchange in t6:\n$p")
     assert(p.contains("Filter"))
   }
+
+  test("as-of join is one key exchange + window — no join operator at all (j5)") {
+    val p = plan("j5_asof_join")
+    assert(!p.contains("Join"), s"j5 planned a join instead of the union+window:\n$p")
+    // both sides repartition into ONE exchange on the key; the window sort
+    // is the same cost a latest-per-key query pays
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"extra exchange in j5:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("range join is a hash join on the bucket key (j6)") {
+    val p = plan("j6_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"j6 degenerated to a nested loop:\n$p")
+  }
+
+  test("partitioned scan prunes directories, not rows (q9)") {
+    val p = plan("q9_partition_prune")
+    // the event_type predicate must land in PartitionFilters (directory
+    // skip at planning time) ...
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
+      s"q9 filter did not reach the partition index:\n$p")
+    // ... and NOT survive as a row-level pushed filter over a full scan
+    assert("PushedFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isEmpty,
+      s"q9 re-filters rows the pruning already excluded:\n$p")
+  }
+
+  test("ranked-window top-k pushes the rank limit below the sort (WindowGroupLimit)") {
+    // the Spark-first SQL form of bounded per-group top-k: row_number <= k
+    // plans a WindowGroupLimit, so each partition keeps k rows instead of
+    // materializing and sorting whole groups — the reason a topk UDAF is
+    // unnecessary on the SQL surface (the typed path uses the bounded
+    // TopK Aggregator)
+    val p = plan("t7_doc_frequency")
+    assert(p.contains("WindowGroupLimit"),
+      s"t7 rank filter no longer pushes into a group limit:\n$p")
+  }
 }
