@@ -62,6 +62,38 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    // The 100 TB shape: neither side broadcasts, but one side is filtered
+    // selective — Spark's InjectRuntimeFilter builds a bloom filter from
+    // the selective side and semi-filters the big side's scan BEFORE its
+    // shuffle (might_contain in the plan), cutting exchange volume by the
+    // selectivity. Thresholds are sized for clusters, so pin the behavior
+    // here with test-scale thresholds; results must be unchanged.
+    val sf = "/root/testdata/sf0.001"
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // semantics unchanged vs the un-filtered plan
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expect = lineitem.join(orders, col("l_orderkey") === col("o_orderkey")).count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(j.count() === expect)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val n = 1000
