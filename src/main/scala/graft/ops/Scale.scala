@@ -75,6 +75,39 @@ object Scale {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Contiguous `0..n-1` row ids WITHOUT a global sort — the ingest-time
+    * id assignment (stable doc_ids for a new corpus shard). The naive
+    * `row_number() OVER (ORDER BY …)` funnels 100 TB through one total
+    * order; this is the zipWithIndex pattern instead:
+    * `monotonically_increasing_id` encodes `(partition << 33) | index`,
+    * so per-partition counts (a tiny aggregate — one row per partition)
+    * prefix-summed on the driver give each partition its offset, and
+    * `offset + index` is contiguous with no data shuffle at all — just a
+    * broadcast join against the #partitions-row offset table.
+    *
+    * Ids are stable for a fixed source layout (file order = partition
+    * order); they are an ARTIFACT of layout, not content — callers
+    * needing content-determined ids should key on a fingerprint instead.
+    */
+  def stableIds(df: DataFrame, idCol: String = "row_id"): DataFrame = {
+    val spark = df.sparkSession
+    val mid = df.withColumn("__mid", monotonically_increasing_id())
+    val counts = mid.groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets =
+      if (counts.isEmpty) Seq.empty[(Long, Long)]
+      else counts.scanLeft((-1L, 0L)) {
+        case ((_, acc), (pid, cnt)) => (pid, acc + cnt)
+      }.sliding(2).map { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("__pid", "__off")
+    mid.withColumn("__pid", shiftright(col("__mid"), 33))
+      .join(broadcast(offDf), "__pid")
+      .withColumn(idCol, col("__off") + col("__mid").bitwiseAND((1L << 33) - 1))
+      .drop("__mid", "__pid", "__off")
+  }
+
   /** Hive-style partitioned layout: one directory per distinct
     * `partitionCol` value. The complement of [[writeBucketed]] — bucketing
     * co-locates JOIN keys, directory partitioning makes selective FILTERS

@@ -62,6 +62,29 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("stableIds: contiguous 0..n-1 with no sort and no data shuffle") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = (1 to 9876).map(i => (s"doc$i", i % 7)).toDF("name", "grp")
+      .repartition(7) // uneven hash spread across several partitions
+    val out = Scale.stableIds(df, "row_id")
+    val ids = out.select("row_id").collect().map(_.getLong(0)).sorted
+    assert(ids === (0L until 9876L).toArray)
+    // every source row kept exactly once, payload intact
+    assert(out.select("name").distinct().count() === 9876)
+    // the id assignment itself must not sort or shuffle the data: the only
+    // exchange below the broadcast join feeds the tiny per-partition count
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), s"stableIds sorted the data:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$plan")
+  }
+
+  test("stableIds: empty frame yields empty ids") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Int)].toDF("name", "grp")
+    assert(Scale.stableIds(empty).count() === 0)
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     // The 100 TB shape: neither side broadcasts, but one side is filtered
