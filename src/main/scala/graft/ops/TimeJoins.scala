@@ -48,10 +48,18 @@ object TimeJoins {
     * Output: every `probes` column, then `asof_ts` plus `asof_<payload>`
     * columns from the matched quote.
     */
+  /** `tolerance`: maximum age (in `probeTs` units) a quote may have and
+    * still match — `probeTs - quoteTs <= tolerance`. Stale matches null
+    * out exactly as if no quote preceded the probe; the match itself is
+    * still the NEWEST preceding quote (a too-old newest quote does not
+    * fall through to an even older one — standard as-of tolerance
+    * semantics).
+    */
   def asOfJoin(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
                probeTs: String, quoteTs: String, payload: Seq[String],
                probeTie: String, quoteTie: String,
-               strict: Boolean = false): DataFrame = {
+               strict: Boolean = false,
+               tolerance: Option[Long] = None): DataFrame = {
     val (probeSide, quoteSide) = if (strict) (0, 1) else (1, 0)
     val probeStruct = StructType(probes.schema.fields)
     val ordType = quotes.schema(quoteTs).dataType
@@ -75,7 +83,18 @@ object TimeJoins {
       .withColumn("asof_ts", last(col("__q_ts"), ignoreNulls = true).over(w))
       .withColumns(payload.map(c =>
         s"asof_$c" -> last(col(s"__q_$c"), ignoreNulls = true).over(w)).toMap)
-    filled.filter(col("__probe").isNotNull)
+    val probeRows = filled.filter(col("__probe").isNotNull)
+    val bounded = tolerance.fold(probeRows) { tol =>
+      val stale = col("asof_ts") < col("__ord") - tol
+      // after the rewrite, asof_ts is null ⇔ no preceding quote OR stale —
+      // payload columns then null off that single verdict
+      payload.foldLeft(
+        probeRows.withColumn("asof_ts", when(stale, lit(null)).otherwise(col("asof_ts")))) {
+        (df, c) => df.withColumn(s"asof_$c",
+          when(col("asof_ts").isNull, lit(null)).otherwise(col(s"asof_$c")))
+      }
+    }
+    bounded
       .select(probes.columns.map(c => col(s"__probe.$c").as(c)) ++
         (col("asof_ts") +: payload.map(c => col(s"asof_$c"))): _*)
   }

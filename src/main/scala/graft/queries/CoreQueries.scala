@@ -497,6 +497,39 @@ object CoreQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** S15 — malformed-record accounting: a text delivery with planted
+    * corrupt lines (every 50th event's JSON truncated) parsed in
+    * PERMISSIVE mode with a corrupt-record column — the posture for dirty
+    * 100 TB deliveries, where FAILFAST kills a day's job on one bad line
+    * and DROPMALFORMED silently loses data. Good rows aggregate per type;
+    * corrupt rows surface as one counted `__corrupt` bucket. The oracle
+    * derives both from the ORIGINAL parquet (corruption is planted by
+    * event_id), so rows mis-routed between buckets in either direction
+    * break the hash.
+    */
+  def malformedJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = s"${TarQueries.StageDir}/s15_dirty_jsonl"
+    val ev = Tables.events(spark, sfDir)
+    ev.select(when(col("event_id") % 50 === 0,
+        concat(lit("{\"broken\": "), col("event_id")))       // unterminated JSON
+      .otherwise(to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("value")))).as("value"))
+      .write.mode("overwrite").text(stage)
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, _bad STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(stage)
+      .groupBy(coalesce(col("event_type"), lit("__corrupt")).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), count(col("_bad")).as("n_bad"))
+  }
+
+  val malformedJsonSql: String =
+    """SELECT CASE WHEN event_id % 50 = 0 THEN '__corrupt' ELSE event_type END AS bucket,
+      |       COUNT(*) AS n_rows,
+      |       COUNT(*) FILTER (event_id % 50 = 0) AS n_bad
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Q9 — partitioned write → pruned scan ([[graft.ops.Scale.writePartitioned]]):
     * events staged into one directory per event_type, read back with a
     * partition-column filter that must prune at planning time (directory
@@ -637,7 +670,8 @@ object CoreQueries {
     "q7_heavy_hitters" -> heavyHittersQ,
     "q8_bucketed_join" -> bucketedJoin,
     "q9_partition_prune" -> partitionPrune,
-    "s14_jsonl_scan" -> jsonlScan
+    "s14_jsonl_scan" -> jsonlScan,
+    "s15_malformed_json" -> malformedJson
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -667,6 +701,7 @@ object CoreQueries {
     "q7_heavy_hitters" -> heavyHittersSql,
     "q8_bucketed_join" -> bucketedJoinSql,
     "q9_partition_prune" -> partitionPruneSql,
-    "s14_jsonl_scan" -> jsonlScanSql
+    "s14_jsonl_scan" -> jsonlScanSql,
+    "s15_malformed_json" -> malformedJsonSql
   )
 }

@@ -46,6 +46,20 @@ class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
     assert(asof(strict = true).contains((3L, 240L, 3.0)))
   }
 
+  test("asOfJoin: tolerance nulls stale matches without falling back further") {
+    val out = TimeJoins.asOfJoin(probes, quotes, Seq("user_id"), "us", "us",
+      Seq("value"), "event_id", "event_id", tolerance = Some(20L))
+      .select("event_id", "asof_ts", "asof_value").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(out.contains((1L, 100L, 2.0)))  // age 0 — within tolerance
+    assert(out.contains((3L, 240L, 3.0)))  // age 10 — within tolerance
+    // probe 2 at us=200: newest quote is us=100 (age 100 > 20) — nulled,
+    // NOT matched to anything older
+    assert(out.contains((2L, null, null)))
+  }
+
   test("asOfJoin: probes keep all their columns and row count") {
     val out = TimeJoins.asOfJoin(probes, quotes, Seq("user_id"), "us", "us",
       Seq("value"), "event_id", "event_id")
