@@ -497,6 +497,31 @@ object CoreQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** W3 — sliding-window counts (1-hour windows every 30 minutes): the
+    * overlapping-window shape trend dashboards smooth with. Each event
+    * lands in exactly windowDuration/slideDuration = 2 epoch-aligned
+    * windows; the oracle materializes both membership rows per event and
+    * re-aggregates, so alignment or membership drift breaks the hash.
+    * Same `window()` operator streaming uses — this is the batch/backfill
+    * path of st4's machinery with a slide.
+    */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
+        col("n_events"))
+
+  val slidingCountsSql: String =
+    """WITH w AS (
+      |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS s1, event_type
+      |  FROM events),
+      |b AS (
+      |  SELECT s1 AS win_us, event_type FROM w
+      |  UNION ALL
+      |  SELECT s1 - 1800000000 AS win_us, event_type FROM w)
+      |SELECT win_us, event_type, COUNT(*) AS n_events FROM b GROUP BY 1, 2""".stripMargin
+
   /** S15 — malformed-record accounting: a text delivery with planted
     * corrupt lines (every 50th event's JSON truncated) parsed in
     * PERMISSIVE mode with a corrupt-record column — the posture for dirty
@@ -671,7 +696,8 @@ object CoreQueries {
     "q8_bucketed_join" -> bucketedJoin,
     "q9_partition_prune" -> partitionPrune,
     "s14_jsonl_scan" -> jsonlScan,
-    "s15_malformed_json" -> malformedJson
+    "s15_malformed_json" -> malformedJson,
+    "w3_sliding_window" -> slidingCounts
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -702,6 +728,7 @@ object CoreQueries {
     "q8_bucketed_join" -> bucketedJoinSql,
     "q9_partition_prune" -> partitionPruneSql,
     "s14_jsonl_scan" -> jsonlScanSql,
-    "s15_malformed_json" -> malformedJsonSql
+    "s15_malformed_json" -> malformedJsonSql,
+    "w3_sliding_window" -> slidingCountsSql
   )
 }
