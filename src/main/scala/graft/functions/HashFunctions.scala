@@ -201,6 +201,46 @@ object HashFunctions {
   def minhash_band_keys(shingles: Column, numBands: Int, rowsPerBand: Int): Column =
     column(MinhashBandKeys(expression(shingles), numBands, rowsPerBand))
 
+  /** Native model for [[Simhash48]]: 48-bit simhash over the DISTINCT
+    * tokens of the array — per distinct token the 6-byte md5 prefix
+    * ([[md5PrefixUTF8]] basis), each hash bit voting ±1 on its position,
+    * positive sums setting the output bit. Equal by construction to the
+    * `explode(array_distinct(tokens)) → md5_prefix(tok, 6) → 48
+    * conditional sums → sign fold` composition it replaces (dedup is on
+    * token STRINGS, as `array_distinct` did — two tokens colliding to one
+    * hash still vote twice).
+    */
+  def simhash48Data(tokens: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val md = md5Local.get()
+    val seen = new java.util.HashSet[UTF8String]()
+    val sums = new Array[Int](48)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        if (seen.add(t)) {
+          md.reset()
+          md.update(t.getBytes)
+          val h = digestPrefix(md.digest(), 6)
+          var j = 0
+          while (j < 48) {
+            if (((h >> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 48) { if (sums(j) > 0) sim |= 1L << j; j += 1 }
+    sim
+  }
+
+  /** Column form: 48-bit document simhash from a token array. */
+  def simhash48(tokens: Column): Column = column(Simhash48(expression(tokens)))
+
   /** Native model for [[CharGramHashes]]: gram `i` is
     * `substr(text, i, n)` in Spark's 1-based character semantics, hashed
     * like [[md5PrefixUTF8]]. Grams are taken as byte slices of one UTF-8
@@ -340,6 +380,29 @@ case class MinhashBandKeys(child: Expression, numBands: Int, rowsPerBand: Int)
   override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
     copy(child = newChild)
   override def prettyName: String = "minhash_band_keys"
+}
+
+/** 48-bit simhash of a token array in one native pass — the fused,
+  * codegen'd form of the explode → per-token `md5_prefix(tok, 6)` → 48
+  * conditional-sum aggregate → sign fold composition: the explode
+  * multiplied rows by distinct-token count and the aggregate was a
+  * full shuffle on doc_id; emitting the signature inside the document's
+  * own row removes both. Values are bit-identical to the composition
+  * (same hash basis, same string-level dedup), pinned by `PropertySpec`
+  * against an independent model.
+  */
+case class Simhash48(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashFunctions.simhash48Data(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashFunctions.simhash48Data($c)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash48 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash48"
 }
 
 case class CharGramHashes(child: Expression, n: Int, nBytes: Int)

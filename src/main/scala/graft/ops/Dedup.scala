@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{fingerprint, hash48, wsTokens}
+import graft.functions.TextFunctions.{fingerprint, wsTokens}
 
 /** Deduplication operators for the training-data pipeline: exact, banded
   * minhash-LSH, and simhash hamming-band near-dup — all bucketed (shuffle on
@@ -461,22 +461,15 @@ object Dedup {
   val SimhashBits = 48
 
   /** 48-bit simhash over distinct whitespace tokens: bit j of the hash is 1
-    * iff more token hashes set bit j than clear it (sum of ±1 > 0).
+    * iff more token hashes set bit j than clear it (sum of ±1 > 0). One
+    * narrow map via the fused [[graft.functions.Simhash48]] expression —
+    * the explode → 48-column aggregate composition it replaces multiplied
+    * rows by distinct-token count and shuffled them back on doc_id.
     */
-  def simhashes(corpus: DataFrame): DataFrame = {
-    val toks = corpus
-      .select(col("doc_id"), explode(array_distinct(wsTokens(lower(col("text"))))).as("tok"))
-      .withColumn("h", hash48(col("tok")))
-    val sums = toks.groupBy("doc_id").agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
-      (1 until SimhashBits).map { j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
-      }: _*)
-    val sim = (0 until SimhashBits)
-      .map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), sim.as("simhash"))
-  }
+  def simhashes(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      graft.functions.HashFunctions.simhash48(
+        wsTokens(lower(col("text")))).as("simhash"))
 
   /** D3 — simhash near-dup with EXACT hamming-band recall: 6 bands of 8
     * bits; by pigeonhole any pair within hamming distance 3 (≤ 5, in fact)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CanonicalIp, CharGramHashes, ExtractLocalIp, Md5Prefix, MinhashBandKeys, NormalizeIp, RollingHash, WordShingleHashes}
+import graft.functions.{CanonicalIp, CharGramHashes, ExtractLocalIp, Md5Prefix, MinhashBandKeys, NormalizeIp, RollingHash, Simhash48, WordShingleHashes}
 
 /** SparkSessionExtensions hook: exposes graft's custom Catalyst expressions
   * to SQL (`SELECT local_ip(name) ...`) so the engine is usable from pure
@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("normalize_ip", classOf[NormalizeIp], NormalizeIp))
     ext.injectFunction(unary("canonical_ip", classOf[CanonicalIp], CanonicalIp))
     ext.injectFunction(unary("rolling_hash", classOf[RollingHash], RollingHash))
+    ext.injectFunction(unary("simhash48", classOf[Simhash48], Simhash48))
     ext.injectFunction(GraftExtensions.md5PrefixEntry)
     ext.injectFunction(GraftExtensions.wordShingleHashesEntry)
     ext.injectFunction(GraftExtensions.charGramHashesEntry)
@@ -110,6 +111,9 @@ object GraftExtensions {
     reg.registerFunction(FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getCanonicalName, "rolling_hash"),
       { case Seq(c) => RollingHash(c) })
+    reg.registerFunction(FunctionIdentifier("simhash48"),
+      new ExpressionInfo(classOf[Simhash48].getCanonicalName, "simhash48"),
+      { case Seq(c) => Simhash48(c) })
     Seq(md5PrefixEntry, wordShingleHashesEntry, charGramHashesEntry,
       minhashBandKeysEntry, explodeTarEntry).foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)

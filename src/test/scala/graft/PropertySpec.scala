@@ -54,6 +54,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Simhash48 matches the distinct-token bit-vote model") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val tok = Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.const(""),
+      Gen.const("ü±"), Gen.const("dup"))
+    val toksGen = for { n <- Gen.choose(0, 25); ts <- Gen.listOfN(n, tok) } yield ts
+    for (toks <- samples(toksGen, 200)) {
+      val sums = new Array[Int](48)
+      toks.distinct.foreach { t =>
+        val h = modelMd5Prefix(t, 6)
+        (0 until 48).foreach(j =>
+          if (((h >> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1)
+      }
+      val expected = (0 until 48).foldLeft(0L)((acc, j) =>
+        if (sums(j) > 0) acc | (1L << j) else acc)
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      assert(HashFunctions.simhash48Data(arr) === expected, s"toks=$toks")
+    }
+  }
+
   test("MinhashBandKeys matches the per-permutation-min model") {
     val shinglesGen = for {
       n <- Gen.choose(1, 40)
