@@ -166,15 +166,93 @@ object TimeJoinQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** sfDirs whose st5 source files are already staged in this JVM. */
+  private val st5Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST5 — stream-stream attribution join
+    * ([[graft.streaming.StreamJoin]]): clicks and purchases arrive as two
+    * file streams (each split into chronological halves, one file per
+    * micro-batch), joined per user on `purchase_ts ∈ [click_ts, +30min)`
+    * with watermarked state on both sides. The split point is chosen so
+    * cross-batch pairs EXIST: it sits at the earliest click that has a
+    * strictly-later in-window purchase (a median split was measured to
+    * put zero windows across the boundary at sf0.01 — the hash would
+    * then pass without exercising cross-batch state at all), so a hash
+    * match against DuckDB's plain inequality join proves buffered state
+    * survived the batch boundary and eviction never dropped a live row.
+    */
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = s"${TarQueries.StageDir}/st5_src"
+    val out = s"${TarQueries.StageDir}/st5_attrib.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    st5Staged.computeIfAbsent(sfDir, _ => {
+      graft.io.FsOps.deletePrefix(spark, src)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      // split at the earliest click with a strictly-later in-window
+      // purchase: that pair's click lands in file 1 and its purchase in
+      // file 2, guaranteeing the drain must carry state across batches
+      val boundary = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("cus"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("pus")), "user_id")
+        .filter(col("pus") > col("cus") &&
+          col("pus") < col("cus") + 1800000000L)
+        .agg(min(col("cus"))).collect().head
+      val mid =
+        if (boundary.isNullAt(0)) {
+          val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
+            .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+          lo + (hi - lo) / 2 // no ordered pair anywhere — median fallback
+        } else boundary.getLong(0)
+      val tmp = s"${TarQueries.StageDir}/st5_tmp"
+      val base = java.nio.file.Paths.get(src)
+      val t0 = System.currentTimeMillis()
+      for ((kind, idx) <- Seq("click" -> 0, "purchase" -> 1)) {
+        val side = ev.filter(col("event_type") === kind)
+          .select("event_id", "user_id", "ts")
+        stageOneFile(side.filter(unix_micros(col("ts")) <= mid),
+          tmp, base.resolve(s"$kind/0001.parquet"), t0 + idx * 1000)
+        stageOneFile(side.filter(unix_micros(col("ts")) > mid),
+          tmp, base.resolve(s"$kind/0002.parquet"), t0 + 2000 + idx * 1000)
+      }
+      src
+    })
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st5")
+      .resolve("ckpt").toString
+    def stream(kind: String) = spark.readStream
+      .schema(spark.read.parquet(s"$src/$kind").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/$kind")
+    graft.streaming.StreamJoin.drainAttribution(
+      stream("click"), stream("purchase"), window = "30 minutes",
+      delay = "1 minute", outDir = out, checkpointDir = ckpt,
+      statePartitions = Some(8))
+    spark.read.parquet(out)
+  }
+
+  val streamJoinSql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.click_id, p.purchase_id, c.user_id
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.pus >= c.cus AND p.pus < c.cus + 1800000000""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j5_asof_join" -> asofJoin,
     "j6_range_join" -> rangeJoin,
-    "st4_windowed_agg" -> windowedAgg
+    "st4_windowed_agg" -> windowedAgg,
+    "st5_stream_join" -> streamJoin
   )
 
   def oracleSql: Map[String, String] = Map(
     "j5_asof_join" -> asofJoinSql,
     "j6_range_join" -> rangeJoinSql,
-    "st4_windowed_agg" -> windowedAggSql
+    "st4_windowed_agg" -> windowedAggSql,
+    "st5_stream_join" -> streamJoinSql
   )
 }
