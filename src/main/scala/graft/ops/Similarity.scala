@@ -145,6 +145,61 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** N4 — symmetric int8 scalar quantization of the UNIT-normalized
+    * vector: `q_i = floor(u_i · 127) ∈ [-127, 127]`. Normalize-first
+    * matters: codes of the raw values under an affine (min/max) map score
+    * `q·q' ≈ a²(x·x') + ab·Σx + b²d` — the offset terms swamp the signal
+    * and the integer dot stops tracking cosine (measured: the prefilter
+    * lost true top-3 neighbors on random data). On unit vectors the
+    * symmetric integer dot IS ≈ 127²·cosine, no codebook needed, and
+    * quantization is scale-invariant like cosine itself. 4× smaller than
+    * float32 — at corpus scale, 4× less candidate-pass shuffle/cache
+    * footprint, with exact-float rerank recovering the final order.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val d = col("embedding").cast("array<double>")
+    val withNorm = emb.withColumn("__norm",
+      sqrt(aggregate(zip_with(d, d, _ * _), lit(0.0), _ + _)))
+    // norm rides as an array_repeat ARGUMENT so the optimizer cannot
+    // inline it into the lambda body (see withUnit's note)
+    withNorm.select(col("vec_id"),
+      when(col("__norm") === 0, transform(d, _ => lit(0L)))
+        .otherwise(zip_with(d, array_repeat(col("__norm"), size(d)),
+          (x, n) => floor(x * 127 / n).cast("long"))).as("q"))
+  }
+
+  /** N4 — quantized search with exact rerank: candidates ranked by the
+    * int8 dot product (exact integer arithmetic — engine-portable), the
+    * top `rerank` per probe re-scored with exact float cosine, top `k`
+    * kept. `rank <= m` filters plan as `WindowGroupLimit`, so neither
+    * window materializes whole groups.
+    */
+  def quantizedTopK(corpus: DataFrame, probes: DataFrame,
+                    k: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cq = quantizeInt8(corpus)
+    val pq = quantizeInt8(probes)
+      .select(col("vec_id").as("p_id"), col("q").as("pq"))
+    val qdot = aggregate(zip_with(col("q"), col("pq"), _ * _), lit(0L), _ + _)
+    val wQ = Window.partitionBy("p_id").orderBy(col("qdot").desc, col("vec_id").asc)
+    val cands = cq.crossJoin(broadcast(pq))
+      .filter(col("vec_id") =!= col("p_id"))
+      .withColumn("qdot", qdot)
+      .withColumn("qrnk", row_number().over(wQ))
+      .filter(col("qrnk") <= rerank)
+      .select("p_id", "vec_id")
+    val wC = Window.partitionBy("p_id").orderBy(col("cos").desc, col("vec_id").asc)
+    cands
+      .join(broadcast(probes.select(col("vec_id").as("p_id"),
+        col("embedding").as("pe"))), "p_id")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("cos", cosine(col("pe"), col("embedding")))
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+      .select(col("p_id").as("probe_id"), col("vec_id").as("neighbor_id"),
+        col("rnk").cast("long").as("rank"))
+  }
+
   /** IVF coarse quantization: assign every vector to its nearest centroid by
     * cosine (ties → lowest centroid id). Implemented as a broadcast score +
     * `max(struct(...))` argmax, which combines map-side — no window shuffle

@@ -131,6 +131,55 @@ object AnnQueries {
       |      FROM cand)
       |WHERE rnk <= 3""".stripMargin
 
+  /** N4 — scalar-quantized (int8) search with exact rerank
+    * ([[graft.ops.Similarity.quantizedTopK]]): candidates ranked by the
+    * integer dot product of symmetric int8 codes of the UNIT vectors
+    * (`floor(u·127)` — the integer dot then tracks 127²·cosine; 4×
+    * smaller than float32, so 4× less candidate-pass shuffle at 100 TB of
+    * embeddings), top-9 per probe re-scored with exact float cosine,
+    * top-3 kept. Both the quantization (identical expression shape) and
+    * the integer ordering are engine-portable, so the final ranks
+    * hash-match like n1/n2.
+    */
+  def annQuantized(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+      k = 3, rerank = 9)
+  }
+
+  val annQuantizedSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |qx AS (
+      |  SELECT vec_id,
+      |         CASE WHEN sqrt(list_dot_product(e, e)) = 0
+      |              THEN list_transform(e, x -> CAST(0 AS BIGINT))
+      |              ELSE list_transform(e, x ->
+      |                     CAST(floor(x * 127 / sqrt(list_dot_product(e, e))) AS BIGINT))
+      |         END AS q
+      |  FROM c),
+      |pq AS (SELECT vec_id AS p_id, q AS pqv FROM qx WHERE p_id % 50 = 0),
+      |cand AS (
+      |  SELECT p_id, qx.vec_id,
+      |         CAST(list_dot_product(CAST(pqv AS DOUBLE[]), CAST(qx.q AS DOUBLE[])) AS BIGINT) AS qdot
+      |  FROM pq JOIN qx ON qx.vec_id != p_id),
+      |keep AS (
+      |  SELECT p_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p_id
+      |                                 ORDER BY qdot DESC, vec_id ASC) AS qrnk
+      |    FROM cand)
+      |  WHERE qrnk <= 9),
+      |rer AS (
+      |  SELECT keep.p_id, keep.vec_id,
+      |         list_cosine_similarity(p.e, n.e) AS cos
+      |  FROM keep
+      |  JOIN c p ON p.vec_id = keep.p_id
+      |  JOIN c n ON n.vec_id = keep.vec_id)
+      |SELECT p_id AS probe_id, vec_id AS neighbor_id, CAST(rnk AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY p_id
+      |                                   ORDER BY cos DESC, vec_id ASC) AS rnk
+      |      FROM rer)
+      |WHERE rnk <= 3""".stripMargin
+
   /** N3 — the TRAINED end of the IVF index: `trainCentroids` (deterministic
     * Lloyd's, k=8, 4 rounds) builds the coarse quantizer, the trained
     * centroids stage to parquet (exactly how a production IVF persists its
@@ -211,7 +260,8 @@ object AnnQueries {
     "d9_semdedup" -> semDedup,
     "n1_ann_topk" -> annTopK,
     "n2_ann_ivf" -> annIvf,
-    "n3_ann_ivf_trained" -> annIvfTrained
+    "n3_ann_ivf_trained" -> annIvfTrained,
+    "n4_ann_quantized" -> annQuantized
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -219,6 +269,7 @@ object AnnQueries {
     "d9_semdedup" -> semDedupSql,
     "n1_ann_topk" -> annTopKSql,
     "n2_ann_ivf" -> annIvfSql,
-    "n3_ann_ivf_trained" -> annIvfTrainedSql
+    "n3_ann_ivf_trained" -> annIvfTrainedSql,
+    "n4_ann_quantized" -> annQuantizedSql
   )
 }

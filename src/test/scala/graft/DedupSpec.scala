@@ -245,6 +245,35 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(top.toSeq === Seq((10L, 1L), (11L, 2L), (12L, 3L)))
   }
 
+  test("N4: quantized search with rerank recovers the exact top-k (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4)
+    val corpus = (1L to 120L).map { id =>
+      id -> Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.filter($"vec_id" % 40 === 0)
+    val got = Similarity.quantizedTopK(corpus, probes, k = 3, rerank = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(corpus, probes, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // with a rerank pool of 24/120 the int8 prefilter must not lose any
+    // true top-3 neighbor on smooth random data
+    assert(got === exact)
+  }
+
+  test("N4: codes stay in [-127, 127], are scale-invariant, zero vector -> 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> Array(3.0f, -4.0f),
+      2L -> Array(30.0f, -40.0f),   // 10x scaled copy of 1
+      3L -> Array(0.0f, 0.0f)).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(corpus)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(q(1L) === q(2L))               // cosine-like: scale-invariant
+    assert(q(1L).forall(v => v >= -127L && v <= 127L))
+    assert(q(3L) === Seq(0L, 0L))
+  }
+
   test("N2: IVF assigns to nearest centroid and searches within cell") {
     import spark.implicits._
     val corpus = Seq(
