@@ -71,13 +71,60 @@ object MultimodalQueries {
        |       MAX(((n_frames - 1) // 3) * 3) AS max_frame_idx
        |FROM f GROUP BY 1""".stripMargin
 
+  /** M3 — REAL resize end-to-end: deterministic synthetic PNGs (dims
+    * derived from doc_id, solid fill — real encoded pixels, not stub
+    * arithmetic) are Java2D-resized to fit 64 px and the RESIZED bytes are
+    * decoded again; the output dims come from real pixels while the oracle
+    * predicts them with the same integer formula
+    * (`max(1, side·64 div longSide)`). A wrong-size scale, a corrupt PNG
+    * re-encode, or a decode failure all change the output rows.
+    */
+  def resized(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pngs = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 20 + (id % 80).toInt
+          val h = 15 + (id % 60).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          g.setColor(new java.awt.Color((id % 255).toInt, 128, 64))
+          g.fillRect(0, 0, w, h)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image", bos.toByteArray)
+        }
+      }.toDF("media_id", "kind", "content")
+    Multimodal.resizeStage(Multimodal.asMedia(pngs), maxSide = 64)
+      .select("media_id", "orig_w", "orig_h", "new_w", "new_h")
+  }
+
+  val resizedSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(20 + doc_id % 80 AS INT) AS w,
+      |         CAST(15 + doc_id % 60 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT media_id, w AS orig_w, h AS orig_h,
+      |       CASE WHEN greatest(w, h) <= 64 THEN w
+      |            ELSE greatest(1, (w * 64) // greatest(w, h)) END AS new_w,
+      |       CASE WHEN greatest(w, h) <= 64 THEN h
+      |            ELSE greatest(1, (h * 64) // greatest(w, h)) END AS new_h
+      |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> mediaFeatures,
-    "m2_frame_sample" -> frameSample
+    "m2_frame_sample" -> frameSample,
+    "m3_resize" -> resized
   )
 
   def oracleSql: Map[String, String] = Map(
     "m1_media_features" -> mediaFeaturesSql,
-    "m2_frame_sample" -> frameSampleSql
+    "m2_frame_sample" -> frameSampleSql,
+    "m3_resize" -> resizedSql
   )
 }

@@ -45,6 +45,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(f(3L).width === (png.length % 640)) // stub arithmetic, not 7
   }
 
+  test("resize: real pixels scale to fit, small images pass through, junk drops") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRow(1L, "image", png(100, 40)),          // long side 100 -> 64x25
+      MediaRow(2L, "image", png(30, 20)),           // inside the bound: untouched
+      MediaRow(3L, "image", Array.fill[Byte](99)('x')) // not an image: dropped
+    ).toDS()
+    val out = Multimodal.resizeStage(media, maxSide = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((100, 40, 64, 25)))  // 40*64/100 = 25 (integer div)
+    assert(out(2L) === ((30, 20, 30, 20)))
+    // the resized bytes are a real decodable PNG with the target dims
+    val resized = Multimodal.resizeImage(png(100, 40), 64).get
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth === 64 && back.getHeight === 25)
+  }
+
   test("real WAV payloads decode rate/channels/frames via javax.sound") {
     import spark.implicits._
     // synthesize a genuine 16-bit stereo WAV: 8000 Hz, 400 PCM frames
