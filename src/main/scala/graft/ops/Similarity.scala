@@ -61,23 +61,70 @@ object Similarity {
     concat_ws("", transform(slice(emb, 1, bits),
       x => when(x >= 0, lit("1")).otherwise(lit("0"))))
 
+  /** Equal-vector collapse for the sign-LSH candidate join: tag every row
+    * with the lowest vec_id sharing its EXACT embedding array. Mirrors
+    * [[Dedup.setGroups]] — the array itself is the grouping key (Spark
+    * hashes/compares arrays natively; no encoding needed).
+    */
+  private[graft] def vectorGroups(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("rep_id", min(col("vec_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("embedding")))
+
+  /** Sign-bucket candidate pairs (`id_a < id_b`, embeddings attached)
+    * over a representative set — the pre-verify join volume the
+    * hot-bucket bound controls (`SimilaritySpec` counts it directly).
+    */
+  private[graft] def signBucketCandidates(reps: DataFrame, bits: Int): DataFrame = {
+    val keyed = reps.select(col("vec_id"), col("embedding"),
+      signKey(col("embedding"), bits).as("bkey"))
+    val a = keyed.select(col("bkey"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = keyed.select(col("bkey"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, Seq("bkey")).filter(col("id_a") < col("id_b"))
+  }
+
   /** D4 — embedding near-dup: sign-LSH bucket join + exact cosine verify
     * within buckets; pairs with `cos >= threshold` (ids only — float values
     * never leave the pipeline, keeping results engine-exact).
+    *
+    * Hot-bucket bound (same story as [[Dedup.minhashNearDups]]): rows with
+    * EQUAL embedding arrays collapse to one banding representative
+    * ([[vectorGroups]]) before the bucket join — a cluster of m exact
+    * copies otherwise shares its sign key and the join emits O(m²)
+    * candidate rows, the straggler bucket at corpus scale. Within-group
+    * pairs are emitted directly under the self-cosine filter — the same
+    * expression the uncollapsed verify would evaluate for them (including
+    * the ANSI divide-by-zero error on zero vectors, which neither pipeline
+    * tolerates); cross-group pairs inherit their representatives' verified
+    * cosine (it depends only on the two values), so the result is
+    * value-identical to the uncollapsed pipeline. `bits` is the
+    * bucket-granularity knob — grow it with the corpus so buckets of
+    * DISTINCT vectors stay bounded too.
     */
-  def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9): DataFrame = {
+  def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9,
+                        bits: Int = 16): DataFrame = {
+    val grouped = vectorGroups(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = grouped.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("embedding"))
     // raw-embedding cosine in the verify, NOT the pre-normalized form the
-    // high-pair-volume ops use: 16-bit sign buckets leave so few candidate
-    // pairs that one three-dot cosine per candidate is cheaper than paying
-    // a per-row normalization over the whole corpus
-    val keyed = corpus.select(col("vec_id"), col("embedding"),
-      signKey(col("embedding")).as("bkey"))
-    val a = keyed.select(col("bkey"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = keyed.select(col("bkey"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-    a.join(b, Seq("bkey"))
-      .filter(col("id_a") < col("id_b"))
+    // high-pair-volume ops use: sign buckets over collapsed reps leave so
+    // few candidate pairs that one three-dot cosine per candidate is
+    // cheaper than paying a per-row normalization over the whole corpus
+    val repPairs = signBucketCandidates(reps, bits)
       .filter(cosine(col("ea"), col("eb")) >= threshold)
       .select("id_a", "id_b")
+    val within = grouped.as("x").join(grouped.as("y"),
+        col("x.embedding") === col("y.embedding") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(cosine(col("x.embedding"), col("x.embedding")) >= threshold)
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    val ma = grouped.select(col("rep_id").as("id_a"), col("vec_id").as("da"))
+    val mb = grouped.select(col("rep_id").as("id_b"), col("vec_id").as("db"))
+    val cross = repPairs.join(ma, "id_a").join(mb, "id_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"))
+    within.unionAll(cross)
   }
 
   /** Scored candidate for top-k: ordered by (score desc, id asc). */

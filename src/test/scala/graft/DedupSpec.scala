@@ -200,6 +200,28 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("D4: a 150-copy cluster collapses to one banding representative (O(m) not O(m²) candidates)") {
+    import spark.implicits._
+    val hot = Array(0.5f, -0.25f, 0.125f, 1.0f)
+    val rows = (1L to 150L).map(_ -> hot) ++ Seq(
+      500L -> hot.map(_ * 2.0f),               // scaled copy: distinct array, same orthant
+      501L -> Array(-0.5f, 0.25f, -0.125f, -1.0f)) // opposite orthant
+    val corpus = rows.toDF("vec_id", "embedding")
+    val grouped = Similarity.vectorGroups(corpus)
+    val reps = grouped.filter($"vec_id" === $"rep_id").select("vec_id", "embedding")
+    // 150 equal vectors → ONE rep; candidate join sees 3 reps, not 152 rows
+    assert(reps.count() === 3)
+    assert(Similarity.signBucketCandidates(reps, bits = 16).count() === 1) // (1, 500)
+    // and the expanded result is value-identical to the uncollapsed pipeline:
+    // all within-cluster pairs plus each member × the scaled copy
+    val got = Similarity.embeddingNearDups(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = (1L to 150L)
+    val expected = (for (a <- ids; b <- ids if a < b) yield (a, b)).toSet ++
+      ids.map(a => (a, 500L)).toSet
+    assert(got === expected)
+  }
+
   test("D10: incremental near-dup emits batch-vs-corpus pairs, never corpus-internal") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
