@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scale utilities for skew and co-location — the techniques a 100 TB run
@@ -25,9 +25,14 @@ object Scale {
     * null-handling care for outer variants).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, factor: Int): DataFrame = {
-    // deterministic per-row salt: spreads a hot key over `factor` reducers
-    val salted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(factor)).cast("int"))
+    // Deterministic per-row salt: spreads a hot key over `factor` reducers.
+    // The per-row ordinal is folded into the hash so FULLY IDENTICAL rows
+    // (null-key rows, default rows — the most common real skew shape) still
+    // spread across all `factor` salts; a content-only hash would send every
+    // copy of an identical hot row to ONE salt bucket, defeating the salting.
+    // The join result is salt-invariant, so determinism of the salt values
+    // themselves is not required for correctness — only the row→salt spread.
+    val salted = big.withColumn("__salt", saltExpr(big, factor))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -42,14 +47,28 @@ object Scale {
     * aggregation in any engine (double summation order would differ).
     */
   def saltedAgg(df: DataFrame, key: String, valueCol: String, factor: Int): DataFrame =
-    df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(factor)).cast("int"))
+    // per-row ordinal folded into the salt — see [[saltExpr]]: identical
+    // rows must spread, and the merge phase makes the result salt-invariant
+    df.withColumn("__salt", saltExpr(df, factor))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"),
         sum(col(valueCol).cast("decimal(18,2)")).as("__s"))
       .groupBy(col(key))
       .agg(sum(col("__n")).as("cnt"),
         sum(col("__s")).cast("double").as("sum_value"))
+
+  /** The salt column shared by [[saltedJoin]] and [[saltedAgg]]: xxhash64
+    * over (per-row ordinal, all columns) mod `factor`. The ordinal
+    * (`monotonically_increasing_id`) is what spreads FULLY IDENTICAL rows —
+    * content-only hashing maps every copy of an identical hot row to one
+    * salt, leaving the hot partition exactly as hot as before. Deterministic
+    * under task retry (the ordinal is a pure function of partition index +
+    * position, unlike `rand()`), and both callers' results are
+    * salt-invariant, so layout changes can't affect answers.
+    */
+  private[graft] def saltExpr(df: DataFrame, factor: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id() +: df.columns.map(col).toSeq: _*),
+      lit(factor)).cast("int")
 
   /** Top-N heavy keys of `df` by count — the skew diagnosis step that
     * decides whether salting ([[saltedAgg]]/[[saltedJoin]]) is worth it.

@@ -37,6 +37,28 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("__salt"))
   }
 
+  test("salt spreads FULLY IDENTICAL rows across all factor salts") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // The canonical real-world skew shape: one row value (think null-key or
+    // default row) duplicated 1000×. A content-only salt would map every
+    // copy to ONE bucket; the ordinal-folded salt must use all `factor`.
+    val factor = 8
+    val dup = (1 to 1000).map(_ => (1L, "same-payload")).toDF("k", "payload")
+    val salts = dup.withColumn("__salt", Scale.saltExpr(dup, factor))
+      .select("__salt").distinct().collect().map(_.getInt(0)).sorted
+    assert(salts.length === factor,
+      s"identical rows occupy ${salts.length}/$factor salts: ${salts.mkString(",")}")
+    // and the salted ops stay correct on that exact input
+    val small = Seq((1L, "dim")).toDF("k", "dim")
+    val plain = dup.join(small, "k")
+    val salted = Scale.saltedJoin(dup, small, "k", factor)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    val aggDirect = dup.withColumn("value", col("k").cast("double"))
+    val direct = Scale.saltedAgg(aggDirect, "k", "value", factor).collect()
+    assert(direct.length === 1 && direct.head.getLong(1) === 1000L)
+  }
+
   test("heavyHitters surfaces the skewed key first") {
     import spark.implicits._
     val df = ((1 to 500).map(_ => 7L) ++ (1 to 20).map(_.toLong)).toDF("k")
