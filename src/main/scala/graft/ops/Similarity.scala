@@ -73,7 +73,8 @@ object Similarity {
 
   /** Sign-bucket candidate pairs (`id_a < id_b`, embeddings attached)
     * over a representative set — the pre-verify join volume the
-    * hot-bucket bound controls (`SimilaritySpec` counts it directly).
+    * hot-bucket bound controls (`SimilaritySpec` counts it directly:
+    * "a 150-copy cluster collapses to one banding representative").
     */
   private[graft] def signBucketCandidates(reps: DataFrame, bits: Int): DataFrame = {
     val keyed = reps.select(col("vec_id"), col("embedding"),
@@ -92,19 +93,27 @@ object Similarity {
     * ([[vectorGroups]]) before the bucket join — a cluster of m exact
     * copies otherwise shares its sign key and the join emits O(m²)
     * candidate rows, the straggler bucket at corpus scale. Within-group
-    * pairs are emitted directly under the self-cosine filter — the same
-    * expression the uncollapsed verify would evaluate for them (including
-    * the ANSI divide-by-zero error on zero vectors, which neither pipeline
-    * tolerates); cross-group pairs inherit their representatives' verified
-    * cosine (it depends only on the two values), so the result is
-    * value-identical to the uncollapsed pipeline. `bits` is the
+    * pairs are expanded by a self-join on `rep_id` — one long, a narrow
+    * shuffle key, never the embedding array — and the self-cosine guard
+    * (`cos(v,v) >= threshold`, which depends only on the group's shared
+    * value) is evaluated ONCE PER REPRESENTATIVE and applied as a semi-
+    * join, so an m-copy cluster pays O(m²) id emission (the pair-output
+    * contract itself) but only O(d) verify arithmetic. Cross-group pairs
+    * inherit their representatives' verified cosine, so the result is
+    * value-identical to the uncollapsed pipeline (a zero vector raises
+    * the same ANSI divide-by-zero either way). `bits` is the
     * bucket-granularity knob — grow it with the corpus so buckets of
     * DISTINCT vectors stay bounded too.
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9,
                         bits: Int = 16): DataFrame = {
-    val grouped = vectorGroups(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Eager localCheckpoint, not persist: `grouped` feeds four branches
+    // (rep set, the ok-rep guard, the within expansion, both cross-group
+    // member maps), so the window must materialize once — and a lazily-
+    // returned DataFrame gives callers no safe point to unpersist a cache
+    // entry, which would otherwise leak for the session. Checkpoint blocks
+    // are reclaimed by the ContextCleaner once the plan is unreachable.
+    val grouped = vectorGroups(corpus).localCheckpoint()
     val reps = grouped.filter(col("vec_id") === col("rep_id"))
       .select(col("vec_id"), col("embedding"))
     // raw-embedding cosine in the verify, NOT the pre-normalized form the
@@ -114,10 +123,14 @@ object Similarity {
     val repPairs = signBucketCandidates(reps, bits)
       .filter(cosine(col("ea"), col("eb")) >= threshold)
       .select("id_a", "id_b")
-    val within = grouped.as("x").join(grouped.as("y"),
-        col("x.embedding") === col("y.embedding") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .filter(cosine(col("x.embedding"), col("x.embedding")) >= threshold)
+    val okReps = reps
+      .filter(cosine(col("embedding"), col("embedding")) >= threshold)
+      .select(col("vec_id").as("rep_id"))
+    val members = grouped.select(col("rep_id"), col("vec_id"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.vec_id") < col("y.vec_id"))
+      .join(okReps, col("x.rep_id") === okReps("rep_id"), "left_semi")
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
     val ma = grouped.select(col("rep_id").as("id_a"), col("vec_id").as("da"))
     val mb = grouped.select(col("rep_id").as("id_b"), col("vec_id").as("db"))

@@ -189,38 +189,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(s(1L) === s(2L))
   }
 
-  test("D4: sign-LSH near-dup finds scaled copies only") {
-    import spark.implicits._
-    val v1 = Array(0.5f, -0.25f, 0.125f, 1.0f)
-    val v2 = v1.map(_ * 2.0f)
-    val v3 = Array(-0.5f, 0.25f, -0.125f, -1.0f) // opposite orthant
-    val corpus = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
-    val pairs = Similarity.embeddingNearDups(corpus, threshold = 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs === Set((1L, 2L)))
-  }
-
-  test("D4: a 150-copy cluster collapses to one banding representative (O(m) not O(m²) candidates)") {
-    import spark.implicits._
-    val hot = Array(0.5f, -0.25f, 0.125f, 1.0f)
-    val rows = (1L to 150L).map(_ -> hot) ++ Seq(
-      500L -> hot.map(_ * 2.0f),               // scaled copy: distinct array, same orthant
-      501L -> Array(-0.5f, 0.25f, -0.125f, -1.0f)) // opposite orthant
-    val corpus = rows.toDF("vec_id", "embedding")
-    val grouped = Similarity.vectorGroups(corpus)
-    val reps = grouped.filter($"vec_id" === $"rep_id").select("vec_id", "embedding")
-    // 150 equal vectors → ONE rep; candidate join sees 3 reps, not 152 rows
-    assert(reps.count() === 3)
-    assert(Similarity.signBucketCandidates(reps, bits = 16).count() === 1) // (1, 500)
-    // and the expanded result is value-identical to the uncollapsed pipeline:
-    // all within-cluster pairs plus each member × the scaled copy
-    val got = Similarity.embeddingNearDups(corpus, threshold = 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ids = (1L to 150L)
-    val expected = (for (a <- ids; b <- ids if a < b) yield (a, b)).toSet ++
-      ids.map(a => (a, 500L)).toSet
-    assert(got === expected)
-  }
+  // D4 embedding-near-dup specs live in SimilaritySpec.
 
   test("D10: incremental near-dup emits batch-vs-corpus pairs, never corpus-internal") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +

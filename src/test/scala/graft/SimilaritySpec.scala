@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** D4 embedding-near-dup specs: sign-LSH recall semantics, the equal-vector
+  * collapse that bounds hot buckets, and the rep_id-keyed within-group
+  * expansion (the ANN search ops n1-n4 are oracle-checked through Verify;
+  * their plan shapes are pinned in PlanSpec).
+  */
+class SimilaritySpec extends AnyFunSuite with SparkSuite {
+
+  test("D4: sign-LSH near-dup finds scaled copies only") {
+    import spark.implicits._
+    val v1 = Array(0.5f, -0.25f, 0.125f, 1.0f)
+    val v2 = v1.map(_ * 2.0f)
+    val v3 = Array(-0.5f, 0.25f, -0.125f, -1.0f) // opposite orthant
+    val corpus = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("D4: a 150-copy cluster collapses to one banding representative (O(m) not O(m²) candidates)") {
+    import spark.implicits._
+    val hot = Array(0.5f, -0.25f, 0.125f, 1.0f)
+    val rows = (1L to 150L).map(_ -> hot) ++ Seq(
+      500L -> hot.map(_ * 2.0f),               // scaled copy: distinct array, same orthant
+      501L -> Array(-0.5f, 0.25f, -0.125f, -1.0f)) // opposite orthant
+    val corpus = rows.toDF("vec_id", "embedding")
+    val grouped = Similarity.vectorGroups(corpus)
+    val reps = grouped.filter($"vec_id" === $"rep_id").select("vec_id", "embedding")
+    // 150 equal vectors → ONE rep; candidate join sees 3 reps, not 152 rows
+    assert(reps.count() === 3)
+    assert(Similarity.signBucketCandidates(reps, bits = 16).count() === 1) // (1, 500)
+    // and the expanded result is value-identical to the uncollapsed pipeline:
+    // all within-cluster pairs plus each member × the scaled copy
+    val got = Similarity.embeddingNearDups(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = (1L to 150L)
+    val expected = (for (a <- ids; b <- ids if a < b) yield (a, b)).toSet ++
+      ids.map(a => (a, 500L)).toSet
+    assert(got === expected)
+  }
+
+  test("D4: within-group expansion joins on rep_id, never the embedding array") {
+    import spark.implicits._
+    val corpus = (1L to 10L).map(_ -> Array(1.0f, 2.0f)).toDF("vec_id", "embedding")
+    // every equi-join in the physical plan must key on longs (rep_id /
+    // vec_id / bucket key) — an array-valued join key would put the full
+    // vector on the shuffle wire for every member of a duplicate cluster
+    val plan = Similarity.embeddingNearDups(corpus).queryExecution
+      .executedPlan.toString
+    assert(!plan.matches("(?s).*hashpartitioning\\(embedding.*"),
+      s"within-join still shuffles on the embedding array:\n$plan")
+  }
+
+  test("D4: the per-representative self-cosine guard gates within-group pairs") {
+    import spark.implicits._
+    // threshold > 1 can never be met, even by exact copies — the guard must
+    // drop every within-group pair (and cross pairs fail their own verify)
+    val corpus = (1L to 5L).map(_ -> Array(3.0f, -1.0f)).toDF("vec_id", "embedding")
+    assert(Similarity.embeddingNearDups(corpus, threshold = 1.5).count() === 0)
+  }
+}
