@@ -312,17 +312,28 @@ object Dedup {
     * handful of rounds at any scale. For adversarial long-chain graphs
     * use a star-contraction variant (O(log n) rounds); not needed here.
     *
-    * Each round's labels go through `localCheckpoint` (eager), which
-    * TRUNCATES the logical lineage — `persist` alone is not enough for an
-    * iterative loop whose round references the previous labels twice
-    * (neighbor join, no-neighbor fallback): the analyzed plan would branch
-    * and roughly double per round, and analysis time — not execution —
-    * becomes the bottleneck within a few iterations. On a
-    * cluster, swap for reliable `checkpoint` if executor loss mid-loop
-    * must be survivable; the loop itself is restartable from any round's
-    * labels either way.
+    * Each round's labels go through an eager checkpoint, which TRUNCATES
+    * the logical lineage — `persist` alone is not enough for an iterative
+    * loop whose round references the previous labels twice (neighbor join,
+    * no-neighbor fallback): the analyzed plan would branch and roughly
+    * double per round, and analysis time — not execution — becomes the
+    * bottleneck within a few iterations.
+    *
+    * Durability: with `checkpointDir = None` rounds use `localCheckpoint`
+    * (executor-local blocks — fine single-JVM and fastest, but on a real
+    * cluster an executor loss mid-fixpoint loses blocks with NO lineage to
+    * recompute them, and the whole run restarts). A 100 TB run passes a
+    * `checkpointDir` on durable shared storage (HDFS/object store): rounds
+    * then go through reliable `Dataset.checkpoint()`, so losing any number
+    * of executors costs one round's recompute at most — the files survive.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val sc0 = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc0.setCheckpointDir)
+    // one knob for every round materialization: reliable when a dir is given
+    def mat(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the (possibly expensive) pair pipeline ONCE before the
     // union doubles it into both edge directions
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -336,13 +347,12 @@ object Dedup {
     val sc = pairs.sparkSession.sparkContext
     val parts = math.max(1,
       math.min((2L * nPairs / 100000L).toInt + 1, sc.defaultParallelism * 4))
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = mat(p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .repartition(parts)
-      .localCheckpoint()
+      .repartition(parts))
     p.unpersist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep")).localCheckpoint()
+    var labels = mat(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -353,11 +363,10 @@ object Dedup {
       // materializes: one join+agg job per round, and the change count is
       // then a column scan over the already-local checkpoint blocks — not a
       // second re-join of next against the previous labels
-      val next = labels
+      val next = mat(labels
         .join(nbrMin.select(col("src").as("id"), col("nrep")), Seq("id"), "left_outer")
         .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
-          (col("nrep") < col("rep")).as("changed"))
-        .localCheckpoint()
+          (col("nrep") < col("rep")).as("changed")))
       val nChanged = next.filter(col("changed")).count()
       labels = next.select("id", "rep")
       converged = nChanged == 0

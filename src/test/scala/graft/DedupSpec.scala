@@ -38,6 +38,30 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       7L -> 7L, 10L -> 7L, 1L -> 1L, 2L -> 1L, 9L -> 1L))
   }
 
+  test("D7: reliable-checkpoint fixpoint (cluster durability path) matches star contraction") {
+    import spark.implicits._
+    // the 100 TB path: rounds checkpoint to DURABLE storage, so executor
+    // loss mid-fixpoint recomputes at most one round instead of restarting
+    val dir = java.nio.file.Files.createTempDirectory("d7-ckpt").toString
+    try {
+      val rnd = new scala.util.Random(11)
+      val pairs = (0 until 60)
+        .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val reliable = Dedup.dupClusters(pairs, checkpointDir = Some(dir)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.dupClustersStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable === star)
+      // the rounds really went through the reliable dir (RDD checkpoint files)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(_.toFile.isFile).count()
+      assert(wrote > 0, s"no checkpoint files written under $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("D7: star contraction matches min-label propagation on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
