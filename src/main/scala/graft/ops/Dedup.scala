@@ -216,34 +216,33 @@ object Dedup {
     *
     * Candidate generation is exact prefix filtering (the SSJoin/PPJoin
     * principle): if `|A∩B| >= ceil(tau·|A|)`, at most `|A| - ceil(tau·|A|)`
-    * of A's grams fall outside B, so A's first
-    * `|A| - ceil(tau·|A|) + 1` grams IN A GLOBAL TOTAL ORDER must hit B —
-    * only that prefix is posted probe-side (one extra slack element
-    * absorbs FP ceil error at exact boundaries like 0.9·10; the verify
-    * filter, not the prefix, decides membership). The shared canonical
-    * order is the ascending shingle-hash order [[shingleSets]] already
-    * emits — an unbiased random order, so prefix grams carry average
-    * document frequency; a df-ascending order (classic PPJoin) would
-    * shrink candidates further at the cost of a global df pre-pass, worth
-    * it when boilerplate grams dominate a corpus.
+    * of A's grams fall outside B, so ANY `|A| - ceil(tau·|A|) + 1` of A's
+    * grams must include one that hits B — only that prefix is posted
+    * probe-side (one extra slack element absorbs FP ceil error at exact
+    * boundaries like 0.9·10; the verify filter, not the prefix, decides
+    * membership). The index side posts every gram, so recall is exact for
+    * ANY prefix choice — which grams go in the prefix only sets the
+    * candidate VOLUME. Default is the classic PPJoin order: document
+    * frequency ascending (ties by gram hash), so prefixes carry the
+    * corpus's RAREST grams — on a boilerplate-heavy corpus the shared
+    * header grams (df ≈ n, each hitting every doc's postings) stay out of
+    * the prefix and candidates collapse to near the true pair set
+    * (`DedupSpec` measures the drop). Costs one df aggregate + re-sort
+    * pre-pass over the probe postings; `dfOrderedPrefix = false` skips it
+    * and uses the unbiased hash order [[shingleSets]] already emits —
+    * right when grams are near-uniform and the pre-pass wouldn't pay.
     *
     * Scale posture: the only shuffles are the postings equi-join on the
     * gram hash — probe volume bounded by `(1-tau)·Σ|A| + n` rows, index
-    * volume `Σ|B|` (build-once for a static corpus) — and the candidate
-    * verify joins; nothing all-pairs anywhere.
+    * volume `Σ|B|` (build-once for a static corpus) — the candidate verify
+    * joins, and (df path) the gram-keyed df aggregate; nothing all-pairs
+    * anywhere.
     */
-  def containmentPairs(corpus: DataFrame, tau: Double = 0.9): DataFrame = {
+  def containmentPairs(corpus: DataFrame, tau: Double = 0.9,
+                       dfOrderedPrefix: Boolean = true): DataFrame = {
     val sets = shingleSets(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probePost = sets
-      .select(col("doc_id").as("id_a"), col("shingles").as("sa"))
-      .withColumn("ka",
-        greatest(size(col("sa")) - ceil(size(col("sa")) * lit(tau)).cast("int") + 2,
-          lit(1)))
-      .select(col("id_a"), explode(slice(col("sa"), lit(1), col("ka"))).as("g"))
-    val indexPost = sets.select(col("doc_id").as("id_b"), explode(col("shingles")).as("g"))
-    val cands = probePost.join(indexPost, Seq("g"))
-      .filter(col("id_a") =!= col("id_b"))
+    val cands = containmentCandidates(sets, tau, dfOrderedPrefix)
       .select("id_a", "id_b").distinct()
     cands
       .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
@@ -253,6 +252,34 @@ object Dedup {
           size(col("sa")).cast("double"))
       .filter(col("containment") >= tau)
       .select("id_a", "id_b", "containment")
+  }
+
+  /** Pre-verify candidate join of [[containmentPairs]] (NOT deduplicated —
+    * row count = raw prefix-hit volume, the quantity the prefix order
+    * controls and the spec measures). `sets` is [[shingleSets]] output.
+    */
+  private[graft] def containmentCandidates(sets: DataFrame, tau: Double,
+                                           dfOrdered: Boolean): DataFrame = {
+    val probeSets =
+      if (dfOrdered) {
+        // df pre-pass: re-sort each probe set rarest-gram-first, so the
+        // prefix slice below posts minimum-hit grams. Shuffles are the
+        // gram-keyed count and one doc_id regroup — both narrow.
+        val posts = sets.select(col("doc_id"), explode(col("shingles")).as("g"))
+        val dfs = posts.groupBy("g").agg(count(lit(1)).as("df"))
+        posts.join(dfs, "g")
+          .groupBy("doc_id")
+          .agg(transform(array_sort(collect_list(struct(col("df"), col("g")))),
+            s => s.getField("g")).as("sa"))
+      } else sets.select(col("doc_id"), col("shingles").as("sa"))
+    val probePost = probeSets
+      .withColumn("ka",
+        greatest(size(col("sa")) - ceil(size(col("sa")) * lit(tau)).cast("int") + 2,
+          lit(1)))
+      .select(col("doc_id").as("id_a"), explode(slice(col("sa"), lit(1), col("ka"))).as("g"))
+    val indexPost = sets.select(col("doc_id").as("id_b"), explode(col("shingles")).as("g"))
+    probePost.join(indexPost, Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
   }
 
   /** D10 — incremental near-dup: flag documents of a NEW batch that are

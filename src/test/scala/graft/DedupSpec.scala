@@ -139,6 +139,28 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got === want)
   }
 
+  test("D11: df-ordered prefix shrinks candidates on a boilerplate-heavy corpus, same pairs") {
+    import org.apache.spark.sql.functions.col
+    // every doc opens with the same long boilerplate header; tails unique.
+    // Hash-ordered prefixes sample boilerplate grams (df = n, each hitting
+    // every doc) at random; df-ordered prefixes post the unique tail grams
+    // (df = 1) and candidates collapse toward the true containment pairs.
+    val boiler = "this document is provided as is without warranty of any kind " +
+      "express or implied including but not limited to fitness for a purpose"
+    val corpus = docs((1L to 30L).map(i =>
+      i -> s"$boiler unique tail ${i}a ${i}b ${i}c ${i}d ${i}e ${i}f ${i}g ${i}h"): _*)
+    val sets = Dedup.shingleSets(corpus)
+    val hashCand = Dedup.containmentCandidates(sets, 0.9, dfOrdered = false).count()
+    val dfCand = Dedup.containmentCandidates(sets, 0.9, dfOrdered = true).count()
+    assert(dfCand < hashCand,
+      s"df order should cut prefix-hit volume: df=$dfCand hash=$hashCand")
+    assert(dfCand <= hashCand / 2, s"expected a big drop: df=$dfCand hash=$hashCand")
+    // and the verified result is IDENTICAL — prefix order is volume-only
+    val a = Dedup.containmentPairs(corpus, 0.9, dfOrderedPrefix = true)
+    val b = Dedup.containmentPairs(corpus, 0.9, dfOrderedPrefix = false)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("D2: minhash LSH finds near-dups, skips unrelated, verifies jaccard") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
