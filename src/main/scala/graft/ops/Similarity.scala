@@ -107,13 +107,17 @@ object Similarity {
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9,
                         bits: Int = 16): DataFrame = {
-    // Eager localCheckpoint, not persist: `grouped` feeds four branches
-    // (rep set, the ok-rep guard, the within expansion, both cross-group
-    // member maps), so the window must materialize once — and a lazily-
-    // returned DataFrame gives callers no safe point to unpersist a cache
-    // entry, which would otherwise leak for the session. Checkpoint blocks
-    // are reclaimed by the ContextCleaner once the plan is unreachable.
-    val grouped = vectorGroups(corpus).localCheckpoint()
+    // `grouped` feeds four branches (rep set, the ok-rep guard, the within
+    // expansion, both cross-group member maps) — deliberately with NO
+    // persist/checkpoint: the branches share the window's input exchange
+    // (hashpartitioning on `embedding`), and Spark's exchange reuse
+    // (`spark.sql.exchange.reuse`, on by default) materializes that shuffle
+    // ONCE and serves every branch from its files (`ReusedExchange` in the
+    // plan, pinned by SimilaritySpec). Same single-computation guarantee a
+    // cache would give, with no session-lifetime cache entry to leak and no
+    // checkpoint write — and it composes at cluster scale (shuffle files
+    // are already the durable medium of the stage).
+    val grouped = vectorGroups(corpus)
     val reps = grouped.filter(col("vec_id") === col("rep_id"))
       .select(col("vec_id"), col("embedding"))
     // raw-embedding cosine in the verify, NOT the pre-normalized form the

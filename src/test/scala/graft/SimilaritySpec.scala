@@ -52,8 +52,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // vector on the shuffle wire for every member of a duplicate cluster
     val plan = Similarity.embeddingNearDups(corpus).queryExecution
       .executedPlan.toString
-    assert(!plan.matches("(?s).*hashpartitioning\\(embedding.*"),
-      s"within-join still shuffles on the embedding array:\n$plan")
+    // exactly ONE exchange keyed on the array: the vectorGroups window's
+    // input shuffle, shared by all four consumer branches via reuse
+    val arrayKeyed = "hashpartitioning\\(embedding".r.findAllIn(plan).size
+    assert(arrayKeyed <= 1,
+      s"embedding-keyed exchanges should collapse to the window's one (got $arrayKeyed):\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"window shuffle not shared across branches:\n$plan")
   }
 
   test("D4: the per-representative self-cosine guard gates within-group pairs") {
