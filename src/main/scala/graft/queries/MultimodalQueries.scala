@@ -116,15 +116,74 @@ object MultimodalQueries {
       |            ELSE greatest(1, (h * 64) // greatest(w, h)) END AS new_h
       |FROM d""".stripMargin
 
+  /** M4 — REAL MJPEG-in-AVI decode end-to-end: deterministic synthetic AVIs
+    * (2-7 solid-gray JPEG frames each, dims and luma derived from doc_id) go
+    * through the full container parse + per-frame ImageIO decode of
+    * [[graft.ops.Multimodal.videoFrames]]. The output is one row per frame
+    * with the REAL decoded dimensions and a `luma_ok` flag comparing the
+    * decoded mean luma against the planted gray value (±2 — JPEG quantizes
+    * the DC coefficient, so a solid tone round-trips to within ~1 level).
+    * A container mis-parse drops frames (row-count mismatch); a pixel-decode
+    * bug flips `luma_ok` (hash mismatch). The oracle predicts the structure
+    * exactly.
+    */
+  def videoFrameStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val avis = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 2 + (id % 6).toInt
+          val w = 16 + (id % 4).toInt * 8
+          val h = 16 + (id % 3).toInt * 8
+          val frames = (0 until n).map { i =>
+            val lum = 32 + 16 * ((id + i) % 12).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            g.setColor(new java.awt.Color(lum, lum, lum))
+            g.fillRect(0, 0, w, h)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          (id, "video", Multimodal.AviCodec.build(frames, w, h))
+        }
+      }.toDF("media_id", "kind", "content")
+    Multimodal.videoFrames(Multimodal.asMedia(avis)).toDF()
+      .select(
+        col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_w"), col("frame_h"),
+        (abs(col("mean_luma") -
+          (lit(32) + lit(16) * ((col("media_id") + col("frame_idx")) % 12))) <= 2.0)
+          .as("luma_ok"))
+  }
+
+  val videoFrameStatsSql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id,
+      |         2 + doc_id % 6 AS n_frames,
+      |         CAST(16 + (doc_id % 4) * 8 AS INT) AS frame_w,
+      |         CAST(16 + (doc_id % 3) * 8 AS INT) AS frame_h
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT media_id, unnest(range(n_frames)) AS frame_idx,
+      |       frame_w, frame_h, TRUE AS luma_ok
+      |FROM v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> mediaFeatures,
     "m2_frame_sample" -> frameSample,
-    "m3_resize" -> resized
+    "m3_resize" -> resized,
+    "m4_video_frames" -> videoFrameStats
   )
 
   def oracleSql: Map[String, String] = Map(
     "m1_media_features" -> mediaFeaturesSql,
     "m2_frame_sample" -> frameSampleSql,
-    "m3_resize" -> resizedSql
+    "m3_resize" -> resizedSql,
+    "m4_video_frames" -> videoFrameStatsSql
   )
 }

@@ -102,4 +102,71 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getAs[Int]("frame_idx")).sorted
     assert(frames.toSeq === Seq(0, 3, 6)) // n_frames = 8 -> 0,3,6
   }
+
+  /** Encode one solid-gray baseline JPEG. */
+  private def grayJpeg(w: Int, h: Int, lum: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(lum, lum, lum))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("AviCodec: build/parse round-trips header dims and every frame byte-exact") {
+    import Multimodal.AviCodec
+    val frames = Seq(grayJpeg(24, 16, 64), grayJpeg(24, 16, 128), grayJpeg(24, 16, 200))
+    val avi = AviCodec.build(frames, width = 24, height = 16, fps = 5)
+    assert(AviCodec.looksLikeAvi(avi))
+    val parsed = AviCodec.parse(avi).get
+    assert(parsed.width === 24 && parsed.height === 16)
+    assert(parsed.usecPerFrame === 200000) // 1e6 / 5
+    assert(parsed.frames.size === 3)
+    parsed.frames.zip(frames).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want)) // frame payloads survive untouched
+    }
+    // odd-length frames exercise the RIFF even-padding rule
+    val odd = grayJpeg(9, 7, 50)
+    val aviOdd = AviCodec.build(Seq(odd, odd), 9, 7)
+    assert(AviCodec.parse(aviOdd).get.frames.size === 2)
+    // malformed inputs drop, never throw
+    assert(AviCodec.parse(Array.fill[Byte](100)('x')).isEmpty)
+    assert(AviCodec.parse(avi.take(30)).isEmpty) // truncated mid-header
+    val corrupt = avi.clone(); corrupt(20) = 0x7f // blow up a chunk size
+    assert(AviCodec.parse(corrupt).isEmpty)
+  }
+
+  test("videoFrames: real per-frame JPEG decode — dims and mean luma") {
+    import spark.implicits._
+    import Multimodal.AviCodec
+    val lums = Seq(48, 112, 176)
+    val avi = AviCodec.build(lums.map(grayJpeg(32, 24, _)), 32, 24)
+    val media = Seq(
+      MediaRow(7L, "video", avi),
+      MediaRow(8L, "video", Array.fill[Byte](500)('q')) // not an AVI: dropped
+    ).toDS()
+    val rows = Multimodal.videoFrames(media).collect().sortBy(_.frame_idx)
+    assert(rows.map(_.media_id).toSeq === Seq(7L, 7L, 7L))
+    assert(rows.map(_.frame_idx).toSeq === Seq(0, 1, 2))
+    assert(rows.forall(r => r.frame_w === 32 && r.frame_h === 24))
+    // a solid gray survives JPEG's DC quantization to within ~1 luma level
+    rows.zip(lums).foreach { case (r, lum) =>
+      assert(math.abs(r.mean_luma - lum) <= 2.0, s"frame ${r.frame_idx}: ${r.mean_luma} vs $lum")
+    }
+  }
+
+  test("decode: video kind with a real AVI payload reports true dims and frame count") {
+    import spark.implicits._
+    val avi = Multimodal.AviCodec.build(Seq.fill(4)(grayJpeg(40, 30, 90)), 40, 30)
+    val media = Seq(
+      MediaRow(1L, "video", avi),
+      MediaRow(2L, "image", avi) // AVI bytes but image kind: stub (honest)
+    ).toDS()
+    val f = Multimodal.decodeFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).width === 40 && f(1L).height === 30 && f(1L).n_frames === 4)
+    assert(f(2L).width === (avi.length % 640)) // stub arithmetic, not 40
+  }
 }

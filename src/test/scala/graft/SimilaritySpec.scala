@@ -49,16 +49,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val corpus = (1L to 10L).map(_ -> Array(1.0f, 2.0f)).toDF("vec_id", "embedding")
     // every equi-join in the physical plan must key on longs (rep_id /
     // vec_id / bucket key) — an array-valued join key would put the full
-    // vector on the shuffle wire for every member of a duplicate cluster
-    val plan = Similarity.embeddingNearDups(corpus).queryExecution
-      .executedPlan.toString
-    // exactly ONE exchange keyed on the array: the vectorGroups window's
-    // input shuffle, shared by all four consumer branches via reuse
-    val arrayKeyed = "hashpartitioning\\(embedding".r.findAllIn(plan).size
+    // vector on the shuffle wire for every member of a duplicate cluster.
+    // Under AQE, exchange reuse happens at runtime stage materialization,
+    // so run the query first and inspect the FINAL adaptive plan (the
+    // toString also appends the pre-AQE "Initial Plan", where every branch
+    // still owns its exchange — cut it off before counting).
+    val df = Similarity.embeddingNearDups(corpus)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"plan did not finalize:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // exactly ONE exchange keyed on the array survives: the vectorGroups
+    // window's input shuffle, served to every other branch via reuse
+    val arrayKeyed = "\\+- Exchange hashpartitioning\\(\\w*\\(?transform\\(embedding".r
+      .findAllIn(finalPlan).size
     assert(arrayKeyed <= 1,
-      s"embedding-keyed exchanges should collapse to the window's one (got $arrayKeyed):\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"window shuffle not shared across branches:\n$plan")
+      s"embedding-keyed exchanges should collapse to the window's one (got $arrayKeyed):\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"window shuffle not shared across branches:\n$finalPlan")
   }
 
   test("D4: the per-representative self-cosine guard gates within-group pairs") {
