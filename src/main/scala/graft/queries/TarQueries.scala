@@ -142,8 +142,28 @@ object TarQueries {
        |FROM read_parquet('$StageDir/st1_routed.parquet/*/*.parquet', hive_partitioning = true)
        |GROUP BY 1""".stripMargin
 
+  /** S16 — the DSv2 `tgz` format end-to-end: the same raw manifest as s4
+    * but scanned through `spark.read.format("tgz")`
+    * ([[graft.io.TgzTableProvider]]) instead of binaryFile+flatMap. The
+    * projection omits `content`, so the scan's pruned path (payloads
+    * skipped, headers only) is what actually runs; staged to parquet for
+    * the DuckDB hash-check, which pins both the row set AND that the two
+    * scan paths agree.
+    */
+  def tarScanDsv2(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.format("tgz").load(FixtureTgz)
+      .select(col("ordinal"), col("name"), col("size"), col("typeflag"))
+      .write.mode("overwrite").parquet(s"$StageDir/s16_entries.parquet")
+    spark.read.parquet(s"$StageDir/s16_entries.parquet")
+  }
+
+  val tarScanDsv2Sql: String =
+    s"""SELECT ordinal, name, size, typeflag
+       |FROM read_parquet('$StageDir/s16_entries.parquet/*.parquet')""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_tar_scan" -> tarScan,
+    "s16_tgz_dsv2" -> tarScanDsv2,
     "s2_bucket_list" -> bucketList,
     "e1_split_counts" -> splitCounts,
     "w100_latest_per_cid" -> web100Latest,
@@ -155,6 +175,7 @@ object TarQueries {
     */
   def oracleSql: Map[String, String] = Map(
     "s4_tar_scan" -> tarScanSql,
+    "s16_tgz_dsv2" -> tarScanDsv2Sql,
     "w100_latest_per_cid" -> web100LatestSql,
     "e1_split_counts" -> splitCountsSql,
     "st1_stream_drain" -> streamDrainSql

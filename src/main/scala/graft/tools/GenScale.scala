@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *     word-Jaccard ≈ 0.33 — BELOW every near-dup threshold in the dedup
   *     queries. A naive byte-copy would turn each doc into an artificial
   *     10-clique and measure pair-explosion, not data growth;
-  *   - `embeddings` get deterministic per-copy jitter (±0.05/dim) for the
-  *     same reason: near-dup/ANN growth should come from corpus size, not
-  *     from planted exact-duplicate clusters.
+  *   - `embeddings` get a per-copy cyclic dimension ROTATION for the same
+  *     reason: a small additive jitter would leave copy-vs-base cosine
+  *     ≈ 0.97 — above every near-dup threshold — while a rotation keeps the
+  *     norm and value distribution exactly and decorrelates the direction,
+  *     so near-dup/ANN growth comes from corpus size, not planted cliques.
   * All perturbation is `hash()`-seeded from (id, copy, position) — fully
   * deterministic, no RNG.
   */
@@ -126,16 +128,17 @@ object GenScale {
         shifted("doc_id", dStride), col("text2").as("text"), col("lang"),
         col("source"), length(col("text2")).cast("long").as("n_chars")))
 
-    // embeddings: copy 0 verbatim; copies >0 jitter each dim by a
-    // hash-seeded offset in [-0.05, 0.05) so copies are distinct vectors
-    // (no planted equal-vector clusters) but the distribution is unchanged.
-    val jittered = when(col("copy") === 0, col("embedding")).otherwise(
-      zip_with(
-        col("embedding"),
-        sequence(lit(0), size(col("embedding")) - 1),
-        (x, i) => (x + (pmod(hash(col("vec_id"), col("copy"), i), lit(1000))
-          .cast("double") / 10000.0 - 0.05).cast("float")).cast("float")))
+    // embeddings: copy 0 verbatim; copies >0 rotate the dimensions by
+    // copy*7 (coprime-ish with dim=64, so every copy lands on a distinct
+    // rotation). cosine(v, rot(v)) ≈ 0 for high-dim data, so copies never
+    // pair with their base in d4/d9/n* — corpus size is the only thing
+    // that grows.
+    val dims = size(col("embedding"))
+    val rotated = when(col("copy") === 0, col("embedding")).otherwise(
+      transform(
+        sequence(lit(0), dims - 1),
+        i => element_at(col("embedding"), pmod(i + col("copy") * 7, dims) + 1)))
     write("embeddings", explodeCopies(embeddings).select(
-      shifted("vec_id", vStride), jittered.as("embedding"), col("label")))
+      shifted("vec_id", vStride), rotated.as("embedding"), col("label")))
   }
 }
