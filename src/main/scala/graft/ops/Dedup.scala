@@ -552,4 +552,54 @@ object Dedup {
         greatest(col("da"), col("db")).as("id_b"), col("hamming"))
     within.unionAll(cross)
   }
+
+  /** D12 — exact-substring dedup at span granularity (the C4/RefinedWeb
+    * "remove duplicated substrings, keep the first occurrence" pass, at
+    * fixed word-span resolution instead of suffix-array resolution):
+    * each document is segmented into consecutive `spanWords`-word spans
+    * (last span may be short), and a span occurrence survives iff it is
+    * the corpus-globally FIRST occurrence of that exact span — "first"
+    * meaning minimal `(doc_id, span_idx)`, a total order, so the result
+    * is deterministic under any execution order. Returns one row per doc:
+    * `(doc_id, n_spans, n_kept, clean_text)` where `clean_text` is the
+    * kept spans rejoined in document order (empty string when every span
+    * of the doc already appeared earlier in the corpus — i.e. the doc is
+    * a pure trailing duplicate).
+    *
+    * Shape: segmentation is a codegen `transform(sequence)`+`posexplode`
+    * (no UDF); first-occurrence marking is ONE shuffle keyed on the span
+    * text (a window `min(struct(doc_id, span_idx))` — no self-join);
+    * reassembly is ONE map-side-combining groupBy on doc_id. Nothing
+    * wider than (doc_id, span_idx, span) ever shuffles and no stage is
+    * all-pairs, so cost is linear in corpus token count. At 100 TB the
+    * span-keyed exchange would key on `xxhash64(span)` with the span
+    * carried only for in-partition verification; here the string itself
+    * is the key so the oracle comparison stays exact.
+    */
+  def spanDedup(corpus: DataFrame, spanWords: Int = 10): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    val docs = corpus
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // ceil(n/spanWords) spans; slice() clips the final short span
+    val spans = docs.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), floor((size(col("toks")) - 1) / spanWords).cast("int")),
+        i => array_join(slice(col("toks"), i * spanWords + 1, lit(spanWords)), " ")))
+        .as(Seq("span_idx", "span")))
+    val bySpan = org.apache.spark.sql.expressions.Window.partitionBy("span")
+    val marked = spans
+      .withColumn("first", min(struct(col("doc_id"), col("span_idx"))).over(bySpan))
+      .withColumn("kept",
+        struct(col("doc_id"), col("span_idx")) === col("first"))
+    marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")),
+        " ").as("clean_text"))
+  }
 }

@@ -373,6 +373,36 @@ object DedupQueries {
        |FROM trg WHERE gram IN (SELECT gram FROM evg)
        |GROUP BY 1""".stripMargin
 
+  /** D12 — span-level exact-substring dedup (keep-first) over the
+    * augmented corpus: the exact +2M copies make every span of a copied
+    * doc a trailing duplicate (clean_text collapses to ''), and the
+    * near-dup +1M copies (one word dropped) shift their span grid so only
+    * their UNSHIFTED prefix spans dedup away — both engines must agree on
+    * the grid, the keep-first tie-break, and the reassembled text.
+    */
+  def spanDedupQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.spanDedup(corpus(spark, sfDir), spanWords = 10)
+
+  val spanDedupSql: String =
+    s"""WITH $corpusSql,
+       |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |       FROM corpus WHERE len(string_split_regex(trim(text), '\\s+')) > 0),
+       |sp AS (SELECT doc_id,
+       |              list_transform(range(((len(toks) - 1) // 10) + 1),
+       |                             i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS sl
+       |       FROM tk),
+       |spans AS (SELECT doc_id, unnest(range(len(sl))) AS span_idx, unnest(sl) AS span
+       |          FROM sp),
+       |marked AS (SELECT doc_id, span_idx, span,
+       |                  row_number() OVER (PARTITION BY span
+       |                                     ORDER BY doc_id, span_idx) = 1 AS kept
+       |           FROM spans)
+       |SELECT doc_id, COUNT(*) AS n_spans,
+       |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       COALESCE(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY span_idx),
+       |                '') AS clean_text
+       |FROM marked GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> exactDedup,
     "d2_minhash_neardup" -> minhashNearDup,
@@ -383,6 +413,7 @@ object DedupQueries {
     "d8_decontaminate" -> decontaminate,
     "d10_incremental_neardup" -> incrementalNearDup,
     "d11_containment" -> containmentQ,
+    "d12_span_dedup" -> spanDedupQ,
     "st3_stream_dedup" -> streamDedup
   )
 
@@ -396,6 +427,7 @@ object DedupQueries {
     "d8_decontaminate" -> decontaminateSql,
     "d10_incremental_neardup" -> incrementalNearDupSql,
     "d11_containment" -> containmentSql,
+    "d12_span_dedup" -> spanDedupSql,
     "st3_stream_dedup" -> streamDedupSql
   )
 }

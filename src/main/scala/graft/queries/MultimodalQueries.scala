@@ -81,9 +81,15 @@ object MultimodalQueries {
     */
   def resized(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Decode/encode work is CPU-bound per payload, so its parallelism must
+    // not inherit the scan's granularity (a single small parquet file = one
+    // row group = one task doing ALL the pixel work). Spreading the 8-byte
+    // ids is a negligible shuffle; on a cluster this is exactly how a media
+    // pipeline fans out a manifest of large objects before fetching them.
     val pngs = Tables.documents(spark, sfDir)
       .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
       .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 20 + (id % 80).toInt
@@ -129,9 +135,12 @@ object MultimodalQueries {
     */
   def videoFrameStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Same manifest fan-out as m3: per-frame JPEG encode+decode dominates,
+    // so spread the ids across all cores before the heavy stage.
     val avis = Tables.documents(spark, sfDir)
       .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
       .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
           val n = 2 + (id % 6).toInt

@@ -365,8 +365,74 @@ object TextQueries {
       |       MIN(k) AS min_k, MAX(k) AS max_k, CAST(SUM(k) AS BIGINT) AS sum_k
       |FROM x GROUP BY 1""".stripMargin
 
+  /** T11 — BM25 relevance scoring (Okapi, k1=1.2 b=0.75) of every document
+    * against a fixed query-term set: the retrieval-scoring primitive of a
+    * training-data pipeline (quality-weighted sampling, seed-document
+    * expansion, topic filtering all rank by BM25-ish relevance).
+    *
+    * Shape: ONE corpus scan computes per-doc `(tf_i..., dl)` (term
+    * frequency via `size - size(array_remove(...))` — codegen collection
+    * ops, no HOF lambda and no explode); the corpus-level constants
+    * `(N, avgdl, df_i...)` reduce to a SINGLE row which broadcast-joins
+    * back — so the whole query is scan → tiny agg → broadcast → scalar
+    * arithmetic, no wide shuffle at any size. All aggregated inputs are
+    * integer-valued (exact in FP under any partition order); the only
+    * transcendental is `ln`, and the expression tree is written in the
+    * same association order as the oracle SQL so the doubles match
+    * bit-for-bit (rounded to 6 dp on output as the boundary guard).
+    */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Seq("table", "scan", "join", "vector", "stream")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+    val tf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i",
+        (size(col("toks")) - size(array_remove(col("toks"), t))).cast("double"))
+    }.withColumn("dl", size(col("toks")).cast("double")).drop("toks")
+    val aggExprs =
+      count(lit(1)).cast("double").as("n") +: avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val g = tf.agg(aggExprs.head, aggExprs.tail: _*)
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      (idf * (col(s"tf$i") * lit(2.2))) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(g))
+      .filter(score > 0)
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+  }
+
+  val bm25Sql: String = {
+    val terms = Seq("table", "scan", "join", "vector", "stream")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n      |       ")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+    val scoreTerms = terms.indices.map(i =>
+      s"(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2)) / " +
+        s"(tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))").mkString("\n      |       + ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id,
+      |       $tfCols,
+      |       CAST(len(toks) AS DOUBLE) AS dl
+      |  FROM tk),
+      |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM st)
+      |SELECT doc_id,
+      |       ROUND($scoreTerms, 6) AS bm25
+      |FROM st, g
+      |WHERE $scoreTerms > 0""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_json_props" -> jsonProps,
+    "t11_bm25" -> bm25,
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
@@ -380,6 +446,7 @@ object TextQueries {
 
   def oracleSql: Map[String, String] = Map(
     "t10_json_props" -> jsonPropsSql,
+    "t11_bm25" -> bm25Sql,
     "t1_token_stats" -> tokenStatsSql,
     "t2_quality_score" -> qualityScoreSql,
     "t3_langid" -> langIdSql,

@@ -45,13 +45,21 @@ object GenScale {
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
-    def write(t: String, df: DataFrame): Unit = {
+    def writeDim(t: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[genscale] $t -> $outDir/$t.parquet")
     }
+    // Fact tables fan out to one file per core: the driver's single-file
+    // sf ladder leaves each scaled table as ONE file with ONE row group,
+    // which caps every downstream scan at one task no matter the core
+    // count — the opposite of real large data, where a table is thousands
+    // of row groups and scan parallelism is free. Multi-file output makes
+    // the sweep measure data growth, not an artificial scan serialization.
+    def write(t: String, df: DataFrame): Unit =
+      writeDim(t, df.repartition(spark.sparkContext.defaultParallelism))
 
     // dims: copy through unchanged
-    Seq("region", "nation").foreach(t => write(t, read(t)))
+    Seq("region", "nation").foreach(t => writeDim(t, read(t)))
 
     /** One row per (source row × copy), `copy` in [0, factor). */
     def explodeCopies(df: DataFrame): DataFrame =

@@ -235,6 +235,32 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(s(1L) === s(2L))
   }
 
+  test("D12: span dedup keeps the first occurrence, reassembles in order") {
+    // doc 1: two spans (grid of 3 words); doc 2 repeats doc 1's first span
+    // at a DIFFERENT grid position plus fresh material; doc 3 is an exact
+    // copy of doc 1 (every span a trailing duplicate -> empty clean_text)
+    val res = Dedup.spanDedup(docs(
+      1L -> "a b c d e f",
+      2L -> "x y z a b c p q",
+      3L -> "a b c d e f"),
+      spanWords = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(res(1L) === ((2L, 2L, "a b c d e f")))
+    // doc 2: spans "x y z", "a b c" (dup of doc 1's first), "p q"
+    assert(res(2L) === ((3L, 2L, "x y z p q")))
+    assert(res(3L) === ((2L, 0L, "")))
+  }
+
+  test("D12: keep-first tie-break is (doc_id, span_idx) — within-doc repeats too") {
+    val res = Dedup.spanDedup(docs(
+      5L -> "w w w w w w w w w"), spanWords = 3).collect()
+    assert(res.length === 1)
+    val r = res.head
+    // three identical spans "w w w": only the span_idx=0 one survives
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((3L, 1L, "w w w")))
+  }
+
   // D4 embedding-near-dup specs live in SimilaritySpec.
 
   test("D10: incremental near-dup emits batch-vs-corpus pairs, never corpus-internal") {
