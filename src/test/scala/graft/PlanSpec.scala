@@ -157,4 +157,31 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("WindowGroupLimit"),
       s"t7 rank filter no longer pushes into a group limit:\n$p")
   }
+
+  test("span dedup is window + agg on keyed exchanges — no self-join (d12)") {
+    val p = plan("d12_span_dedup")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"d12 grew a join; first-occurrence marking must stay a window:\n$p")
+    // exactly two exchanges: hashpartitioning(span) for the window and
+    // hashpartitioning(doc_id) for the reassembly agg
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.sorted === List("doc_id", "span"),
+      s"d12 exchange set changed: $exchanges\n$p")
+  }
+
+  test("BM25 corpus stats ride a broadcast; the scan never wide-shuffles (t11)") {
+    val p = plan("t11_bm25")
+    // the single-row (N, avgdl, df_i) side must broadcast back over the
+    // corpus — any sort-merge/shuffled-hash join here would shuffle the
+    // whole corpus for a 1-row dimension
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"t11 stats join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), s"t11 shuffles the corpus to join stats:\n$p")
+    // no hashpartitioning exchange at all: per-doc work is scan-local and
+    // the global agg reduces through a SinglePartition exchange only
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"t11 grew a wide shuffle:\n$p")
+  }
 }
