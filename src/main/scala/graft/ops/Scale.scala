@@ -127,6 +127,47 @@ object Scale {
       .drop("__mid", "__pid", "__off")
   }
 
+  /** Contiguous weighted packing: assign every row a `shard` id so that
+    * walking rows in `idCol` order fills shards of ~`target` total
+    * `weightCol` each — the training-shard packing step of an LLM data
+    * pipeline ("write shards of N tokens each", also tar/webdataset
+    * chunking by byte size). A row's shard is
+    * `floor(exclusive-prefix-sum(weight) / target)` in id order:
+    * deterministic, content-defined, and every shard is a contiguous id
+    * range (the property that makes shard manifests resumable).
+    *
+    * Scale shape: the naive form — one window over the GLOBAL id order —
+    * plans a single-partition sort of the corpus, the canonical window
+    * scale-killer. Instead the prefix sum is two-level: rows bucket by
+    * `idCol div bucketWidth`; per-bucket totals (a map-side-combining agg
+    * of #buckets rows) take ONE tiny single-partition window to become
+    * exclusive bucket offsets, which broadcast-join back; in-bucket
+    * prefix sums run in a window PARTITIONED by bucket. Nothing
+    * corpus-sized ever sorts globally — the single-partition step is
+    * O(#buckets) rows (size `bucketWidth` so #buckets stays ~1e6 at
+    * target scale, still one executor's work).
+    */
+  def packByWeight(df: DataFrame, idCol: String, weightCol: String,
+                   target: Long, bucketWidth: Long = 1000): DataFrame = {
+    require(target > 0, "target must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("__bucket", expr(s"$idCol div $bucketWidth"))
+    val offsets = bucketed
+      .groupBy("__bucket").agg(sum(col(weightCol)).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum(col("__btot")).over(
+          w.orderBy("__bucket").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .drop("__btot")
+    bucketed.join(broadcast(offsets), "__bucket")
+      .withColumn("__pre",
+        col("__boff") + coalesce(sum(col(weightCol)).over(
+          w.partitionBy("__bucket").orderBy(idCol)
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("shard", expr(s"__pre div ${target}L"))
+      .drop("__bucket", "__boff", "__pre")
+  }
+
   /** Hive-style partitioned layout: one directory per distinct
     * `partitionCol` value. The complement of [[writeBucketed]] — bucketing
     * co-locates JOIN keys, directory partitioning makes selective FILTERS

@@ -430,9 +430,44 @@ object TextQueries {
       |WHERE $scoreTerms > 0""".stripMargin
   }
 
+  /** T12 — training-shard packing: walk documents in doc_id order and cut
+    * shards of ~2000 tokens (the "write shards of N tokens" step before
+    * training). One summary row per shard; the oracle recomputes the
+    * exclusive prefix sum with a plain window, so a pass proves the
+    * two-level distributed prefix sum ([[graft.ops.Scale.packByWeight]])
+    * equals the sequential definition exactly — boundaries, ids, totals.
+    */
+  def tokenShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+    graft.ops.Scale.packByWeight(toks, "doc_id", "n_tokens",
+      target = 2000L, bucketWidth = 100L)
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val tokenShardsSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, n,
+      |             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |                  AS BIGINT) AS pre
+      |      FROM tk)
+      |SELECT pre // 2000 AS shard, COUNT(*) AS n_docs,
+      |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_json_props" -> jsonProps,
     "t11_bm25" -> bm25,
+    "t12_token_shards" -> tokenShards,
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
@@ -447,6 +482,7 @@ object TextQueries {
   def oracleSql: Map[String, String] = Map(
     "t10_json_props" -> jsonPropsSql,
     "t11_bm25" -> bm25Sql,
+    "t12_token_shards" -> tokenShardsSql,
     "t1_token_stats" -> tokenStatsSql,
     "t2_quality_score" -> qualityScoreSql,
     "t3_langid" -> langIdSql,

@@ -154,4 +154,29 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     spark.sql("DROP TABLE IF EXISTS bkt_left")
     spark.sql("DROP TABLE IF EXISTS bkt_right")
   }
+
+  test("packByWeight equals the sequential prefix-sum definition") {
+    import spark.implicits._
+    // sparse, shuffled ids with varied weights, many buckets (width 10)
+    val rows = scala.util.Random.shuffle(
+      (0 until 500).map(i => (i * 7L % 4099L, (i % 13 + 1).toLong)).toList)
+      .toDF("id", "w")
+    val got = Scale.packByWeight(rows, "id", "w", target = 50L, bucketWidth = 10L)
+      .select("id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sequential reference: walk ids in order, shard = floor(prefix/target)
+    var acc = 0L
+    val expect = rows.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).map { case (id, w) =>
+        val s = acc / 50L; acc += w; id -> s
+      }.toMap
+    assert(got === expect)
+    // shards are contiguous id ranges: max id of shard s < min id of s+1
+    val byShard = expect.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (s, m) => (s, m.keys.min, m.keys.max) }
+    byShard.sliding(2).foreach {
+      case Seq((_, _, hiA), (_, loB, _)) => assert(hiA < loB)
+      case _ =>
+    }
+  }
 }
