@@ -261,6 +261,27 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((3L, 1L, "w w w")))
   }
 
+  test("D12: randomized corpus — kept spans are exactly the distinct spans") {
+    // small vocabulary forces heavy span collisions across docs
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = (1L to 80L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val res = Dedup.spanDedup(docs(corpus: _*), spanWords = 2).collect()
+    // every span survives exactly once corpus-wide: total kept == distinct
+    val allSpans = corpus.flatMap { case (_, text) =>
+      text.split(" ").grouped(2).map(_.mkString(" "))
+    }
+    assert(res.map(_.getLong(2)).sum === allSpans.distinct.size)
+    // per-doc span count is the grid size ceil(tokens / 2)
+    val bySpans = res.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    corpus.foreach { case (id, text) =>
+      val n = text.split(" ").length
+      assert(bySpans(id) === (n + 1) / 2, s"doc $id grid size")
+    }
+  }
+
   // D4 embedding-near-dup specs live in SimilaritySpec.
 
   test("D10: incremental near-dup emits batch-vs-corpus pairs, never corpus-internal") {

@@ -170,6 +170,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d12 exchange set changed: $exchanges\n$p")
   }
 
+  test("shard packing never globally sorts the corpus (t12)") {
+    val p = plan("t12_token_shards")
+    // the bucket-offset side broadcasts back; a sort-merge join here would
+    // shuffle the corpus against a #buckets-row table
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"t12 offset join is not broadcast:\n$p")
+    // exactly ONE single-partition exchange — the O(#buckets) offset
+    // window — while corpus-sized windows stay partitioned by bucket
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles === 1, s"t12 has $singles single-partition exchanges:\n$p")
+  }
+
   test("BM25 corpus stats ride a broadcast; the scan never wide-shuffles (t11)") {
     val p = plan("t11_bm25")
     // the single-row (N, avgdl, df_i) side must broadcast back over the
