@@ -255,7 +255,59 @@ object AnnQueries {
        |  FROM ivf JOIN exact ON ivf.p_id = exact.p_id AND ivf.vec_id = exact.vec_id
        |  GROUP BY 1) h ON h.p_id = probes.p_id""".stripMargin
 
+  /** H1 — hybrid retrieval, the two-stage search every RAG/seed-expansion
+    * pipeline runs: a cheap LEXICAL stage (BM25 vs the fixed term set,
+    * rounded to 6 dp, ties broken by doc_id) cuts the corpus to the top
+    * 50 candidates, then a SEMANTIC stage reranks those 50 by embedding
+    * cosine against a probe document's vector (doc 0, which the output
+    * excludes) and keeps the top 10. Output is `(doc_id, rank)` — integer
+    * ranks only, the established ANN-oracle practice.
+    *
+    * Scale shape: stage 1's global top-M is `orderBy.limit`, which plans
+    * `TakeOrderedAndProject` — per-partition bounded heaps, never a global
+    * sort materialization. Stage 2 touches only M rows joined against the
+    * embedding table (broadcast of the 50-row candidate set) with the
+    * single probe vector broadcast alongside — so the expensive corpus
+    * pass happens exactly once, in the cheap stage, and the vector math
+    * runs on a constant-size candidate set. That ordering is the entire
+    * point of hybrid retrieval at 100 TB.
+    */
+  def hybridRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    val (scored, score) = TextQueries.bm25Pipeline(spark, sfDir)
+    val lex = scored.select(col("doc_id"), round(score, 6).as("s"))
+      .orderBy(col("s").desc, col("doc_id").asc).limit(50)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val probe = emb.filter(col("doc_id") === 0)
+      .select(col("embedding").as("pe"))
+    val top = emb.join(broadcast(lex), "doc_id")
+      .crossJoin(broadcast(probe))
+      .filter(col("doc_id") =!= 0)
+      .withColumn("cos", Similarity.cosine(col("embedding"), col("pe")))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(10)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rank"))
+  }
+
+  val hybridRetrievalSql: String =
+    s"""WITH ${TextQueries.bm25CtesSql},
+       |lex AS (SELECT doc_id, ROUND(${TextQueries.bm25ScoreSql}, 6) AS s
+       |        FROM st, g ORDER BY s DESC, doc_id ASC LIMIT 50),
+       |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e
+       |      FROM embeddings),
+       |p AS (SELECT e AS pe FROM e WHERE doc_id = 0),
+       |cand AS (
+       |  SELECT lex.doc_id, list_cosine_similarity(e.e, p.pe) AS cos
+       |  FROM lex JOIN e USING (doc_id) CROSS JOIN p
+       |  WHERE lex.doc_id <> 0)
+       |SELECT doc_id,
+       |       CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank
+       |FROM cand ORDER BY cos DESC, doc_id ASC LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h1_hybrid_retrieval" -> hybridRetrieval,
     "d4_embed_neardup" -> embedNearDup,
     "d9_semdedup" -> semDedup,
     "n1_ann_topk" -> annTopK,
@@ -265,6 +317,7 @@ object AnnQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "d4_embed_neardup" -> embedNearDupSql,
     "d9_semdedup" -> semDedupSql,
     "n1_ann_topk" -> annTopKSql,

@@ -381,8 +381,16 @@ object TextQueries {
     * same association order as the oracle SQL so the doubles match
     * bit-for-bit (rounded to 6 dp on output as the boundary guard).
     */
-  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
-    val terms = Seq("table", "scan", "join", "vector", "stream")
+  /** The fixed query-term set t11/h1 score against. */
+  private[queries] val Bm25Terms = Seq("table", "scan", "join", "vector", "stream")
+
+  /** Per-doc BM25 pipeline: `(doc_id, all per-doc/global columns)` plus the
+    * UNROUNDED score expression — shared by t11 (threshold + round) and the
+    * hybrid-retrieval first stage (rank + cut).
+    */
+  private[queries] def bm25Pipeline(spark: SparkSession, sfDir: String)
+      : (DataFrame, Column) = {
+    val terms = Bm25Terms
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
     val tf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
@@ -400,22 +408,24 @@ object TextQueries {
       (idf * (col(s"tf$i") * lit(2.2))) /
         (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
-    tf.crossJoin(broadcast(g))
+    (tf.crossJoin(broadcast(g)), score)
+  }
+
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val (scored, score) = bm25Pipeline(spark, sfDir)
+    scored
       .filter(score > 0)
       .select(col("doc_id"), round(score, 6).as("bm25"))
   }
 
-  val bm25Sql: String = {
-    val terms = Seq("table", "scan", "join", "vector", "stream")
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+  /** The tk/st/g CTE chain of the BM25 oracle (shared with h1). */
+  private[queries] val bm25CtesSql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
     }.mkString(",\n      |       ")
-    val dfCols = terms.indices.map(i =>
+    val dfCols = Bm25Terms.indices.map(i =>
       s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
-    val scoreTerms = terms.indices.map(i =>
-      s"(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2)) / " +
-        s"(tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))").mkString("\n      |       + ")
-    s"""WITH tk AS (
+    s"""tk AS (
       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
       |  FROM documents),
       |st AS (
@@ -423,12 +433,22 @@ object TextQueries {
       |       $tfCols,
       |       CAST(len(toks) AS DOUBLE) AS dl
       |  FROM tk),
-      |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM st)
-      |SELECT doc_id,
-      |       ROUND($scoreTerms, 6) AS bm25
-      |FROM st, g
-      |WHERE $scoreTerms > 0""".stripMargin
+      |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM st)""".stripMargin
   }
+
+  /** The BM25 score expression over `st, g` columns (shared with h1). */
+  private[queries] val bm25ScoreSql: String =
+    Bm25Terms.indices.map(i =>
+      s"(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2)) / " +
+        s"(tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))").mkString("\n      |       + ")
+      .stripMargin
+
+  val bm25Sql: String =
+    s"""WITH $bm25CtesSql
+      |SELECT doc_id,
+      |       ROUND($bm25ScoreSql, 6) AS bm25
+      |FROM st, g
+      |WHERE $bm25ScoreSql > 0""".stripMargin
 
   /** T12 — training-shard packing: walk documents in doc_id order and cut
     * shards of ~2000 tokens (the "write shards of N tokens" step before

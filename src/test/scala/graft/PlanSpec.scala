@@ -182,6 +182,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(singles === 1, s"t12 has $singles single-partition exchanges:\n$p")
   }
 
+  test("hybrid retrieval cuts with bounded heaps, reranks a broadcast set (h1)") {
+    val p = plan("h1_hybrid_retrieval")
+    // the global top-M cuts must be TakeOrderedAndProject (per-partition
+    // bounded heaps), never a full Sort + materialization
+    assert(p.contains("TakeOrderedAndProject"),
+      s"h1 top-M is not a bounded-heap take:\n$p")
+    // the 50-row candidate set and the 1-row probe broadcast back over the
+    // embedding table — no shuffled join anywhere in the rerank
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"),
+      s"h1 rerank joins are not broadcast:\n$p")
+  }
+
   test("BM25 corpus stats ride a broadcast; the scan never wide-shuffles (t11)") {
     val p = plan("t11_bm25")
     // the single-row (N, avgdl, df_i) side must broadcast back over the
