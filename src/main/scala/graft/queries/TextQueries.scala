@@ -484,10 +484,178 @@ object TextQueries {
       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1""".stripMargin
 
+  /** T13 — statistical-LM quality filter (the CCNet/ RefinedWeb "perplexity
+    * gate"): train a char-bigram language model on the corpus itself
+    * (add-one smoothing over the observed alphabet), score every document
+    * by its per-character negative log-likelihood under that model, and
+    * flag the keep set below a fixed nll threshold. Gibberish and
+    * out-of-distribution documents score high; text that looks like the
+    * corpus scores low — the cheap proxy for "would a real LM find this
+    * plausible" that web-corpus pipelines run before the expensive model.
+    *
+    * Scale shape: the training pass is a wordcount — bigram explosion with
+    * map-side combine into a model bounded by |alphabet|² rows, which then
+    * BROADCASTS back over the scoring pass (plus a 1-row broadcast for the
+    * alphabet size); no shuffle ever carries the corpus except the final
+    * per-doc grouping, hash-partitioned on doc_id. Float determinism: the
+    * per-doc sum is a strict left fold (`aggregate`) over the
+    * position-sorted log-prob array — `(0.0+l1)+l2+…` associates
+    * identically to DuckDB's `list_reduce` `((l1+l2)+l3)+…` because adding
+    * the 0.0 init is exact — with a 6-dp round as the boundary guard
+    * (the t11 practice).
+    */
+  def lmFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    // (doc_id, p, bg): every overlapping char bigram with its position
+    val bgr = d.select(col("doc_id"),
+      posexplode(transform(sequence(lit(1), length(col("t")) - 1),
+        i => col("t").substr(i, lit(2)))).as(Seq("p", "bg")))
+    // the model: bigram counts, first-char totals, alphabet size — all
+    // integer-valued doubles, so their partial-aggregated sums are exact
+    // and order-independent
+    val cnt = bgr.groupBy("bg").agg(count(lit(1)).cast("double").as("cbg"))
+    val pre = cnt.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum(col("cbg")).as("cpre"))
+    val v = cnt.select(explode(array(
+        substring(col("bg"), 1, 1), substring(col("bg"), 2, 1))).as("c"))
+      .agg(countDistinct(col("c")).cast("double").as("vn"))
+    val sc = bgr
+      .join(broadcast(cnt), "bg")
+      .join(broadcast(pre), substring(col("bg"), 1, 1) === col("c1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("p"),
+        log((col("cbg") + 1.0) / (col("cpre") + col("vn"))).as("logp"))
+    val arr = sc.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("p"), col("logp")))).as("l"))
+    arr.select(col("doc_id"),
+        round(-aggregate(col("l"), lit(0.0),
+          (acc, s) => acc + s.getField("logp")) / size(col("l")), 6).as("nll"))
+      .withColumn("keep", (col("nll") < 1.70).cast("long"))
+  }
+
+  val lmFilterSql: String =
+    """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+      |           WHERE length(text) >= 2),
+      |bgl AS (SELECT doc_id,
+      |               [substr(t, CAST(i AS INT), 2)
+      |                FOR i IN range(1, CAST(length(t) AS BIGINT))] AS bgs
+      |        FROM d),
+      |bgi AS (SELECT doc_id, bgs, unnest(range(1, len(bgs) + 1)) AS i FROM bgl),
+      |bgr AS (SELECT doc_id, i, bgs[CAST(i AS INT)] AS bg FROM bgi),
+      |cnt AS (SELECT bg, CAST(COUNT(*) AS DOUBLE) AS cbg FROM bgr GROUP BY bg),
+      |pre AS (SELECT substr(bg,1,1) AS c1, SUM(cbg) AS cpre FROM cnt GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT c) AS DOUBLE) AS vn FROM (
+      |        SELECT substr(bg,1,1) AS c FROM cnt
+      |        UNION SELECT substr(bg,2,1) FROM cnt)),
+      |sc AS (SELECT b.doc_id, b.i, ln((cbg + 1.0) / (cpre + vn)) AS logp
+      |       FROM bgr b JOIN cnt USING (bg)
+      |       JOIN pre ON substr(b.bg,1,1) = pre.c1 CROSS JOIN v),
+      |arr AS (SELECT doc_id, list(logp ORDER BY i) AS l FROM sc GROUP BY doc_id)
+      |SELECT doc_id,
+      |       ROUND(-list_reduce(l, (acc,x) -> acc + x) / len(l), 6) AS nll,
+      |       CAST(ROUND(-list_reduce(l, (acc,x) -> acc + x) / len(l), 6)
+      |            < CAST(1.70 AS DOUBLE) AS BIGINT) AS keep
+      |FROM arr""".stripMargin
+
+  /** T14 — deterministic corpus shuffle: the "shuffle the data once,
+    * globally, before cutting training shards" step. Every doc gets a
+    * reproducible pseudo-random position (rank of `md5(doc_id)` — the
+    * engine-portable hash family t6/t9 established, no `rand()`) and a
+    * 100-doc shard id on the shuffled order, so shard contents are a
+    * deterministic function of the corpus alone — re-running the pipeline
+    * reproduces byte-identical shards (resumable manifests, debuggable
+    * training order).
+    *
+    * Scale shape: `orderBy(md5)` plans a RANGE-partitioned sort — each
+    * partition sorts locally after a sampled range exchange, never a
+    * single-partition funnel — and positions come from
+    * [[graft.ops.Scale.stableIds]] (per-partition offsets prefix-summed on
+    * the driver, O(#partitions)), NOT a global `row_number()` window,
+    * which would re-funnel the sorted corpus through one task. The plan
+    * has no Window operator at all — pinned in PlanSpec.
+    */
+  def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+    graft.ops.Scale.stableIds(keyed, "pos")
+      .select(col("doc_id"), col("pos"), expr("pos DIV 100").as("shard"))
+  }
+
+  val corpusShuffleSql: String =
+    """SELECT doc_id,
+      |       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |            - 1 AS BIGINT) AS pos,
+      |       CAST((row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |            - 1) // 100 AS BIGINT) AS shard
+      |FROM documents""".stripMargin
+
+  /** T15 — temperature-based source mixing (the "data mixture" step: flatten
+    * a skewed source distribution toward uniform before training). With
+    * temperature α = 0.5, source `s` keeps each doc with probability
+    * `sqrt(n_min / n_s)` — the smallest source keeps everything, a source
+    * 100× larger keeps 10% — so the post-mix shares follow `n_s^α`, the
+    * standard multiplicity-tempered mixture. The keep decision is the t6
+    * deterministic-hash trick (`md5(doc_id)` bucket vs a per-source
+    * cutoff), so the mix is reproducible with no `rand()`.
+    *
+    * The synthetic corpus's `source` column is uniform by construction, so
+    * the mix runs over a derived skewed domain — `floor(sqrt(doc_id % 100))`
+    * gives 10 domains with sizes 1:3:5:…:19 per 100 docs, a Zipf-ish
+    * spread — making the tempering non-vacuous while staying an exact
+    * integer/perfect-square computation in both engines.
+    *
+    * Float determinism: the cutoff is `floor(10000·sqrt(n_min/n_s))` —
+    * one IEEE-exact division, one correctly-rounded sqrt, one floor, all
+    * bit-identical across engines; every output column is an exact count.
+    *
+    * Scale shape: the rate table is one tiny per-source agg (map-side
+    * combined) broadcast back over the corpus; the keep filter is a scan
+    * predicate. One wide shuffle total (the final per-source count).
+    */
+  def sourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        floor(sqrt((col("doc_id") % 100).cast("double"))).as("domain"))
+    val counts = docs.groupBy("domain").agg(count(lit(1)).as("n_before"))
+    val minn = counts.agg(min(col("n_before")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minn))
+      .withColumn("cut", floor(lit(10000.0) *
+        sqrt(col("n_min").cast("double") / col("n_before").cast("double"))))
+    val bucket =
+      graft.functions.HashFunctions.md5_prefix(col("doc_id").cast("string"), 4) % 10000
+    docs.join(broadcast(rates), "domain")
+      .filter(bucket < col("cut"))
+      .groupBy(col("domain"), col("n_before"), col("cut").cast("long").as("cut"))
+      .agg(count(lit(1)).as("n_after"))
+      .select(col("domain"), col("n_before"), col("n_after"), col("cut"))
+  }
+
+  val sourceMixSql: String =
+    """WITH d AS (SELECT doc_id,
+      |                  CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE))) AS BIGINT) AS domain
+      |           FROM documents),
+      |c AS (SELECT domain, COUNT(*) AS n_before FROM d GROUP BY domain),
+      |m AS (SELECT MIN(n_before) AS n_min FROM c),
+      |r AS (SELECT domain, n_before,
+      |             CAST(floor(10000.0 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_before AS DOUBLE)))
+      |                  AS BIGINT) AS cut
+      |      FROM c, m)
+      |SELECT r.domain, r.n_before, COUNT(*) AS n_after, r.cut
+      |FROM d JOIN r USING (domain)
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 10000 < r.cut
+      |GROUP BY r.domain, r.n_before, r.cut""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_json_props" -> jsonProps,
     "t11_bm25" -> bm25,
     "t12_token_shards" -> tokenShards,
+    "t13_lm_filter" -> lmFilter,
+    "t14_corpus_shuffle" -> corpusShuffle,
+    "t15_source_mix" -> sourceMix,
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
@@ -503,6 +671,9 @@ object TextQueries {
     "t10_json_props" -> jsonPropsSql,
     "t11_bm25" -> bm25Sql,
     "t12_token_shards" -> tokenShardsSql,
+    "t13_lm_filter" -> lmFilterSql,
+    "t14_corpus_shuffle" -> corpusShuffleSql,
+    "t15_source_mix" -> sourceMixSql,
     "t1_token_stats" -> tokenStatsSql,
     "t2_quality_score" -> qualityScoreSql,
     "t3_langid" -> langIdSql,

@@ -195,6 +195,38 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"h1 rerank joins are not broadcast:\n$p")
   }
 
+  test("LM filter broadcasts the bigram model back over the corpus (t13)") {
+    val p = plan("t13_lm_filter")
+    // the |alphabet|^2-row model and the 1-row alphabet size broadcast
+    // over the scoring pass; the corpus is never the build side of a
+    // shuffled join
+    assert(p.contains("BroadcastHashJoin"),
+      s"t13 model join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"t13 plans a shuffled or cartesian join:\n$p")
+  }
+
+  test("corpus shuffle range-sorts and never plans a global window (t14)") {
+    val p = plan("t14_corpus_shuffle")
+    // positions come from the prefix-summed offset join, not row_number():
+    // a Window over the global order would funnel the corpus through one task
+    assert(!p.contains("Window"), s"t14 plans a window:\n$p")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"t14 sort is not range-partitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"t14 offset join is not broadcast:\n$p")
+  }
+
+  test("source mix broadcasts the rate table over the corpus (t15)") {
+    val p = plan("t15_source_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t15 rate join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"t15 plans a shuffled or cartesian join:\n$p")
+  }
+
   test("BM25 corpus stats ride a broadcast; the scan never wide-shuffles (t11)") {
     val p = plan("t11_bm25")
     // the single-row (N, avgdl, df_i) side must broadcast back over the
