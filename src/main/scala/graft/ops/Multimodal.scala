@@ -158,7 +158,10 @@ object Multimodal {
         MediaFeatures(r.media_id, r.kind, r.content.length.toLong, w, h,
           n_frames = 1, lead_byte = r.content(0) & 0xff)
       case None =>
-        (if (r.kind == "audio") decodeWav(r.content) else None) match {
+        (if (r.kind == "audio")
+          decodeWav(r.content).orElse(AdpcmCodec.parse(r.content)
+            .map(a => (a.sampleRate, a.channels, a.samples.length.toLong)))
+        else None) match {
           case Some((rate, channels, frames)) =>
             // audio semantics for the shared feature shape: width carries
             // the sample rate, height the channel count, n_frames the PCM
@@ -340,6 +343,229 @@ object Multimodal {
       val end = math.min(bytes.length, 8L + riffSize).toInt
       if (scan(12, end) && sawAvih) Some(AviVideo(width, height, usec, frames.result()))
       else None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // IMA ADPCM: the one COMPRESSED audio codec a pure-JVM build can
+  // decode for real — 4-bit adaptive differential PCM (WAVE format tag
+  // 0x11), the classic 4:1 speech/audio compression. The JDK's
+  // AudioSystem reads only PCM/μ-law/a-law WAVs, so this closes the
+  // "compressed audio stays on the stub path" gap with ~100 lines of
+  // table-driven integer arithmetic. MP3/AAC (perceptual codecs needing
+  // a DSP stack) remain on FakeCodec.
+  // ------------------------------------------------------------------
+
+  /** Minimal mono IMA-ADPCM WAV codec. `build` encodes PCM samples so
+    * tests and queries can plant real compressed audio deterministically;
+    * `parse` is the decode path. The quantizer step/index tables and the
+    * nibble expansion are the published IMA algorithm — both directions
+    * are pure integer ops, bit-reproducible on any JVM.
+    */
+  object AdpcmCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** A decoded ADPCM WAV: format fields + the reconstructed PCM. */
+    final case class AdpcmAudio(
+        sampleRate: Int,
+        channels: Int,
+        samples: Array[Short])
+
+    private val StepTable = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+      19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+      50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+      130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+      337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+      876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+      5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+      15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    private val IndexTable = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    private val BlockAlign = 256                         // bytes per block
+    private val SamplesPerBlock = (BlockAlign - 4) * 2 + 1 // 505 (mono)
+
+    private final class State(var predictor: Int, var index: Int)
+
+    private def clampIndex(i: Int): Int = math.max(0, math.min(88, i))
+    private def clampPcm(v: Int): Int = math.max(-32768, math.min(32767, v))
+
+    /** Quantize one sample against the running state; returns the nibble
+      * and advances the state exactly as the decoder will.
+      */
+    private def encodeNibble(sample: Int, st: State): Int = {
+      var step = StepTable(st.index)
+      var diff = sample - st.predictor
+      var nibble = 0
+      if (diff < 0) { nibble = 8; diff = -diff }
+      var vpdiff = step >> 3
+      if (diff >= step) { nibble |= 4; diff -= step; vpdiff += step }
+      step >>= 1
+      if (diff >= step) { nibble |= 2; diff -= step; vpdiff += step }
+      step >>= 1
+      if (diff >= step) { nibble |= 1; vpdiff += step }
+      st.predictor = clampPcm(
+        if ((nibble & 8) != 0) st.predictor - vpdiff else st.predictor + vpdiff)
+      st.index = clampIndex(st.index + IndexTable(nibble & 7))
+      nibble
+    }
+
+    /** Expand one nibble against the running state (the inverse walk). */
+    private def decodeNibble(nibble: Int, st: State): Int = {
+      val step = StepTable(st.index)
+      var vpdiff = step >> 3
+      if ((nibble & 4) != 0) vpdiff += step
+      if ((nibble & 2) != 0) vpdiff += step >> 1
+      if ((nibble & 1) != 0) vpdiff += step >> 2
+      st.predictor = clampPcm(
+        if ((nibble & 8) != 0) st.predictor - vpdiff else st.predictor + vpdiff)
+      st.index = clampIndex(st.index + IndexTable(nibble & 7))
+      st.predictor
+    }
+
+    /** Encode mono PCM into an IMA-ADPCM WAV (fmt 0x11 + fact + data).
+      * Each 256-byte block restarts the predictor from a verbatim first
+      * sample — the property that makes blocks independently decodable
+      * (and the container seekable) at any corpus size.
+      */
+    def build(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val nBlocks = math.max(1, (samples.length + SamplesPerBlock - 1) / SamplesPerBlock)
+      val data = ByteBuffer.allocate(nBlocks * BlockAlign).order(ByteOrder.LITTLE_ENDIAN)
+      // Seed the step index from the first sample delta instead of 0
+      // (step=7): starting at the smallest step ≥ the opening slope kills
+      // the adaptation transient — the standard encoder warm-start. The
+      // index is carried in every block header, so any seed decodes
+      // correctly; this one just tracks from sample 1.
+      val firstDiff =
+        if (samples.length >= 2) math.abs(samples(1) - samples(0)) else 0
+      val seedIndex = {
+        val i = StepTable.indexWhere(_ >= firstDiff)
+        if (i < 0) 88 else i
+      }
+      val st = new State(0, seedIndex)
+      var b = 0
+      while (b < nBlocks) {
+        val base = b * SamplesPerBlock
+        val first = if (base < samples.length) samples(base).toInt else 0
+        st.predictor = first
+        data.putShort(first.toShort).put(st.index.toByte).put(0.toByte)
+        var i = 0
+        while (i < SamplesPerBlock - 1) {
+          val lo = encodeNibble(sampleAt(samples, base + 1 + i), st)
+          val hi = encodeNibble(sampleAt(samples, base + 2 + i), st)
+          data.put(((hi << 4) | lo).toByte)
+          i += 2
+        }
+        b += 1
+      }
+      val fmt = {
+        val bb = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putShort(0x11).putShort(1).putInt(sampleRate)
+        bb.putInt(sampleRate * BlockAlign / SamplesPerBlock) // avg byte rate
+        bb.putShort(BlockAlign.toShort).putShort(4)          // block align, bits
+        bb.putShort(2).putShort(SamplesPerBlock.toShort)     // cbSize, samples/block
+        bb.array
+      }
+      val fact = {
+        val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(samples.length)
+        bb.array
+      }
+      def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+        val bb = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(cc.getBytes("US-ASCII")).putInt(body.length).put(body)
+        bb.array
+      }
+      val body = "WAVE".getBytes("US-ASCII") ++
+        chunk("fmt ", fmt) ++ chunk("fact", fact) ++ chunk("data", data.array)
+      val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+      out.array
+    }
+
+    private def sampleAt(samples: Array[Short], i: Int): Int =
+      if (i < samples.length) samples(i).toInt
+      else if (samples.isEmpty) 0
+      else samples(samples.length - 1).toInt // pad tail with the last sample
+
+    /** Decode an IMA-ADPCM WAV. None for anything that is not a RIFF/WAVE
+      * with fmt tag 0x11 (PCM WAVs keep going through `AudioSystem`), or
+      * malformed framing — drop, never throw, inside mapPartitions.
+      */
+    def parse(bytes: Array[Byte]): Option[AdpcmAudio] = {
+      if (bytes.length < 12 ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+        bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+        return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      var off = 12
+      var tag, channels, rate, blockAlign, spb = 0
+      var factSamples = -1
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= bytes.length) {
+        val cc = new String(bytes, off, 4, "US-ASCII")
+        val size = bb.getInt(off + 4)
+        if (size < 0 || off + 8 + size > bytes.length) return None
+        cc match {
+          case "fmt " if size >= 16 =>
+            tag = bb.getShort(off + 8) & 0xffff
+            channels = bb.getShort(off + 10) & 0xffff
+            rate = bb.getInt(off + 12)
+            blockAlign = bb.getShort(off + 20) & 0xffff
+            spb = if (size >= 20) bb.getShort(off + 26) & 0xffff else 0
+          case "fact" if size >= 4 => factSamples = bb.getInt(off + 8)
+          case "data" => dataOff = off + 8; dataLen = size
+          case _ => ()
+        }
+        off += 8 + size + (size & 1)
+      }
+      if (tag != 0x11 || channels != 1 || dataOff < 0 ||
+        blockAlign < 5 || spb != (blockAlign - 4) * 2 + 1) return None
+      val out = Array.newBuilder[Short]
+      var n = 0
+      val total = if (factSamples >= 0) factSamples else Int.MaxValue
+      var boff = dataOff
+      val st = new State(0, 0)
+      while (boff + blockAlign <= dataOff + dataLen && n < total) {
+        st.predictor = bb.getShort(boff).toInt
+        st.index = clampIndex(bytes(boff + 2) & 0xff)
+        if (n < total) { out += st.predictor.toShort; n += 1 }
+        var i = 0
+        while (i < blockAlign - 4 && n < total) {
+          val byte = bytes(boff + 4 + i) & 0xff
+          if (n < total) { out += decodeNibble(byte & 0xf, st).toShort; n += 1 }
+          if (n < total) { out += decodeNibble(byte >> 4, st).toShort; n += 1 }
+          i += 1
+        }
+        boff += blockAlign
+      }
+      if (factSamples >= 0 && n < factSamples) None
+      else Some(AdpcmAudio(rate, channels, out.result()))
+    }
+  }
+
+  /** One decoded ADPCM payload: format fields plus the reconstructed PCM —
+    * values only a REAL nibble expansion can produce.
+    */
+  final case class AdpcmDecoded(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Int,
+      samples: Array[Int])
+
+  /** ADPCM decode stage: parse + expand each compressed-audio payload
+    * inside `mapPartitions` (one payload's PCM in memory at a time, like
+    * [[videoFrames]]); non-ADPCM or malformed payloads drop silently.
+    */
+  def decodeAdpcmAudio(media: Dataset[MediaRow]): Dataset[AdpcmDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        AdpcmCodec.parse(r.content).map(a =>
+          AdpcmDecoded(r.media_id, a.sampleRate, a.samples.length, a.samples.map(_.toInt)))
+      }
     }
   }
 

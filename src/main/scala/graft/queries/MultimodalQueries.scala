@@ -182,17 +182,84 @@ object MultimodalQueries {
       |       frame_w, frame_h, TRUE AS luma_ok
       |FROM v""".stripMargin
 
+  /** Deterministic triangle PCM for one media id — the planted waveform of
+    * m5 and the reference its fidelity check re-synthesizes (in SQL
+    * arithmetic) to bound the codec's reconstruction error.
+    */
+  private def triWave(id: Long): Array[Short] = {
+    val n = 2000 + (id % 7).toInt * 500
+    val period = 64 + (id % 5).toInt * 16
+    val amp = 4096 + (id % 8).toInt * 1024
+    val half = period / 2
+    Array.tabulate(n) { i =>
+      val pos = i % period
+      val v = if (pos < half) -amp + (2 * amp * pos) / half
+              else amp - (2 * amp * (pos - half)) / half
+      v.toShort
+    }
+  }
+
+  /** M5 — REAL compressed-audio decode end-to-end: deterministic triangle
+    * waveforms are IMA-ADPCM encoded (4:1, WAVE fmt 0x11 — a format the
+    * stock JDK `AudioSystem` cannot read), then go through the full
+    * container parse + nibble expansion of
+    * [[graft.ops.Multimodal.decodeAdpcmAudio]]. The output carries the
+    * exact format fields plus `err_ok`: the decoded PCM compared
+    * element-wise (`zip_with`) against the same triangle re-synthesized in
+    * SQL integer arithmetic, within the quantizer's adaptation error. A
+    * framing bug drops rows; a quantizer bug blows the error bound. The
+    * oracle predicts the structure exactly.
+    */
+  def adpcmAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // same manifest fan-out as m3/m4: the encode is the CPU stage, spread
+    // ids across all cores before it
+    val wavs = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id, "audio", Multimodal.AdpcmCodec.build(triWave(id), 8000 + (id % 4).toInt * 4000))
+        }
+      }.toDF("media_id", "kind", "content")
+    Multimodal.decodeAdpcmAudio(Multimodal.asMedia(wavs)).toDF()
+      .withColumn("period", lit(64) + (col("media_id") % 5) * 16)
+      .withColumn("amp", lit(4096) + (col("media_id") % 8) * 1024)
+      .select(
+        col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples").cast("long").as("n_samples"),
+        (expr(
+          """array_max(zip_with(samples,
+            |  transform(sequence(0L, n_samples - 1), i ->
+            |    CASE WHEN (i % period) < (period DIV 2)
+            |         THEN -amp + (2 * amp * (i % period)) DIV (period DIV 2)
+            |         ELSE amp - (2 * amp * ((i % period) - (period DIV 2))) DIV (period DIV 2)
+            |    END),
+            |  (a, b) -> abs(a - b)))""".stripMargin) <= 512).as("err_ok"))
+  }
+
+  val adpcmAudioSql: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+      |       CAST(2000 + (doc_id % 7) * 500 AS BIGINT) AS n_samples,
+      |       TRUE AS err_ok
+      |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> mediaFeatures,
     "m2_frame_sample" -> frameSample,
     "m3_resize" -> resized,
-    "m4_video_frames" -> videoFrameStats
+    "m4_video_frames" -> videoFrameStats,
+    "m5_adpcm_audio" -> adpcmAudio
   )
 
   def oracleSql: Map[String, String] = Map(
     "m1_media_features" -> mediaFeaturesSql,
     "m2_frame_sample" -> frameSampleSql,
     "m3_resize" -> resizedSql,
-    "m4_video_frames" -> videoFrameStatsSql
+    "m4_video_frames" -> videoFrameStatsSql,
+    "m5_adpcm_audio" -> adpcmAudioSql
   )
 }

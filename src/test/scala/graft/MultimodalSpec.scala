@@ -169,4 +169,57 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(f(1L).width === 40 && f(1L).height === 30 && f(1L).n_frames === 4)
     assert(f(2L).width === (avi.length % 640)) // stub arithmetic, not 40
   }
+
+  private def sine(n: Int, amp: Int, period: Int): Array[Short] =
+    Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * i / period)).toInt.toShort)
+
+  test("AdpcmCodec: build/parse round-trips format fields and tracks the signal") {
+    import Multimodal.AdpcmCodec
+    // 1237 samples: not a multiple of 505, so the last block is partial —
+    // the fact-chunk trim must return exactly n samples, not block padding
+    val pcm = sine(1237, 8000, 100)
+    val wav = AdpcmCodec.build(pcm, 16000)
+    val a = AdpcmCodec.parse(wav).get
+    assert(a.sampleRate === 16000 && a.channels === 1)
+    assert(a.samples.length === 1237)
+    val maxErr = pcm.zip(a.samples).map { case (x, y) => math.abs(x - y) }.max
+    // 4-bit quantization of a ±8000 sine: adaptation error stays well
+    // under the coarsest step the slope needs
+    assert(maxErr <= 512, s"ADPCM round-trip max error $maxErr")
+  }
+
+  test("AdpcmCodec: a genuinely compressed format — the stock JDK cannot read it") {
+    val wav = Multimodal.AdpcmCodec.build(sine(600, 4000, 50), 8000)
+    // javax.sound handles PCM/u-law/a-law WAVs only; fmt 0x11 must be
+    // rejected — proving this path decodes something AudioSystem cannot
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+    }
+    assert(Multimodal.AdpcmCodec.parse(wav).isDefined)
+  }
+
+  test("AdpcmCodec: non-ADPCM and malformed payloads drop to None, never throw") {
+    import Multimodal.AdpcmCodec
+    assert(AdpcmCodec.parse(Array.fill[Byte](64)('x')).isEmpty)
+    assert(AdpcmCodec.parse("RIFF1234WAVE".getBytes("US-ASCII")).isEmpty)
+    // a PCM WAV (fmt tag 1) must be left to the AudioSystem path
+    val pcmWav = {
+      val samples = sine(200, 1000, 40)
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      bb.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      bb.putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000)
+      bb.putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array
+    }
+    assert(AdpcmCodec.parse(pcmWav).isEmpty)
+    // truncated ADPCM (data chunk cut mid-block) must also drop
+    val wav = AdpcmCodec.build(sine(600, 4000, 50), 8000)
+    assert(AdpcmCodec.parse(java.util.Arrays.copyOf(wav, wav.length - 100)).isEmpty)
+  }
 }

@@ -167,6 +167,27 @@ class PropertySpec extends AnyFunSuite {
       java.lang.Long.parseLong(hex("").take(8), 16))
   }
 
+  test("AdpcmCodec round-trip: exact length, exact format, bounded drift (seeded)") {
+    import graft.ops.Multimodal.AdpcmCodec
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 30) {
+      val n = 1 + rnd.nextInt(1500)          // crosses the 505-sample block edge
+      val rate = 4000 + rnd.nextInt(44100)
+      // band-limited random walk (|step| <= 700, inside the quantizer's
+      // tracking range — white noise has no codec-representable structure)
+      var v = rnd.nextInt(8192) - 4096
+      val pcm = Array.fill(n) {
+        v = math.max(-30000, math.min(30000, v + rnd.nextInt(1401) - 700))
+        v.toShort
+      }
+      val a = AdpcmCodec.parse(AdpcmCodec.build(pcm, rate)).get
+      assert(a.sampleRate === rate && a.channels === 1)
+      assert(a.samples.length === n, s"n=$n decoded ${a.samples.length}")
+      val maxErr = pcm.zip(a.samples).map { case (x, y) => math.abs(x - y) }.max
+      assert(maxErr <= 1024, s"n=$n maxErr=$maxErr")
+    }
+  }
+
   test("minhash multipliers are bijections mod 2^32 (odd) and distinct") {
     val ks = Dedup.multipliers(200)
     assert(ks.distinct.size === 200)
