@@ -493,46 +493,93 @@ object TextQueries {
     * corpus scores low — the cheap proxy for "would a real LM find this
     * plausible" that web-corpus pipelines run before the expensive model.
     *
-    * Scale shape: the training pass is a wordcount — bigram explosion with
-    * map-side combine into a model bounded by |alphabet|² rows, which then
-    * BROADCASTS back over the scoring pass (plus a 1-row broadcast for the
-    * alphabet size); no shuffle ever carries the corpus except the final
-    * per-doc grouping, hash-partitioned on doc_id. Float determinism: the
-    * per-doc sum is a strict left fold (`aggregate`) over the
-    * position-sorted log-prob array — `(0.0+l1)+l2+…` associates
-    * identically to DuckDB's `list_reduce` `((l1+l2)+l3)+…` because adding
-    * the 0.0 init is exact — with a 6-dp round as the boundary guard
+    * Scale shape — two corpus passes, ZERO corpus-carrying shuffles:
+    * 1. TRAIN: each partition pre-combines its bigram counts into one
+    *    in-memory histogram (`mapPartitions` — emits ≤|alphabet|² rows per
+    *    PARTITION, not per position), so the count shuffle moves
+    *    #partitions·|alphabet|² tiny numeric rows at ANY corpus size; the
+    *    finished model (≤|alphabet|² rows) collects to a broadcast
+    *    variable — the stableIds-offsets pattern, not a driver-side data
+    *    loop.
+    * 2. SCORE: a `mapPartitions` fold over each doc against the broadcast
+    *    model — scan → map, no Exchange anywhere in the scoring plan
+    *    (pinned in PlanSpec). This is the canonical broadcast-dictionary
+    *    shape a 100 TB perplexity gate runs.
+    *
+    * Float determinism: `Σ_positions logp = Σ_bigrams k·logp` exactly, and
+    * the per-doc fold walks bigrams in UTF-8 byte order —
+    * `(0.0+l1)+l2+…` associates identically to DuckDB's `list_reduce`
+    * `((l1+l2)+l3)+…` over `list(k·ln(p) ORDER BY bg)` because adding the
+    * 0.0 init is exact — with a 6-dp `HALF_UP` round as the boundary guard
     * (the t11 practice).
     */
   def lmFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val d = Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), lower(col("text")).as("t"))
-    // (doc_id, p, bg): every overlapping char bigram with its position
-    val bgr = d.select(col("doc_id"),
-      posexplode(transform(sequence(lit(1), length(col("t")) - 1),
-        i => col("t").substr(i, lit(2)))).as(Seq("p", "bg")))
-    // the model: bigram counts, first-char totals, alphabet size — all
-    // integer-valued doubles, so their partial-aggregated sums are exact
-    // and order-independent
-    val cnt = bgr.groupBy("bg").agg(count(lit(1)).cast("double").as("cbg"))
-    val pre = cnt.groupBy(substring(col("bg"), 1, 1).as("c1"))
+    // Bigrams are packed code-point longs throughout: UTF-8 byte order
+    // equals code-point order, so numeric sort order IS the fold order the
+    // oracle's `ORDER BY bg` (binary collation) walks — with zero string
+    // allocation in any hot loop.
+    def bgKey(cp1: Int, cp2: Int): Long = (cp1.toLong << 21) | cp2.toLong
+    // model pass: one in-memory combine per partition, ≤|alphabet|² rows
+    // each, then an exact integer-count agg over those tiny rows
+    val partCounts = d.as[(Long, String)].mapPartitions { rows =>
+      val m = new java.util.HashMap[java.lang.Long, Long]()
+      rows.foreach { case (_, t) =>
+        val cps = t.codePoints().toArray
+        var i = 0
+        while (i < cps.length - 1) {
+          val k = java.lang.Long.valueOf(bgKey(cps(i), cps(i + 1)))
+          val prev = m.get(k)
+          m.put(k, if (prev == null) 1L else prev + 1L)
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map(e => (e.getKey.toLong, e.getValue))
+    }.toDF("bg", "k")
+    val cnt = partCounts.groupBy("bg").agg(sum(col("k")).cast("double").as("cbg"))
+    val pre = cnt.groupBy(shiftright(col("bg"), 21).as("c1"))
       .agg(sum(col("cbg")).as("cpre"))
     val v = cnt.select(explode(array(
-        substring(col("bg"), 1, 1), substring(col("bg"), 2, 1))).as("c"))
+        shiftright(col("bg"), 21),
+        col("bg").bitwiseAND(lit((1L << 21) - 1)))).as("c"))
       .agg(countDistinct(col("c")).cast("double").as("vn"))
-    val sc = bgr
-      .join(broadcast(cnt), "bg")
-      .join(broadcast(pre), substring(col("bg"), 1, 1) === col("c1"))
+    val modelByKey: Map[Long, Double] = cnt
+      .join(broadcast(pre), shiftright(col("bg"), 21) === col("c1"))
       .crossJoin(broadcast(v))
-      .select(col("doc_id"), col("p"),
+      .select(col("bg"),
         log((col("cbg") + 1.0) / (col("cpre") + col("vn"))).as("logp"))
-    val arr = sc.groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("p"), col("logp")))).as("l"))
-    arr.select(col("doc_id"),
-        round(-aggregate(col("l"), lit(0.0),
-          (acc, s) => acc + s.getField("logp")) / size(col("l")), 6).as("nll"))
-      .withColumn("keep", (col("nll") < 1.70).cast("long"))
+      .as[(Long, Double)].collect().toMap
+    val bcModel = spark.sparkContext.broadcast(modelByKey)
+    // score pass: pure map over the corpus against the broadcast model
+    d.as[(Long, String)].mapPartitions { rows =>
+      val lp = bcModel.value
+      rows.map { case (id, t) =>
+        val m = new java.util.TreeMap[java.lang.Long, Long]()
+        val cps = t.codePoints().toArray
+        var i = 0
+        var nBg = 0L
+        while (i < cps.length - 1) {
+          val bg = java.lang.Long.valueOf(bgKey(cps(i), cps(i + 1)))
+          val prev = m.get(bg)
+          m.put(bg, if (prev == null) 1L else prev + 1L)
+          nBg += 1L
+          i += 1
+        }
+        var acc = 0.0
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          acc = acc + e.getValue.toDouble * lp(e.getKey)
+        }
+        val nll = BigDecimal(-acc / nBg)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, nll, if (nll < 1.70) 1L else 0L)
+      }
+    }.toDF("doc_id", "nll", "keep")
   }
 
   val lmFilterSql: String =
@@ -542,20 +589,23 @@ object TextQueries {
       |               [substr(t, CAST(i AS INT), 2)
       |                FOR i IN range(1, CAST(length(t) AS BIGINT))] AS bgs
       |        FROM d),
-      |bgi AS (SELECT doc_id, bgs, unnest(range(1, len(bgs) + 1)) AS i FROM bgl),
-      |bgr AS (SELECT doc_id, i, bgs[CAST(i AS INT)] AS bg FROM bgi),
-      |cnt AS (SELECT bg, CAST(COUNT(*) AS DOUBLE) AS cbg FROM bgr GROUP BY bg),
+      |bgr AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+      |h AS (SELECT doc_id, bg, CAST(COUNT(*) AS DOUBLE) AS k
+      |      FROM bgr GROUP BY doc_id, bg),
+      |cnt AS (SELECT bg, SUM(k) AS cbg FROM h GROUP BY bg),
       |pre AS (SELECT substr(bg,1,1) AS c1, SUM(cbg) AS cpre FROM cnt GROUP BY 1),
       |v AS (SELECT CAST(COUNT(DISTINCT c) AS DOUBLE) AS vn FROM (
       |        SELECT substr(bg,1,1) AS c FROM cnt
       |        UNION SELECT substr(bg,2,1) FROM cnt)),
-      |sc AS (SELECT b.doc_id, b.i, ln((cbg + 1.0) / (cpre + vn)) AS logp
-      |       FROM bgr b JOIN cnt USING (bg)
-      |       JOIN pre ON substr(b.bg,1,1) = pre.c1 CROSS JOIN v),
-      |arr AS (SELECT doc_id, list(logp ORDER BY i) AS l FROM sc GROUP BY doc_id)
+      |sc AS (SELECT h.doc_id, h.bg, h.k,
+      |              h.k * ln((cbg + 1.0) / (cpre + vn)) AS wlogp
+      |       FROM h JOIN cnt USING (bg)
+      |       JOIN pre ON substr(h.bg,1,1) = pre.c1 CROSS JOIN v),
+      |arr AS (SELECT doc_id, list(wlogp ORDER BY bg) AS l, SUM(k) AS n
+      |        FROM sc GROUP BY doc_id)
       |SELECT doc_id,
-      |       ROUND(-list_reduce(l, (acc,x) -> acc + x) / len(l), 6) AS nll,
-      |       CAST(ROUND(-list_reduce(l, (acc,x) -> acc + x) / len(l), 6)
+      |       ROUND(-list_reduce(l, (acc,x) -> acc + x) / n, 6) AS nll,
+      |       CAST(ROUND(-list_reduce(l, (acc,x) -> acc + x) / n, 6)
       |            < CAST(1.70 AS DOUBLE) AS BIGINT) AS keep
       |FROM arr""".stripMargin
 

@@ -195,16 +195,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"h1 rerank joins are not broadcast:\n$p")
   }
 
-  test("LM filter broadcasts the bigram model back over the corpus (t13)") {
+  test("LM filter scoring pass never shuffles the corpus (t13)") {
+    // the model pass is a separate bounded-size job (≤|alphabet|² rows,
+    // collected to a broadcast variable); the RETURNED scoring plan must
+    // be scan → map with no Exchange, join, or aggregation anywhere
     val p = plan("t13_lm_filter")
-    // the |alphabet|^2-row model and the 1-row alphabet size broadcast
-    // over the scoring pass; the corpus is never the build side of a
-    // shuffled join
-    assert(p.contains("BroadcastHashJoin"),
-      s"t13 model join is not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
-      !p.contains("CartesianProduct"),
-      s"t13 plans a shuffled or cartesian join:\n$p")
+    assert(!p.contains("Exchange"), s"t13 scoring plan shuffles:\n$p")
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      s"t13 scoring plan is not a pure map:\n$p")
   }
 
   test("corpus shuffle range-sorts and never plans a global window (t14)") {
