@@ -410,4 +410,107 @@ object Similarity {
       .select(col("probe_id"), col("s.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  // ------------------------------------------------------------------
+  // N5 — product quantization (the FAISS-PQ recipe): split each unit
+  // vector into m subvectors, learn a tiny per-subspace codebook, store
+  // every vector as m small codes, and search by Asymmetric Distance
+  // Computation — the probe scores the m·k codebook entries ONCE and
+  // every corpus vector's similarity is m table lookups summed, no
+  // full-dimension math on the corpus side. Memory per vector: m bytes
+  // vs 4·dim — the compression that keeps a 100 TB corpus' index in
+  // executor memory.
+  // ------------------------------------------------------------------
+
+  /** Subvector view: `(vec_id, subspace, sv)` — the unit vector's m
+    * contiguous `subDim`-wide slices.
+    */
+  private def subVectors(corpus: DataFrame, m: Int, subDim: Int): DataFrame =
+    withUnit(corpus, "embedding", "u")
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("subspace"),
+        col("u"))
+      .select(col("vec_id"), col("subspace"),
+        slice(col("u"), col("subspace") * subDim + 1, lit(subDim)).as("sv"))
+
+  /** Per-(vec, subspace) nearest code by inner product, ties by code
+    * ascending — the encode rule BOTH engines replay from the staged
+    * codebook, so codes are engine-portable.
+    */
+  private def assignCodes(svs: DataFrame, codebook: DataFrame): DataFrame = {
+    val cb = codebook.select(col("subspace"), col("code"),
+      col("embedding").cast("array<double>").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "subspace")
+      .orderBy(col("s").desc, col("code").asc)
+    svs.join(broadcast(cb), "subspace")
+      .withColumn("s", dot(col("sv"), col("ce")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("subspace"), col("code"))
+  }
+
+  /** Train the m per-subspace codebooks with ONE joint Lloyd loop — every
+    * iteration is a single assignment + means job covering all subspaces
+    * (cells keyed `(subspace, code)`), not m sequential trainings; the
+    * same per-round `localCheckpoint` lineage truncation as
+    * [[trainCentroids]]. Returns `(subspace, code, embedding)`.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, subDim: Int, k: Int,
+              iters: Int = 3): DataFrame = {
+    val svs = subVectors(corpus, m, subDim)
+    val w0 = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    // seed: the first k vectors' subvectors (k rows through the tiny
+    // single-partition window, like trainCentroids' seeding)
+    val seedIds = corpus.select("vec_id").orderBy("vec_id").limit(k)
+      .select(col("vec_id"), (row_number().over(w0) - 1).cast("long").as("code"))
+    var cents = svs.join(broadcast(seedIds), "vec_id")
+      .select(col("subspace"), col("code"), col("sv").cast("array<float>").as("embedding"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val assign = assignCodes(svs, cents)
+      val means = svs.join(assign, Seq("vec_id", "subspace"))
+        .select(col("subspace"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("subspace", "code", "pos").agg(avg(col("v")).as("mv"))
+        .groupBy("subspace", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv")).cast("array<float>").as("embedding"))
+      val kept = cents.join(means.select("subspace", "code"),
+        Seq("subspace", "code"), "left_anti")
+      cents = means.unionAll(kept).localCheckpoint()
+      i += 1
+    }
+    cents
+  }
+
+  /** ADC top-k: probes score the m·k codebook entries once (the distance
+    * table), corpus vectors join the table on their `(subspace, code)`
+    * keys and sum their m entries in fixed subspace order; per-probe top-k
+    * through the bounded [[TopK]] aggregator. The corpus-side math is m
+    * lookups + (m−1) adds per (vector, probe) — never a full-dimension
+    * dot — and the only shuffle is k rows per probe per partition.
+    */
+  def pqTopK(corpus: DataFrame, codebook: DataFrame, probeFilter: Column,
+             k: Int, m: Int, subDim: Int): DataFrame = {
+    val codes = assignCodes(subVectors(corpus, m, subDim), codebook)
+    val cb = codebook.select(col("subspace"), col("code"),
+      col("embedding").cast("array<double>").as("ce"))
+    val ptab = subVectors(corpus.filter(probeFilter), m, subDim)
+      .join(broadcast(cb), "subspace")
+      .select(col("vec_id").as("p_id"), col("subspace"), col("code"),
+        dot(col("sv"), col("ce")).as("pdot"))
+    val perSub = (0 until m).map(j =>
+      sum(when(col("subspace") === j, col("pdot"))).as(s"s$j"))
+    val topk = udaf(new TopK(k), Encoders.product[Scored])
+    codes.join(broadcast(ptab), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("p_id"))
+      .groupBy("p_id", "vec_id")
+      .agg(perSub.head, perSub.tail: _*)
+      // fixed-order reduce: (s0+s1)+s2+… — the association the oracle mirrors
+      .withColumn("adc", (0 until m).map(j => col(s"s$j")).reduce(_ + _))
+      .groupBy("p_id")
+      .agg(topk(col("adc"), col("vec_id")).as("top"))
+      .select(col("p_id").as("probe_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("probe_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

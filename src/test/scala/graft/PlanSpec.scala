@@ -205,6 +205,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"t13 scoring plan is not a pure map:\n$p")
   }
 
+  test("PQ search joins codes against a broadcast distance table (n5)") {
+    val p = plan("n5_ann_pq")
+    // the m·k codebook and the probes' distance table broadcast; the
+    // corpus side is codes-only — never a shuffled or cartesian join
+    assert(p.contains("BroadcastHashJoin"),
+      s"n5 code/table joins are not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"n5 plans a cartesian product:\n$p")
+  }
+
   test("corpus shuffle range-sorts and never plans a global window (t14)") {
     val p = plan("t14_corpus_shuffle")
     // positions come from the prefix-summed offset join, not row_number():

@@ -22,6 +22,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("N5: PQ codes separate well-separated clusters and ADC recovers the true neighbor") {
+    import spark.implicits._
+    // two tight clusters in orthogonal quadrants of an 8-dim space (m=2
+    // subspaces of 4 dims): PQ must code cluster members identically and
+    // ADC top-1 must stay within the probe's own cluster
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val a = Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f)
+    val b = Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)
+    val corpus = (
+      (0L to 3L).map(i => i -> jitter(a, 0.01f * (i + 1))) ++
+      (10L to 13L).map(i => i -> jitter(b, 0.01f * (i - 9)))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(corpus, m = 2, subDim = 4, k = 2, iters = 2)
+    assert(cb.count() === 4) // 2 subspaces × 2 codes
+    val top1 = Similarity.pqTopK(corpus, cb,
+        org.apache.spark.sql.functions.col("vec_id").isin(0L, 10L),
+        k = 1, m = 2, subDim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // probe 0's nearest by ADC is inside cluster A, probe 10's inside B
+    assert(Set(1L, 2L, 3L).contains(top1(0L)), s"probe 0 -> ${top1(0L)}")
+    assert(Set(11L, 12L, 13L).contains(top1(10L)), s"probe 10 -> ${top1(10L)}")
+  }
+
   test("D4: a 150-copy cluster collapses to one banding representative (O(m) not O(m²) candidates)") {
     import spark.implicits._
     val hot = Array(0.5f, -0.25f, 0.125f, 1.0f)
