@@ -699,6 +699,49 @@ object TextQueries {
       |      % 10000 < r.cut
       |GROUP BY r.domain, r.n_before, r.cut""".stripMargin
 
+  /** T16 — BPE vocabulary training ([[graft.ops.Bpe]]): learn 8 merges
+    * from the corpus' word-frequency table, output
+    * `(rank, pair, n_occ)` per merge. The oracle replays each round as a
+    * chained CTE stage — pair counts → argmax (ties by pair asc) → literal
+    * `(x)(y)→(xy)` replace — over the same parenthesized-symbol
+    * representation, so a pass proves the distributed trainer equals the
+    * sequential BPE definition round for round.
+    */
+  private val BpeRounds = 8
+
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Bpe.trainOnDocuments(spark,
+      Tables.documents(spark, sfDir), "text", nMerges = BpeRounds)
+
+  val bpeMergesSql: String = {
+    val stages = (1 to BpeRounds).map { r =>
+      s"""p$r AS (SELECT p, SUM(freq) AS n FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(sy)),
+         |         i -> sy[CAST(i AS INT)] || ' ' || sy[CAST(i + 1 AS INT)])) AS p
+         |  FROM (SELECT regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS sy, freq
+         |        FROM s${r - 1})) GROUP BY p),
+         |b$r AS (SELECT p, n FROM p$r ORDER BY n DESC, p ASC LIMIT 1),
+         |s$r AS (SELECT replace(s,
+         |  '(' || string_split(b.p, ' ')[1] || ')(' || string_split(b.p, ' ')[2] || ')',
+         |  '(' || replace(b.p, ' ', '') || ')') AS s, freq
+         |  FROM s${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, p AS pair, CAST(n AS BIGINT) AS n_occ FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH wf AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |s0 AS (
+       |  SELECT '(' || array_to_string(list_transform(range(1, length(w) + 1),
+       |           i -> substr(w, CAST(i AS INT), 1)), ')(') || ')' AS s, freq
+       |  FROM wf),
+       |$stages
+       |$out""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_json_props" -> jsonProps,
     "t11_bm25" -> bm25,
@@ -706,6 +749,7 @@ object TextQueries {
     "t13_lm_filter" -> lmFilter,
     "t14_corpus_shuffle" -> corpusShuffle,
     "t15_source_mix" -> sourceMix,
+    "t16_bpe_merges" -> bpeMerges,
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
@@ -724,6 +768,7 @@ object TextQueries {
     "t13_lm_filter" -> lmFilterSql,
     "t14_corpus_shuffle" -> corpusShuffleSql,
     "t15_source_mix" -> sourceMixSql,
+    "t16_bpe_merges" -> bpeMergesSql,
     "t1_token_stats" -> tokenStatsSql,
     "t2_quality_score" -> qualityScoreSql,
     "t3_langid" -> langIdSql,

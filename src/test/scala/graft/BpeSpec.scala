@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Bpe
+
+/** BPE trainer specs: equality with a sequential reference implementation,
+  * greedy-left merge application, early stop. (The t16 query is
+  * oracle-checked against DuckDB's chained-CTE replay through Verify.)
+  */
+class BpeSpec extends AnyFunSuite with SparkSuite {
+
+  /** Sequential reference BPE over a word-frequency table — the textbook
+    * definition the distributed trainer must reproduce exactly.
+    */
+  private def referenceBpe(words: Seq[(String, Long)],
+                           nMerges: Int): Seq[(Long, String, Long)] = {
+    var vocab = words.map { case (w, f) => (w.toCharArray.map(_.toString).toVector, f) }
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((x, y), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, s"$a $b") }
+        picks += ((r.toLong, s"$x $y", n))
+        vocab = vocab.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+              out += x + y; i += 2 // greedy left-to-right, non-overlapping
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }
+        r += 1
+      }
+    }
+    picks.toSeq
+  }
+
+  test("distributed trainer equals the sequential reference (Sennrich corpus)") {
+    import spark.implicits._
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val got = Bpe.train(words.toDF("w", "freq"), nMerges = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got === referenceBpe(words, 6))
+  }
+
+  test("merge application is greedy left-to-right, non-overlapping") {
+    import spark.implicits._
+    // 'aaaa': pairs (a,a) count 3; after merging, greedy-left gives
+    // (aa)(aa) — NOT (a)(aa)(a) — so round 2's top pair is 'aa aa'
+    val got = Bpe.train(Seq(("aaaa", 1L)).toDF("w", "freq"), nMerges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got === Seq((1L, "a a", 3L), (2L, "aa aa", 1L)))
+    assert(got === referenceBpe(Seq(("aaaa", 1L)), 2))
+  }
+
+  test("training stops early when no pairs remain") {
+    import spark.implicits._
+    val got = Bpe.train(Seq(("a", 3L), ("b", 2L)).toDF("w", "freq"), nMerges = 4)
+    assert(got.count() === 0)
+  }
+
+  test("deterministic ties break by pair string ascending") {
+    import spark.implicits._
+    // 'xy' and 'ab' both have count 1 pairs: 'a b' < 'x y' must win round 1
+    val got = Bpe.train(Seq(("xy", 1L), ("ab", 1L)).toDF("w", "freq"), nMerges = 1)
+      .collect().map(_.getString(1)).toSeq
+    assert(got === Seq("a b"))
+  }
+}
