@@ -713,7 +713,11 @@ object TextQueries {
     graft.ops.Bpe.trainOnDocuments(spark,
       Tables.documents(spark, sfDir), "text", nMerges = BpeRounds)
 
-  val bpeMergesSql: String = {
+  /** The shared training CTE chain (wf, s0, then p/b/s per round) — b1…bN
+    * hold each round's winning pair; consumed by both t16's output and
+    * t17's apply chain.
+    */
+  private val bpeTrainCtes: String = {
     val stages = (1 to BpeRounds).map { r =>
       s"""p$r AS (SELECT p, SUM(freq) AS n FROM (
          |  SELECT freq, unnest(list_transform(range(1, len(sy)),
@@ -726,10 +730,7 @@ object TextQueries {
          |  '(' || replace(b.p, ' ', '') || ')') AS s, freq
          |  FROM s${r - 1}, b$r b)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeRounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS rank, p AS pair, CAST(n AS BIGINT) AS n_occ FROM b$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT w, COUNT(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
        |    FROM documents)
@@ -738,8 +739,71 @@ object TextQueries {
        |  SELECT '(' || array_to_string(list_transform(range(1, length(w) + 1),
        |           i -> substr(w, CAST(i AS INT), 1)), ')(') || ')' AS s, freq
        |  FROM wf),
-       |$stages
-       |$out""".stripMargin
+       |$stages""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, p AS pair, CAST(n AS BIGINT) AS n_occ FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $bpeTrainCtes\n$out"
+  }
+
+  /** T17 — BPE tokenization with the learned vocabulary (the apply side of
+    * t16): train the 8 merges, then tokenize every document — each word
+    * becomes its parenthesized symbol state and the merges apply in rank
+    * order as the same literal `(x)(y)→(xy)` replaces, so token counts are
+    * the exact BPE segmentation under the learned vocab. Output:
+    * `(doc_id, n_bpe_tokens)`.
+    *
+    * Scale shape: the merge table (8 rows) collects once and inlines as
+    * literals into a per-doc scalar expression chain — the tokenize pass
+    * is scan → project, ZERO shuffles (the learn pass is t16's bounded
+    * machinery). This is how a learned tokenizer deploys at 100 TB: the
+    * vocab rides in the closure, the corpus never reshuffles.
+    */
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = graft.ops.Bpe.trainOnDocuments(spark,
+        Tables.documents(spark, sfDir), "text", nMerges = BpeRounds)
+      .orderBy("rank").collect()
+      .map(r => r.getString(1).split(" ", 2) match { case Array(x, y) => (x, y) })
+    val perWord: Column => Column = { w =>
+      val state0 = concat(lit("("), array_join(split(w, ""), ")("), lit(")"))
+      val merged = merges.foldLeft(state0) { case (s, (x, y)) =>
+        replace(s, lit(s"($x)($y)"), lit(s"(${x}${y})"))
+      }
+      size(regexp_extract_all(merged, lit("\\(([^)]*)\\)"), lit(1))).cast("long")
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        aggregate(
+          transform(
+            filter(wsTokens(lower(col("text"))), w => length(w) > 0),
+            perWord),
+          lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+  }
+
+  val bpeTokenizeSql: String = {
+    val applies = (1 to BpeRounds).map { r =>
+      s"""a$r AS (SELECT doc_id, replace(s,
+         |  '(' || string_split(b.p, ' ')[1] || ')(' || string_split(b.p, ' ')[2] || ')',
+         |  '(' || replace(b.p, ' ', '') || ')') AS s
+         |  FROM a${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |tok AS (SELECT doc_id,
+       |               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |        FROM documents),
+       |a0 AS (SELECT doc_id,
+       |              '(' || array_to_string(list_transform(range(1, length(w) + 1),
+       |                i -> substr(w, CAST(i AS INT), 1)), ')(') || ')' AS s
+       |       FROM tok WHERE length(w) > 0),
+       |$applies
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(SUM(len(regexp_extract_all(s, '\\(([^)]*)\\)', 1))), 0)
+       |            AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN a$BpeRounds a ON a.doc_id = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -750,6 +814,7 @@ object TextQueries {
     "t14_corpus_shuffle" -> corpusShuffle,
     "t15_source_mix" -> sourceMix,
     "t16_bpe_merges" -> bpeMerges,
+    "t17_bpe_tokenize" -> bpeTokenize,
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
@@ -769,6 +834,7 @@ object TextQueries {
     "t14_corpus_shuffle" -> corpusShuffleSql,
     "t15_source_mix" -> sourceMixSql,
     "t16_bpe_merges" -> bpeMergesSql,
+    "t17_bpe_tokenize" -> bpeTokenizeSql,
     "t1_token_stats" -> tokenStatsSql,
     "t2_quality_score" -> qualityScoreSql,
     "t3_langid" -> langIdSql,

@@ -215,6 +215,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"n5 plans a cartesian product:\n$p")
   }
 
+  test("BPE tokenize applies the learned vocab as a pure scan projection (t17)") {
+    // the merge table inlines as literals (the learn pass is a separate
+    // bounded job); the tokenize plan must be scan → project with no
+    // Exchange, join, or aggregation operator
+    val p = plan("t17_bpe_tokenize")
+    assert(!p.contains("Exchange"), s"t17 tokenize plan shuffles:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("SortAggregate"),
+      s"t17 tokenize plan is not a pure projection:\n$p")
+  }
+
   test("corpus shuffle range-sorts and never plans a global window (t14)") {
     val p = plan("t14_corpus_shuffle")
     // positions come from the prefix-summed offset join, not row_number():
