@@ -21,15 +21,30 @@ import org.apache.spark.sql.functions._
   * replace `"(x)(y)" → "(xy)"`, which is non-overlapping left-to-right in
   * BOTH Spark (`UTF8String.replace`) and DuckDB (`replace`) — exactly
   * greedy BPE application, with symbol boundaries made unambiguous by the
-  * parens (no space-sharing or substring false matches). Pair counts are
+  * parens (no space-sharing or substring false matches; holds because
+  * [[wordFrequencies]] excludes paren-bearing words — [[trainableWord]]).
+  * Pair counts are
   * exact integer sums; argmax ties break by pair string ascending (binary
   * collation both engines). The oracle replays every round as a chained
   * CTE stage over the same representation.
   */
 object Bpe {
 
-  /** Regex that pulls the symbol array back out of a `(a)(bc)(d)` state. */
-  private val SymbolRe = "\\(([^)]*)\\)"
+  /** Regex that pulls the symbol array back out of a `(a)(bc)(d)` state —
+    * shared with the apply side ([[graft.queries.TextQueries.bpeTokenize]])
+    * so trainer and tokenizer can never desynchronize on the
+    * representation.
+    */
+  private[graft] val SymbolRe = "\\(([^)]*)\\)"
+
+  /** Column form of the initial word state: each char wrapped in parens —
+    * `"abc"` → `"(a)(b)(c)"`. The paren boundaries are what make merge
+    * application a safe literal replace, which is also why
+    * [[wordFrequencies]] must exclude words containing parens.
+    */
+  private[graft] def wordState(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(lit("("), array_join(split(w, ""), ")("), lit(")"))
 
   /** Learn `nMerges` merges from the corpus' word-frequency table.
     * `words` must be `(w, freq)`. Returns `(rank, pair, n_occ)` — one row
@@ -39,9 +54,8 @@ object Bpe {
     */
   def train(words: DataFrame, nMerges: Int): DataFrame = {
     val spark = words.sparkSession
-    var vocab = words.select(
-      concat(lit("("), array_join(split(col("w"), ""), ")("), lit(")")).as("s"),
-      col("freq")).localCheckpoint()
+    var vocab = words.select(wordState(col("w")).as("s"), col("freq"))
+      .localCheckpoint()
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var r = 1
     while (r <= nMerges) {
@@ -73,13 +87,23 @@ object Bpe {
   }
 
   /** The standard word-frequency input: whitespace tokens of `textCol`,
-    * lowercased, empty tokens dropped.
+    * lowercased, empty tokens dropped. Words containing parens are
+    * excluded too — the parenthesized state representation is only
+    * unambiguous when no SYMBOL contains a paren, so such words (absent
+    * from the synthetic corpus; rare in real text after tokenization)
+    * sit out of training rather than corrupting merge boundaries. The
+    * apply side skips them with the same predicate.
     */
   def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(graft.functions.TextFunctions.wsTokens(
         lower(col(textCol)))).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(trainableWord(col("w")))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Non-empty and paren-free — the words the representation can carry. */
+  private[graft] def trainableWord(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    length(w) > 0 && !w.contains("(") && !w.contains(")")
 
   /** Convenience: train directly from a documents table. */
   def trainOnDocuments(spark: SparkSession, docs: DataFrame, textCol: String,

@@ -316,7 +316,9 @@ object Multimodal {
         while (off + 8 <= end) {
           val cc = fourcc(off)
           val size = bb.getInt(off + 4)
-          if (size < 0 || off + 8 + size > end) return false
+          // Long arithmetic: a crafted size near Int.MaxValue would wrap
+          // `off + 8 + size` negative and sneak past an Int comparison
+          if (size < 0 || off.toLong + 8 + size > end) return false
           cc match {
             case "LIST" =>
               if (size < 4) return false
@@ -507,7 +509,10 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val cc = new String(bytes, off, 4, "US-ASCII")
         val size = bb.getInt(off + 4)
-        if (size < 0 || off + 8 + size > bytes.length) return None
+        // Long arithmetic — same overflow guard as AviCodec.scan: a size
+        // near Int.MaxValue must fail the bound, not wrap negative and
+        // walk `off` off the buffer (parse must never throw)
+        if (size < 0 || off.toLong + 8 + size > bytes.length) return None
         cc match {
           case "fmt " if size >= 16 =>
             tag = bb.getShort(off + 8) & 0xffff

@@ -435,16 +435,20 @@ object Similarity {
   /** Per-(vec, subspace) nearest code by inner product, ties by code
     * ascending — the encode rule BOTH engines replay from the staged
     * codebook, so codes are engine-portable.
+    *
+    * The argmax is a `max_by` AGGREGATE (partial max merged map-side),
+    * not a `row_number` window — a window here would hash-exchange and
+    * sort the corpus×m×k candidate rows on every train round and at
+    * search time, the same measured antipattern n4's prefilter moved off.
+    * `struct(s, -code)` ordering = score desc, code asc exactly.
     */
   private def assignCodes(svs: DataFrame, codebook: DataFrame): DataFrame = {
     val cb = codebook.select(col("subspace"), col("code"),
       col("embedding").cast("array<double>").as("ce"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "subspace")
-      .orderBy(col("s").desc, col("code").asc)
     svs.join(broadcast(cb), "subspace")
       .withColumn("s", dot(col("sv"), col("ce")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("vec_id", "subspace")
+      .agg(max_by(col("code"), struct(col("s"), -col("code"))).as("code"))
       .select(col("vec_id"), col("subspace"), col("code"))
   }
 

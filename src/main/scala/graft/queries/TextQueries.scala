@@ -734,7 +734,8 @@ object TextQueries {
        |  SELECT w, COUNT(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
        |    FROM documents)
-       |  WHERE length(w) > 0 GROUP BY w),
+       |  WHERE length(w) > 0 AND w NOT LIKE '%(%' AND w NOT LIKE '%)%'
+       |  GROUP BY w),
        |s0 AS (
        |  SELECT '(' || array_to_string(list_transform(range(1, length(w) + 1),
        |           i -> substr(w, CAST(i AS INT), 1)), ')(') || ')' AS s, freq
@@ -768,27 +769,32 @@ object TextQueries {
       .orderBy("rank").collect()
       .map(r => r.getString(1).split(" ", 2) match { case Array(x, y) => (x, y) })
     val perWord: Column => Column = { w =>
-      val state0 = concat(lit("("), array_join(split(w, ""), ")("), lit(")"))
-      val merged = merges.foldLeft(state0) { case (s, (x, y)) =>
+      val merged = merges.foldLeft(graft.ops.Bpe.wordState(w)) { case (s, (x, y)) =>
         replace(s, lit(s"($x)($y)"), lit(s"(${x}${y})"))
       }
-      size(regexp_extract_all(merged, lit("\\(([^)]*)\\)"), lit(1))).cast("long")
+      size(regexp_extract_all(merged, lit(graft.ops.Bpe.SymbolRe), lit(1)))
+        .cast("long")
     }
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         aggregate(
           transform(
-            filter(wsTokens(lower(col("text"))), w => length(w) > 0),
+            filter(wsTokens(lower(col("text"))), graft.ops.Bpe.trainableWord(_)),
             perWord),
           lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
   }
 
   val bpeTokenizeSql: String = {
+    // LEFT JOIN ON TRUE + CASE: when round r learned no merge (b$r empty
+    // on a degenerate corpus), the state passes through unchanged instead
+    // of the whole chain collapsing to zero rows — mirroring the Spark
+    // side, which applies only the merges actually learned
     val applies = (1 to BpeRounds).map { r =>
-      s"""a$r AS (SELECT doc_id, replace(s,
-         |  '(' || string_split(b.p, ' ')[1] || ')(' || string_split(b.p, ' ')[2] || ')',
-         |  '(' || replace(b.p, ' ', '') || ')') AS s
-         |  FROM a${r - 1}, b$r b)""".stripMargin
+      s"""a$r AS (SELECT doc_id,
+         |  CASE WHEN b.p IS NULL THEN s ELSE replace(s,
+         |    '(' || string_split(b.p, ' ')[1] || ')(' || string_split(b.p, ' ')[2] || ')',
+         |    '(' || replace(b.p, ' ', '') || ')') END AS s
+         |  FROM a${r - 1} LEFT JOIN b$r b ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH $bpeTrainCtes,
        |tok AS (SELECT doc_id,
@@ -797,7 +803,8 @@ object TextQueries {
        |a0 AS (SELECT doc_id,
        |              '(' || array_to_string(list_transform(range(1, length(w) + 1),
        |                i -> substr(w, CAST(i AS INT), 1)), ')(') || ')' AS s
-       |       FROM tok WHERE length(w) > 0),
+       |       FROM tok
+       |       WHERE length(w) > 0 AND w NOT LIKE '%(%' AND w NOT LIKE '%)%'),
        |$applies
        |SELECT d.doc_id,
        |       CAST(COALESCE(SUM(len(regexp_extract_all(s, '\\(([^)]*)\\)', 1))), 0)

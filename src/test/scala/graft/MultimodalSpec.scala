@@ -222,4 +222,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     val wav = AdpcmCodec.build(sine(600, 4000, 50), 8000)
     assert(AdpcmCodec.parse(java.util.Arrays.copyOf(wav, wav.length - 100)).isEmpty)
   }
+
+  test("RIFF parsers survive a crafted chunk size near Int.MaxValue") {
+    // `off + 8 + size` must not wrap negative and sneak past the bounds
+    // check — one such payload would fail a whole mapPartitions task
+    def evil(form: String, cc: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put(form.getBytes("US-ASCII"))
+      bb.put(cc.getBytes("US-ASCII")).putInt(0x7ffffff0)
+      bb.array
+    }
+    assert(Multimodal.AdpcmCodec.parse(evil("WAVE", "fmt ")).isEmpty)
+    assert(Multimodal.AviCodec.parse(evil("AVI ", "avih")).isEmpty)
+  }
 }

@@ -213,6 +213,10 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"n5 code/table joins are not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"n5 plans a cartesian product:\n$p")
+    // the encode argmax is a map-side-combinable max_by aggregate — a
+    // row_number window here would exchange+sort corpus×m×k rows
+    assert(!p.contains("Window"),
+      s"n5 encode plans a window over the candidate set:\n$p")
   }
 
   test("BPE tokenize applies the learned vocab as a pure scan projection (t17)") {
