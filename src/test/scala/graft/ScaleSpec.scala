@@ -179,4 +179,20 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       case _ =>
     }
   }
+
+  test("stableIds after a range sort equals the global sort rank (t14's shape)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random keys over many partitions: sort → stableIds must equal the
+    // sequential rank of the sort key, exactly — the window-free global
+    // permutation t14 builds on
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 500L).map(id => (id, rnd.nextLong())).toSeq
+    val df = rows.toDF("id", "k").repartition(13)
+    val got = Scale.stableIds(df.orderBy(col("k"), col("id")), "pos")
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = rows.sortBy { case (id, k) => (k, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(got === expect)
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct pins for the text-pipeline queries whose float math is subtle
+  * enough that the DuckDB oracle alone shouldn't carry them: t13's
+  * distributed LM (partition-pre-combined model + broadcast-dictionary
+  * fold) must equal a plain sequential reference BIT-FOR-BIT, fold order
+  * and rounding included.
+  */
+class TextQueriesSpec extends AnyFunSuite with SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t13 LM filter equals the sequential reference bit-for-bit") {
+    // sequential reference: same model, same packed-key fold order
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase))
+      .filter(_._2.length >= 2)
+    def bigrams(t: String): Seq[Long] = {
+      val cps = t.codePoints().toArray
+      (0 until cps.length - 1).map(i => (cps(i).toLong << 21) | cps(i + 1).toLong)
+    }
+    val cnt = scala.collection.mutable.Map.empty[Long, Double]
+    docs.foreach(d => bigrams(d._2).foreach(k => cnt(k) = cnt.getOrElse(k, 0.0) + 1))
+    val pre = cnt.groupBy(_._1 >> 21).map { case (c, m) => c -> m.values.sum }
+    val vn = (cnt.keys.map(_ >> 21) ++ cnt.keys.map(_ & ((1L << 21) - 1)))
+      .toSet.size.toDouble
+    val lp = cnt.map { case (k, c) => k -> math.log((c + 1.0) / (pre(k >> 21) + vn)) }
+    val expect = docs.map { case (id, t) =>
+      val hist = scala.collection.immutable.TreeMap.empty[Long, Long] ++
+        bigrams(t).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      var acc = 0.0
+      hist.foreach { case (k, n) => acc = acc + n.toDouble * lp(k) }
+      val nll = BigDecimal(-acc / bigrams(t).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, nll, if (nll < 1.70) 1L else 0L)
+    }.toSet
+    val got = graft.queries.TextQueries.lmFilter(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === expect)
+  }
+
+  test("t14 positions are an exact permutation with 100-doc shards") {
+    val rows = graft.queries.TextQueries.corpusShuffle(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    assert(rows.map(_._2).sorted.toSeq === (0L until n.toLong))
+    assert(rows.forall { case (_, pos, shard) => shard === pos / 100 })
+    // the order is a real shuffle: positions must not equal doc_id order
+    assert(rows.count { case (id, pos, _) => id === pos } < n / 10)
+  }
+}
