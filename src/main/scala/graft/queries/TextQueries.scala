@@ -813,7 +813,68 @@ object TextQueries {
        |GROUP BY d.doc_id""".stripMargin
   }
 
+  /** C1 — the corpus→training-shards capstone: the end-to-end pipeline a
+    * user actually runs, composed from this round's operators in the
+    * canonical order — LM perplexity gate (t13) → exact dedup keep-first
+    * (d1's fingerprint) → deterministic global shuffle (t14's md5 rank) →
+    * 2000-token shard packing (t12's two-level prefix sum). One summary
+    * row per shard.
+    *
+    * Scale shape: every stage keeps its own pinned posture — the gate is
+    * shuffle-free, dedup is one fingerprint-keyed window, the shuffle is
+    * a range-partitioned sort + offset join (no global window), and the
+    * packer never single-partitions the corpus. The composition adds no
+    * new shuffle beyond its stages.
+    */
+  def corpusToShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = lmFilter(spark, sfDir)
+      .filter(col("keep") === 1).select("doc_id")
+    val docs = Tables.documents(spark, sfDir).join(kept, "doc_id")
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.TextFunctions.fingerprint(col("text")))
+    val deduped = docs
+      .withColumn("keep_id", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("keep_id"))
+    val keyed = deduped.select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+    graft.ops.Scale.packByWeight(graft.ops.Scale.stableIds(keyed, "pos"),
+        "pos", "n_tokens", target = 2000L, bucketWidth = 100L)
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"))
+  }
+
+  val corpusToShardsSql: String =
+    s"""WITH lm AS (SELECT doc_id FROM ($lmFilterSql) WHERE keep = 1),
+       |d AS (SELECT d0.doc_id, d0.text FROM documents d0 JOIN lm USING (doc_id)),
+       |dd AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |           MIN(doc_id) OVER (PARTITION BY
+       |             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS keep_id
+       |    FROM d)
+       |  WHERE doc_id = keep_id),
+       |ord AS (SELECT doc_id,
+       |               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+       |               row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+       |                 - 1 AS pos
+       |        FROM dd),
+       |c AS (SELECT pos, n,
+       |             CAST(COALESCE(SUM(n) OVER (ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |                  AS BIGINT) AS pre
+       |      FROM ord)
+       |SELECT pre // 2000 AS shard, COUNT(*) AS n_docs,
+       |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       |       CAST(MAX(pos) AS BIGINT) AS last_pos
+       |FROM c GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_corpus_to_shards" -> corpusToShards,
     "t10_json_props" -> jsonProps,
     "t11_bm25" -> bm25,
     "t12_token_shards" -> tokenShards,
@@ -834,6 +895,7 @@ object TextQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c1_corpus_to_shards" -> corpusToShardsSql,
     "t10_json_props" -> jsonPropsSql,
     "t11_bm25" -> bm25Sql,
     "t12_token_shards" -> tokenShardsSql,

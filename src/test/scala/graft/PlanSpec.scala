@@ -182,6 +182,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(singles === 1, s"t12 has $singles single-partition exchanges:\n$p")
   }
 
+  test("corpus-to-shards capstone composes without new wide shapes (c1)") {
+    val p = plan("c1_corpus_to_shards")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"c1 plans a cartesian or shuffled join:\n$p")
+    // the only single-partition exchange allowed is the packer's
+    // O(#buckets) offset window (t12's pinned shape); the gate, dedup
+    // window, and shuffle stages must all stay keyed/range-partitioned
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"c1 has $singles single-partition exchanges:\n$p")
+  }
+
   test("hybrid retrieval cuts with bounded heaps, reranks a broadcast set (h1)") {
     val p = plan("h1_hybrid_retrieval")
     // the global top-M cuts must be TakeOrderedAndProject (per-partition
