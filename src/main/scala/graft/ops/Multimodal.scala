@@ -160,7 +160,8 @@ object Multimodal {
       case None =>
         (if (r.kind == "audio")
           decodeWav(r.content).orElse(AdpcmCodec.parse(r.content)
-            .map(a => (a.sampleRate, a.channels, a.samples.length.toLong)))
+            .map(a => (a.sampleRate, a.channels,
+              (a.samples.length / a.channels).toLong)))
         else None) match {
           case Some((rate, channels, frames)) =>
             // audio semantics for the shared feature shape: width carries
@@ -385,8 +386,7 @@ object Multimodal {
       15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
     private val IndexTable = Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
-    private val BlockAlign = 256                         // bytes per block
-    private val SamplesPerBlock = (BlockAlign - 4) * 2 + 1 // 505 (mono)
+    private val BlockAlign = 256 // bytes per block
 
     private final class State(var predictor: Int, var index: Int)
 
@@ -426,52 +426,74 @@ object Multimodal {
       st.predictor
     }
 
-    /** Encode mono PCM into an IMA-ADPCM WAV (fmt 0x11 + fact + data).
-      * Each 256-byte block restarts the predictor from a verbatim first
-      * sample — the property that makes blocks independently decodable
-      * (and the container seekable) at any corpus size.
+    /** Encode PCM (frame-interleaved for stereo: L0 R0 L1 R1 …) into an
+      * IMA-ADPCM WAV (fmt 0x11 + fact + data). Each 256-byte block
+      * restarts every channel's predictor from a verbatim first sample —
+      * the property that makes blocks independently decodable (and the
+      * container seekable) at any corpus size. Multi-channel blocks use
+      * the standard layout: one 4-byte header per channel, then the
+      * channels' nibble streams interleave in 4-byte (8-sample) words.
       */
-    def build(samples: Array[Short], sampleRate: Int): Array[Byte] = {
-      val nBlocks = math.max(1, (samples.length + SamplesPerBlock - 1) / SamplesPerBlock)
+    def build(samples: Array[Short], sampleRate: Int,
+              channels: Int = 1): Array[Byte] = {
+      require(channels == 1 || channels == 2, s"channels $channels not in {1,2}")
+      require(samples.length % channels == 0,
+        s"${samples.length} samples not a whole number of $channels-channel frames")
+      val frames = samples.length / channels
+      val spb = (BlockAlign - 4 * channels) * 2 / channels + 1
+      val nBlocks = math.max(1, (frames + spb - 1) / spb)
       val data = ByteBuffer.allocate(nBlocks * BlockAlign).order(ByteOrder.LITTLE_ENDIAN)
-      // Seed the step index from the first sample delta instead of 0
-      // (step=7): starting at the smallest step ≥ the opening slope kills
-      // the adaptation transient — the standard encoder warm-start. The
-      // index is carried in every block header, so any seed decodes
+      def at(frame: Int, c: Int): Int =
+        if (frames == 0) 0
+        else samples(math.min(frame, frames - 1) * channels + c).toInt // pad tail
+      // Seed each channel's step index from its first sample delta instead
+      // of 0 (step=7): starting at the smallest step ≥ the opening slope
+      // kills the adaptation transient — the standard encoder warm-start.
+      // The index is carried in every block header, so any seed decodes
       // correctly; this one just tracks from sample 1.
-      val firstDiff =
-        if (samples.length >= 2) math.abs(samples(1) - samples(0)) else 0
-      val seedIndex = {
+      val sts = Array.tabulate(channels) { c =>
+        val firstDiff = if (frames >= 2) math.abs(at(1, c) - at(0, c)) else 0
         val i = StepTable.indexWhere(_ >= firstDiff)
-        if (i < 0) 88 else i
+        new State(0, if (i < 0) 88 else i)
       }
-      val st = new State(0, seedIndex)
       var b = 0
       while (b < nBlocks) {
-        val base = b * SamplesPerBlock
-        val first = if (base < samples.length) samples(base).toInt else 0
-        st.predictor = first
-        data.putShort(first.toShort).put(st.index.toByte).put(0.toByte)
-        var i = 0
-        while (i < SamplesPerBlock - 1) {
-          val lo = encodeNibble(sampleAt(samples, base + 1 + i), st)
-          val hi = encodeNibble(sampleAt(samples, base + 2 + i), st)
-          data.put(((hi << 4) | lo).toByte)
-          i += 2
+        val base = b * spb
+        var c = 0
+        while (c < channels) {
+          val first = if (base < frames) at(base, c) else 0
+          sts(c).predictor = first
+          data.putShort(first.toShort).put(sts(c).index.toByte).put(0.toByte)
+          c += 1
+        }
+        var f = 1
+        while (f < spb) {
+          c = 0
+          while (c < channels) {
+            var j = 0
+            while (j < 8) {
+              val lo = encodeNibble(at(base + f + j, c), sts(c))
+              val hi = encodeNibble(at(base + f + j + 1, c), sts(c))
+              data.put(((hi << 4) | lo).toByte)
+              j += 2
+            }
+            c += 1
+          }
+          f += 8
         }
         b += 1
       }
       val fmt = {
         val bb = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
-        bb.putShort(0x11).putShort(1).putInt(sampleRate)
-        bb.putInt(sampleRate * BlockAlign / SamplesPerBlock) // avg byte rate
-        bb.putShort(BlockAlign.toShort).putShort(4)          // block align, bits
-        bb.putShort(2).putShort(SamplesPerBlock.toShort)     // cbSize, samples/block
+        bb.putShort(0x11).putShort(channels.toShort).putInt(sampleRate)
+        bb.putInt(sampleRate * BlockAlign / spb)    // avg byte rate
+        bb.putShort(BlockAlign.toShort).putShort(4) // block align, bits
+        bb.putShort(2).putShort(spb.toShort)        // cbSize, samples/block
         bb.array
       }
       val fact = {
         val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-        bb.putInt(samples.length)
+        bb.putInt(frames) // per-channel sample frames, per the WAV spec
         bb.array
       }
       def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
@@ -485,11 +507,6 @@ object Multimodal {
       out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
       out.array
     }
-
-    private def sampleAt(samples: Array[Short], i: Int): Int =
-      if (i < samples.length) samples(i).toInt
-      else if (samples.isEmpty) 0
-      else samples(samples.length - 1).toInt // pad tail with the last sample
 
     /** Decode an IMA-ADPCM WAV. None for anything that is not a RIFF/WAVE
       * with fmt tag 0x11 (PCM WAVs keep going through `AudioSystem`), or
@@ -526,23 +543,53 @@ object Multimodal {
         }
         off += 8 + size + (size & 1)
       }
-      if (tag != 0x11 || channels != 1 || dataOff < 0 ||
-        blockAlign < 5 || spb != (blockAlign - 4) * 2 + 1) return None
+      if (tag != 0x11 || channels < 1 || channels > 2 || dataOff < 0 ||
+        blockAlign < 4 * channels + channels ||
+        spb != (blockAlign - 4 * channels) * 2 / channels + 1) return None
+      // `fact` counts per-channel FRAMES; output is frame-interleaved
       val out = Array.newBuilder[Short]
-      var n = 0
+      var n = 0 // frames emitted
       val total = if (factSamples >= 0) factSamples else Int.MaxValue
       var boff = dataOff
-      val st = new State(0, 0)
+      val sts = Array.fill(channels)(new State(0, 0))
+      val word = new Array[Int](8) // one channel's 8 samples per 4-byte word
+      val group = Array.ofDim[Int](channels, 8)
       while (boff + blockAlign <= dataOff + dataLen && n < total) {
-        st.predictor = bb.getShort(boff).toInt
-        st.index = clampIndex(bytes(boff + 2) & 0xff)
-        if (n < total) { out += st.predictor.toShort; n += 1 }
-        var i = 0
-        while (i < blockAlign - 4 && n < total) {
-          val byte = bytes(boff + 4 + i) & 0xff
-          if (n < total) { out += decodeNibble(byte & 0xf, st).toShort; n += 1 }
-          if (n < total) { out += decodeNibble(byte >> 4, st).toShort; n += 1 }
-          i += 1
+        var c = 0
+        while (c < channels) {
+          sts(c).predictor = bb.getShort(boff + 4 * c).toInt
+          sts(c).index = clampIndex(bytes(boff + 4 * c + 2) & 0xff)
+          c += 1
+        }
+        if (n < total) {
+          c = 0
+          while (c < channels) { out += sts(c).predictor.toShort; c += 1 }
+          n += 1
+        }
+        var f = 1
+        var pos = boff + 4 * channels
+        while (f < spb && n < total) {
+          c = 0
+          while (c < channels) { // one 4-byte word per channel
+            var j = 0
+            while (j < 4) {
+              val byte = bytes(pos + 4 * c + j) & 0xff
+              word(2 * j) = decodeNibble(byte & 0xf, sts(c))
+              word(2 * j + 1) = decodeNibble(byte >> 4, sts(c))
+              j += 1
+            }
+            System.arraycopy(word, 0, group(c), 0, 8)
+            c += 1
+          }
+          var k = 0
+          while (k < 8 && n < total) { // re-interleave the words into frames
+            c = 0
+            while (c < channels) { out += group(c)(k).toShort; c += 1 }
+            n += 1
+            k += 1
+          }
+          pos += 4 * channels
+          f += 8
         }
         boff += blockAlign
       }

@@ -189,6 +189,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(maxErr <= 512, s"ADPCM round-trip max error $maxErr")
   }
 
+  test("AdpcmCodec: stereo round-trip — interleaved frames, per-channel tracking") {
+    import Multimodal.AdpcmCodec
+    // L and R carry different signals; 1003 frames → partial last block
+    val l = sine(1003, 9000, 80)
+    val r = sine(1003, 5000, 33)
+    val interleaved = new Array[Short](2006)
+    var i = 0
+    while (i < 1003) { interleaved(2 * i) = l(i); interleaved(2 * i + 1) = r(i); i += 1 }
+    val a = AdpcmCodec.parse(AdpcmCodec.build(interleaved, 22050, channels = 2)).get
+    assert(a.sampleRate === 22050 && a.channels === 2)
+    assert(a.samples.length === 2006)
+    val errL = (0 until 1003).map(i => math.abs(l(i) - a.samples(2 * i))).max
+    val errR = (0 until 1003).map(i => math.abs(r(i) - a.samples(2 * i + 1))).max
+    // per-channel quantizers must track independently — a channel-state
+    // mixup would blow one channel's error by orders of magnitude
+    assert(errL <= 512, s"left channel max error $errL")
+    assert(errR <= 512, s"right channel max error $errR")
+  }
+
   test("AdpcmCodec: a genuinely compressed format — the stock JDK cannot read it") {
     val wav = Multimodal.AdpcmCodec.build(sine(600, 4000, 50), 8000)
     // javax.sound handles PCM/u-law/a-law WAVs only; fmt 0x11 must be
