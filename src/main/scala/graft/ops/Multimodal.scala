@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL: actual PNG/JPEG/GIF/BMP payloads go through the
   * JDK's ImageIO and report true dimensions. Audio decode is REAL for
-  * RIFF/WAVE payloads via the JDK's `javax.sound.sampled` (sample rate,
-  * channels, PCM frame count). Compressed audio and video codecs are
-  * STUBBED — this container has no media libraries — behind [[FakeCodec]],
-  * a deterministic pure function of the payload bytes, as are non-media
+  * PCM RIFF/WAVE via the JDK's `javax.sound.sampled` AND for compressed
+  * IMA-ADPCM (mono/stereo) via [[AdpcmCodec]], pure JVM. Video decode is
+  * REAL for MJPEG-in-AVI via [[AviCodec]] (RIFF parse + per-frame
+  * ImageIO). Only perceptual codecs (H.264/mp3/aac — they need a DSP
+  * stack this container doesn't have) remain behind [[FakeCodec]], a
+  * deterministic pure function of the payload bytes, as are non-media
   * byte payloads (the oracle corpora), so everything around the codec
   * (schemas, typed Datasets, partition iteration, downstream relational
   * ops) stays oracle-checkable: the fake features are exact integer
@@ -125,10 +127,6 @@ object Multimodal {
     }.toDF("media_id", "orig_w", "orig_h", "new_w", "new_h", "new_bytes")
   }
 
-  /** Decode one payload: REAL dimensions for actual image bytes, the
-    * deterministic [[FakeCodec]] arithmetic otherwise (audio/video decoders
-    * aren't available in this environment — that half stays an honest stub).
-    */
   /** Magic sniff for RIFF/WAVE containers — the audio format the JDK's
     * `javax.sound.sampled` decodes without external libraries.
     */
