@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   * combined); every merge round then runs over the distinct-word table,
   * whose size is bounded by the language (not the data), and collects
   * exactly ONE row (the argmax pair) per round — a driver-side scalar, not
-  * a data loop. Rounds localCheckpoint like the other fixpoints
-  * ([[Dedup.dupClusters]], [[Similarity.trainCentroids]]) so the plan does
-  * not grow with the merge count.
+  * a data loop. Only the INITIAL vocab is checkpointed: each round adds
+  * one literal replace, so the plan is an nMerges-deep chain over a
+  * vocab-sized table — cheaper than per-round materialization at the
+  * tokenizer-typical merge counts this query runs (measured in
+  * [[train]]); for thousands of merges, reintroduce a periodic
+  * checkpoint like the true fixpoints ([[Dedup.dupClusters]],
+  * [[Similarity.trainCentroids]], whose plans reference the previous
+  * round twice and MUST truncate).
   *
   * Determinism / engine portability: word states are parenthesized symbol
   * strings — `(a)(b)(c)` — so applying merge `x y` is the LITERAL string

@@ -541,16 +541,23 @@ object Multimodal {
         }
         off += 8 + size + (size & 1)
       }
+      // Beyond the spb↔blockAlign consistency equation, the word walk
+      // reads fixed 4-byte groups per channel — so (spb-1) must be a
+      // whole number of 8-sample words and those words must exactly fill
+      // the block's data bytes, or a crafted-but-plausible header (e.g.
+      // blockAlign=6, spb=5) would read past the block and past the
+      // array on a file-ending data chunk (parse must never throw)
       if (tag != 0x11 || channels < 1 || channels > 2 || dataOff < 0 ||
         blockAlign < 4 * channels + channels ||
-        spb != (blockAlign - 4 * channels) * 2 / channels + 1) return None
+        spb != (blockAlign - 4 * channels) * 2 / channels + 1 ||
+        (spb - 1) % 8 != 0 ||
+        4 * channels * ((spb - 1) / 8) != blockAlign - 4 * channels) return None
       // `fact` counts per-channel FRAMES; output is frame-interleaved
       val out = Array.newBuilder[Short]
       var n = 0 // frames emitted
       val total = if (factSamples >= 0) factSamples else Int.MaxValue
       var boff = dataOff
       val sts = Array.fill(channels)(new State(0, 0))
-      val word = new Array[Int](8) // one channel's 8 samples per 4-byte word
       val group = Array.ofDim[Int](channels, 8)
       while (boff + blockAlign <= dataOff + dataLen && n < total) {
         var c = 0
@@ -572,11 +579,10 @@ object Multimodal {
             var j = 0
             while (j < 4) {
               val byte = bytes(pos + 4 * c + j) & 0xff
-              word(2 * j) = decodeNibble(byte & 0xf, sts(c))
-              word(2 * j + 1) = decodeNibble(byte >> 4, sts(c))
+              group(c)(2 * j) = decodeNibble(byte & 0xf, sts(c))
+              group(c)(2 * j + 1) = decodeNibble(byte >> 4, sts(c))
               j += 1
             }
-            System.arraycopy(word, 0, group(c), 0, 8)
             c += 1
           }
           var k = 0

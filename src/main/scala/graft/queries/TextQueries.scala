@@ -835,10 +835,15 @@ object TextQueries {
     val deduped = docs
       .withColumn("keep_id", min(col("doc_id")).over(wFp))
       .filter(col("doc_id") === col("keep_id"))
+    // localCheckpoint: stableIds' offset collect, packByWeight's bucket
+    // aggregation, and the final pass would otherwise each re-run the
+    // gate → dedup → sort subtree (the round's most expensive upstream) —
+    // materializing the 3-column keyed table cuts it to one execution
     val keyed = deduped.select(col("doc_id"),
         size(wsTokens(col("text"))).cast("long").as("n_tokens"),
         md5(col("doc_id").cast("string")).as("k"))
       .orderBy(col("k"), col("doc_id"))
+      .localCheckpoint()
     graft.ops.Scale.packByWeight(graft.ops.Scale.stableIds(keyed, "pos"),
         "pos", "n_tokens", target = 2000L, bucketWidth = 100L)
       .groupBy("shard").agg(

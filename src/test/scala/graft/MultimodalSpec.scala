@@ -242,6 +242,21 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(AdpcmCodec.parse(java.util.Arrays.copyOf(wav, wav.length - 100)).isEmpty)
   }
 
+  test("ADPCM rejects consistent-looking headers whose words overrun the block") {
+    // blockAlign=6, spb=5 satisfies the spb equation but (spb-1)=4 is not
+    // a whole 8-sample word — the walk would read past a file-ending data
+    // chunk. Must drop, not throw.
+    val bb = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(54).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+    bb.putShort(0x11).putShort(1).putInt(8000).putInt(8000)
+    bb.putShort(6).putShort(4).putShort(2).putShort(5) // blockAlign=6, spb=5
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(5)
+    bb.put("data".getBytes("US-ASCII")).putInt(6).put(Array.fill[Byte](6)(0x11))
+    assert(Multimodal.AdpcmCodec.parse(bb.array).isEmpty)
+  }
+
   test("RIFF parsers survive a crafted chunk size near Int.MaxValue") {
     // `off + 8 + size` must not wrap negative and sneak past the bounds
     // check — one such payload would fail a whole mapPartitions task

@@ -14,10 +14,15 @@ class TextQueriesSpec extends AnyFunSuite with SparkSuite {
 
   test("t13 LM filter equals the sequential reference bit-for-bit") {
     // sequential reference: same model, same packed-key fold order
+    // filter on the ORIGINAL text's code-point count — Spark's length()
+    // counts code points, and lmFilter filters before lowercasing, so a
+    // UTF-16-unit filter on the lowercased string would diverge on
+    // astral or case-expanding code points
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).toLowerCase))
-      .filter(_._2.length >= 2)
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (_, t) => t.codePointCount(0, t.length) >= 2 }
+      .map { case (id, t) => (id, t.toLowerCase) }
     def bigrams(t: String): Seq[Long] = {
       val cps = t.codePoints().toArray
       (0 until cps.length - 1).map(i => (cps(i).toLong << 21) | cps(i + 1).toLong)
