@@ -518,67 +518,13 @@ object TextQueries {
     val d = Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), lower(col("text")).as("t"))
-    // Bigrams are packed code-point longs throughout: UTF-8 byte order
-    // equals code-point order, so numeric sort order IS the fold order the
-    // oracle's `ORDER BY bg` (binary collation) walks — with zero string
-    // allocation in any hot loop.
-    def bgKey(cp1: Int, cp2: Int): Long = (cp1.toLong << 21) | cp2.toLong
-    // model pass: one in-memory combine per partition, ≤|alphabet|² rows
-    // each, then an exact integer-count agg over those tiny rows
-    val partCounts = d.as[(Long, String)].mapPartitions { rows =>
-      val m = new java.util.HashMap[java.lang.Long, Long]()
-      rows.foreach { case (_, t) =>
-        val cps = t.codePoints().toArray
-        var i = 0
-        while (i < cps.length - 1) {
-          val k = java.lang.Long.valueOf(bgKey(cps(i), cps(i + 1)))
-          val prev = m.get(k)
-          m.put(k, if (prev == null) 1L else prev + 1L)
-          i += 1
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      m.entrySet().iterator().asScala.map(e => (e.getKey.toLong, e.getValue))
-    }.toDF("bg", "k")
-    val cnt = partCounts.groupBy("bg").agg(sum(col("k")).cast("double").as("cbg"))
-    val pre = cnt.groupBy(shiftright(col("bg"), 21).as("c1"))
-      .agg(sum(col("cbg")).as("cpre"))
-    val v = cnt.select(explode(array(
-        shiftright(col("bg"), 21),
-        col("bg").bitwiseAND(lit((1L << 21) - 1)))).as("c"))
-      .agg(countDistinct(col("c")).cast("double").as("vn"))
-    val modelByKey: Map[Long, Double] = cnt
-      .join(broadcast(pre), shiftright(col("bg"), 21) === col("c1"))
-      .crossJoin(broadcast(v))
-      .select(col("bg"),
-        log((col("cbg") + 1.0) / (col("cpre") + col("vn"))).as("logp"))
-      .as[(Long, Double)].collect().toMap
-    val bcModel = spark.sparkContext.broadcast(modelByKey)
-    // score pass: pure map over the corpus against the broadcast model
+    // train + score live in ops.LmScore (shared with the st6 streaming
+    // serve path — same model, same fold, same rounding)
+    val bcModel = spark.sparkContext.broadcast(
+      graft.ops.LmScore.trainBigramModel(d))
     d.as[(Long, String)].mapPartitions { rows =>
       val lp = bcModel.value
-      rows.map { case (id, t) =>
-        val m = new java.util.TreeMap[java.lang.Long, Long]()
-        val cps = t.codePoints().toArray
-        var i = 0
-        var nBg = 0L
-        while (i < cps.length - 1) {
-          val bg = java.lang.Long.valueOf(bgKey(cps(i), cps(i + 1)))
-          val prev = m.get(bg)
-          m.put(bg, if (prev == null) 1L else prev + 1L)
-          nBg += 1L
-          i += 1
-        }
-        var acc = 0.0
-        val it = m.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          acc = acc + e.getValue.toDouble * lp(e.getKey)
-        }
-        val nll = BigDecimal(-acc / nBg)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (id, nll, if (nll < 1.70) 1L else 0L)
-      }
+      rows.map { case (id, t) => graft.ops.LmScore.score(lp, id, t) }
     }.toDF("doc_id", "nll", "keep")
   }
 
@@ -878,8 +824,42 @@ object TextQueries {
        |       CAST(MAX(pos) AS BIGINT) AS last_pos
        |FROM c GROUP BY 1""".stripMargin
 
+  /** ST6 — streaming LM gating ([[graft.streaming.StreamScore]]): the
+    * model trains batch-side on the corpus snapshot, then the SAME
+    * documents arrive as a stream and are gated per micro-batch against
+    * the broadcast model — stateless, shuffle-free serving. Output: kept/
+    * dropped doc counts. The oracle recomputes the gate from the batch
+    * t13 definition, so a pass proves stream scoring ≡ batch scoring —
+    * the consistency a production train-offline/serve-online split relies
+    * on.
+    */
+  def streamLmGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val model = graft.ops.LmScore.trainBigramModel(d)
+    val out = s"${TarQueries.StageDir}/st6_scored.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st6").toString
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    graft.streaming.StreamScore.scoreDocs(stream, model, out, ckpt)
+    spark.read.parquet(out)
+      .groupBy("keep").agg(count(lit(1)).as("n_docs"))
+  }
+
+  val streamLmGateSql: String =
+    s"""SELECT keep, COUNT(*) AS n_docs
+       |FROM ($lmFilterSql)
+       |GROUP BY keep""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_corpus_to_shards" -> corpusToShards,
+    "st6_stream_lm_gate" -> streamLmGate,
     "t10_json_props" -> jsonProps,
     "t11_bm25" -> bm25,
     "t12_token_shards" -> tokenShards,
@@ -901,6 +881,7 @@ object TextQueries {
 
   def oracleSql: Map[String, String] = Map(
     "c1_corpus_to_shards" -> corpusToShardsSql,
+    "st6_stream_lm_gate" -> streamLmGateSql,
     "t10_json_props" -> jsonPropsSql,
     "t11_bm25" -> bm25Sql,
     "t12_token_shards" -> tokenShardsSql,
