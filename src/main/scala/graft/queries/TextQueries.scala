@@ -523,8 +523,8 @@ object TextQueries {
     val bcModel = spark.sparkContext.broadcast(
       graft.ops.LmScore.trainBigramModel(d))
     d.as[(Long, String)].mapPartitions { rows =>
-      val lp = bcModel.value
-      rows.map { case (id, t) => graft.ops.LmScore.score(lp, id, t) }
+      val m = bcModel.value
+      rows.map { case (id, t) => graft.ops.LmScore.score(m, id, t) }
     }.toDF("doc_id", "nll", "keep")
   }
 
@@ -841,10 +841,23 @@ object TextQueries {
     val out = s"${TarQueries.StageDir}/st6_scored.parquet"
     graft.io.FsOps.deletePrefix(spark, out)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-st6").toString
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    // the file stream source needs a DIRECTORY basePath, and a name glob
+    // on the sf dir only matches the single-file layout — so pick per
+    // layout: directory-per-table (GenScale output) streams the table dir
+    // itself (its part-*.parquet leaves list naturally); a bare
+    // documents.parquet file streams the sf dir with a name glob. Either
+    // way the stream drains real rows instead of silently matching none.
+    val tablePath = s"$sfDir/documents.parquet"
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val hFs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = spark.read.parquet(tablePath).schema
+    val stream0 =
+      if (hFs.getFileStatus(hPath).isDirectory)
+        spark.readStream.schema(schema).parquet(tablePath)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val stream = stream0
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), lower(col("text")).as("t"))
     graft.streaming.StreamScore.scoreDocs(stream, model, out, ckpt)

@@ -21,14 +21,14 @@ object StreamScore {
     * `t` columns) through the LM scorer into `outDir` as parquet
     * `(doc_id, nll, keep)`; blocks until the AvailableNow drain finishes.
     */
-  def scoreDocs(stream: DataFrame, model: Map[Long, Double], outDir: String,
-                checkpointDir: String): Unit = {
+  def scoreDocs(stream: DataFrame, model: graft.ops.LmScore.BigramModel,
+                outDir: String, checkpointDir: String): Unit = {
     val spark = stream.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
     val q = stream.as[(Long, String)].mapPartitions { rows =>
-        val lp = bc.value
-        rows.map { case (id, t) => graft.ops.LmScore.score(lp, id, t) }
+        val m = bc.value
+        rows.map { case (id, t) => graft.ops.LmScore.score(m, id, t) }
       }.toDF("doc_id", "nll", "keep")
       .writeStream
       .format("parquet")

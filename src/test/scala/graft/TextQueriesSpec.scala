@@ -47,6 +47,28 @@ class TextQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(got === expect)
   }
 
+  test("LM score is total: unseen bigrams smooth, empty docs drop") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val model = graft.ops.LmScore.trainBigramModel(d)
+    // a string of astral code points the corpus never contains: every
+    // bigram AND every prefix is unseen → floor path; must not throw
+    val alien = new String(Character.toChars(0x1F984)) * 4
+    val (_, nllAlien, _) = graft.ops.LmScore.score(model, 1L, alien)
+    assert(nllAlien > 0.0 && java.lang.Double.isFinite(nllAlien))
+    // seen prefix + unseen successor → per-prefix smoothing mass, which
+    // must be ≤ the floor's probability-mass bound (cpre+vn ≥ vn)
+    val seenPrefix = "e" + new String(Character.toChars(0x1F984))
+    val (_, nllMixed, _) = graft.ops.LmScore.score(model, 2L, seenPrefix)
+    assert(java.lang.Double.isFinite(nllMixed))
+    assert(nllMixed >= nllAlien - 1e-9)
+    // no bigrams at all → keep=0, no divide-by-zero
+    val (_, _, keepEmpty) = graft.ops.LmScore.score(model, 3L, "x")
+    assert(keepEmpty === 0L)
+  }
+
   test("t14 positions are an exact permutation with 100-doc shards") {
     val rows = graft.queries.TextQueries.corpusShuffle(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
