@@ -709,24 +709,27 @@ object TextQueries {
     * machinery). This is how a learned tokenizer deploys at 100 TB: the
     * vocab rides in the closure, the corpus never reshuffles.
     */
-  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
-    val merges = graft.ops.Bpe.trainOnDocuments(spark,
-        Tables.documents(spark, sfDir), "text", nMerges = BpeRounds)
-      .orderBy("rank").collect()
-      .map(r => r.getString(1).split(" ", 2) match { case Array(x, y) => (x, y) })
-    val perWord: Column => Column = { w =>
-      val merged = merges.foldLeft(graft.ops.Bpe.wordState(w)) { case (s, (x, y)) =>
-        replace(s, lit(s"($x)($y)"), lit(s"(${x}${y})"))
-      }
-      size(regexp_extract_all(merged, lit(graft.ops.Bpe.SymbolRe), lit(1)))
-        .cast("long")
-    }
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTokenizeWith(spark, sfDir, BpeRounds)
+
+  /** Shared apply body for t17/t17b: learn `nMerges` merges, then count
+    * each document's BPE tokens with the merge table riding in ONE
+    * codegen expression ([[graft.functions.BpeFunctions.bpe_word_tokens]])
+    * — expression depth O(1) in the merge count, vs the earlier literal
+    * replace chain whose depth grew with every merge and died around a
+    * few hundred. The tokenize pass stays scan → project, zero shuffles.
+    */
+  private def bpeTokenizeWith(spark: SparkSession, sfDir: String,
+                              nMerges: Int): DataFrame = {
+    val merges = graft.ops.Bpe.learnedMerges(
+      graft.ops.Bpe.wordFrequencies(Tables.documents(spark, sfDir), "text"),
+      nMerges).toSeq
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         aggregate(
           transform(
             filter(wsTokens(lower(col("text"))), graft.ops.Bpe.trainableWord(_)),
-            perWord),
+            w => graft.functions.BpeFunctions.bpe_word_tokens(w, merges)),
           lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
   }
 
@@ -758,6 +761,89 @@ object TextQueries {
        |FROM documents d LEFT JOIN a$BpeRounds a ON a.doc_id = d.doc_id
        |GROUP BY d.doc_id""".stripMargin
   }
+
+  /** T16b/T17b — BPE at model scale: the same trainer and tokenizer graded
+    * at 256 requested merges (the corpus' 31-word synthetic vocabulary
+    * saturates at ~89 learnable merges — every word collapses to a single
+    * symbol — so the query also proves correct early stop; the ≥256-merge
+    * mechanism itself is pinned against a high-entropy corpus in BpeSpec).
+    *
+    * Oracle: the chained-CTE replay is structurally O(2^rounds) (each
+    * round's state references the previous state twice) and exceeds
+    * DuckDB's expression-depth limit near 256 rounds even materialized —
+    * so these replay training as a RECURSIVE CTE instead: the working
+    * table carries every word's state plus the round's winning pair, one
+    * linear pass per round, any merge count. The tokenizer oracle reads
+    * tokenization straight off the FINAL word states (merging never
+    * changes a word's characters, so the final state of the distinct-word
+    * table IS the tokenization of every occurrence) and joins counts back
+    * to documents.
+    */
+  private val BpeRoundsBig = 256
+
+  def bpeMergesBig(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Bpe.trainOnDocuments(spark,
+      Tables.documents(spark, sfDir), "text", nMerges = BpeRoundsBig)
+
+  def bpeTokenizeBig(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTokenizeWith(spark, sfDir, BpeRoundsBig)
+
+  /** Recursive training CTE shared by the t16b/t17b oracles: `st` holds
+    * `(r, w, s, freq, mp, mn)` — round-r word states plus the pair merged
+    * to reach them; stops at `n` rounds or pair exhaustion (empty argmax
+    * → empty cross join → recursion ends).
+    */
+  private def bpeRecursiveTrainSql(n: Int): String =
+    s"""WITH RECURSIVE wf AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0 AND w NOT LIKE '%(%' AND w NOT LIKE '%)%'
+       |  GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, '(' || array_to_string(list_transform(range(1, length(w) + 1),
+       |           i -> substr(w, CAST(i AS INT), 1)), ')(') || ')' AS s, freq
+       |  FROM wf),
+       |st AS (
+       |  SELECT 0 AS r, w, s, freq,
+       |         CAST(NULL AS VARCHAR) AS mp, CAST(NULL AS BIGINT) AS mn
+       |  FROM s0
+       |  UNION ALL
+       |  SELECT st.r + 1, st.w,
+       |         replace(st.s,
+       |           '(' || string_split(b.p, ' ')[1] || ')(' || string_split(b.p, ' ')[2] || ')',
+       |           '(' || replace(b.p, ' ', '') || ')'),
+       |         st.freq, b.p, b.n
+       |  FROM st, (
+       |    SELECT p, SUM(freq) AS n FROM (
+       |      SELECT freq, unnest(list_transform(range(1, len(sy)),
+       |             i -> sy[CAST(i AS INT)] || ' ' || sy[CAST(i + 1 AS INT)])) AS p
+       |      FROM (SELECT regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS sy, freq
+       |            FROM st)) GROUP BY p ORDER BY n DESC, p ASC LIMIT 1
+       |  ) b
+       |  WHERE st.r < $n
+       |)""".stripMargin
+
+  val bpeMergesBigSql: String =
+    s"""${bpeRecursiveTrainSql(BpeRoundsBig)}
+       |SELECT CAST(r AS BIGINT) AS rank, mp AS pair, CAST(mn AS BIGINT) AS n_occ
+       |FROM (SELECT DISTINCT r, mp, mn FROM st WHERE r >= 1)""".stripMargin
+
+  val bpeTokenizeBigSql: String =
+    s"""${bpeRecursiveTrainSql(BpeRoundsBig)},
+       |fin AS (SELECT w, s FROM st WHERE r = (SELECT MAX(r) FROM st)),
+       |wtok AS (SELECT w,
+       |  CAST(len(regexp_extract_all(s, '\\(([^)]*)\\)', 1)) AS BIGINT) AS nt
+       |  FROM fin),
+       |tok AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |wx AS (SELECT t.doc_id, wt.nt FROM tok t JOIN wtok wt USING (w)
+       |       WHERE length(t.w) > 0 AND t.w NOT LIKE '%(%'
+       |         AND t.w NOT LIKE '%)%')
+       |SELECT d.doc_id, CAST(COALESCE(SUM(wx.nt), 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN wx ON wx.doc_id = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
 
   /** C1 — the corpus→training-shards capstone: the end-to-end pipeline a
     * user actually runs, composed from this round's operators in the
@@ -880,7 +966,9 @@ object TextQueries {
     "t14_corpus_shuffle" -> corpusShuffle,
     "t15_source_mix" -> sourceMix,
     "t16_bpe_merges" -> bpeMerges,
+    "t16b_bpe_merges256" -> bpeMergesBig,
     "t17_bpe_tokenize" -> bpeTokenize,
+    "t17b_bpe_tokenize256" -> bpeTokenizeBig,
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
@@ -902,7 +990,9 @@ object TextQueries {
     "t14_corpus_shuffle" -> corpusShuffleSql,
     "t15_source_mix" -> sourceMixSql,
     "t16_bpe_merges" -> bpeMergesSql,
+    "t16b_bpe_merges256" -> bpeMergesBigSql,
     "t17_bpe_tokenize" -> bpeTokenizeSql,
+    "t17b_bpe_tokenize256" -> bpeTokenizeBigSql,
     "t1_token_stats" -> tokenStatsSql,
     "t2_quality_score" -> qualityScoreSql,
     "t3_langid" -> langIdSql,

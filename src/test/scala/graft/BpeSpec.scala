@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Bpe
@@ -79,5 +80,53 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     val got = Bpe.train(Seq(("xy", 1L), ("ab", 1L)).toDF("w", "freq"), nMerges = 1)
       .collect().map(_.getString(1)).toSeq
     assert(got === Seq("a b"))
+  }
+
+  /** A deterministic high-entropy vocabulary: enough distinct multi-char
+    * words that hundreds of merges are learnable (the graded corpus' 31
+    * words saturate at ~89).
+    */
+  private def entropyWords(n: Int): Seq[(String, Long)] =
+    (0 until n).map { i =>
+      // base-7 over a 7-letter alphabet, length 6 → n distinct words
+      val w = (0 until 6).map(d => ('a' + (i / math.pow(7, d).toInt) % 7).toChar)
+        .mkString
+      (w, (i % 13 + 1).toLong)
+    }
+
+  test("trainer learns 300+ merges and equals the reference at that scale") {
+    import spark.implicits._
+    val words = entropyWords(600)
+    val got = Bpe.train(words.toDF("w", "freq"), nMerges = 320)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    val expect = referenceBpe(words, 320)
+    assert(expect.length === 320, "corpus must sustain 320 merges for this pin")
+    assert(got === expect)
+  }
+
+  test("executor-side tokenize equals sequential replay at 300+ merges") {
+    import spark.implicits._
+    val words = entropyWords(600)
+    val merges = Bpe.learnedMerges(words.toDF("w", "freq"), nMerges = 320).toSeq
+    // sequential replay: apply every merge in rank order per word
+    val expect = words.map { case (w, _) =>
+      var syms = w.toCharArray.map(_.toString)
+      merges.foreach { case (x, y) => syms = Bpe.mergePass(syms, x, y) }
+      (w, syms.length.toLong)
+    }.toMap
+    // the codegen expression path, over a real DataFrame
+    val got = words.map(_._1).toDF("w")
+      .select(col("w"),
+        graft.functions.BpeFunctions.bpe_word_tokens(col("w"), merges).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === expect)
+    // and the constant-depth property the rewrite exists for: one
+    // expression node regardless of merge count
+    val plan = words.map(_._1).toDF("w")
+      .select(graft.functions.BpeFunctions.bpe_word_tokens(col("w"), merges))
+      .queryExecution.analyzed.expressions.map(_.toString).mkString
+    assert(!plan.contains("replace("),
+      "tokenize must not inline merges as a replace chain")
   }
 }

@@ -241,6 +241,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"t17 tokenize plan is not a pure projection:\n$p")
   }
 
+  test("256-merge BPE tokenize keeps the scan→project shape (t17b)") {
+    // the merge table rides as ONE reference object in bpe_word_tokens —
+    // the plan must look exactly like t17's despite 32× the merges, and
+    // in particular must not inline merges as a replace chain
+    val p = plan("t17b_bpe_tokenize256")
+    assert(!p.contains("Exchange"), s"t17b tokenize plan shuffles:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("SortAggregate"),
+      s"t17b tokenize plan is not a pure projection:\n$p")
+    assert(!p.contains("replace("),
+      s"t17b inlines merges as a replace chain:\n$p")
+  }
+
   test("corpus shuffle range-sorts and never plans a global window (t14)") {
     val p = plan("t14_corpus_shuffle")
     // positions come from the prefix-summed offset join, not row_number():
