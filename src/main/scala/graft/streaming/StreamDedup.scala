@@ -39,7 +39,7 @@ object StreamDedup {
     val conf = stream.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try {
+    try StateStores.withRocksDb(stream.sparkSession) {
       val q = stream
         .dropDuplicates("fp")
         .writeStream

@@ -50,7 +50,7 @@ object StreamJoin {
     val conf = clicks.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try {
+    try StateStores.withRocksDb(clicks.sparkSession) {
       val q = attributionJoin(clicks, purchases, window, delay)
         .writeStream
         .format("parquet")

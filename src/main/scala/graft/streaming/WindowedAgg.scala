@@ -43,7 +43,7 @@ object WindowedAgg {
     val conf = stream.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try {
+    try StateStores.withRocksDb(stream.sparkSession) {
       val q = tumblingCounts(stream, window, delay)
         .writeStream
         .format("parquet")
