@@ -72,8 +72,13 @@ object Bench {
           // Sub-second queries ALWAYS get a third sample: at that scale a
           // single stolen timeslice is a ±35% swing, which polluted the
           // r7→r8 round-over-round comparison (VERDICT r8 §next-round 7).
+          // Streaming queries ALWAYS get a third sample too: micro-batch
+          // checkpoint I/O jitters them 1.2-1.7x — under the 3x trigger,
+          // but enough to fake round-over-round regressions on untouched
+          // code (st3 +37%, st5 +28% in r9; VERDICT r9 §next-round 5).
           val spread = math.max(dt1, dt2) / math.max(1e-9, math.min(dt1, dt2))
-          if (spread <= 3.0 && math.min(dt1, dt2) >= 1.0)
+          if (spread <= 3.0 && math.min(dt1, dt2) >= 1.0 &&
+              !name.startsWith("st"))
             (name, math.min(dt1, dt2), Seq(dt1, dt2), None)
           else {
             val (dt3, err3) = runOnce(fn)

@@ -158,8 +158,7 @@ object Multimodal {
       case None =>
         (if (r.kind == "audio")
           decodeWav(r.content).orElse(AdpcmCodec.parse(r.content)
-            .map(a => (a.sampleRate, a.channels,
-              (a.samples.length / a.channels).toLong)))
+            .map(a => (a.sampleRate, a.channels, a.frameCount.toLong)))
         else None) match {
           case Some((rate, channels, frames)) =>
             // audio semantics for the shared feature shape: width carries
@@ -175,7 +174,7 @@ object Multimodal {
                 // real MJPEG-in-AVI: header dims, parsed frame count
                 MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
                   width = avi.width, height = avi.height,
-                  n_frames = avi.frames.size,
+                  n_frames = avi.frameCount,
                   lead_byte = r.content(0) & 0xff)
               case None => FakeCodec.decode(r)
             }
@@ -229,12 +228,27 @@ object Multimodal {
   object AviCodec {
     import java.nio.{ByteBuffer, ByteOrder}
 
-    /** A parsed MJPEG AVI: header dims + the raw JPEG bytes per frame. */
-    final case class AviVideo(
-        width: Int,
-        height: Int,
-        usecPerFrame: Int,
-        frames: Vector[Array[Byte]])
+    /** A parsed MJPEG AVI: header dims + a LAZY walk over the frames.
+      * `parse` validates the whole chunk tree eagerly (malformed → None,
+      * unchanged) but records only (offset, length) spans — each call to
+      * [[frames]] is a fresh iterator that copies ONE frame out of the
+      * container at a time, so a task's peak beyond the input payload is
+      * a single frame, not every frame of a long video duplicated (the
+      * whole-object-buffering trap SURVEY §7 flags in the reference).
+      */
+    final class AviVideo private[AviCodec] (
+        val width: Int,
+        val height: Int,
+        val usecPerFrame: Int,
+        spans: Array[Long],
+        bytes: Array[Byte]) {
+      def frameCount: Int = spans.length
+      /** Fresh frame iterator; each `next()` slices one frame's bytes. */
+      def frames: Iterator[Array[Byte]] = spans.iterator.map { s =>
+        val off = (s >>> 32).toInt
+        java.util.Arrays.copyOfRange(bytes, off, off + (s & 0xffffffffL).toInt)
+      }
+    }
 
     private def le(n: Int): ByteBuffer =
       ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
@@ -295,16 +309,17 @@ object Multimodal {
         b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
 
     /** Parse an MJPEG AVI: walk the RIFF chunk tree, pull dims from 'avih',
-      * collect '00dc'/'00db' payloads in order. None on anything malformed
-      * (bad magic, chunk size past the buffer, missing header) — malformed
-      * payloads must drop, not throw, inside a mapPartitions stage.
+      * record '00dc'/'00db' payload SPANS in order (the bytes slice out
+      * lazily — see [[AviVideo]]). None on anything malformed (bad magic,
+      * chunk size past the buffer, missing header) — malformed payloads
+      * must drop, not throw, inside a mapPartitions stage.
       */
     def parse(bytes: Array[Byte]): Option[AviVideo] = {
       if (!looksLikeAvi(bytes)) return None
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       var width, height, usec = 0
       var sawAvih = false
-      val frames = Vector.newBuilder[Array[Byte]]
+      val spans = Array.newBuilder[Long]
 
       def fourcc(off: Int): String =
         new String(bytes, off, 4, "US-ASCII")
@@ -332,7 +347,7 @@ object Multimodal {
               height = bb.getInt(off + 8 + 36)
               sawAvih = true
             case cc2 if cc2.endsWith("dc") || cc2.endsWith("db") =>
-              frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+              spans += ((off + 8).toLong << 32) | (size & 0xffffffffL)
             case _ => () // idx1 and friends — skip
           }
           off += 8 + size + (size & 1)
@@ -342,7 +357,8 @@ object Multimodal {
 
       val riffSize = bb.getInt(4)
       val end = math.min(bytes.length, 8L + riffSize).toInt
-      if (scan(12, end) && sawAvih) Some(AviVideo(width, height, usec, frames.result()))
+      if (scan(12, end) && sawAvih)
+        Some(new AviVideo(width, height, usec, spans.result(), bytes))
       else None
     }
   }
@@ -366,11 +382,49 @@ object Multimodal {
   object AdpcmCodec {
     import java.nio.{ByteBuffer, ByteOrder}
 
-    /** A decoded ADPCM WAV: format fields + the reconstructed PCM. */
-    final case class AdpcmAudio(
-        sampleRate: Int,
-        channels: Int,
-        samples: Array[Short])
+    /** A parsed ADPCM WAV: format fields + a LAZY decode. `parse`
+      * validates the header and framing eagerly (malformed → None,
+      * unchanged — the frame count is structural: full blocks × samples
+      * per block, checked against `fact`) but decodes nothing; [[blocks]]
+      * expands one 256-byte block to PCM at a time, so a task's peak
+      * beyond the input payload is one block's samples, not the whole
+      * recording (blocks restart predictor state from their headers —
+      * the property that makes this exact).
+      */
+    final class AdpcmAudio private[AdpcmCodec] (
+        val sampleRate: Int,
+        val channels: Int,
+        val frameCount: Int,
+        bytes: Array[Byte],
+        dataOff: Int,
+        blockAlign: Int,
+        spb: Int) {
+      /** Total interleaved sample count (= frames × channels). */
+      def sampleCount: Int = frameCount * channels
+      /** Fresh pass decoding one block per `next()`. */
+      def blocks: Iterator[Array[Short]] = new Iterator[Array[Short]] {
+        private var b = 0
+        def hasNext: Boolean = b.toLong * spb < frameCount
+        def next(): Array[Short] = {
+          val nf = math.min(spb.toLong, frameCount - b.toLong * spb).toInt
+          val out = decodeBlock(bytes, dataOff + b * blockAlign, channels,
+            spb, nf)
+          b += 1
+          out
+        }
+      }
+      /** Fresh pass over the interleaved PCM, one block in memory. */
+      def samples: Iterator[Short] = blocks.flatMap(_.iterator)
+      /** Materialize the full PCM — row/test convenience; the bounded
+        * walk is [[samples]]/[[blocks]].
+        */
+      def toPcm: Array[Short] = {
+        val out = new Array[Short](sampleCount)
+        var i = 0
+        samples.foreach { s => out(i) = s; i += 1 }
+        out
+      }
+    }
 
     private val StepTable = Array(
       7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
@@ -552,53 +606,68 @@ object Multimodal {
         spb != (blockAlign - 4 * channels) * 2 / channels + 1 ||
         (spb - 1) % 8 != 0 ||
         4 * channels * ((spb - 1) / 8) != blockAlign - 4 * channels) return None
-      // `fact` counts per-channel FRAMES; output is frame-interleaved
-      val out = Array.newBuilder[Short]
+      // `fact` counts per-channel FRAMES; the available frame count is
+      // structural — full blocks × samples/block — so the "file delivers
+      // what fact promises" check needs no decode
+      val avail = (dataLen / blockAlign).toLong * spb
+      val frameCount =
+        if (factSamples >= 0) {
+          if (avail < factSamples) return None
+          factSamples
+        } else {
+          if (avail > Int.MaxValue) return None
+          avail.toInt
+        }
+      Some(new AdpcmAudio(rate, channels, frameCount, bytes, dataOff,
+        blockAlign, spb))
+    }
+
+    /** Expand ONE block: read each channel's verbatim first sample +
+      * step index from the block header, then walk the interleaved
+      * 4-byte nibble words, emitting `nFrames` frame-interleaved
+      * samples. Blocks are self-contained, so this is exactly the
+      * corresponding slice of a whole-file sequential decode.
+      */
+    private def decodeBlock(bytes: Array[Byte], boff: Int, channels: Int,
+                            spb: Int, nFrames: Int): Array[Short] = {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val sts = Array.tabulate(channels) { c =>
+        new State(bb.getShort(boff + 4 * c).toInt,
+          clampIndex(bytes(boff + 4 * c + 2) & 0xff))
+      }
+      val out = new Array[Short](nFrames * channels)
       var n = 0 // frames emitted
-      val total = if (factSamples >= 0) factSamples else Int.MaxValue
-      var boff = dataOff
-      val sts = Array.fill(channels)(new State(0, 0))
-      val group = Array.ofDim[Int](channels, 8)
-      while (boff + blockAlign <= dataOff + dataLen && n < total) {
+      if (n < nFrames) {
         var c = 0
-        while (c < channels) {
-          sts(c).predictor = bb.getShort(boff + 4 * c).toInt
-          sts(c).index = clampIndex(bytes(boff + 4 * c + 2) & 0xff)
+        while (c < channels) { out(c) = sts(c).predictor.toShort; c += 1 }
+        n += 1
+      }
+      val group = Array.ofDim[Int](channels, 8)
+      var f = 1
+      var pos = boff + 4 * channels
+      while (f < spb && n < nFrames) {
+        var c = 0
+        while (c < channels) { // one 4-byte word per channel
+          var j = 0
+          while (j < 4) {
+            val byte = bytes(pos + 4 * c + j) & 0xff
+            group(c)(2 * j) = decodeNibble(byte & 0xf, sts(c))
+            group(c)(2 * j + 1) = decodeNibble(byte >> 4, sts(c))
+            j += 1
+          }
           c += 1
         }
-        if (n < total) {
+        var k = 0
+        while (k < 8 && n < nFrames) { // re-interleave the words into frames
           c = 0
-          while (c < channels) { out += sts(c).predictor.toShort; c += 1 }
+          while (c < channels) { out(n * channels + c) = group(c)(k).toShort; c += 1 }
           n += 1
+          k += 1
         }
-        var f = 1
-        var pos = boff + 4 * channels
-        while (f < spb && n < total) {
-          c = 0
-          while (c < channels) { // one 4-byte word per channel
-            var j = 0
-            while (j < 4) {
-              val byte = bytes(pos + 4 * c + j) & 0xff
-              group(c)(2 * j) = decodeNibble(byte & 0xf, sts(c))
-              group(c)(2 * j + 1) = decodeNibble(byte >> 4, sts(c))
-              j += 1
-            }
-            c += 1
-          }
-          var k = 0
-          while (k < 8 && n < total) { // re-interleave the words into frames
-            c = 0
-            while (c < channels) { out += group(c)(k).toShort; c += 1 }
-            n += 1
-            k += 1
-          }
-          pos += 4 * channels
-          f += 8
-        }
-        boff += blockAlign
+        pos += 4 * channels
+        f += 8
       }
-      if (factSamples >= 0 && n < factSamples) None
-      else Some(AdpcmAudio(rate, channels, out.result()))
+      out
     }
   }
 
@@ -619,8 +688,14 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        AdpcmCodec.parse(r.content).map(a =>
-          AdpcmDecoded(r.media_id, a.sampleRate, a.samples.length, a.samples.map(_.toInt)))
+        AdpcmCodec.parse(r.content).map { a =>
+          // the ROW carries the full PCM by contract; the decode itself
+          // walks one block at a time
+          val pcm = new Array[Int](a.sampleCount)
+          var i = 0
+          a.samples.foreach { s => pcm(i) = s.toInt; i += 1 }
+          AdpcmDecoded(r.media_id, a.sampleRate, pcm.length, pcm)
+        }
       }
     }
   }
@@ -666,7 +741,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         AviCodec.parse(r.content).iterator.flatMap { avi =>
-          avi.frames.iterator.zipWithIndex.flatMap { case (jpg, i) =>
+          avi.frames.zipWithIndex.flatMap { case (jpg, i) =>
             (try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg)))
             catch { case _: Exception => None })
               .map(img => VideoFrame(r.media_id, i, img.getWidth, img.getHeight, meanLuma(img)))

@@ -70,15 +70,29 @@ object TarQueries {
        |FROM read_parquet('$StageDir/e1_routed.parquet/*.parquet')
        |GROUP BY 1""".stripMargin
 
-  /** S2 — full catalog listing of the sf directory (rows-only: DuckDB has
-    * no filesystem catalog). Sizes are real file sizes; names are the
-    * stable table set. The lexicographic order the reference's paged
-    * listing yields (`/root/reference/gcs_operations.go:58-85`) is applied
-    * here at the display edge — [[graft.io.FsOps.list]] itself stays
-    * unordered so join consumers don't pay a global sort.
+  /** S2 — full catalog listing of the sf directory. Sizes are real file
+    * sizes; names are the stable table set. The lexicographic order the
+    * reference's paged listing yields
+    * (`/root/reference/gcs_operations.go:58-85`) is applied here at the
+    * display edge — [[graft.io.FsOps.list]] itself stays unordered so
+    * join consumers don't pay a global sort.
+    *
+    * DuckDB has no filesystem catalog, so the live listing stages to
+    * parquet (the e1/s4 manifest trick) and BOTH engines answer from the
+    * staged store — upgrading s2 from the suite's one rows-only check to
+    * a full hash-compared row.
     */
-  def bucketList(spark: SparkSession, sfDir: String): DataFrame =
-    graft.io.FsOps.list(spark, sfDir, ".parquet").orderBy("name")
+  def bucketList(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.io.FsOps.list(spark, sfDir, ".parquet")
+      .write.mode("overwrite").parquet(s"$StageDir/s2_listing.parquet")
+    spark.read.parquet(s"$StageDir/s2_listing.parquet")
+      .select(col("name"), col("size")).orderBy("name")
+  }
+
+  val bucketListSql: String =
+    s"""SELECT name, size
+       |FROM read_parquet('$StageDir/s2_listing.parquet/*.parquet')
+       |ORDER BY name""".stripMargin
 
   /** web100 domain parse (SURVEY §1.1 row 6): latest snapshot per
     * connection over the fixture's 8062 snapshots. The parsed snapshots
@@ -170,10 +184,11 @@ object TarQueries {
     "st1_stream_drain" -> streamDrain
   )
 
-  /** Staged-parquet oracles; only s2 (the live filesystem catalog) stays
-    * rows-only — there is no stable store a second engine could re-list.
+  /** Staged-parquet oracles — every row hash-compared, including s2,
+    * whose live catalog listing stages to parquet first.
     */
   def oracleSql: Map[String, String] = Map(
+    "s2_bucket_list" -> bucketListSql,
     "s4_tar_scan" -> tarScanSql,
     "s16_tgz_dsv2" -> tarScanDsv2Sql,
     "w100_latest_per_cid" -> web100LatestSql,

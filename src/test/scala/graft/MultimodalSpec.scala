@@ -124,14 +124,14 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     val parsed = AviCodec.parse(avi).get
     assert(parsed.width === 24 && parsed.height === 16)
     assert(parsed.usecPerFrame === 200000) // 1e6 / 5
-    assert(parsed.frames.size === 3)
+    assert(parsed.frameCount === 3)
     parsed.frames.zip(frames).foreach { case (got, want) =>
       assert(java.util.Arrays.equals(got, want)) // frame payloads survive untouched
     }
     // odd-length frames exercise the RIFF even-padding rule
     val odd = grayJpeg(9, 7, 50)
     val aviOdd = AviCodec.build(Seq(odd, odd), 9, 7)
-    assert(AviCodec.parse(aviOdd).get.frames.size === 2)
+    assert(AviCodec.parse(aviOdd).get.frameCount === 2)
     // malformed inputs drop, never throw
     assert(AviCodec.parse(Array.fill[Byte](100)('x')).isEmpty)
     assert(AviCodec.parse(avi.take(30)).isEmpty) // truncated mid-header
@@ -182,8 +182,9 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     val wav = AdpcmCodec.build(pcm, 16000)
     val a = AdpcmCodec.parse(wav).get
     assert(a.sampleRate === 16000 && a.channels === 1)
-    assert(a.samples.length === 1237)
-    val maxErr = pcm.zip(a.samples).map { case (x, y) => math.abs(x - y) }.max
+    val got = a.toPcm
+    assert(got.length === 1237)
+    val maxErr = pcm.zip(got).map { case (x, y) => math.abs(x - y) }.max
     // 4-bit quantization of a ±8000 sine: adaptation error stays well
     // under the coarsest step the slope needs
     assert(maxErr <= 512, s"ADPCM round-trip max error $maxErr")
@@ -199,13 +200,66 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     while (i < 1003) { interleaved(2 * i) = l(i); interleaved(2 * i + 1) = r(i); i += 1 }
     val a = AdpcmCodec.parse(AdpcmCodec.build(interleaved, 22050, channels = 2)).get
     assert(a.sampleRate === 22050 && a.channels === 2)
-    assert(a.samples.length === 2006)
-    val errL = (0 until 1003).map(i => math.abs(l(i) - a.samples(2 * i))).max
-    val errR = (0 until 1003).map(i => math.abs(r(i) - a.samples(2 * i + 1))).max
+    val got = a.toPcm
+    assert(got.length === 2006)
+    val errL = (0 until 1003).map(i => math.abs(l(i) - got(2 * i))).max
+    val errR = (0 until 1003).map(i => math.abs(r(i) - got(2 * i + 1))).max
     // per-channel quantizers must track independently — a channel-state
     // mixup would blow one channel's error by orders of magnitude
     assert(errL <= 512, s"left channel max error $errL")
     assert(errR <= 512, s"right channel max error $errR")
+  }
+
+  test("codecs decode incrementally: work happens at iteration, not parse") {
+    import Multimodal.{AdpcmCodec, AviCodec}
+    // AVI: a many-frame video parses to spans only — frame N's bytes are
+    // sliced when the iterator REACHES frame N. Proof: parse, read frame
+    // 0, then corrupt the tail of the source buffer; the not-yet-visited
+    // last frame reflects the corruption (a parse-time copy could not)
+    val frames = (0 until 200).map(i => grayJpeg(8, 8, i % 255))
+    val aviBytes = AviCodec.build(frames, 8, 8)
+    val avi = AviCodec.parse(aviBytes).get
+    assert(avi.frameCount === 200)
+    val it = avi.frames
+    assert(java.util.Arrays.equals(it.next(), frames(0)))
+    // locate + flip a byte inside the LAST frame's payload in the source
+    val lastOff = {
+      var off = -1
+      var from = 0
+      while ({ val i = indexOf(aviBytes, frames(199), from); if (i >= 0) { off = i; from = i + 1 }; i >= 0 }) ()
+      off
+    }
+    assert(lastOff > 0)
+    aviBytes(lastOff) = (aviBytes(lastOff) ^ 0x55).toByte
+    val last = it.drop(198).next()
+    assert(!java.util.Arrays.equals(last, frames(199)),
+      "last frame was copied at parse time — decode is not incremental")
+    // ADPCM: same — parse validates structure only; block N decodes when
+    // the walk reaches it
+    val pcm = sine(505 * 40, 8000, 100) // 40 full blocks
+    val wav = AdpcmCodec.build(pcm, 16000)
+    val a = AdpcmCodec.parse(wav).get
+    val bIt = a.blocks
+    val firstBlock = bIt.next()
+    assert(firstBlock.length === 505)
+    wav(wav.length - 10) = (wav(wav.length - 10) ^ 0x55).toByte
+    val lastBlock = bIt.drop(38).next()
+    val cleanLast = AdpcmCodec.parse(AdpcmCodec.build(pcm, 16000)).get
+      .blocks.drop(39).next()
+    assert(!java.util.Arrays.equals(lastBlock.map(_.toInt), cleanLast.map(_.toInt)),
+      "last block was decoded at parse time — decode is not incremental")
+  }
+
+  /** First index of `needle` in `hay` at/after `from`; -1 if absent. */
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + needle.length <= hay.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
   }
 
   test("AdpcmCodec: a genuinely compressed format — the stock JDK cannot read it") {
