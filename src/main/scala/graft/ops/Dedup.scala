@@ -173,10 +173,15 @@ object Dedup {
   private def nearDupsFromSets(rawSets: DataFrame, threshold: Double,
                                numBands: Int, rowsPerBand: Int,
                                collapseIdentical: Boolean): DataFrame = {
-    // the shingle arrays feed several branches (grouping, signatures, both
-    // verify joins) — materialize once; they are ~corpus-text sized, not O(n²)
-    val sets = rawSets
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The shingle arrays feed several branches (grouping, signatures, both
+    // verify joins) — compute once by parking them behind ONE doc_id-keyed
+    // exchange: every branch reads the same canonical subtree, so Spark's
+    // exchange reuse serves the shuffle files to all of them
+    // (`ReusedExchange`, the d4 pattern) and the expensive gram hashing
+    // runs exactly once — with no session-lifetime cache entry to leak.
+    // Safe against divergent column pruning because every branch needs the
+    // full (doc_id, shingles) pair.
+    val sets = rawSets.repartition(col("doc_id"))
     if (!collapseIdentical) {
       // callers that already exact-deduped (the d5 composite) skip the
       // collapse machinery: identical sets are (all but pathologically)
@@ -184,8 +189,9 @@ object Dedup {
       return verifyPairs(candidatePairs(lshBands(sets, numBands, rowsPerBand)),
         sets, threshold)
     }
+    // no persist: every `groups` branch shares the rep-window's skey
+    // exchange (reused), exactly like d4's vectorGroups
     val groups = setGroups(sets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repSets = sets.join(
       groups.filter(col("doc_id") === col("rep_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
@@ -240,8 +246,9 @@ object Dedup {
     */
   def containmentPairs(corpus: DataFrame, tau: Double = 0.9,
                        dfOrderedPrefix: Boolean = true): DataFrame = {
-    val sets = shingleSets(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one doc_id-keyed exchange shared by the postings pass and both
+    // verify joins (ReusedExchange — see nearDupsFromSets)
+    val sets = shingleSets(corpus).repartition(col("doc_id"))
     val cands = containmentCandidates(sets, tau, dfOrderedPrefix)
       .select("id_a", "id_b").distinct()
     cands
@@ -301,10 +308,11 @@ object Dedup {
   def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
                           threshold: Double = 0.5, numBands: Int = 32,
                           rowsPerBand: Int = 3): DataFrame = {
-    val bSets = shingleSets(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cSets = shingleSets(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per side, one doc_id-keyed exchange shared by its banding pass and
+    // its verify join (ReusedExchange — see nearDupsFromSets); a serve-many
+    // deployment stages the CORPUS side's bands/sets to parquet instead
+    val bSets = shingleSets(batch).repartition(col("doc_id"))
+    val cSets = shingleSets(corpus).repartition(col("doc_id"))
     val bBands = lshBands(bSets, numBands, rowsPerBand)
     val cBands = lshBands(cSets, numBands, rowsPerBand)
     val cands = bBands.select(col("band"), col("key"), col("doc_id").as("batch_id"))
@@ -521,10 +529,11 @@ object Dedup {
     * only on the two values), so the result is value-identical.
     */
   def simhashNearDups(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // no persist: every branch shares the rep-window's simhash exchange
+    // (reused — the d4 pattern), so the simhash scan runs once
     val sims = simhashes(corpus)
       .withColumn("rep_id", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = sims.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("simhash"))
 

@@ -385,17 +385,17 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probeFilter: Column,
               k: Int, nprobe: Int = 1): DataFrame = {
-    // Persist the assignment (2 longs per vector — tiny at any corpus
-    // size). It feeds only the candidate branch, but the cache boundary
-    // still earns its keep: measured A/B at sf0.1 has the n3 pipeline
-    // ~25% slower without it (the materialized stats let AQE size the
-    // cell-join exchange instead of re-planning through the argmax agg).
-    // Cache lifecycle: the entry lives until the session clears it —
-    // callers that loop queries should `clearCache()` after materializing
-    // (the bench does), and a serve-many deployment stages the assignment
-    // to parquet instead (the n3 path via trainCentroids).
-    val assign = ivfAssign(corpus, centroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the assignment eagerly (2 longs per vector — tiny at
+    // any corpus size). It feeds only the candidate branch, but the
+    // boundary still earns its keep: measured A/B at sf0.1 has the n3
+    // pipeline ~25% slower without it (the materialized stats let AQE
+    // size the cell-join exchange instead of re-planning through the
+    // argmax agg). localCheckpoint, not persist: same stats boundary,
+    // but the blocks free with the RDD reference (ContextCleaner)
+    // instead of sitting in the session cache until someone clears it —
+    // a serve-many deployment stages the assignment to parquet instead
+    // (the n3 path via trainCentroids).
+    val assign = ivfAssign(corpus, centroids).localCheckpoint()
     val withCell = withUnit(corpus.join(assign, "vec_id"), "embedding", "u")
     val probes = withUnit(ivfAssignTop(corpus.filter(probeFilter), centroids, nprobe)
         .join(corpus, "vec_id"), "embedding", "pu")

@@ -256,10 +256,15 @@ object DedupQueries {
     val keepIds = passed.withColumn("fp", fingerprint(col("text")))
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    // the survivor set feeds the LSH pass, the anti-join, and the final
-    // aggregate — materialize once (rows ≈ corpus, columns: id/text/n_tok)
+    // The survivor set feeds the LSH pass, the anti-join, and the final
+    // aggregate — materialize once (rows ≈ corpus, columns: id/text/
+    // n_tok). localCheckpoint rather than persist-or-repartition: the
+    // branches prune DIFFERENT columns (text vs n_tok), so a shared
+    // exchange would canonicalize differently per branch and silently
+    // recompute; the checkpointed RDD is pruning-opaque, and its blocks
+    // free with the reference instead of living in the session cache.
     val exactKept = passed.join(keepIds, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // exact dedup already ran above, so identical shingle sets can't mass-
     // cluster here — skip the collapse machinery (collapseIdentical=false)
     val nearDrop = Dedup.minhashNearDups(exactKept.select("doc_id", "text"),
