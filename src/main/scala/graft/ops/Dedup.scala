@@ -130,10 +130,16 @@ object Dedup {
       .select("id_a", "id_b", "jac")
 
   def minhashNearDups(corpus: DataFrame, threshold: Double = 0.5,
-                      numBands: Int = 32, rowsPerBand: Int = 3,
-                      collapseIdentical: Boolean = true): DataFrame =
-    nearDupsFromSets(shingleSets(corpus), threshold, numBands, rowsPerBand,
-      collapseIdentical)
+                      numBands: Int = 0, rowsPerBand: Int = 0,
+                      collapseIdentical: Boolean = true): DataFrame = {
+    // default (0, 0) self-sizes from the corpus count ([[LshSizing]]):
+    // band-key length grows with the corpus so bucket occupancy stays
+    // bounded; explicit values pin a shape (specs, A/B runs)
+    val (b, r) =
+      if (numBands > 0 && rowsPerBand > 0) (numBands, rowsPerBand)
+      else LshSizing.bandShape(corpus.count(), threshold, jBg = 0.25)
+    nearDupsFromSets(shingleSets(corpus), threshold, b, r, collapseIdentical)
+  }
 
   /** Character-n-gram jaccard near-dup: the same banded-minhash candidate
     * generation and exact verification, but over char n-grams of the
@@ -142,16 +148,21 @@ object Dedup {
     * shingles miss. Note char-gram sets are ~one gram per character, so
     * this pass costs ~tokensPerWord× more than the word-shingle pass —
     * run it on the survivors of cheaper stages at scale. The default
-    * 16×4 banding is sized for char-gram statistics: unrelated documents
-    * share far more char grams than word shingles (base jaccard ~0.1-0.2,
-    * not ~0), so shallow bands would flood the verify stage with false
-    * candidates — 4 rows pushes an unrelated pair's per-band collision to
-    * j⁴ ≈ 1e-4 while a real near-dup at j ≥ 0.9 still misses all 16 bands
-    * with probability < 1e-8.
+    * banding self-sizes from the corpus count with char-gram background
+    * statistics ([[LshSizing.bandShape]] at jBg = 1/3): unrelated
+    * documents share far more char grams than word shingles (base
+    * jaccard ~0.1-0.2, not ~0), so the rows-per-band knob starts deeper
+    * and grows with the corpus, keeping an unrelated pair's per-band
+    * collision ≤ jBg^r while a real near-dup at j ≥ 0.9 still misses
+    * every band with negligible probability.
     */
   def ngramJaccardNearDups(corpus: DataFrame, threshold: Double = 0.8,
-                           n: Int = 5, numBands: Int = 16, rowsPerBand: Int = 4,
-                           collapseIdentical: Boolean = true): DataFrame =
+                           n: Int = 5, numBands: Int = 0, rowsPerBand: Int = 0,
+                           collapseIdentical: Boolean = true): DataFrame = {
+    val (b, r) =
+      if (numBands > 0 && rowsPerBand > 0) (numBands, rowsPerBand)
+      else LshSizing.bandShape(corpus.count(), threshold, jBg = 1.0 / 3.0,
+        maxBands = 16)
     nearDupsFromSets(
       // Grams are hashed to int64 (md5 7-byte prefix) BEFORE any set op:
       // char-gram sets run ~one gram per character, so the exact-jaccard
@@ -167,7 +178,8 @@ object Dedup {
       corpus.select(col("doc_id"),
         graft.functions.HashFunctions.char_gram_hashes(
           graft.functions.TextFunctions.canonText(col("text")), n, 7).as("shingles")),
-      threshold, numBands, rowsPerBand, collapseIdentical)
+      threshold, b, r, collapseIdentical)
+  }
 
   /** Shared LSH near-dup core over precomputed `(doc_id, shingles)` sets. */
   private def nearDupsFromSets(rawSets: DataFrame, threshold: Double,
@@ -306,15 +318,20 @@ object Dedup {
     * [[setGroups]] on each side exactly as the batch pass does.
     */
   def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
-                          threshold: Double = 0.5, numBands: Int = 32,
-                          rowsPerBand: Int = 3): DataFrame = {
+                          threshold: Double = 0.5, numBands: Int = 0,
+                          rowsPerBand: Int = 0): DataFrame = {
+    // one shape for BOTH sides (band keys must align), sized from the
+    // corpus — the side whose bucket occupancy grows with the deployment
+    val (bandsN, rowsN) =
+      if (numBands > 0 && rowsPerBand > 0) (numBands, rowsPerBand)
+      else LshSizing.bandShape(corpus.count(), threshold, jBg = 0.25)
     // per side, one doc_id-keyed exchange shared by its banding pass and
     // its verify join (ReusedExchange — see nearDupsFromSets); a serve-many
     // deployment stages the CORPUS side's bands/sets to parquet instead
     val bSets = shingleSets(batch).repartition(col("doc_id"))
     val cSets = shingleSets(corpus).repartition(col("doc_id"))
-    val bBands = lshBands(bSets, numBands, rowsPerBand)
-    val cBands = lshBands(cSets, numBands, rowsPerBand)
+    val bBands = lshBands(bSets, bandsN, rowsN)
+    val cBands = lshBands(cSets, bandsN, rowsN)
     val cands = bBands.select(col("band"), col("key"), col("doc_id").as("batch_id"))
       .join(cBands.select(col("band"), col("key"), col("doc_id").as("corpus_id")),
         Seq("band", "key"))

@@ -113,7 +113,14 @@ object Similarity {
     * DISTINCT vectors stay bounded too.
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9,
-                        bits: Int = 16): DataFrame = {
+                        bits: Int = 0): DataFrame = {
+    // default (0) self-sizes the hyperplane count from the corpus count
+    // ([[graft.ops.LshSizing.sizeBits]]): 2^bits buckets keep expected
+    // random-direction occupancy bounded at any scale; explicit values
+    // pin a granularity (specs, A/B runs)
+    val nBits =
+      if (bits > 0) bits
+      else graft.ops.LshSizing.sizeBits(corpus.count())
     // `grouped` feeds four branches (rep set, the ok-rep guard, the within
     // expansion, both cross-group member maps) — deliberately with NO
     // persist/checkpoint: the branches share the window's input exchange
@@ -131,7 +138,9 @@ object Similarity {
     // high-pair-volume ops use: sign buckets over collapsed reps leave so
     // few candidate pairs that one three-dot cosine per candidate is
     // cheaper than paying a per-row normalization over the whole corpus
-    val repPairs = signBucketCandidates(reps, bits)
+    // (effective granularity caps at the embedding dimension — signKey
+    // reads component signs, so `slice` truncates bits beyond dim)
+    val repPairs = signBucketCandidates(reps, nBits)
       .filter(cosine(col("ea"), col("eb")) >= threshold)
       .select("id_a", "id_b")
     val okReps = reps
