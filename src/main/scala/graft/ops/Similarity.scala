@@ -526,4 +526,32 @@ object Similarity {
       .select(col("probe_id"), col("s.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** ADC → exact two-stage PQ search — n4's quantized-prefilter/exact-
+    * rerank recipe applied to the PQ index: ADC pools `pool` candidates
+    * per probe in the compressed domain (m lookups per vector), then the
+    * final top-k is EXACT cosine over the pooled candidates only,
+    * closing the quantization-error gap ADC alone leaves. The rerank
+    * fetches `pool·|probes|` full vectors — bounded by the pool, never a
+    * corpus pass: the candidate list rides a broadcast back onto the
+    * corpus scan, so the second stage adds no wide shuffle.
+    */
+  def pqTopKReranked(corpus: DataFrame, codebook: DataFrame,
+                     probeFilter: Column, k: Int, pool: Int,
+                     m: Int, subDim: Int): DataFrame = {
+    val cands = pqTopK(corpus, codebook, probeFilter, pool, m, subDim)
+      .select(col("probe_id").as("p_id"), col("neighbor_id").as("vec_id"))
+    val p = withUnit(corpus.filter(probeFilter), "embedding", "pu")
+      .select(col("vec_id").as("p_id"), col("pu"))
+    val topk = udaf(new TopK(k), Encoders.product[Scored])
+    withUnit(corpus, "embedding", "u").select(col("vec_id"), col("u"))
+      .join(broadcast(cands), "vec_id")
+      .join(broadcast(p), "p_id")
+      .withColumn("cos", dot(col("pu"), col("u")))
+      .groupBy("p_id")
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("p_id").as("probe_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("probe_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

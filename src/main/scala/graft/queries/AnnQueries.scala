@@ -311,10 +311,12 @@ object AnnQueries {
     * unit-vector slices), the codebook stages to parquet (train-once/
     * serve-many like n3), every vector encodes to 4 codes, and probes
     * search by ADC — score the 64 codebook entries once, then each corpus
-    * vector is 4 table lookups + 3 adds. Graded as recall@3 of the ADC
-    * top-3 vs the exact cosine top-3 — an integer result immune to float
-    * jitter in the trained codebook, since BOTH engines replay encode +
-    * ADC from the same staged floats (the n3 practice).
+    * vector is 4 table lookups + 3 adds — and the ADC top-10 pool reranks
+    * by EXACT cosine (n4's two-stage recipe; [[Similarity.pqTopKReranked]])
+    * before the final top-3 cut. Graded as recall@3 of the reranked top-3
+    * vs the exact cosine top-3 — an integer result immune to float jitter
+    * in the trained codebook, since BOTH engines replay encode + ADC +
+    * rerank from the same staged floats (the n3 practice).
     */
   def annPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -324,7 +326,8 @@ object AnnQueries {
       .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n5_pq.parquet")
     val cb = spark.read.parquet(s"${TarQueries.StageDir}/n5_pq.parquet")
     val probeFilter = col("vec_id") % 50 === 0
-    val pq = Similarity.pqTopK(emb, cb, probeFilter, k = 3, m = 4, subDim = 16)
+    val pq = Similarity.pqTopKReranked(emb, cb, probeFilter, k = 3, pool = 10,
+      m = 4, subDim = 16)
     val exact = Similarity.bruteForceTopK(emb, emb.filter(probeFilter), k = 3)
     val hits = pq.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
@@ -359,13 +362,24 @@ object AnnQueries {
        |         SUM(CASE WHEN c.subspace = 3 THEN pdot END) AS s3
        |  FROM codes c JOIN ptab p ON p.subspace = c.subspace AND p.code = c.code
        |  WHERE c.vec_id <> p.p_id GROUP BY 1, 2),
-       |pq3 AS (SELECT p_id, vec_id FROM (
+       |pool AS (SELECT p_id, vec_id FROM (
        |    SELECT p_id, vec_id, s0 + s1 + s2 + s3 AS adc,
        |           row_number() OVER (PARTITION BY p_id
        |                              ORDER BY s0 + s1 + s2 + s3 DESC, vec_id ASC) AS rnk
        |    FROM cand)
-       |  WHERE rnk <= 3),
+       |  WHERE rnk <= 10),
        |probes AS (SELECT vec_id AS p_id, ed AS pe FROM e WHERE vec_id % 50 = 0),
+       |rr AS (
+       |  SELECT pool.p_id, pool.vec_id,
+       |         list_cosine_similarity(p.pe, c.ed) AS cos
+       |  FROM pool JOIN probes p ON p.p_id = pool.p_id
+       |            JOIN e c ON c.vec_id = pool.vec_id),
+       |pq3 AS (SELECT p_id, vec_id FROM (
+       |    SELECT p_id, vec_id,
+       |           row_number() OVER (PARTITION BY p_id
+       |                              ORDER BY cos DESC, vec_id ASC) AS rnk
+       |    FROM rr)
+       |  WHERE rnk <= 3),
        |scored AS (
        |  SELECT p.p_id, c.vec_id, list_cosine_similarity(p.pe, c.ed) AS cos
        |  FROM probes p JOIN e c ON c.vec_id != p.p_id),
