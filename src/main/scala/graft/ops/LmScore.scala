@@ -65,28 +65,29 @@ object LmScore {
       import scala.jdk.CollectionConverters._
       m.entrySet().iterator().asScala.map(e => (e.getKey.toLong, e.getValue))
     }.toDF("bg", "k")
-    val cnt = partCounts.groupBy("bg").agg(sum(col("k")).cast("double").as("cbg"))
-    val pre = cnt.groupBy(shiftright(col("bg"), 21).as("c1"))
-      .agg(sum(col("cbg")).as("cpre"))
-    val v = cnt.select(explode(array(
-        shiftright(col("bg"), 21),
-        col("bg").bitwiseAND(lit((1L << 21) - 1)))).as("c"))
-      .agg(countDistinct(col("c")).cast("double").as("vn"))
-    val joined = cnt
-      .join(broadcast(pre), shiftright(col("bg"), 21) === col("c1"))
-      .crossJoin(broadcast(v))
-    val lp = joined
-      .select(col("bg"),
-        log((col("cbg") + 1.0) / (col("cpre") + col("vn"))).as("logp"))
-      .as[(Long, Double)].collect().toMap
-    // per-prefix unseen mass log(1/(cpre+vn)) and the unseen-prefix floor
-    // log(1/vn): both derive from the SAME tiny aggregates, so the model
-    // stays ≤|alphabet|²+|alphabet|+1 rows regardless of corpus size
-    val unseen = pre.crossJoin(broadcast(v))
-      .select(col("c1"), (-log(col("cpre") + col("vn"))).as("logp"))
-      .as[(Long, Double)].collect().toMap
-    val floor = v.as[Double].collect().headOption
-      .filter(_ > 0.0).map(vn => -math.log(vn)).getOrElse(0.0)
+    // ONE job collects the ≤|alphabet|² exact integer counts; lp, the
+    // per-prefix unseen mass, and the floor all derive on the driver —
+    // integer sums are exact in doubles (< 2^53), so the arithmetic is
+    // bit-identical to the oracle's SUM/ln over the same counts, and the
+    // corpus-scale bigram pass runs once, not once per model component
+    val cnt = partCounts.groupBy("bg").agg(sum(col("k")).as("cbg"))
+      .as[(Long, Long)].collect()
+    val cpre = scala.collection.mutable.HashMap.empty[Long, Double]
+    val syms = scala.collection.mutable.HashSet.empty[Long]
+    cnt.foreach { case (bg, c) =>
+      val c1 = bg >> 21
+      // integer-valued doubles sum exactly (< 2^53), so the fold order —
+      // and therefore the collect order — cannot change the result
+      cpre(c1) = cpre.getOrElse(c1, 0.0) + c.toDouble
+      syms += c1
+      syms += (bg & ((1L << 21) - 1))
+    }
+    val vn = syms.size.toDouble
+    val lp = cnt.map { case (bg, c) =>
+      bg -> math.log((c.toDouble + 1.0) / (cpre(bg >> 21) + vn))
+    }.toMap
+    val unseen = cpre.map { case (c1, cp) => c1 -> -math.log(cp + vn) }.toMap
+    val floor = if (vn > 0.0) -math.log(vn) else 0.0
     BigramModel(lp, unseen, floor)
   }
 

@@ -37,8 +37,15 @@ object AnnQueries {
   /** D4 — embedding near-dup: sign-LSH bucket join + exact cosine ≥ 0.9;
     * oracle is the exhaustive pair scan.
     */
-  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.embeddingNearDups(embCorpus(spark, sfDir), threshold = 0.9)
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // size the sign-LSH granularity from the cheap BASE-table count (the
+    // augmented corpus is 1.1× it) instead of counting through the
+    // union+transform — same octave, one column-less parquet scan
+    // (measured: the transformed count cost d4 +40% at sf0.1)
+    val n = Tables.embeddings(spark, sfDir).count()
+    Similarity.embeddingNearDups(embCorpus(spark, sfDir), threshold = 0.9,
+      bits = graft.ops.LshSizing.sizeBits(n + n / 10))
+  }
 
   val embedNearDupSql: String =
     s"""WITH $embCorpusSql
