@@ -138,7 +138,7 @@ object DedupQueries {
       .parquet(src)
       .select(fingerprint(col("text")).as("fp"))
     graft.streaming.StreamDedup.distinctFingerprints(stream, out, ckpt,
-      statePartitions = Some(8))
+      statePartitions = Some(2))
     spark.read.parquet(out)
   }
 

@@ -156,7 +156,7 @@ object TimeJoinQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
     graft.streaming.WindowedAgg.drainTumbling(stream, "1 hour", "1 minute",
-      out, ckpt, statePartitions = Some(8))
+      out, ckpt, statePartitions = Some(2))
     spark.read.parquet(out).filter(col("event_type") =!= "__sentinel")
   }
 
@@ -229,7 +229,7 @@ object TimeJoinQueries {
     graft.streaming.StreamJoin.drainAttribution(
       stream("click"), stream("purchase"), window = "30 minutes",
       delay = "1 minute", outDir = out, checkpointDir = ckpt,
-      statePartitions = Some(8))
+      statePartitions = Some(2))
     spark.read.parquet(out)
   }
 
