@@ -515,6 +515,51 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** D13 — Bloom-prefiltered decontamination: result-identical to
+    * [[contaminated]], but the corpus-side posture changes from "shuffle
+    * every training gram into the semi-join" to "scan-filter against a
+    * broadcast Bloom of the eval grams, exact-verify only the hits". The
+    * eval set's distinct gram hashes build ONE `BloomFilter` (size
+    * bounded by the BENCHMARK suite — `bitsPerGram`·|eval grams| bits,
+    * ~1.25 bytes/gram at the default ≈1% fpp) that collects to the
+    * driver and rides the task binary as a binary literal inside the
+    * codegen'd `might_contain` predicate, so the training side's gram
+    * stream dies at the scan: only true hits plus the bloom's false
+    * positives reach the exact semi-join that removes the FPs. Shuffle
+    * volume ≈ |contamination|, not |corpus grams| — on a 100 TB corpus
+    * against a bounded benchmark suite, this is the decontamination
+    * shape that actually runs. (Spark's own runtime-filter rule injects
+    * exactly this pair of expressions around large joins; building them
+    * explicitly lets the bloom live for the query instead of per-stage.)
+    */
+  def contaminatedBloom(training: DataFrame, evalSet: DataFrame, n: Int = 8,
+                        bitsPerGram: Long = 10L): DataFrame = {
+    import graft.functions.HashFunctions.word_shingle_hashes
+    import org.apache.spark.sql.graft.bridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"),
+        explode(word_shingle_hashes(wsTokens(lower(col("text"))), n, 7)).as("gram"))
+    val evalGrams = grams(evalSet).select("gram").distinct()
+    val nEval = evalGrams.count() // bounded: the benchmark suite
+    if (nEval == 0)
+      return grams(training).filter(lit(false))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val bloomBytes = evalGrams
+      .agg(column(new BloomFilterAggregate(expression(col("gram")),
+          Literal(nEval), Literal(math.max(64L, nEval * bitsPerGram)))
+        .toAggregateExpression()).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val mightHit = column(new BloomFilterMightContain(
+      Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      expression(col("gram"))))
+    grams(training)
+      .filter(mightHit)
+      .join(evalGrams, Seq("gram"), "left_semi") // removes bloom FPs exactly
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Simhash bit width: 48 (first 12 md5 hex digits — wide enough that the
     * small-vocabulary test corpus doesn't saturate with coincidental
     * near-collisions, and every value/shift stays exact in int64).

@@ -378,6 +378,20 @@ object DedupQueries {
        |FROM trg WHERE gram IN (SELECT gram FROM evg)
        |GROUP BY 1""".stripMargin
 
+  /** D13 — the same decontamination answer as d8 through the Bloom
+    * prefilter shape ([[graft.ops.Dedup.contaminatedBloom]]): the eval
+    * grams collapse to one broadcast Bloom, the training gram stream is
+    * scan-filtered by `might_contain`, and only the hits reach the exact
+    * verify join. The oracle is d8's exhaustive inverted index — a hash
+    * match proves the bloom prefilter + exact verify lost NOTHING (the
+    * prefilter admits a superset; the verify trims it back to equality).
+    */
+  def bloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    val isEval = col("doc_id") < 1000000 && col("doc_id") % 100 === 0
+    Dedup.contaminatedBloom(c.filter(!isEval), c.filter(isEval), n = 8)
+  }
+
   /** D12 — span-level exact-substring dedup (keep-first) over the
     * augmented corpus: the exact +2M copies make every span of a copied
     * doc a trailing duplicate (clean_text collapses to ''), and the
@@ -419,6 +433,7 @@ object DedupQueries {
     "d10_incremental_neardup" -> incrementalNearDup,
     "d11_containment" -> containmentQ,
     "d12_span_dedup" -> spanDedupQ,
+    "d13_bloom_decontaminate" -> bloomDecontaminate,
     "st3_stream_dedup" -> streamDedup
   )
 
@@ -433,6 +448,7 @@ object DedupQueries {
     "d10_incremental_neardup" -> incrementalNearDupSql,
     "d11_containment" -> containmentSql,
     "d12_span_dedup" -> spanDedupSql,
+    "d13_bloom_decontaminate" -> decontaminateSql,
     "st3_stream_dedup" -> streamDedupSql
   )
 }

@@ -99,6 +99,24 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(flagged.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 1L)))
   }
 
+  test("D13: bloom-prefiltered decontamination equals the inverted index") {
+    // sf0.001-scale corpora: the bloom prefilter admits a superset, the
+    // exact verify trims it — result must be IDENTICAL to d8's shape
+    val c = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val isEval = org.apache.spark.sql.functions.col("doc_id") % 100 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = rows(Dedup.contaminated(c.filter(!isEval), c.filter(isEval)))
+    val bloom = rows(Dedup.contaminatedBloom(c.filter(!isEval), c.filter(isEval)))
+    assert(bloom === exact)
+    assert(exact.nonEmpty, "vacuous corpus — no contamination to verify")
+    // empty eval set → empty result, not a null-bloom crash
+    assert(Dedup.contaminatedBloom(c,
+      c.filter(org.apache.spark.sql.functions.lit(false))).count() === 0)
+  }
+
   test("D11: containment finds a quote inside a long doc that jaccard misses") {
     val quote = "alpha beta gamma delta epsilon zeta eta theta"
     val long = ("filler" + (1 to 80).map(i => s" word$i").mkString) +

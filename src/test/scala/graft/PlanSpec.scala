@@ -257,6 +257,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"t17b inlines merges as a replace chain:\n$p")
   }
 
+  test("bloom decontamination filters at the scan, verifies a sliver (d13)") {
+    // the training gram stream must die at a might_contain scan predicate
+    // BELOW the verify join — that predicate is what turns the semi-join's
+    // input from |corpus grams| into ~|contamination|
+    val p = plan("d13_bloom_decontaminate")
+    assert(p.contains("might_contain"), s"d13 plans no bloom prefilter:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("corpus shuffle range-sorts and never plans a global window (t14)") {
     val p = plan("t14_corpus_shuffle")
     // positions come from the prefix-summed offset join, not row_number():
