@@ -668,8 +668,60 @@ object CoreQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** sfDirs whose st7 source files are already staged in this JVM. */
+  private val st7Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST7 — WATERMARKED streaming dedup
+    * ([[graft.streaming.EventSessions.dedupStream]] →
+    * `dropDuplicatesWithinWatermark`): the state-bounded production form
+    * of st3 — st3's plain `dropDuplicates` holds every key forever, the
+    * right semantics for a bounded drain; a continuously running ingest
+    * caps state at the watermark horizon instead. Full-row copies of
+    * every 20th event land in a LATER file than their originals, so the
+    * drain must carry keyed state across micro-batches; the delay spans
+    * the whole event range, so nothing evicts mid-drain and the result
+    * is deterministically the distinct event set (copies are identical
+    * rows, so whichever arrival survives, the output bytes match). The
+    * horizon EVICTION behavior — a late duplicate surviving after its
+    * original aged out — is pinned in `SessionsSpec`, where the oracle
+    * can't reach.
+    */
+  def streamWmDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = s"${TarQueries.StageDir}/st7_src.parquet"
+    val out = s"${TarQueries.StageDir}/st7_dedup.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    st7Staged.computeIfAbsent(sfDir, _ => {
+      graft.io.FsOps.deletePrefix(spark, src)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      ev.filter(col("event_id") % 3 =!= 0)
+        .repartition(2).write.mode("overwrite").parquet(src)
+      ev.filter(col("event_id") % 3 === 0)
+        .repartition(1).write.mode("append").parquet(src)
+      // planted duplicates: full-row copies arriving after their originals
+      ev.filter(col("event_id") % 20 === 0)
+        .repartition(1).write.mode("append").parquet(src)
+      src
+    })
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st7")
+      .resolve("ckpt").toString
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    graft.streaming.EventSessions.drainDedup(stream, Seq("event_id"),
+      delay = "3650 days", outDir = out, checkpointDir = ckpt,
+      statePartitions = Some(2))
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+  }
+
+  val streamWmDedupSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS us FROM events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_counters" -> counters,
+    "st7_stream_wm_dedup" -> streamWmDedup,
     "a2_distinct" -> distinctPairs,
     "a3_table_counts" -> tableCounts,
     "j1_semi_join" -> semiJoin,
@@ -717,6 +769,7 @@ object CoreQueries {
     "o2_rollup" -> rollupAggSql,
     "w2_running" -> runningTotalsSql,
     "st2_sessionize" -> sessionsSql,
+    "st7_stream_wm_dedup" -> streamWmDedupSql,
     "a4_percentiles" -> percentilesSql,
     "a4b_percentiles_approx" -> percentilesApproxSql,
     "o3_pivot" -> pivotCountsSql,

@@ -47,6 +47,29 @@ object EventSessions {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Drain [[dedupStream]] into `outDir` as parquet; blocks until the
+    * AvailableNow drain finishes. RocksDB state store + `statePartitions`
+    * keyspace sizing as in
+    * [[StreamDedup.distinctFingerprints]].
+    */
+  def drainDedup(events: DataFrame, idCols: Seq[String], delay: String,
+                 outDir: String, checkpointDir: String,
+                 statePartitions: Option[Int] = None): Unit = {
+    val conf = events.sparkSession.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
+    try StateStores.withRocksDb(events.sparkSession) {
+      val q = dedupStream(events, idCols, delay)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Custom keyed state: per-user running totals maintained across
     * micro-batches with `mapGroupsWithState` — the `KeyValueGroupedDataset`
     * state-store path (what the reference's in-memory singleton state would

@@ -47,6 +47,32 @@ class SessionsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("dedupStream state ages out at the watermark horizon (st7's bound)") {
+    // the whole point of dropDuplicatesWithinWatermark over dropDuplicates:
+    // a duplicate arriving AFTER its original's state aged out re-emits —
+    // exactness is traded inside the horizon for bounded state
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.EventSessions.dedupStream(
+      in.toDS().toDF("event_id", "ts"), Seq("event_id"), delay = "1 minute")
+      .writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0)))
+      q.processAllAvailable()
+      // advance the watermark far past id 1's eviction point
+      in.addData((2L, ts(30)))
+      q.processAllAvailable()
+      // id 1 again, at a CURRENT event time: its state is gone → re-emitted
+      in.addData((1L, ts(31)))
+      q.processAllAvailable()
+      val ids = spark.table("wmdedup").select("event_id").as[Long].collect()
+      assert(ids.sorted.toSeq === Seq(1L, 1L, 2L),
+        s"expected the aged-out duplicate to re-emit, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-user running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
