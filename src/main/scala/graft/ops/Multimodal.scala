@@ -736,6 +736,24 @@ object Multimodal {
     * worth. Non-AVI or undecodable payloads drop silently (counted upstream
     * by [[decodeFeatures]] if needed).
     */
+  /** M6 — shot-boundary detection over DECODED frames: a consecutive-frame
+    * mean-luma jump above `threshold` marks a cut — the standard
+    * pixel-difference shot detector, running on [[videoFrames]]' real
+    * JPEG decode output. Scale shape: one media_id-keyed window over the
+    * per-frame rows (frames of one video colocate; nothing corpus-wide),
+    * downstream of the same manifest-fan-out decode stage m4 uses.
+    */
+  def shotBoundaries(frames: Dataset[VideoFrame],
+                     threshold: Double = 100.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frames.toDF()
+      .withColumn("prev", lag(col("mean_luma"), 1).over(w))
+      .filter(col("prev").isNotNull &&
+        abs(col("mean_luma") - col("prev")) > threshold)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+  }
+
   def videoFrames(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

@@ -133,11 +133,16 @@ object MultimodalQueries {
     * bug flips `luma_ok` (hash mismatch). The oracle predicts the structure
     * exactly.
     */
-  def videoFrameStats(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The synthetic MJPEG-AVI corpus shared by m4/m6: per id, n solid-gray
+    * frames whose luma walks `32 + 16·((id+i) % 12)` — so frame-to-frame
+    * deltas are 16 everywhere EXCEPT the %12 wrap, where the jump is 176:
+    * an analytically-predictable shot boundary. Manifest fan-out as in
+    * m3: per-frame JPEG encode+decode dominates, so spread the ids across
+    * all cores before the heavy stage.
+    */
+  private def syntheticAvis(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
-    // Same manifest fan-out as m3: per-frame JPEG encode+decode dominates,
-    // so spread the ids across all cores before the heavy stage.
-    val avis = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
       .as[Long]
       .repartition(spark.sparkContext.defaultParallelism)
@@ -161,6 +166,10 @@ object MultimodalQueries {
           (id, "video", Multimodal.AviCodec.build(frames, w, h))
         }
       }.toDF("media_id", "kind", "content")
+  }
+
+  def videoFrameStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val avis = syntheticAvis(spark, sfDir)
     Multimodal.videoFrames(Multimodal.asMedia(avis)).toDF()
       .select(
         col("media_id"),
@@ -181,6 +190,27 @@ object MultimodalQueries {
       |SELECT media_id, unnest(range(n_frames)) AS frame_idx,
       |       frame_w, frame_h, TRUE AS luma_ok
       |FROM v""".stripMargin
+
+  /** M6 — shot detection over the REAL frame decode
+    * ([[graft.ops.Multimodal.shotBoundaries]]): the planted luma walk
+    * jumps 176 levels exactly where `(media_id + frame_idx) % 12` wraps
+    * to 0 and 16 levels everywhere else, so a threshold of 100 separates
+    * cuts from motion with ±4 JPEG-quantization margin — the oracle
+    * predicts the boundary set analytically, and only a REAL pixel
+    * decode + per-video luma delta can reproduce it.
+    */
+  def shotDetect(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.shotBoundaries(
+      Multimodal.videoFrames(Multimodal.asMedia(syntheticAvis(spark, sfDir))),
+      threshold = 100.0)
+
+  val shotDetectSql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, 2 + doc_id % 6 AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT media_id, unnest(range(1, n_frames)) AS frame_idx FROM v)
+      |SELECT media_id, frame_idx FROM f
+      |WHERE (media_id + frame_idx) % 12 = 0""".stripMargin
 
   /** Deterministic triangle PCM for one media id — the planted waveform of
     * m5 and the reference its fidelity check re-synthesizes (in SQL
@@ -252,7 +282,8 @@ object MultimodalQueries {
     "m2_frame_sample" -> frameSample,
     "m3_resize" -> resized,
     "m4_video_frames" -> videoFrameStats,
-    "m5_adpcm_audio" -> adpcmAudio
+    "m5_adpcm_audio" -> adpcmAudio,
+    "m6_shot_detect" -> shotDetect
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -260,6 +291,7 @@ object MultimodalQueries {
     "m2_frame_sample" -> frameSampleSql,
     "m3_resize" -> resizedSql,
     "m4_video_frames" -> videoFrameStatsSql,
-    "m5_adpcm_audio" -> adpcmAudioSql
+    "m5_adpcm_audio" -> adpcmAudioSql,
+    "m6_shot_detect" -> shotDetectSql
   )
 }

@@ -210,6 +210,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(errR <= 512, s"right channel max error $errR")
   }
 
+  test("shotBoundaries cuts on the luma jump, ignores small motion") {
+    import spark.implicits._
+    import Multimodal.AviCodec
+    // lumas 40,48,200,208: one 152-level cut at frame 2, small motion
+    // elsewhere — the detector must flag exactly frame 2
+    val frames = Seq(40, 48, 200, 208).map(l => grayJpeg(16, 16, l))
+    val avi = Seq((7L, "video", AviCodec.build(frames, 16, 16)))
+      .toDF("media_id", "kind", "content")
+    val cuts = Multimodal.shotBoundaries(
+        Multimodal.videoFrames(Multimodal.asMedia(avi)), threshold = 100.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cuts === Set((7L, 2L)))
+  }
+
   test("codecs decode incrementally: work happens at iteration, not parse") {
     import Multimodal.{AdpcmCodec, AviCodec}
     // AVI: a many-frame video parses to spans only — frame N's bytes are
