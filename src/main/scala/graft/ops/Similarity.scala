@@ -431,15 +431,22 @@ object Similarity {
   // executor memory.
   // ------------------------------------------------------------------
 
-  /** Subvector view: `(vec_id, subspace, sv)` — the unit vector's m
-    * contiguous `subDim`-wide slices.
+  /** Subvector view over PRE-TRANSFORMED vectors `(vec_id, v)` (unit for
+    * plain PQ, residuals for IVF-PQ — residuals must NOT re-normalize):
+    * `(vec_id, subspace, sv)`, the vector's m contiguous `subDim`-wide
+    * slices.
     */
-  private def subVectors(corpus: DataFrame, m: Int, subDim: Int): DataFrame =
-    withUnit(corpus, "embedding", "u")
+  private def subVectorsOf(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
+    vecs
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("subspace"),
-        col("u"))
+        col("v"))
       .select(col("vec_id"), col("subspace"),
-        slice(col("u"), col("subspace") * subDim + 1, lit(subDim)).as("sv"))
+        slice(col("v"), col("subspace") * subDim + 1, lit(subDim)).as("sv"))
+
+  /** Subvector view of the unit-normalized embeddings. */
+  private def subVectors(corpus: DataFrame, m: Int, subDim: Int): DataFrame =
+    subVectorsOf(withUnit(corpus, "embedding", "u")
+      .select(col("vec_id"), col("u").as("v")), m, subDim)
 
   /** Per-(vec, subspace) nearest code by inner product, ties by code
     * ascending — the encode rule BOTH engines replay from the staged
@@ -468,12 +475,21 @@ object Similarity {
     * [[trainCentroids]]. Returns `(subspace, code, embedding)`.
     */
   def pqTrain(corpus: DataFrame, m: Int, subDim: Int, k: Int,
-              iters: Int = 3): DataFrame = {
-    val svs = subVectors(corpus, m, subDim)
+              iters: Int = 3): DataFrame =
+    pqTrainVectors(withUnit(corpus, "embedding", "u")
+      .select(col("vec_id"), col("u").as("v")), m, subDim, k, iters)
+
+  /** [[pqTrain]]'s core over pre-transformed vectors `(vec_id, v)` — the
+    * entry point IVF-PQ uses to train on RESIDUALS (which must not be
+    * re-normalized; their whole point is to be small).
+    */
+  def pqTrainVectors(vecs: DataFrame, m: Int, subDim: Int, k: Int,
+                     iters: Int = 3): DataFrame = {
+    val svs = subVectorsOf(vecs, m, subDim)
     val w0 = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
     // seed: the first k vectors' subvectors (k rows through the tiny
     // single-partition window, like trainCentroids' seeding)
-    val seedIds = corpus.select("vec_id").orderBy("vec_id").limit(k)
+    val seedIds = vecs.select("vec_id").orderBy("vec_id").limit(k)
       .select(col("vec_id"), (row_number().over(w0) - 1).cast("long").as("code"))
     var cents = svs.join(broadcast(seedIds), "vec_id")
       .select(col("subspace"), col("code"), col("sv").cast("array<float>").as("embedding"))
@@ -536,6 +552,106 @@ object Similarity {
     * corpus pass: the candidate list rides a broadcast back onto the
     * corpus scan, so the second stage adds no wide shuffle.
     */
+  // ------------------------------------------------------------------
+  // N6 — IVF-PQ (the FAISS IVFPQ composition): coarse k-means cells
+  // bound WHERE to look (nprobe cells per probe, never the corpus), a
+  // GLOBAL product-quantizer over cell RESIDUALS bounds the per-vector
+  // memory (m bytes), and the inner product decomposes exactly:
+  //   <q, u> = <q, ĉ(cell)> + <q, r>  ≈  cellConst + Σ_j ADC(j, code_j)
+  // so search is one tiny per-(probe, cell) constant plus m table
+  // lookups per candidate — the index shape a 100 TB vector corpus
+  // actually deploys (train once, stage centroids + codebook to
+  // parquet, serve many).
+  // ------------------------------------------------------------------
+
+  /** `(vec_id, cell, r)`: each unit vector's residual from its coarse
+    * cell's UNIT centroid (unit on both sides so the IP decomposition
+    * above is exact for cosine scoring).
+    */
+  private def residuals(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cu = withUnit(centroids, "embedding", "cu")
+      .select(col("vec_id").as("cell"), col("cu"))
+    withUnit(corpus, "embedding", "u")
+      .join(ivfAssign(corpus, centroids), "vec_id")
+      .join(broadcast(cu), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("u"), col("cu"), (a, b) => a - b).as("r"))
+  }
+
+  /** Train the residual codebook for IVF-PQ: coarse `centroids` are
+    * [[trainCentroids]]' output (staged by the caller); the returned
+    * `(subspace, code, embedding)` codebook quantizes residuals.
+    */
+  def ivfPqTrainResiduals(corpus: DataFrame, centroids: DataFrame,
+                          m: Int, subDim: Int, k: Int,
+                          iters: Int = 3): DataFrame =
+    pqTrainVectors(
+      residuals(corpus, centroids).select(col("vec_id"), col("r").as("v")),
+      m, subDim, k, iters)
+
+  /** IVF-PQ search with exact rerank: candidates come ONLY from each
+    * probe's top-`nprobe` coarse cells, scored in the compressed domain
+    * (cell constant + m ADC lookups), pooled to `pool` per probe, then
+    * the final top-k is exact cosine over the pooled vectors (the n4/n5
+    * two-stage recipe). All probe-side tables (cells, ADC entries,
+    * constants) are broadcast; the corpus-side joins key on cell and
+    * `(subspace, code)` — nothing corpus×probes ever materializes.
+    */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                probeFilter: Column, k: Int, pool: Int, nprobe: Int,
+                m: Int, subDim: Int): DataFrame = {
+    val res = residuals(corpus, centroids)
+    val codes = assignCodes(
+      subVectorsOf(res.select(col("vec_id"), col("r").as("v")), m, subDim),
+      codebook)
+    val probes = withUnit(corpus.filter(probeFilter), "embedding", "pu")
+      .select(col("vec_id").as("p_id"), col("pu"))
+    val pCells = ivfAssignTop(corpus.filter(probeFilter), centroids, nprobe)
+      .select(col("vec_id").as("p_id"), col("cell"))
+    val cu = withUnit(centroids, "embedding", "cu")
+      .select(col("vec_id").as("cell"), col("cu"))
+    // per-(probe, cell) constant <pu, ĉ> — nprobe·|probes| rows, broadcast
+    val cellConst = pCells
+      .join(broadcast(cu), "cell").join(broadcast(probes), "p_id")
+      .select(col("p_id"), col("cell"), dot(col("pu"), col("cu")).as("cconst"))
+    // ADC table: probe subvector × residual-codebook inner products
+    val cb = codebook.select(col("subspace"), col("code"),
+      col("embedding").cast("array<double>").as("ce"))
+    val ptab = subVectorsOf(
+        probes.select(col("p_id").as("vec_id"), col("pu").as("v")), m, subDim)
+      .join(broadcast(cb), "subspace")
+      .select(col("vec_id").as("p_id"), col("subspace"), col("code"),
+        dot(col("sv"), col("ce")).as("pdot"))
+    val perSub = (0 until m).map(j =>
+      sum(when(col("subspace") === j, col("pdot"))).as(s"s$j"))
+    val topk = udaf(new TopK(pool), Encoders.product[Scored])
+    val cands = res.select(col("vec_id"), col("cell"))
+      .join(broadcast(cellConst), Seq("cell")) // cell-bounded fan-out
+      .filter(col("vec_id") =!= col("p_id"))
+    val pooled = cands
+      .join(codes, "vec_id")
+      .join(broadcast(ptab), Seq("p_id", "subspace", "code"))
+      .groupBy("p_id", "vec_id", "cconst")
+      .agg(perSub.head, perSub.tail: _*)
+      // fixed-order reduce: (cconst+s0)+s1+… — mirrored by the oracle
+      .withColumn("adc",
+        (Seq(col("cconst")) ++ (0 until m).map(j => col(s"s$j"))).reduce(_ + _))
+      .groupBy("p_id")
+      .agg(topk(col("adc"), col("vec_id")).as("top"))
+      .select(col("p_id"), explode(col("top.id")).as("vec_id"))
+    // exact rerank over the pooled candidates (bounded, broadcast back)
+    val topkF = udaf(new TopK(k), Encoders.product[Scored])
+    withUnit(corpus, "embedding", "u").select(col("vec_id"), col("u"))
+      .join(broadcast(pooled), "vec_id")
+      .join(broadcast(probes), "p_id")
+      .withColumn("cos", dot(col("pu"), col("u")))
+      .groupBy("p_id")
+      .agg(topkF(col("cos"), col("vec_id")).as("top"))
+      .select(col("p_id").as("probe_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("probe_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   def pqTopKReranked(corpus: DataFrame, codebook: DataFrame,
                      probeFilter: Column, k: Int, pool: Int,
                      m: Int, subDim: Int): DataFrame = {

@@ -401,8 +401,136 @@ object AnnQueries {
        |  FROM pq3 JOIN exact ON pq3.p_id = exact.p_id AND pq3.vec_id = exact.vec_id
        |  GROUP BY 1) h ON h.p_id = probes.p_id""".stripMargin
 
+  /** N6 — IVF-PQ end-to-end (the FAISS IVFPQ composition;
+    * [[graft.ops.Similarity.ivfPqTopK]]): n3's coarse quantizer bounds
+    * WHERE to look (top-2 of 8 cells per probe), n5's product quantizer —
+    * retrained on cell RESIDUALS — bounds per-vector memory, and the
+    * inner product decomposes exactly into a per-(probe, cell) constant
+    * plus m ADC lookups. The ADC top-10 pool reranks by exact cosine
+    * (the n4/n5 recipe) before the top-3 cut. Both quantizers train on
+    * the 1-in-4 sample and stage to parquet (train-once/serve-many);
+    * graded as recall@3 vs exact — both engines replay assignment,
+    * residuals, codes, ADC, and rerank from the same staged floats.
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val sample = emb.filter(col("vec_id") % 4 === 0)
+    Similarity.trainCentroids(sample, k = 8, iters = 4)
+      .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n6_centroids.parquet")
+    val cents = spark.read.parquet(s"${TarQueries.StageDir}/n6_centroids.parquet")
+    Similarity.ivfPqTrainResiduals(sample, cents, m = 4, subDim = 16, k = 16,
+        iters = 3)
+      .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n6_pq.parquet")
+    val cb = spark.read.parquet(s"${TarQueries.StageDir}/n6_pq.parquet")
+    val probeFilter = col("vec_id") % 50 === 0
+    val ann = Similarity.ivfPqTopK(emb, cents, cb, probeFilter, k = 3,
+      pool = 10, nprobe = 2, m = 4, subDim = 16)
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(probeFilter), k = 3)
+    val hits = ann.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    emb.filter(probeFilter).select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  val annIvfPqSql: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |un AS (SELECT vec_id,
+       |              list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS u
+       |       FROM c),
+       |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
+       |         FROM read_parquet('${TarQueries.StageDir}/n6_centroids.parquet/*.parquet')),
+       |centu AS (SELECT c_id,
+       |                 list_transform(ce, x -> x / sqrt(list_inner_product(ce, ce))) AS cu
+       |          FROM cent),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT c.vec_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY c.vec_id
+       |                              ORDER BY list_cosine_similarity(ce, e) DESC, c_id ASC) AS rn
+       |    FROM c CROSS JOIN cent)
+       |  WHERE rn = 1),
+       |resid AS (
+       |  SELECT un.vec_id, a.cell,
+       |         list_transform(range(1, len(u) + 1),
+       |                        i -> u[CAST(i AS INT)] - cu[CAST(i AS INT)]) AS r
+       |  FROM un JOIN assign a ON a.vec_id = un.vec_id
+       |          JOIN centu ON centu.c_id = a.cell),
+       |cb AS (SELECT subspace, code, CAST(embedding AS DOUBLE[]) AS ce
+       |       FROM read_parquet('${TarQueries.StageDir}/n6_pq.parquet/*.parquet')),
+       |sv AS (SELECT resid.vec_id, cb.subspace, cb.code,
+       |              list_inner_product(
+       |                r[CAST(1 + subspace * 16 AS INT):CAST(subspace * 16 + 16 AS INT)],
+       |                ce) AS s
+       |       FROM resid CROSS JOIN cb),
+       |codes AS (SELECT vec_id, subspace, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |                                 ORDER BY s DESC, code ASC) AS rn FROM sv)
+       |  WHERE rn = 1),
+       |pcells AS (
+       |  SELECT vec_id AS p_id, c_id AS cell FROM (
+       |    SELECT c.vec_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY c.vec_id
+       |                              ORDER BY list_cosine_similarity(ce, e) DESC, c_id ASC) AS rn
+       |    FROM c CROSS JOIN cent WHERE c.vec_id % 50 = 0)
+       |  WHERE rn <= 2),
+       |probes AS (SELECT vec_id AS p_id, e AS pe FROM c WHERE vec_id % 50 = 0),
+       |punit AS (SELECT vec_id AS p_id, u AS pu FROM un WHERE vec_id % 50 = 0),
+       |cconst AS (
+       |  SELECT pc.p_id, pc.cell, list_inner_product(pu, cu) AS cc
+       |  FROM pcells pc JOIN centu ON centu.c_id = pc.cell
+       |                 JOIN punit ON punit.p_id = pc.p_id),
+       |ptab AS (SELECT punit.p_id, cb.subspace, cb.code,
+       |                list_inner_product(
+       |                  pu[CAST(1 + subspace * 16 AS INT):CAST(subspace * 16 + 16 AS INT)],
+       |                  ce) AS pdot
+       |         FROM punit CROSS JOIN cb),
+       |cand AS (
+       |  SELECT cc.p_id, resid.vec_id, cc.cc,
+       |         SUM(CASE WHEN k.subspace = 0 THEN pdot END) AS s0,
+       |         SUM(CASE WHEN k.subspace = 1 THEN pdot END) AS s1,
+       |         SUM(CASE WHEN k.subspace = 2 THEN pdot END) AS s2,
+       |         SUM(CASE WHEN k.subspace = 3 THEN pdot END) AS s3
+       |  FROM resid
+       |  JOIN cconst cc ON cc.cell = resid.cell AND resid.vec_id <> cc.p_id
+       |  JOIN codes k ON k.vec_id = resid.vec_id
+       |  JOIN ptab p ON p.p_id = cc.p_id AND p.subspace = k.subspace
+       |             AND p.code = k.code
+       |  GROUP BY 1, 2, 3),
+       |pool AS (SELECT p_id, vec_id FROM (
+       |    SELECT p_id, vec_id,
+       |           row_number() OVER (PARTITION BY p_id
+       |                              ORDER BY cc + s0 + s1 + s2 + s3 DESC, vec_id ASC) AS rnk
+       |    FROM cand)
+       |  WHERE rnk <= 10),
+       |rr AS (
+       |  SELECT pool.p_id, pool.vec_id,
+       |         list_cosine_similarity(p.pe, c.e) AS cos
+       |  FROM pool JOIN probes p ON p.p_id = pool.p_id
+       |            JOIN c ON c.vec_id = pool.vec_id),
+       |ann3 AS (SELECT p_id, vec_id FROM (
+       |    SELECT p_id, vec_id,
+       |           row_number() OVER (PARTITION BY p_id
+       |                              ORDER BY cos DESC, vec_id ASC) AS rnk
+       |    FROM rr)
+       |  WHERE rnk <= 3),
+       |scored AS (
+       |  SELECT p.p_id, c.vec_id, list_cosine_similarity(p.pe, c.e) AS cos
+       |  FROM probes p JOIN c ON c.vec_id != p.p_id),
+       |exact AS (SELECT p_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY p_id
+       |                                 ORDER BY cos DESC, vec_id ASC) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= 3)
+       |SELECT probes.p_id AS probe_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+       |FROM probes LEFT JOIN (
+       |  SELECT ann3.p_id, COUNT(*) AS n_hits
+       |  FROM ann3 JOIN exact ON ann3.p_id = exact.p_id AND ann3.vec_id = exact.vec_id
+       |  GROUP BY 1) h ON h.p_id = probes.p_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_hybrid_retrieval" -> hybridRetrieval,
+    "n6_ann_ivfpq" -> annIvfPq,
     "n5_ann_pq" -> annPq,
     "d4_embed_neardup" -> embedNearDup,
     "d9_semdedup" -> semDedup,
@@ -415,6 +543,7 @@ object AnnQueries {
   def oracleSql: Map[String, String] = Map(
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "n5_ann_pq" -> annPqSql,
+    "n6_ann_ivfpq" -> annIvfPqSql,
     "d4_embed_neardup" -> embedNearDupSql,
     "d9_semdedup" -> semDedupSql,
     "n1_ann_topk" -> annTopKSql,

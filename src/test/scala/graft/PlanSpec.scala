@@ -233,6 +233,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"n5 encode plans a window over the candidate set:\n$p")
   }
 
+  test("IVF-PQ joins cells and codes against broadcast probe tables (n6)") {
+    // probe-side tables (cells, ADC entries, constants, the rerank pool)
+    // are all broadcast; the corpus side keys on cell and (subspace,
+    // code) — a cartesian or a corpus-wide window here means the
+    // compressed-domain search degenerated to probes×corpus
+    val p = plan("n6_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), s"n6 plans no broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"n6 plans a cartesian:\n$p")
+  }
+
   test("BPE tokenize applies the learned vocab as a pure scan projection (t17)") {
     // the merge table inlines as literals (the learn pass is a separate
     // bounded job); the tokenize plan must be scan → project with no

@@ -46,6 +46,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(Set(11L, 12L, 13L).contains(top1(10L)), s"probe 10 -> ${top1(10L)}")
   }
 
+  test("N6: IVF-PQ searches only probed cells and finds cluster neighbors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two tight clusters in orthogonal quadrants of an 8-dim space; the
+    // coarse quantizer must separate them and the residual-ADC search
+    // must return a within-cluster neighbor for each probe
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val a = Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f)
+    val b = Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)
+    val corpus = (
+      (0L to 3L).map(i => i -> jitter(a, 0.01f * (i + 1))) ++
+      (10L to 13L).map(i => i -> jitter(b, 0.01f * (i - 9)))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, k = 2, iters = 3)
+    val cb = Similarity.ivfPqTrainResiduals(corpus, cents, m = 2, subDim = 4,
+      k = 2, iters = 2)
+    val top1 = Similarity.ivfPqTopK(corpus, cents, cb,
+        col("vec_id").isin(0L, 10L), k = 1, pool = 3, nprobe = 1,
+        m = 2, subDim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).contains(top1(0L)), s"probe 0 -> ${top1(0L)}")
+    assert(Set(11L, 12L, 13L).contains(top1(10L)), s"probe 10 -> ${top1(10L)}")
+  }
+
   test("N5: exact rerank over the ADC pool recovers recall ADC alone loses") {
     // real embeddings: codebook quantization error makes pure ADC top-3
     // miss exact neighbors that DO sit inside its top-10 pool — the
