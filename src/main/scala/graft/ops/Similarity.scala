@@ -586,7 +586,11 @@ object Similarity {
                           m: Int, subDim: Int, k: Int,
                           iters: Int = 3): DataFrame =
     pqTrainVectors(
-      residuals(corpus, centroids).select(col("vec_id"), col("r").as("v")),
+      // materialize the training-sample residuals once: every Lloyd round
+      // runs two jobs over them, and the lazy subtree would re-run the
+      // coarse assignment (a corpus×centroids argmax) per job
+      residuals(corpus, centroids).select(col("vec_id"), col("r").as("v"))
+        .localCheckpoint(),
       m, subDim, k, iters)
 
   /** IVF-PQ search with exact rerank: candidates come ONLY from each
@@ -600,7 +604,12 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
                 probeFilter: Column, k: Int, pool: Int, nprobe: Int,
                 m: Int, subDim: Int): DataFrame = {
-    val res = residuals(corpus, centroids)
+    // materialize the corpus residuals+cells once: the code-assignment
+    // branch and the candidate branch both consume them with different
+    // prunings (no shared exchange to reuse), and this table — codes +
+    // cell per vector — is exactly what an IVF-PQ index STORES; a
+    // serve-many deployment stages it to parquet at build time
+    val res = residuals(corpus, centroids).localCheckpoint()
     val codes = assignCodes(
       subVectorsOf(res.select(col("vec_id"), col("r").as("v")), m, subDim),
       codebook)
