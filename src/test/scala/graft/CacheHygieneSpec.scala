@@ -18,7 +18,10 @@ class CacheHygieneSpec extends AnyFunSuite with SparkSuite {
   private val formerlyPersisting = Seq(
     "d2_minhash_neardup", "d3_simhash_neardup", "d5_clean_corpus",
     "d6_ngram_jaccard", "d7_dup_clusters", "d10_incremental_neardup",
-    "d11_containment", "n2_ann_ivf")
+    "d11_containment", "n2_ann_ivf",
+    // round-10 additions with materialization inside (localCheckpoints,
+    // bloom collect): must stay cache-manager-clean too
+    "d13_bloom_decontaminate", "n6_ann_ivfpq", "m6_shot_detect")
 
   test("no query leaves an entry in the session cache manager") {
     formerlyPersisting.foreach { q =>
