@@ -72,6 +72,10 @@ object BpeApply {
     if (entry == null || (entry._1 ne m)) {
       entry = (m, new java.util.HashMap[String, java.lang.Long]())
       memo.set(entry)
+      // release with the task: a long-lived executor thread pool must not
+      // pin up-to-MemoCap word strings after the BPE query finishes
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => memo.remove())
     }
     val cached = entry._2.get(w)
     if (cached != null) return cached.longValue()

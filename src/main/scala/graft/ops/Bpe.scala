@@ -98,9 +98,14 @@ object Bpe {
     * per-position unnest. Returns `(rank, "x y", n_occ)` in learn order;
     * stops early when no adjacent pairs remain.
     */
-  private[graft] def trainInMemory(words: Array[(String, Long)],
+  private[graft] def trainInMemory(words0: Array[(String, Long)],
                                    nMerges: Int): Array[(Long, String, Long)] = {
     import scala.collection.mutable
+    // non-positive frequencies carry no pair mass and would corrupt the
+    // incremental counts (a zero-count pair can win the argmax and then
+    // crash the unregister walk) — drop them, as the wordFrequencies
+    // producer can never emit them anyway
+    val words = words0.filter(_._2 > 0L)
     val vocab: Array[Array[String]] = words.map(w => codePointSymbols(w._1))
     val freqs: Array[Long] = words.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
@@ -170,30 +175,36 @@ object Bpe {
     * DuckDB oracles replay UNPRUNED training, so graded queries leave it
     * at 0.
     */
-  def train(words: DataFrame, nMerges: Int, maxWords: Int = 0): DataFrame = {
-    val spark = words.sparkSession
-    import spark.implicits._
+  /** The shared collect prologue: optional deterministic top-K pruning,
+    * then the one bounded driver collect both entry points train from.
+    */
+  private def collectWordFrequencies(words: DataFrame,
+                                     maxWords: Int): Array[(String, Long)] = {
+    import words.sparkSession.implicits._
     val bounded =
       if (maxWords > 0)
         words.orderBy(col("freq").desc, col("w").asc).limit(maxWords)
       else words
-    val wf = bounded.select(col("w"), col("freq").cast("long"))
+    bounded.select(col("w"), col("freq").cast("long"))
       .as[(String, Long)].collect()
-    trainInMemory(wf, nMerges).toSeq.toDF("rank", "pair", "n_occ")
+  }
+
+  def train(words: DataFrame, nMerges: Int, maxWords: Int = 0): DataFrame = {
+    import words.sparkSession.implicits._
+    trainInMemory(collectWordFrequencies(words, maxWords), nMerges)
+      .toSeq.toDF("rank", "pair", "n_occ")
   }
 
   /** The learned merges of [[train]] as `(x, y)` pairs in rank order —
     * the form the apply side broadcasts
-    * ([[graft.functions.BpeFunctions]]).
+    * ([[graft.functions.BpeFunctions]]). Splitting the trained pair on
+    * its space is lossless: symbols come from whitespace-split words, so
+    * no symbol can contain a space.
     */
-  def learnedMerges(words: DataFrame, nMerges: Int): Array[(String, String)] = {
-    import words.sparkSession.implicits._
-    val wf = words.select(col("w"), col("freq").cast("long"))
-      .as[(String, Long)].collect()
-    trainInMemory(wf, nMerges).map(_._2.split(" ", 2) match {
-      case Array(x, y) => (x, y)
-    })
-  }
+  def learnedMerges(words: DataFrame, nMerges: Int,
+                    maxWords: Int = 0): Array[(String, String)] =
+    trainInMemory(collectWordFrequencies(words, maxWords), nMerges)
+      .map(_._2.split(" ", 2) match { case Array(x, y) => (x, y) })
 
   /** The standard word-frequency input: whitespace tokens of `textCol`,
     * lowercased, empty tokens dropped. Words containing parens are

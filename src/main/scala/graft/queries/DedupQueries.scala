@@ -23,6 +23,17 @@ object DedupQueries {
   private val st3Staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The augmented corpus' row count, from a column-less count of the
+    * BASE table plus the exact augmentation ratio (`corpus()` adds a
+    * copy per 20th and per 25th doc) — the self-sizing input for the LSH
+    * queries, without paying a second scan through the union+transform
+    * corpus (the d4 lesson: that count cost +40% at sf0.1).
+    */
+  private def corpusCount(spark: SparkSession, sfDir: String): Long = {
+    val n = Tables.documents(spark, sfDir).count()
+    n + n / 20 + n / 25
+  }
+
   /** Augmented corpus: base ∪ near-dup copies ∪ exact copies. */
   def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
@@ -58,8 +69,12 @@ object DedupQueries {
   /** D2 — banded minhash-LSH near-dup (32 bands × 3 rows), exact-verified
     * at jaccard ≥ 0.5; the oracle is the exhaustive jaccard scan.
     */
-  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashNearDups(corpus(spark, sfDir), threshold = 0.5)
+  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (b, r) = graft.ops.LshSizing.bandShape(
+      corpusCount(spark, sfDir), threshold = 0.5)
+    Dedup.minhashNearDups(corpus(spark, sfDir), threshold = 0.5,
+      numBands = b, rowsPerBand = r)
+  }
 
   val minhashNearDupSql: String =
     s"""WITH $corpusSql,
@@ -85,9 +100,12 @@ object DedupQueries {
     */
   def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val c = corpus(spark, sfDir)
+    // size from the CORPUS side (the base docs) via the cheap base count
+    val (b, r) = graft.ops.LshSizing.bandShape(
+      Tables.documents(spark, sfDir).count(), threshold = 0.5)
     Dedup.incrementalNearDups(
       c.filter(col("doc_id") >= 1000000), c.filter(col("doc_id") < 1000000),
-      threshold = 0.5)
+      threshold = 0.5, numBands = b, rowsPerBand = r)
   }
 
   val incrementalNearDupSql: String =
@@ -117,7 +135,7 @@ object DedupQueries {
     */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions.fingerprint
-    val src = s"${TarQueries.StageDir}/st3_src.parquet"
+    val src = TarQueries.stagePath("st3_src", sfDir) + ".parquet"
     val out = s"${TarQueries.StageDir}/st3_fps.parquet"
     graft.io.FsOps.deletePrefix(spark, out)
     // the staged source is a deterministic function of sfDir — stage it
@@ -176,9 +194,16 @@ object DedupQueries {
     * so the sample keeps the EXHAUSTIVE DuckDB recall proof affordable
     * while d2 covers the full corpus at word level.
     */
-  def ngramNearDup(spark: SparkSession, sfDir: String): DataFrame =
+  def ngramNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // d6 runs on the 1-in-10 sample; size from the same ratio of the
+    // cheap base count (char-gram background stats, d6's band budget)
+    val (b, r) = graft.ops.LshSizing.bandShape(
+      corpusCount(spark, sfDir) / 10, threshold = 0.8, jBg = 1.0 / 3.0,
+      maxBands = 16)
     Dedup.ngramJaccardNearDups(
-      corpus(spark, sfDir).filter(col("doc_id") % 10 === 0), threshold = 0.8)
+      corpus(spark, sfDir).filter(col("doc_id") % 10 === 0), threshold = 0.8,
+      numBands = b, rowsPerBand = r)
+  }
 
   val ngramNearDupSql: String =
     s"""WITH $corpusSql,

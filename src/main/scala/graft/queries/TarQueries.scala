@@ -29,6 +29,15 @@ object TarQueries {
     */
   val StageDir = "/tmp/graft_stage"
 
+  /** Per-sfDir staging path for the streaming sources: their per-JVM
+    * staging memos key on sfDir, so the staged FILES must too — with a
+    * shared fixed path, staging corpus B after corpus A and then
+    * re-running A would hit A's memo, skip restaging, and drain B's
+    * files against A's oracle.
+    */
+  def stagePath(name: String, sfDir: String): String =
+    s"$StageDir/${name}_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+
   /** Golden-test cutoff: the fixture day itself, so `moreThanOneYear` is
     * false and routing exercises the web100/whitelist arms
     * (the reference test passes `moreThanOneYear=false` directly,

@@ -124,7 +124,7 @@ object TimeJoinQueries {
     * DuckDB's plain GROUP BY over the same events.
     */
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = s"${TarQueries.StageDir}/st4_src"
+    val src = TarQueries.stagePath("st4_src", sfDir)
     val out = s"${TarQueries.StageDir}/st4_win.parquet"
     graft.io.FsOps.deletePrefix(spark, out)
     st4Staged.computeIfAbsent(sfDir, _ => {
@@ -183,7 +183,7 @@ object TimeJoinQueries {
     * survived the batch boundary and eviction never dropped a live row.
     */
   def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = s"${TarQueries.StageDir}/st5_src"
+    val src = TarQueries.stagePath("st5_src", sfDir)
     val out = s"${TarQueries.StageDir}/st5_attrib.parquet"
     graft.io.FsOps.deletePrefix(spark, out)
     st5Staged.computeIfAbsent(sfDir, _ => {

@@ -27,7 +27,7 @@ class LshSizingSpec extends AnyFunSuite with SparkSuite {
       }
   }
 
-  test("bandShape deepens band keys with the corpus, keeps recall bands") {
+  test("bandShape deepens band keys with the corpus, never sells recall") {
     val (b1, r1) = LshSizing.bandShape(550, threshold = 0.5)
     // continuity pin: the auto shape at the graded sf0.01 corpus equals
     // the hand-tuned (32, 3) r9 shipped with — same candidates, same cost
@@ -35,11 +35,20 @@ class LshSizingSpec extends AnyFunSuite with SparkSuite {
     val (_, r2) = LshSizing.bandShape(55000, threshold = 0.5)
     val (_, r3) = LshSizing.bandShape(55000000L, threshold = 0.5)
     assert(r1 <= r2 && r2 <= r3, s"rows not monotone: $r1 $r2 $r3")
-    // structural occupancy bound off-clamp: n * jBg^r <= target
-    Seq(550L, 55000L, 55000000L).foreach { n =>
+    // the recall guarantee holds at EVERY size — a strong pair
+    // (jStrong = threshold+0.3) misses all bands with prob <= ~1e-9;
+    // this is the bound the earlier maxBands clamp silently voided at
+    // web scale
+    Seq(550L, 55000L, 55000000L, 5000000000L).foreach { n =>
+      val (b, r) = LshSizing.bandShape(n, threshold = 0.5)
+      val miss = math.pow(1.0 - math.pow(0.8, r), b)
+      assert(miss <= 1.5e-9, s"recall bound violated at n=$n: ($b,$r) miss=$miss")
+    }
+    // occupancy bound holds whenever the recall budget leaves room for
+    // the occupancy-ideal key depth (the small/medium regime)
+    Seq(550L, 55000L).foreach { n =>
       val (_, r) = LshSizing.bandShape(n, threshold = 0.5)
-      if (r > 2 && r < 8)
-        assert(n * math.pow(0.25, r) <= 32.0 + 1e-9, s"occupancy at n=$n r=$r")
+      assert(n * math.pow(0.25, r) <= 32.0 + 1e-9, s"occupancy at n=$n r=$r")
     }
   }
 
