@@ -603,7 +603,19 @@ object Similarity {
     */
   def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
                 probeFilter: Column, k: Int, pool: Int, nprobe: Int,
-                m: Int, subDim: Int): DataFrame = {
+                m: Int, subDim: Int): DataFrame =
+    ivfPqTopKProbes(corpus, centroids, codebook, corpus.filter(probeFilter),
+      k, pool, nprobe, m, subDim)
+
+  /** [[ivfPqTopK]] with an EXPLICIT probe set `(vec_id, embedding)` — the
+    * serve-path entry point: probes can come from anywhere (a micro-batch
+    * of arriving queries, [[graft.streaming.StreamAnn]]), the index side
+    * stays the staged corpus/centroids/codebook.
+    */
+  def ivfPqTopKProbes(corpus: DataFrame, centroids: DataFrame,
+                      codebook: DataFrame, probeSet: DataFrame,
+                      k: Int, pool: Int, nprobe: Int,
+                      m: Int, subDim: Int): DataFrame = {
     // materialize the corpus residuals+cells once: the code-assignment
     // branch and the candidate branch both consume them with different
     // prunings (no shared exchange to reuse), and this table — codes +
@@ -613,9 +625,9 @@ object Similarity {
     val codes = assignCodes(
       subVectorsOf(res.select(col("vec_id"), col("r").as("v")), m, subDim),
       codebook)
-    val probes = withUnit(corpus.filter(probeFilter), "embedding", "pu")
+    val probes = withUnit(probeSet, "embedding", "pu")
       .select(col("vec_id").as("p_id"), col("pu"))
-    val pCells = ivfAssignTop(corpus.filter(probeFilter), centroids, nprobe)
+    val pCells = ivfAssignTop(probeSet, centroids, nprobe)
       .select(col("vec_id").as("p_id"), col("cell"))
     val cu = withUnit(centroids, "embedding", "cu")
       .select(col("vec_id").as("cell"), col("cu"))

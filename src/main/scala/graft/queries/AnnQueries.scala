@@ -433,13 +433,18 @@ object AnnQueries {
       .select(col("probe_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
-  val annIvfPqSql: String =
+  /** The shared IVF-PQ replay CTE chain (through `rr`, the exact-cosine
+    * rerank of each probe's ADC top-10 pool), parameterized by the staged
+    * quantizer paths so n6 (batch grading) and st8 (streaming serve)
+    * replay the same machinery against their own staged floats.
+    */
+  private def ivfPqOracleCtes(centPath: String, cbPath: String): String =
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |un AS (SELECT vec_id,
        |              list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS u
        |       FROM c),
        |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
-       |         FROM read_parquet('${TarQueries.StageDir}/n6_centroids.parquet/*.parquet')),
+       |         FROM read_parquet('$centPath/*.parquet')),
        |centu AS (SELECT c_id,
        |                 list_transform(ce, x -> x / sqrt(list_inner_product(ce, ce))) AS cu
        |          FROM cent),
@@ -457,7 +462,7 @@ object AnnQueries {
        |  FROM un JOIN assign a ON a.vec_id = un.vec_id
        |          JOIN centu ON centu.c_id = a.cell),
        |cb AS (SELECT subspace, code, CAST(embedding AS DOUBLE[]) AS ce
-       |       FROM read_parquet('${TarQueries.StageDir}/n6_pq.parquet/*.parquet')),
+       |       FROM read_parquet('$cbPath/*.parquet')),
        |sv AS (SELECT resid.vec_id, cb.subspace, cb.code,
        |              list_inner_product(
        |                r[CAST(1 + subspace * 16 AS INT):CAST(subspace * 16 + 16 AS INT)],
@@ -507,7 +512,11 @@ object AnnQueries {
        |  SELECT pool.p_id, pool.vec_id,
        |         list_cosine_similarity(p.pe, c.e) AS cos
        |  FROM pool JOIN probes p ON p.p_id = pool.p_id
-       |            JOIN c ON c.vec_id = pool.vec_id),
+       |            JOIN c ON c.vec_id = pool.vec_id)""".stripMargin
+
+  val annIvfPqSql: String =
+    s"""${ivfPqOracleCtes(s"${TarQueries.StageDir}/n6_centroids.parquet",
+          s"${TarQueries.StageDir}/n6_pq.parquet")},
        |ann3 AS (SELECT p_id, vec_id FROM (
        |    SELECT p_id, vec_id,
        |           row_number() OVER (PARTITION BY p_id
@@ -528,7 +537,63 @@ object AnnQueries {
        |  FROM ann3 JOIN exact ON ann3.p_id = exact.p_id AND ann3.vec_id = exact.vec_id
        |  GROUP BY 1) h ON h.p_id = probes.p_id""".stripMargin
 
+  /** sfDirs whose st8 probe files are already staged in this JVM. */
+  private val st8Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST8 — streaming ANN serving ([[graft.streaming.StreamAnn]]): the
+    * IVF-PQ quantizers build batch-side and stage to parquet, then the
+    * SAME probe set arrives as a stream (two files → two micro-batches)
+    * and each micro-batch runs the compressed-domain search + exact
+    * rerank against the staged index — the online-retrieval counterpart
+    * of st6's LM gate. Output: `(probe_id, neighbor_id, rank)`; per-probe
+    * results are batch-split-invariant (each query is answered
+    * independently), so the oracle replays the batch IVF-PQ definition.
+    */
+  def annServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val sample = emb.filter(col("vec_id") % 4 === 0)
+    Similarity.trainCentroids(sample, k = 8, iters = 4)
+      .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/st8_centroids.parquet")
+    val cents = spark.read.parquet(s"${TarQueries.StageDir}/st8_centroids.parquet")
+    Similarity.ivfPqTrainResiduals(sample, cents, m = 4, subDim = 16, k = 16,
+        iters = 3)
+      .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/st8_pq.parquet")
+    val cb = spark.read.parquet(s"${TarQueries.StageDir}/st8_pq.parquet")
+    val src = TarQueries.stagePath("st8_probes", sfDir)
+    st8Staged.computeIfAbsent(sfDir, _ => {
+      graft.io.FsOps.deletePrefix(spark, src)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      probes.filter(col("vec_id") % 100 === 0)
+        .repartition(1).write.mode("overwrite").parquet(src)
+      probes.filter(col("vec_id") % 100 === 50)
+        .repartition(1).write.mode("append").parquet(src)
+      src
+    })
+    val out = s"${TarQueries.StageDir}/st8_topk.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st8")
+      .resolve("ckpt").toString
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    graft.streaming.StreamAnn.serveTopK(stream, emb, cents, cb, out, ckpt,
+      k = 3, pool = 10, nprobe = 2, m = 4, subDim = 16)
+    spark.read.parquet(out)
+  }
+
+  val annServeSql: String =
+    s"""${ivfPqOracleCtes(s"${TarQueries.StageDir}/st8_centroids.parquet",
+          s"${TarQueries.StageDir}/st8_pq.parquet")}
+       |SELECT p_id AS probe_id, vec_id AS neighbor_id, CAST(rnk AS BIGINT) AS rank
+       |FROM (SELECT p_id, vec_id,
+       |             row_number() OVER (PARTITION BY p_id
+       |                                ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM rr)
+       |WHERE rnk <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_stream_ann_serve" -> annServe,
     "h1_hybrid_retrieval" -> hybridRetrieval,
     "n6_ann_ivfpq" -> annIvfPq,
     "n5_ann_pq" -> annPq,
@@ -544,6 +609,7 @@ object AnnQueries {
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "n5_ann_pq" -> annPqSql,
     "n6_ann_ivfpq" -> annIvfPqSql,
+    "st8_stream_ann_serve" -> annServeSql,
     "d4_embed_neardup" -> embedNearDupSql,
     "d9_semdedup" -> semDedupSql,
     "n1_ann_topk" -> annTopKSql,

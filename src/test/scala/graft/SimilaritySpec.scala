@@ -71,6 +71,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(Set(11L, 12L, 13L).contains(top1(10L)), s"probe 10 -> ${top1(10L)}")
   }
 
+  test("ST8's contract: probe-set search is batch-split-invariant") {
+    // serving splits the probe set across micro-batches; per-probe
+    // results must not depend on which batch a probe arrived in
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb.filter(col("vec_id") % 4 === 0),
+      k = 8, iters = 4)
+    val cb = Similarity.ivfPqTrainResiduals(emb.filter(col("vec_id") % 4 === 0),
+      cents, m = 4, subDim = 16, k = 16, iters = 3)
+    def search(probes: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopKProbes(emb, cents, cb, probes, k = 3, pool = 10,
+          nprobe = 2, m = 4, subDim = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = emb.filter(col("vec_id") % 50 === 0)
+    val whole = search(all)
+    val split = search(all.filter(col("vec_id") % 100 === 0)) ++
+      search(all.filter(col("vec_id") % 100 === 50))
+    assert(whole === split)
+    assert(whole.nonEmpty)
+  }
+
   test("N5: exact rerank over the ADC pool recovers recall ADC alone loses") {
     // real embeddings: codebook quantization error makes pure ADC top-3
     // miss exact neighbors that DO sit inside its top-10 pool — the
