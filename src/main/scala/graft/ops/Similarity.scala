@@ -615,16 +615,41 @@ object Similarity {
   def ivfPqTopKProbes(corpus: DataFrame, centroids: DataFrame,
                       codebook: DataFrame, probeSet: DataFrame,
                       k: Int, pool: Int, nprobe: Int,
-                      m: Int, subDim: Int): DataFrame = {
-    // materialize the corpus residuals+cells once: the code-assignment
-    // branch and the candidate branch both consume them with different
-    // prunings (no shared exchange to reuse), and this table — codes +
-    // cell per vector — is exactly what an IVF-PQ index STORES; a
-    // serve-many deployment stages it to parquet at build time
+                      m: Int, subDim: Int): DataFrame =
+    ivfPqTopKIndexed(ivfPqBuildIndex(corpus, centroids, codebook, m, subDim),
+      corpus, centroids, codebook, probeSet, k, pool, nprobe, m, subDim)
+
+  /** Build the servable index: one row per (vector, subspace) carrying
+    * the coarse cell and the PQ code — m·k-bits per vector, EXACTLY the
+    * table an IVF-PQ deployment stages to parquet at build time and
+    * serves many query batches from ([[ivfPqTopKIndexed]]; the st8
+    * streaming serve path does precisely that).
+    */
+  def ivfPqBuildIndex(corpus: DataFrame, centroids: DataFrame,
+                      codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    // materialize residuals+cells once: the code-assignment branch and
+    // the cell column both consume them with different prunings (no
+    // shared exchange to reuse)
     val res = residuals(corpus, centroids).localCheckpoint()
-    val codes = assignCodes(
-      subVectorsOf(res.select(col("vec_id"), col("r").as("v")), m, subDim),
-      codebook)
+    assignCodes(
+        subVectorsOf(res.select(col("vec_id"), col("r").as("v")), m, subDim),
+        codebook)
+      .join(res.select("vec_id", "cell"), "vec_id")
+      .select("vec_id", "cell", "subspace", "code")
+  }
+
+  /** IVF-PQ search against a PRE-BUILT index (`(vec_id, cell, subspace,
+    * code)` — [[ivfPqBuildIndex]]'s output, typically read back from
+    * parquet): only probe-side work happens per call, which is what
+    * makes the serve path's per-batch cost track the BATCH.
+    */
+  def ivfPqTopKIndexed(index: DataFrame, corpus: DataFrame,
+                       centroids: DataFrame, codebook: DataFrame,
+                       probeSet: DataFrame, k: Int, pool: Int, nprobe: Int,
+                       m: Int, subDim: Int): DataFrame = {
+    // subspace-0 slice = one (vec_id, cell) row per vector, no exchange
+    val res = index.filter(col("subspace") === 0).select("vec_id", "cell")
+    val codes = index.select("vec_id", "subspace", "code")
     val probes = withUnit(probeSet, "embedding", "pu")
       .select(col("vec_id").as("p_id"), col("pu"))
     val pCells = ivfAssignTop(probeSet, centroids, nprobe)

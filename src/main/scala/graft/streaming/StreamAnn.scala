@@ -21,17 +21,19 @@ object StreamAnn {
 
   /** Drain `probeStream` (`vec_id`, `embedding`) through the IVF-PQ
     * searcher into `outDir` as parquet `(probe_id, neighbor_id, rank)`;
-    * blocks until the AvailableNow drain finishes.
+    * blocks until the AvailableNow drain finishes. `index` is
+    * [[graft.ops.Similarity.ivfPqBuildIndex]]'s staged output — built
+    * ONCE offline; each micro-batch pays only probe-side work.
     */
-  def serveTopK(probeStream: DataFrame, corpus: DataFrame,
+  def serveTopK(probeStream: DataFrame, index: DataFrame, corpus: DataFrame,
                 centroids: DataFrame, codebook: DataFrame,
                 outDir: String, checkpointDir: String,
                 k: Int, pool: Int, nprobe: Int, m: Int, subDim: Int): Unit = {
     val q = probeStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          graft.ops.Similarity.ivfPqTopKProbes(corpus, centroids, codebook,
-              batch, k, pool, nprobe, m, subDim)
+          graft.ops.Similarity.ivfPqTopKIndexed(index, corpus, centroids,
+              codebook, batch, k, pool, nprobe, m, subDim)
             .write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", checkpointDir)
