@@ -65,10 +65,13 @@ object LshSizing {
         math.log(1.0 / jBg)).toLong, 2, maxRows)
     var r = rOcc
     while (r > 2 && bandsFor(r) > maxBands) r -= 1
-    // hi wins over lo so a caller's tight maxBands (e.g. d6's char-gram
-    // budget) is never exceeded by the minBands floor
-    val b = math.min(maxBands.toLong,
-      math.max(minBands.toLong, bandsFor(r))).toInt
+    // the recall bound is NEVER sold: if even the shallowest keys (r=2)
+    // need more than maxBands bands for the miss budget, b exceeds the
+    // budget rather than silently violating the documented guarantee —
+    // maxBands caps the occupancy-driven DEPTH tradeoff, not recall
+    val b =
+      if (bandsFor(r) > maxBands) bandsFor(r).toInt
+      else math.min(maxBands.toLong, math.max(minBands.toLong, bandsFor(r))).toInt
     (b, r)
   }
 }

@@ -616,7 +616,12 @@ object Similarity {
                       codebook: DataFrame, probeSet: DataFrame,
                       k: Int, pool: Int, nprobe: Int,
                       m: Int, subDim: Int): DataFrame =
-    ivfPqTopKIndexed(ivfPqBuildIndex(corpus, centroids, codebook, m, subDim),
+    // checkpoint the ad-hoc index: the search reads it on two branches
+    // (cells slice + codes), and without materialization each branch
+    // would re-run the assignCodes argmax over the corpus — the staged
+    // path (st8) gets the same effect from its parquet round-trip
+    ivfPqTopKIndexed(
+      ivfPqBuildIndex(corpus, centroids, codebook, m, subDim).localCheckpoint(),
       corpus, centroids, codebook, probeSet, k, pool, nprobe, m, subDim)
 
   /** Build the servable index: one row per (vector, subspace) carrying

@@ -587,7 +587,15 @@ object AnnQueries {
       .parquet(src)
     graft.streaming.StreamAnn.serveTopK(stream, index, emb, cents, cb, out,
       ckpt, k = 3, pool = 10, nprobe = 2, m = 4, subDim = 16)
-    spark.read.parquet(out)
+    // an all-empty probe stream writes nothing (foreachBatch skips empty
+    // batches) — answer with an empty result, not a missing-path error
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    if (outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(outPath))
+      spark.read.parquet(out)
+    else
+      spark.range(0).select(col("id").as("probe_id"), col("id").as("neighbor_id"),
+        col("id").as("rank"))
   }
 
   val annServeSql: String =

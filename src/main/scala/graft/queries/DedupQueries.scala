@@ -34,6 +34,16 @@ object DedupQueries {
     n + n / 20 + n / 25
   }
 
+  /** Row count of `corpus().filter(doc_id % 10 === 0)` — NOT corpusCount/10:
+    * every planted near-dup id (base+1000000, base % 20 == 0) passes the
+    * %10 filter, and exact copies (base+2000000) pass iff base % 50 == 0,
+    * so the sample concentrates the augmentation: n/10 + n/20 + n/50.
+    */
+  private def sampleCount(spark: SparkSession, sfDir: String): Long = {
+    val n = Tables.documents(spark, sfDir).count()
+    n / 10 + n / 20 + n / 50
+  }
+
   /** Augmented corpus: base ∪ near-dup copies ∪ exact copies. */
   def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
@@ -195,10 +205,11 @@ object DedupQueries {
     * while d2 covers the full corpus at word level.
     */
   def ngramNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    // d6 runs on the 1-in-10 sample; size from the same ratio of the
-    // cheap base count (char-gram background stats, d6's band budget)
+    // d6 runs on the 1-in-10 sample — sized by the sample's TRUE count
+    // (the augmentation concentrates there; see sampleCount), from the
+    // cheap base scan (char-gram background stats, d6's band budget)
     val (b, r) = graft.ops.LshSizing.bandShape(
-      corpusCount(spark, sfDir) / 10, threshold = 0.8, jBg = 1.0 / 3.0,
+      sampleCount(spark, sfDir), threshold = 0.8, jBg = 1.0 / 3.0,
       maxBands = 16)
     Dedup.ngramJaccardNearDups(
       corpus(spark, sfDir).filter(col("doc_id") % 10 === 0), threshold = 0.8,
@@ -341,11 +352,17 @@ object DedupQueries {
     * whole dup clusters and the bench measures the CLUSTERING, not a
     * second helping of d2's pair-generation bill.
     */
-  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // same 1-in-10 sample as d6 — size from its true count, not a second
+    // scan through the augmented corpus
+    val (b, r) = graft.ops.LshSizing.bandShape(
+      sampleCount(spark, sfDir), threshold = 0.5)
     Dedup.dupClusters(
       Dedup.minhashNearDups(
-        corpus(spark, sfDir).filter(col("doc_id") % 10 === 0), threshold = 0.5)
+        corpus(spark, sfDir).filter(col("doc_id") % 10 === 0), threshold = 0.5,
+        numBands = b, rowsPerBand = r)
         .select("id_a", "id_b"))
+  }
 
   val dupClustersSql: String =
     s"""WITH RECURSIVE $corpusSql,

@@ -35,8 +35,14 @@ object TarQueries {
     * re-running A would hit A's memo, skip restaging, and drain B's
     * files against A's oracle.
     */
-  def stagePath(name: String, sfDir: String): String =
-    s"$StageDir/${name}_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+  def stagePath(name: String, sfDir: String): String = {
+    // full md5 of the sfDir, not its 32-bit hashCode — a hashCode
+    // collision between two corpus dirs would silently recreate the
+    // cross-corpus collision this path exists to prevent
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8"))
+    s"$StageDir/${name}_${d.map("%02x".format(_)).mkString}"
+  }
 
   /** Golden-test cutoff: the fixture day itself, so `moreThanOneYear` is
     * false and routing exercises the web100/whitelist arms

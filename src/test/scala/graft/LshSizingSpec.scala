@@ -50,6 +50,14 @@ class LshSizingSpec extends AnyFunSuite with SparkSuite {
       val (_, r) = LshSizing.bandShape(n, threshold = 0.5)
       assert(n * math.pow(0.25, r) <= 32.0 + 1e-9, s"occupancy at n=$n r=$r")
     }
+    // and even when a caller's band budget is too tight for the budgeted
+    // miss at ANY depth (tight maxBands + low threshold), b EXCEEDS the
+    // budget rather than silently violating the bound
+    val (bT, rT) = LshSizing.bandShape(50000, threshold = 0.5,
+      jBg = 1.0 / 3.0, maxBands = 16)
+    val missT = math.pow(1.0 - math.pow(0.8, rT), bT)
+    assert(missT <= 1.5e-9, s"tight-budget recall violated: ($bT,$rT) $missT")
+    assert(bT > 16, "expected b to exceed the too-tight budget")
   }
 
   test("auto-sized sign buckets stay small across the sf sweep") {
