@@ -30,6 +30,21 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  private val rowCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** Memoized row count of a STATIC source table — the catalog-statistics
+    * role: self-sizing ops (LSH band shaping, sign-LSH granularity) need
+    * only the table's cardinality, and re-running a count job per query
+    * execution taxes every small query ~0.25 s of pure job overhead
+    * (measured at sf0.1 — the d4 profile). A real deployment reads this
+    * from catalog stats / parquet footers; the test dirs are immutable by
+    * contract (TESTDATA.md), so first-use memoization is exact.
+    */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    rowCounts.computeIfAbsent((sfDir, name),
+      _ => table(spark, sfDir, name).count()).longValue()
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

@@ -190,30 +190,45 @@ object Dedup {
                                numBands: Int, rowsPerBand: Int,
                                collapseIdentical: Boolean): DataFrame = {
     // The shingle arrays feed several branches (grouping, signatures, both
-    // verify joins) — compute once by parking them behind ONE doc_id-keyed
-    // exchange: every branch reads the same canonical subtree, so Spark's
-    // exchange reuse serves the shuffle files to all of them
-    // (`ReusedExchange`, the d4 pattern) and the expensive gram hashing
-    // runs exactly once — with no session-lifetime cache entry to leak.
-    // Safe against divergent column pruning because every branch needs the
-    // full (doc_id, shingles) pair.
-    val sets = rawSets.repartition(col("doc_id"))
+    // verify joins) — materialize them ONCE with an eager localCheckpoint.
+    // The r10 repartition-for-ReusedExchange form did NOT hold: the
+    // branches prune different columns through the exchange, so the
+    // canonicalized subtrees differ and AQE reuses nothing — measured at
+    // sf0.1 the d7 pair pipeline planned 34 exchanges / 0 reused / 60
+    // parquet scans, re-running the gram hashing ~8×. The checkpoint is
+    // pruning-opaque (every branch reads the same blocks), leaves no
+    // session-cache entry (CacheHygieneSpec), and its blocks free with the
+    // RDD reference (ContextCleaner). Cluster posture: executor loss costs
+    // a job retry (no lineage) — a 100 TB run stages sets/bands to durable
+    // storage instead, the serve-many path [[incrementalNearDups]] documents.
     if (!collapseIdentical) {
-      // callers that already exact-deduped (the d5 composite) skip the
+      // Callers that already exact-deduped (the d5 composite) skip the
       // collapse machinery: identical sets are (all but pathologically)
-      // impossible there, and the extra shuffles buy nothing
-      return verifyPairs(candidatePairs(lshBands(sets, numBands, rowsPerBand)),
-        sets, threshold)
+      // impossible there, and the extra shuffles buy nothing. Here the
+      // repartition-for-reuse form DOES hold — all three consumers (bands,
+      // both verify lookups) read the identical full (doc_id, shingles)
+      // row, so the exchange canonicalizes the same under each and AQE
+      // serves one shuffle to all branches — and it beats a checkpoint
+      // round-trip of the ~3×-text-size shingle arrays (A/B at sf0.1:
+      // d5 2.00 s checkpointed vs 1.33 s reused).
+      val flat = rawSets.repartition(col("doc_id"))
+      return verifyPairs(candidatePairs(lshBands(flat, numBands, rowsPerBand)),
+        flat, threshold)
     }
-    // no persist: every `groups` branch shares the rep-window's skey
-    // exchange (reused), exactly like d4's vectorGroups
-    val groups = setGroups(sets)
+    val sets = rawSets.localCheckpoint()
+    // groups feeds five branches (rep filter, within ×2, both member maps)
+    // — same once-only materialization; it is narrow (two longs + one md5)
+    val groups = setGroups(sets).localCheckpoint()
     val repSets = sets.join(
       groups.filter(col("doc_id") === col("rep_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
+    // verify against the full `sets` checkpoint, not repSets: candidate ids
+    // are representative ids, so the id-keyed lookups match identical rows,
+    // and repSets (a join over both checkpoints) is left with exactly one
+    // consumer instead of being recomputed into each verify branch
     val repPairs = verifyPairs(
-      candidatePairs(lshBands(repSets, numBands, rowsPerBand)), repSets, threshold)
+      candidatePairs(lshBands(repSets, numBands, rowsPerBand)), sets, threshold)
 
     // expand representatives back to full doc pairs
     val within = groups.as("x").join(groups.as("y"),
@@ -262,9 +277,10 @@ object Dedup {
     */
   def containmentPairs(corpus: DataFrame, tau: Double = 0.9,
                        dfOrderedPrefix: Boolean = true): DataFrame = {
-    // one doc_id-keyed exchange shared by the postings pass and both
-    // verify joins (ReusedExchange — see nearDupsFromSets)
-    val sets = shingleSets(corpus).repartition(col("doc_id"))
+    // one materialization shared by the postings pass and both verify
+    // joins (eager localCheckpoint — divergent column pruning defeats
+    // exchange reuse here; see nearDupsFromSets)
+    val sets = shingleSets(corpus).localCheckpoint()
     val cands = containmentCandidates(sets, tau, dfOrderedPrefix)
       .select("id_a", "id_b").distinct()
     cands
@@ -331,9 +347,15 @@ object Dedup {
     val (bandsN, rowsN) =
       if (numBands > 0) (numBands, rowsPerBand)
       else LshSizing.bandShape(corpus.count(), threshold, jBg = 0.25)
-    // per side, one doc_id-keyed exchange shared by its banding pass and
-    // its verify join (ReusedExchange — see nearDupsFromSets); a serve-many
-    // deployment stages the CORPUS side's bands/sets to parquet instead
+    // Per side, one doc_id-keyed exchange shared by its banding pass and
+    // its verify lookup. Unlike the collapse path (see nearDupsFromSets),
+    // BOTH consumers here read the identical full (doc_id, shingles) row,
+    // so the exchange canonicalizes the same under each branch and AQE
+    // reuse genuinely engages — and it beats an eager checkpoint, which
+    // writes the ~3×-text-size shingle arrays to block storage AND
+    // serializes the two sides into sequential jobs (A/B at sf0.1: 1.36 s
+    // reused vs 2.04 s checkpointed). A serve-many deployment stages the
+    // CORPUS side's bands/sets to parquet instead.
     val bSets = shingleSets(batch).repartition(col("doc_id"))
     val cSets = shingleSets(corpus).repartition(col("doc_id"))
     val bBands = lshBands(bSets, bandsN, rowsN)
@@ -597,11 +619,13 @@ object Dedup {
     * only on the two values), so the result is value-identical.
     */
   def simhashNearDups(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // no persist: every branch shares the rep-window's simhash exchange
-    // (reused — the d4 pattern), so the simhash scan runs once
+    // eager localCheckpoint: every branch (rep filter, within self-join,
+    // both member maps) reads the materialized simhash table once —
+    // divergent column pruning defeats exchange reuse (see nearDupsFromSets)
     val sims = simhashes(corpus)
       .withColumn("rep_id", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
+      .localCheckpoint()
     val reps = sims.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("simhash"))
 

@@ -38,11 +38,11 @@ object AnnQueries {
     * oracle is the exhaustive pair scan.
     */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    // size the sign-LSH granularity from the cheap BASE-table count (the
-    // augmented corpus is 1.1× it) instead of counting through the
-    // union+transform — same octave, one column-less parquet scan
+    // size the sign-LSH granularity from the memoized BASE-table count
+    // (the augmented corpus is 1.1× it) instead of counting through the
+    // union+transform — same octave, no count job on the query path
     // (measured: the transformed count cost d4 +40% at sf0.1)
-    val n = Tables.embeddings(spark, sfDir).count()
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
     Similarity.embeddingNearDups(embCorpus(spark, sfDir), threshold = 0.9,
       bits = graft.ops.LshSizing.sizeBits(n + n / 10))
   }

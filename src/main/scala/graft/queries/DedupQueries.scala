@@ -23,24 +23,28 @@ object DedupQueries {
   private val st3Staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The augmented corpus' row count, from a column-less count of the
-    * BASE table plus the exact augmentation ratio (`corpus()` adds a
-    * copy per 20th and per 25th doc) — the self-sizing input for the LSH
-    * queries, without paying a second scan through the union+transform
-    * corpus (the d4 lesson: that count cost +40% at sf0.1).
+  /** The augmented corpus' row count, from the memoized count of the BASE
+    * table ([[Tables.rowCount]]) plus the augmentation ratio (`corpus()`
+    * adds a copy per 20th and per 25th doc) — the self-sizing input for
+    * the LSH queries, without paying a count job through the
+    * union+transform corpus (the d4 lesson: that count cost +40% at
+    * sf0.1). The modulo-copy terms are approximate (exact only for dense
+    * 0..n-1 ids that divide evenly) — same octave always, which is all
+    * the log-scale LSH sizing consumes.
     */
   private def corpusCount(spark: SparkSession, sfDir: String): Long = {
-    val n = Tables.documents(spark, sfDir).count()
+    val n = Tables.rowCount(spark, sfDir, "documents")
     n + n / 20 + n / 25
   }
 
   /** Row count of `corpus().filter(doc_id % 10 === 0)` — NOT corpusCount/10:
     * every planted near-dup id (base+1000000, base % 20 == 0) passes the
     * %10 filter, and exact copies (base+2000000) pass iff base % 50 == 0,
-    * so the sample concentrates the augmentation: n/10 + n/20 + n/50.
+    * so the sample concentrates the augmentation: ≈ n/10 + n/20 + n/50
+    * (same-octave approximation, like [[corpusCount]]).
     */
   private def sampleCount(spark: SparkSession, sfDir: String): Long = {
-    val n = Tables.documents(spark, sfDir).count()
+    val n = Tables.rowCount(spark, sfDir, "documents")
     n / 10 + n / 20 + n / 50
   }
 
@@ -112,7 +116,7 @@ object DedupQueries {
     val c = corpus(spark, sfDir)
     // size from the CORPUS side (the base docs) via the cheap base count
     val (b, r) = graft.ops.LshSizing.bandShape(
-      Tables.documents(spark, sfDir).count(), threshold = 0.5)
+      Tables.rowCount(spark, sfDir, "documents"), threshold = 0.5)
     Dedup.incrementalNearDups(
       c.filter(col("doc_id") >= 1000000), c.filter(col("doc_id") < 1000000),
       threshold = 0.5, numBands = b, rowsPerBand = r)

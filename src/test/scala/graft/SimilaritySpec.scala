@@ -152,14 +152,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"), s"plan did not finalize:\n$plan")
     val finalPlan = plan.split("== Initial Plan ==")(0)
-    // exactly ONE exchange keyed on the array survives: the vectorGroups
-    // window's input shuffle, served to every other branch via reuse
+    // ZERO exchanges keyed on the array survive in the serving plan: the
+    // vectorGroups window (the one legitimate embedding-keyed shuffle)
+    // runs inside its eager localCheckpoint job, and every branch reads
+    // the materialized RDD — so an array-keyed exchange here would mean a
+    // member-expansion join put the vector on the wire
     val arrayKeyed = "\\+- Exchange hashpartitioning\\(\\w*\\(?transform\\(embedding".r
       .findAllIn(finalPlan).size
-    assert(arrayKeyed <= 1,
-      s"embedding-keyed exchanges should collapse to the window's one (got $arrayKeyed):\n$finalPlan")
-    assert(finalPlan.contains("ReusedExchange"),
-      s"window shuffle not shared across branches:\n$finalPlan")
+    assert(arrayKeyed === 0,
+      s"embedding-keyed exchange in the serving plan (got $arrayKeyed):\n$finalPlan")
+    assert(finalPlan.contains("Scan ExistingRDD"),
+      s"vector grouping not materialized once:\n$finalPlan")
   }
 
   test("D4: the per-representative self-cosine guard gates within-group pairs") {
