@@ -326,43 +326,87 @@ object Similarity {
         (col("pos") + 1).as("crank"))
   }
 
-  /** IVF index build — Lloyd's k-means for the coarse quantizer, in plain
-    * DataFrame ops: seeds are the `k` lowest-id vectors (deterministic,
-    * re-keyed 0..k-1), then `iters` rounds of cosine assignment
-    * ([[ivfAssign]], broadcast score + argmax) and per-cell element-wise
-    * mean via `posexplode → groupBy(cell, pos) → avg`. Each round is two
-    * shuffles whose width is k·dim — never the corpus. Cells that lose all
-    * members keep their previous centroid. Float summation order makes the
-    * low bits run-dependent (as in any distributed k-means), so the
-    * quantizer is trained once and persisted in a real deployment.
+  /** Deterministic bounded training sample: the top `maxTrain` rows by
+    * `md5(vec_id)` (ties by id). Plans as a distributed TakeOrdered —
+    * every partition keeps ≤ maxTrain rows, the driver merges — never a
+    * full sort; the hash order is independent of id locality, so the
+    * sample is unbiased, and it is the SAME set on every run. Driver
+    * memory is bounded by `maxTrain · dim` doubles by construction.
     */
-  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-    // Each round references the current centroids twice (assignment +
-    // kept-cells anti-join), so every iteration's result goes through an
-    // eager `localCheckpoint`, which BOTH materializes the k·dim rows and
-    // truncates the logical lineage — with persist alone the analyzed
-    // plan still doubles per round and analysis time blows up with the
-    // iteration count (the execution would be saved by the cache, but
-    // Catalyst walks the full tree every action).
-    var cents = corpus.orderBy("vec_id").limit(k)
-      .select((row_number().over(w) - 1).cast("long").as("vec_id"), col("embedding"))
-      .localCheckpoint()
+  private def collectTrainSample(vecs: DataFrame, idCol: String, vCol: String,
+                                 maxTrain: Int): Array[(Long, Array[Double])] =
+    vecs.select(col(idCol), col(vCol).cast("array<double>"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(maxTrain)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** IVF coarse-quantizer training — Lloyd's k-means over a DETERMINISTIC
+    * BOUNDED sample, run in driver memory (the FAISS practice: quantizers
+    * train on a capped subsample — k·dim parameters cannot absorb more —
+    * and the result broadcasts everywhere else). Semantics match the
+    * former distributed loop exactly: seeds are the `k` lowest-id
+    * vectors re-keyed 0..k-1, assignment is cosine argmax with ties to
+    * the lowest cell ([[ivfAssign]]'s rule), the update is the per-cell
+    * element-wise mean of RAW member vectors, and cells that lose all
+    * members keep their previous centroid. Driver-side summation in
+    * vec_id order makes the result bit-DETERMINISTIC across runs — the
+    * distributed form's float-order caveat is gone — and the whole loop
+    * is O(sample · k · dim) arithmetic with zero jobs per round, where
+    * the DataFrame loop paid ~1 s of shuffle + checkpoint fixed cost per
+    * round regardless of data size (the st8/n6 build-phase profile).
+    * The one job is the TakeOrdered sample collect
+    * ([[collectTrainSample]]); at any corpus scale it moves ≤ maxTrain
+    * rows. Returns `(vec_id, embedding)` like before.
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
+                     maxTrain: Int = 1 << 16): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample = collectTrainSample(corpus, "vec_id", "embedding", maxTrain)
+    val dim = if (sample.isEmpty) 0 else sample(0)._2.length
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n) // n == 0 → ±Inf/NaN, the same double semantics withUnit has
+    }
+    // seeds: k lowest-id vectors, re-keyed 0..k-1
+    var cents: Array[Array[Double]] = sample.take(k).map(_._2)
     var i = 0
-    while (i < iters) {
-      val assign = ivfAssign(corpus, cents)
-      val means = corpus.join(assign, "vec_id")
-        .select(col("cell"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).cast("array<float>").as("embedding"))
-        .select(col("cell").as("vec_id"), col("embedding"))
-      val kept = cents.join(means.select("vec_id"), Seq("vec_id"), "left_anti")
-      cents = means.unionAll(kept).localCheckpoint()
+    while (i < iters && sample.nonEmpty) {
+      val cu = cents.map(unit)
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = new Array[Long](cents.length)
+      sample.foreach { case (_, v) =>
+        val u = unit(v)
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < cu.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += cu(c)(j) * u(j); j += 1 }
+          if (d > bestCos) { bestCos = d; best = c } // ties keep lowest cell
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        if (counts(c) == 0) prev // empty cell keeps its previous centroid
+        // float round-trip mirrors the DataFrame loop's array<float> cast
+        else sums(c).map(s => (s / counts(c)).toFloat.toDouble)
+      }
       i += 1
     }
-    cents
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.zipWithIndex.map { case (e, c) =>
+        org.apache.spark.sql.Row(c.toLong, e.map(_.toFloat)) }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = false))))
   }
 
   /** D9 — SemDeDup-style semantic deduplication (the public recipe of
@@ -475,11 +519,9 @@ object Similarity {
       .select(col("vec_id"), col("subspace"), col("code"))
   }
 
-  /** Train the m per-subspace codebooks with ONE joint Lloyd loop — every
-    * iteration is a single assignment + means job covering all subspaces
-    * (cells keyed `(subspace, code)`), not m sequential trainings; the
-    * same per-round `localCheckpoint` lineage truncation as
-    * [[trainCentroids]]. Returns `(subspace, code, embedding)`.
+  /** Train the m per-subspace codebooks — joint Lloyd over all subspaces
+    * on a deterministic bounded sample, like [[trainCentroids]].
+    * Returns `(subspace, code, embedding)`.
     */
   def pqTrain(corpus: DataFrame, m: Int, subDim: Int, k: Int,
               iters: Int = 3): DataFrame =
@@ -489,33 +531,79 @@ object Similarity {
   /** [[pqTrain]]'s core over pre-transformed vectors `(vec_id, v)` — the
     * entry point IVF-PQ uses to train on RESIDUALS (which must not be
     * re-normalized; their whole point is to be small).
+    *
+    * Same driver-memory Lloyd posture as [[trainCentroids]]: ONE
+    * TakeOrdered job collects the deterministic `maxTrain`-bounded
+    * sample, then every round is O(sample · m · k · subDim) arithmetic
+    * with zero cluster jobs — the former DataFrame loop paid two
+    * shuffle+checkpoint jobs per round on data that is m·k·subDim floats
+    * of parameters no matter the corpus size. Semantics match: seeds are
+    * the k lowest-id vectors' subvectors (code = id rank), assignment is
+    * inner-product argmax with ties to the lowest code
+    * ([[assignCodes]]' rule), the update is the per-(subspace, code)
+    * element-wise mean, and codes that lose all members keep their
+    * previous entry. Summation in vec_id order → bit-deterministic.
     */
   def pqTrainVectors(vecs: DataFrame, m: Int, subDim: Int, k: Int,
-                     iters: Int = 3): DataFrame = {
-    val svs = subVectorsOf(vecs, m, subDim)
-    val w0 = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-    // seed: the first k vectors' subvectors (k rows through the tiny
-    // single-partition window, like trainCentroids' seeding)
-    val seedIds = vecs.select("vec_id").orderBy("vec_id").limit(k)
-      .select(col("vec_id"), (row_number().over(w0) - 1).cast("long").as("code"))
-    var cents = svs.join(broadcast(seedIds), "vec_id")
-      .select(col("subspace"), col("code"), col("sv").cast("array<float>").as("embedding"))
-      .localCheckpoint()
+                     iters: Int = 3, maxTrain: Int = 1 << 16): DataFrame =
+    pqTrainLocal(vecs.sparkSession,
+      collectTrainSample(vecs, "vec_id", "v", maxTrain), m, subDim, k, iters)
+
+  /** The driver-memory joint-Lloyd core over an already-collected sample
+    * (`(vec_id, vector)` in id order) — shared by [[pqTrainVectors]] and
+    * the residual path of [[ivfPqTrainResiduals]].
+    */
+  private def pqTrainLocal(spark: org.apache.spark.sql.SparkSession,
+                           sample: Array[(Long, Array[Double])],
+                           m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    // split each sampled vector into its m subvectors once
+    def sub(v: Array[Double], j: Int): Array[Double] =
+      v.slice(j * subDim, j * subDim + subDim).padTo(subDim, 0.0)
+    // seeds: first k vectors (by id) → code 0..k-1, per subspace; the
+    // float round-trip mirrors the array<float> codebook schema
+    val nC = math.min(k, sample.length)
+    var cents: Array[Array[Array[Double]]] = // [subspace][code][dim]
+      Array.tabulate(m, nC)((j, c) => sub(sample(c)._2, j).map(_.toFloat.toDouble))
     var i = 0
-    while (i < iters) {
-      val assign = assignCodes(svs, cents)
-      val means = svs.join(assign, Seq("vec_id", "subspace"))
-        .select(col("subspace"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("subspace", "code", "pos").agg(avg(col("v")).as("mv"))
-        .groupBy("subspace", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
-          s => s.getField("mv")).cast("array<float>").as("embedding"))
-      val kept = cents.join(means.select("subspace", "code"),
-        Seq("subspace", "code"), "left_anti")
-      cents = means.unionAll(kept).localCheckpoint()
+    while (i < iters && sample.nonEmpty) {
+      val sums = Array.fill(m, nC, subDim)(0.0)
+      val counts = Array.fill(m, nC)(0L)
+      sample.foreach { case (_, v) =>
+        var j = 0
+        while (j < m) {
+          val sv = sub(v, j)
+          var best = 0; var bestS = Double.NegativeInfinity
+          var c = 0
+          while (c < nC) {
+            var d = 0.0; var p = 0
+            while (p < subDim) { d += cents(j)(c)(p) * sv(p); p += 1 }
+            if (d > bestS) { bestS = d; best = c } // ties keep lowest code
+            c += 1
+          }
+          var p = 0
+          while (p < subDim) { sums(j)(best)(p) += sv(p); p += 1 }
+          counts(j)(best) += 1
+          j += 1
+        }
+      }
+      cents = Array.tabulate(m, nC) { (j, c) =>
+        if (counts(j)(c) == 0) cents(j)(c)
+        else sums(j)(c).map(s => (s / counts(j)(c)).toFloat.toDouble)
+      }
       i += 1
     }
-    cents
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      (for (j <- 0 until m; c <- 0 until nC) yield
+        org.apache.spark.sql.Row(j, c.toLong, cents(j)(c).map(_.toFloat))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("subspace",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = false))))
   }
 
   /** ADC top-k: probes score the m·k codebook entries once (the distance
@@ -592,13 +680,39 @@ object Similarity {
   def ivfPqTrainResiduals(corpus: DataFrame, centroids: DataFrame,
                           m: Int, subDim: Int, k: Int,
                           iters: Int = 3): DataFrame =
-    pqTrainVectors(
-      // materialize the training-sample residuals once: every Lloyd round
-      // runs two jobs over them, and the lazy subtree would re-run the
-      // coarse assignment (a corpus×centroids argmax) per job
-      residuals(corpus, centroids).select(col("vec_id"), col("r").as("v"))
-        .localCheckpoint(),
-      m, subDim, k, iters)
+    {
+    // The training sample is bounded and the centroids are k·dim — so the
+    // residualization of the SAMPLE happens in driver memory too, exactly
+    // mirroring [[residuals]] (unit-normalize both sides, cosine-argmax
+    // cell with ties to the lowest id, r = u − ĉ): one TakeOrdered job
+    // collects the sample vectors, zero distributed assignment jobs. The
+    // CORPUS-side residualization ([[ivfPqBuildIndex]]) stays distributed
+    // — that one genuinely scales with the data.
+    val cents = centroids
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val cu = cents.map { case (_, e) => unit(e) }
+    val sample = collectTrainSample(corpus, "vec_id", "embedding", 1 << 16)
+    val resSample = sample.map { case (id, v) =>
+      val u = unit(v)
+      var best = 0; var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < cu.length) {
+        var d = 0.0; var j = 0
+        while (j < u.length) { d += cu(c)(j) * u(j); j += 1 }
+        if (d > bestCos) { bestCos = d; best = c }
+        c += 1
+      }
+      (id, u.zip(cu(best)).map { case (a, b) => a - b })
+    }
+    pqTrainLocal(corpus.sparkSession, resSample, m, subDim, k, iters)
+    }
 
   /** IVF-PQ search with exact rerank: candidates come ONLY from each
     * probe's top-`nprobe` coarse cells, scored in the compressed domain
@@ -658,10 +772,22 @@ object Similarity {
   def ivfPqTopKIndexed(index: DataFrame, corpus: DataFrame,
                        centroids: DataFrame, codebook: DataFrame,
                        probeSet: DataFrame, k: Int, pool: Int, nprobe: Int,
-                       m: Int, subDim: Int): DataFrame = {
-    // subspace-0 slice = one (vec_id, cell) row per vector, no exchange
-    val res = index.filter(col("subspace") === 0).select("vec_id", "cell")
-    val codes = index.select("vec_id", "subspace", "code")
+                       m: Int, subDim: Int): DataFrame =
+    ivfPqTopKParts(
+      // subspace-0 slice = one (vec_id, cell) row per vector, no exchange
+      index.filter(col("subspace") === 0).select("vec_id", "cell"),
+      index.select("vec_id", "subspace", "code"),
+      corpus, centroids, codebook, probeSet, k, pool, nprobe, m, subDim)
+
+  /** [[ivfPqTopKIndexed]]'s core over pre-sliced index parts — the serve
+    * path ([[graft.streaming.StreamAnn]]) materializes `res`/`codes` once
+    * and hands the SAME DataFrames to every micro-batch, so per-batch work
+    * is genuinely probe-side only.
+    */
+  def ivfPqTopKParts(res: DataFrame, codes: DataFrame, corpus: DataFrame,
+                     centroids: DataFrame, codebook: DataFrame,
+                     probeSet: DataFrame, k: Int, pool: Int, nprobe: Int,
+                     m: Int, subDim: Int): DataFrame = {
     val probes = withUnit(probeSet, "embedding", "pu")
       .select(col("vec_id").as("p_id"), col("pu"))
     val pCells = ivfAssignTop(probeSet, centroids, nprobe)
