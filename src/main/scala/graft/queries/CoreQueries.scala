@@ -711,7 +711,11 @@ object CoreQueries {
       .parquet(src)
     graft.streaming.EventSessions.drainDedup(stream, Seq("event_id"),
       delay = "3650 days", outDir = out, checkpointDir = ckpt,
-      statePartitions = Some(2))
+      // keyspace-sized: every event_id is a live dedup key until its
+      // watermark horizon passes; the memoized base count is the octave
+      statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
+        Tables.rowCount(spark, sfDir, "events"),
+        spark.sparkContext.defaultParallelism)))
     spark.read.parquet(out)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
   }

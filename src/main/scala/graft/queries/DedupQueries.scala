@@ -170,7 +170,11 @@ object DedupQueries {
       .parquet(src)
       .select(fingerprint(col("text")).as("fp"))
     graft.streaming.StreamDedup.distinctFingerprints(stream, out, ckpt,
-      statePartitions = Some(2))
+      // keyspace-sized: one state key per distinct fingerprint — the
+      // memoized base-table count is the right octave
+      statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
+        Tables.rowCount(spark, sfDir, "documents"),
+        spark.sparkContext.defaultParallelism)))
     spark.read.parquet(out)
   }
 

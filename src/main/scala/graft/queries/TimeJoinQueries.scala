@@ -156,7 +156,12 @@ object TimeJoinQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
     graft.streaming.WindowedAgg.drainTumbling(stream, "1 hour", "1 minute",
-      out, ckpt, statePartitions = Some(2))
+      out, ckpt,
+      // keyspace-sized; the event count upper-bounds the live
+      // (window, type) key count by construction
+      statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
+        Tables.rowCount(spark, sfDir, "events"),
+        spark.sparkContext.defaultParallelism)))
     spark.read.parquet(out).filter(col("event_type") =!= "__sentinel")
   }
 
@@ -229,7 +234,11 @@ object TimeJoinQueries {
     graft.streaming.StreamJoin.drainAttribution(
       stream("click"), stream("purchase"), window = "30 minutes",
       delay = "1 minute", outDir = out, checkpointDir = ckpt,
-      statePartitions = Some(2))
+      // keyspace-sized; the event count upper-bounds the buffered-row
+      // keyspace on either join side
+      statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
+        Tables.rowCount(spark, sfDir, "events"),
+        spark.sparkContext.defaultParallelism)))
     spark.read.parquet(out)
   }
 
