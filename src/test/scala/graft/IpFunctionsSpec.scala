@@ -96,7 +96,7 @@ class IpFunctionsSpec extends AnyFunSuite {
   }
 
   test("canonicalIp is idempotent over the whitelist fixture forms") {
-    val src = scala.io.Source.fromFile("/root/reference/testdata/whitelist_full")
+    val src = scala.io.Source.fromFile("/root/repo/testdata/whitelist_full")
     val ips = try src.getLines().map(_.trim).filter(_.nonEmpty).toList finally src.close()
     ips.foreach { ip =>
       val c = canonicalIp(ip)

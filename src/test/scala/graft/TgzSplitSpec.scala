@@ -66,7 +66,7 @@ class TgzSplitSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("P4/P5: archives older than the cutoff route public wholesale") {
-    val oldTgz = "/root/reference/testdata/20160102T000000Z-mlab3-sin01-sidestream-0000.tgz"
+    val oldTgz = "/root/repo/testdata/20160102T000000Z-mlab3-sin01-sidestream-0000.tgz"
     val entries = TgzSource.entries(spark, oldTgz)
     val wl = TgzSource.whitelist(spark, FixtureWhitelist)
     // cutoff after the archive day: moreThanOneYear arm short-circuits
