@@ -59,8 +59,15 @@ object BpeApply {
     * the memo unboundedly.
     */
   private val MemoCap = 1 << 20
-  private val memo =
-    new ThreadLocal[(CompiledMerges, java.util.HashMap[String, java.lang.Long])]()
+  // keyed by merge-table IDENTITY so a projection evaluating several
+  // bpe_word_tokens expressions with DIFFERENT tables (e.g. comparing two
+  // vocabularies) memoizes each independently — the previous last-used
+  // single entry was rebuilt per row in that shape, and worse, registered
+  // a completion listener per rebuild (O(rows) listeners per task,
+  // ADVICE r10). The listener now registers exactly once per task, when
+  // the outer map is created.
+  private val memo = new ThreadLocal[java.util.IdentityHashMap[
+    CompiledMerges, java.util.HashMap[String, java.lang.Long]]]()
 
   /** Tokenize `word` under the merges in rank order (each application is
     * one greedy left-to-right non-overlapping pass — exactly the literal
@@ -68,16 +75,22 @@ object BpeApply {
     */
   def countTokens(word: UTF8String, m: CompiledMerges): Long = {
     val w = word.toString
-    var entry = memo.get()
-    if (entry == null || (entry._1 ne m)) {
-      entry = (m, new java.util.HashMap[String, java.lang.Long]())
-      memo.set(entry)
+    var tables = memo.get()
+    if (tables == null) {
+      tables = new java.util.IdentityHashMap[
+        CompiledMerges, java.util.HashMap[String, java.lang.Long]]()
+      memo.set(tables)
       // release with the task: a long-lived executor thread pool must not
       // pin up-to-MemoCap word strings after the BPE query finishes
       val tc = org.apache.spark.TaskContext.get()
       if (tc != null) tc.addTaskCompletionListener[Unit](_ => memo.remove())
     }
-    val cached = entry._2.get(w)
+    var words = tables.get(m)
+    if (words == null) {
+      words = new java.util.HashMap[String, java.lang.Long]()
+      tables.put(m, words)
+    }
+    val cached = words.get(w)
     if (cached != null) return cached.longValue()
     var syms = graft.ops.Bpe.codePointSymbols(w)
     var r = 0
@@ -88,7 +101,7 @@ object BpeApply {
       r += 1
     }
     val n = syms.length.toLong
-    if (entry._2.size < MemoCap) entry._2.put(w, java.lang.Long.valueOf(n))
+    if (words.size < MemoCap) words.put(w, java.lang.Long.valueOf(n))
     n
   }
 }
@@ -121,6 +134,12 @@ case class BpeWordTokens(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(newChild: Expression)
       : BpeWordTokens = copy(child = newChild)
+
+  // the merge table is data, not structure: at the 32k merges this
+  // expression targets, printing it would put megabytes into every
+  // treeString/explain/error message containing the plan (ADVICE r10)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<${merges.length} merges>")
 
   override def prettyName: String = "bpe_word_tokens"
 }

@@ -97,9 +97,13 @@ object TarQueries {
     * join consumers don't pay a global sort.
     *
     * DuckDB has no filesystem catalog, so the live listing stages to
-    * parquet (the e1/s4 manifest trick) and BOTH engines answer from the
-    * staged store — upgrading s2 from the suite's one rows-only check to
-    * a full hash-compared row.
+    * parquet (the e1/s4 manifest trick). On its own that check would be
+    * self-referential — it would validate only the projection/sort of
+    * whatever the listing produced (ADVICE r10) — so the oracle drives
+    * from an INDEPENDENT invariant: the stable ten-table name set of a
+    * test corpus dir, joined against the staged rows. A listing that
+    * misses a table surfaces as a NULL oracle row; one that invents a
+    * file surfaces as an extra Spark row; either hash-mismatches.
     */
   def bucketList(spark: SparkSession, sfDir: String): DataFrame = {
     graft.io.FsOps.list(spark, sfDir, ".parquet")
@@ -109,9 +113,17 @@ object TarQueries {
   }
 
   val bucketListSql: String =
-    s"""SELECT name, size
-       |FROM read_parquet('$StageDir/s2_listing.parquet/*.parquet')
-       |ORDER BY name""".stripMargin
+    s"""WITH expect(base) AS (VALUES
+       |  ('region.parquet'), ('nation.parquet'), ('customer.parquet'),
+       |  ('supplier.parquet'), ('part.parquet'), ('orders.parquet'),
+       |  ('lineitem.parquet'), ('events.parquet'), ('documents.parquet'),
+       |  ('embeddings.parquet')),
+       |staged AS (
+       |  SELECT name, size, regexp_extract(name, '[^/]+$$') AS base
+       |  FROM read_parquet('$StageDir/s2_listing.parquet/*.parquet'))
+       |SELECT s.name, s.size
+       |FROM expect e LEFT JOIN staged s ON s.base = e.base
+       |ORDER BY s.name""".stripMargin
 
   /** web100 domain parse (SURVEY §1.1 row 6): latest snapshot per
     * connection over the fixture's 8062 snapshots. The parsed snapshots

@@ -148,5 +148,38 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
       .queryExecution.analyzed.expressions.map(_.toString).mkString
     assert(!plan.contains("replace("),
       "tokenize must not inline merges as a replace chain")
+    // the merge table is data, not plan structure: its entries must not
+    // be serialized into plan strings (at 32k merges that is megabytes
+    // per treeString/explain/error message — ADVICE r10)
+    assert(plan.contains("merges>"), s"expected a merge-count summary:\n$plan")
+    assert(!plan.contains(merges.head._1 + "," + merges.head._2),
+      "plan string must not embed the merge table")
+  }
+
+  test("two merge tables in one projection memoize independently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the r10 memo kept only the last-used table, so alternating
+    // evaluation rebuilt it per row AND re-registered a task-completion
+    // listener per rebuild (ADVICE r10); this pins the two-table shape
+    // computing correct counts through the shared per-task memo
+    val corpus = Seq("aaab", "aab aaab", "ab").toDF("text")
+    val mA = Seq(("a", "a"), ("aa", "b"))
+    val mB = Seq(("a", "b"))
+    val words = corpus.select(explode(split(col("text"), " ")).as("w"))
+    val got = words.select(
+        graft.functions.BpeFunctions.bpe_word_tokens(col("w"), mA).as("na"),
+        graft.functions.BpeFunctions.bpe_word_tokens(col("w"), mB).as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // expected: sequential replay of each table independently
+    val seq = Seq("aaab", "aab", "aaab", "ab").map { w =>
+      def count(ms: Seq[(String, String)]): Long = {
+        var syms = w.toCharArray.map(_.toString)
+        ms.foreach { case (x, y) => syms = graft.ops.Bpe.mergePass(syms, x, y) }
+        syms.length.toLong
+      }
+      (count(mA), count(mB))
+    }
+    assert(got.sorted === seq.sorted)
   }
 }
