@@ -171,9 +171,10 @@ object Bpe {
     * ONCE (bounded by the language's vocabulary — see the object doc) and
     * the merge loop runs in memory. `maxWords` > 0 prunes to the top-K
     * words by (freq desc, w asc) first — deterministic, and the standard
-    * guard for web-scale vocabularies full of typos and URLs; note the
-    * DuckDB oracles replay UNPRUNED training, so graded queries leave it
-    * at 0.
+    * guard for web-scale vocabularies full of typos and URLs. The pruning
+    * is oracle-replayable (`ORDER BY freq DESC, w ASC LIMIT K`), and the
+    * graded `t16c` trains WITH it, pinning that the driver collect is
+    * bounded by construction, not by the test corpus being small.
     */
   /** The shared collect prologue: optional deterministic top-K pruning,
     * then the one bounded driver collect both entry points train from.
@@ -227,6 +228,6 @@ object Bpe {
 
   /** Convenience: train directly from a documents table. */
   def trainOnDocuments(spark: SparkSession, docs: DataFrame, textCol: String,
-                       nMerges: Int): DataFrame =
-    train(wordFrequencies(docs, textCol), nMerges)
+                       nMerges: Int, maxWords: Int = 0): DataFrame =
+    train(wordFrequencies(docs, textCol), nMerges, maxWords)
 }

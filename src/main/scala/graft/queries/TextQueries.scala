@@ -788,18 +788,24 @@ object TextQueries {
   def bpeTokenizeBig(spark: SparkSession, sfDir: String): DataFrame =
     bpeTokenizeWith(spark, sfDir, BpeRoundsBig)
 
-  /** Recursive training CTE shared by the t16b/t17b oracles: `st` holds
-    * `(r, w, s, freq, mp, mn)` — round-r word states plus the pair merged
-    * to reach them; stops at `n` rounds or pair exhaustion (empty argmax
-    * → empty cross join → recursion ends).
+  /** Recursive training CTE shared by the t16b/t17b/t16c oracles: `st`
+    * holds `(r, w, s, freq, mp, mn)` — round-r word states plus the pair
+    * merged to reach them; stops at `n` rounds or pair exhaustion (empty
+    * argmax → empty cross join → recursion ends). `maxWords > 0` replays
+    * [[graft.ops.Bpe.train]]'s deterministic vocabulary pruning
+    * (`ORDER BY freq DESC, w ASC LIMIT K`) before symbolization.
     */
-  private def bpeRecursiveTrainSql(n: Int): String =
-    s"""WITH RECURSIVE wf AS MATERIALIZED (
+  private def bpeRecursiveTrainSql(n: Int, maxWords: Int = 0): String =
+    s"""WITH RECURSIVE wf0 AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
        |    FROM documents)
        |  WHERE length(w) > 0 AND w NOT LIKE '%(%' AND w NOT LIKE '%)%'
        |  GROUP BY w),
+       |wf AS MATERIALIZED (${
+      if (maxWords > 0)
+        s"SELECT w, freq FROM wf0 ORDER BY freq DESC, w ASC LIMIT $maxWords"
+      else "SELECT w, freq FROM wf0"}),
        |s0 AS MATERIALIZED (
        |  SELECT w, '(' || array_to_string(list_transform(range(1, length(w) + 1),
        |           i -> substr(w, CAST(i AS INT), 1)), ')(') || ')' AS s, freq
@@ -826,6 +832,28 @@ object TextQueries {
 
   val bpeMergesBigSql: String =
     s"""${bpeRecursiveTrainSql(BpeRoundsBig)}
+       |SELECT CAST(r AS BIGINT) AS rank, mp AS pair, CAST(mn AS BIGINT) AS n_occ
+       |FROM (SELECT DISTINCT r, mp, mn FROM st WHERE r >= 1)""".stripMargin
+
+  /** T16c — BPE training WITH the web-scale vocabulary guard engaged:
+    * `maxWords = 64` ≪ the corpus vocabulary, so the driver collect is
+    * bounded by CONSTRUCTION (top-64 by `(freq desc, w asc)` — a
+    * distributed TakeOrdered), and the merges learned from the pruned
+    * table differ from t16b's unpruned ones (the long-tail pair mass is
+    * gone), which the oracle must reproduce by replaying the SAME
+    * pruning. This is the shape a 100 TB corpus trains with: the
+    * vocabulary table never reaches the driver unpruned.
+    */
+  private val BpeMaxWords = 64
+  private val BpeRoundsPruned = 32
+
+  def bpeMergesPruned(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Bpe.trainOnDocuments(spark,
+      Tables.documents(spark, sfDir), "text", nMerges = BpeRoundsPruned,
+      maxWords = BpeMaxWords)
+
+  val bpeMergesPrunedSql: String =
+    s"""${bpeRecursiveTrainSql(BpeRoundsPruned, maxWords = BpeMaxWords)}
        |SELECT CAST(r AS BIGINT) AS rank, mp AS pair, CAST(mn AS BIGINT) AS n_occ
        |FROM (SELECT DISTINCT r, mp, mn FROM st WHERE r >= 1)""".stripMargin
 
@@ -967,6 +995,7 @@ object TextQueries {
     "t15_source_mix" -> sourceMix,
     "t16_bpe_merges" -> bpeMerges,
     "t16b_bpe_merges256" -> bpeMergesBig,
+    "t16c_bpe_merges_pruned" -> bpeMergesPruned,
     "t17_bpe_tokenize" -> bpeTokenize,
     "t17b_bpe_tokenize256" -> bpeTokenizeBig,
     "t1_token_stats" -> tokenStats,
@@ -991,6 +1020,7 @@ object TextQueries {
     "t15_source_mix" -> sourceMixSql,
     "t16_bpe_merges" -> bpeMergesSql,
     "t16b_bpe_merges256" -> bpeMergesBigSql,
+    "t16c_bpe_merges_pruned" -> bpeMergesPrunedSql,
     "t17_bpe_tokenize" -> bpeTokenizeSql,
     "t17b_bpe_tokenize256" -> bpeTokenizeBigSql,
     "t1_token_stats" -> tokenStatsSql,
