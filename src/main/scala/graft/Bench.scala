@@ -94,8 +94,44 @@ object Bench {
       case (k, v, _, None) => s"${jq(k)}:${f3(v)}"
       case (k, _, _, Some(e)) => s"${jq(k)}:{${jq("err")}:${jq(e)}}"
     }.mkString("{", ",", "}")
+    // Per-query regression guard (VERDICT r10 §7): compare each min
+    // against its best-ever recorded time (`bench_baseline.json`, min
+    // across all BENCH_r* history) and NAME anything past 1.8x in the run
+    // itself — d7's silent 2x drift cost a round of adjudication. The
+    // guard fails soft (warn lines, never a non-zero exit: a noisy
+    // sandbox run must not kill the round's bench record). The file
+    // self-maintains as the ALL-TIME MIN: new queries are recorded on
+    // sight, and a faster run tightens its entry, so a soft first
+    // recording (cold subset run) self-heals.
+    val basePath = java.nio.file.Paths.get("bench_baseline.json")
+    val baseline: Map[String, Double] =
+      if (java.nio.file.Files.exists(basePath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(basePath), "UTF-8")
+        "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val vsFirst = results.collect { case (k, v, _, None) =>
+      k -> baseline.get(k).map(b => v / b)
+    }.toMap
+    vsFirst.foreach {
+      case (k, Some(r)) if r > 1.8 =>
+        println(f"[bench-guard] WARN $k is $r%.2fx its best recorded time " +
+          f"(${f3(results.find(_._1 == k).get._2)} vs ${f3(baseline(k))} s)")
+      case _ => ()
+    }
+    val tightened = results.collect {
+      case (k, v, _, None) if v < baseline.getOrElse(k, Double.MaxValue) => k -> v
+    }
+    if (tightened.nonEmpty && baseline.nonEmpty) {
+      val merged = (baseline ++ tightened).toSeq.sortBy(_._1)
+        .map { case (k, v) => s" ${jq(k)}: ${f3(v)}" }.mkString("{\n", ",\n", "\n}")
+      try java.nio.file.Files.write(basePath, (merged + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     val samples = results.map { case (k, _, ss, _) =>
-      s"${jq(k)}:${ss.map(f3).mkString("[", ",", "]")}"
+      val ratio = vsFirst.get(k).flatten
+        .map(r => s",${jq("vs_first")}:${f3(r)}").getOrElse("")
+      s"${jq(k)}:{${jq("samples")}:${ss.map(f3).mkString("[", ",", "]")}$ratio}"
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, v, _, None) => v }
     val total = ok.sum
