@@ -180,6 +180,62 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("AQE splits the skewed partition of a planted-skew sort-merge join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The dedup band joins bound hot buckets ANALYTICALLY (identical-set
+    // collapse), but residual skew — a band key that is merely POPULAR,
+    // not identical — lands on AQE's skew-join split at runtime. Pin that
+    // the engagement actually happens on a planted-skew corpus: one join
+    // key carries ~100x the median partition's bytes, neither side
+    // broadcasts, and the final adaptive plan must show the skewed
+    // partition split (`skew=true` on the join). Thresholds are sized for
+    // clusters, so pin with test-scale values; results must be unchanged.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // AQE has its OWN runtime broadcast threshold — leave either unset
+      // and the tiny dim side converts to broadcast at runtime, which
+      // dissolves the skew (and the thing this test pins)
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // key 0 holds 100k rows; 50k more spread over 99 keys. The payload
+      // must be INCOMPRESSIBLE (md5 hex, unique per row): skew detection
+      // reads compressed map-output sizes, and a constant pad deflates to
+      // nothing, hiding the planted skew from the optimizer
+      val big = spark.range(0, 150000).select(
+        when(col("id") < 100000, 0L).otherwise(col("id") % 99 + 1).as("k"),
+        concat(md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string")),
+          md5((col("id") + 2).cast("string"))).as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("k"),
+        concat(col("id").cast("string"), lit("-v")).as("v"))
+      // the join output must be UNCONSTRAINED: any downstream operator
+      // that requires the join's hash partitioning (a groupBy on the key,
+      // even a global aggregate's final exchange in the same stage tree)
+      // makes AQE (correctly) refuse the split, because splitting breaks
+      // the output partitioning the later stage depends on. Terminal
+      // join outputs are exactly the dedup verify-join shape
+      val j = big.join(dim, "k")
+      val rows = j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan did not finalize:\n$plan")
+      assert(plan.split("== Initial Plan ==")(0).contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+      // semantics: exact row multiplicities survive the split
+      assert(rows.length === 150000)
+      assert(rows.count(_.getLong(0) == 0L) === 100000)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stableIds after a range sort equals the global sort rank (t14's shape)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
