@@ -108,17 +108,20 @@ object Bench {
       if (java.nio.file.Files.exists(basePath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(basePath), "UTF-8")
         "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          // scope to real query names: a stray non-query numeric key in the
+          // file must not silently join the baseline map (ADVICE r11)
+          .filter(kv => SparkEntry.queries.contains(kv._1)).toMap
       } else Map.empty
     val vsFirst = results.collect { case (k, v, _, None) =>
       k -> baseline.get(k).map(b => v / b)
     }.toMap
-    vsFirst.foreach {
+    val guardWarns = vsFirst.toSeq.sortBy(_._1).collect {
       case (k, Some(r)) if r > 1.8 =>
-        println(f"[bench-guard] WARN $k is $r%.2fx its best recorded time " +
-          f"(${f3(results.find(_._1 == k).get._2)} vs ${f3(baseline(k))} s)")
-      case _ => ()
+        f"$k is $r%.2fx its best recorded time " +
+          f"(${f3(results.find(_._1 == k).get._2)} vs ${f3(baseline(k))} s)"
     }
+    guardWarns.foreach(w => println(s"[bench-guard] WARN $w"))
     val tightened = results.collect {
       case (k, v, _, None) if v < baseline.getOrElse(k, Double.MaxValue) => k -> v
     }
@@ -128,10 +131,15 @@ object Bench {
       try java.nio.file.Files.write(basePath, (merged + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
-    val samples = results.map { case (k, _, ss, _) =>
-      val ratio = vsFirst.get(k).flatten
-        .map(r => s",${jq("vs_first")}:${f3(r)}").getOrElse("")
-      s"${jq(k)}:{${jq("samples")}:${ss.map(f3).mkString("[", ",", "]")}$ratio}"
+    // failed queries carry an explicit err marker (mirroring the contract
+    // line) instead of a bare time-to-fail sample a downstream diff could
+    // mistake for a fast success (ADVICE r11)
+    val samples = results.map {
+      case (k, _, _, Some(e)) => s"${jq(k)}:{${jq("err")}:${jq(e)}}"
+      case (k, _, ss, None) =>
+        val ratio = vsFirst.get(k).flatten
+          .map(r => s",${jq("vs_first")}:${f3(r)}").getOrElse("")
+        s"${jq(k)}:{${jq("samples")}:${ss.map(f3).mkString("[", ",", "]")}$ratio}"
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, v, _, None) => v }
     val total = ok.sum
@@ -141,7 +149,10 @@ object Bench {
     // (BENCH_r06 recorded `parsed: null` because the full-precision line
     // with per-query samples overflowed the tail buffer and lost its
     // head). The full sample detail goes to a side file for humans.
-    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":$samples,"n_err":$nerr,"sf":"$sfDir"}"""
+    // guard warns ride the side file too, so a >1.8x drift is visible in
+    // the committed record, not just a scrolled-away stdout line
+    val warnsJson = guardWarns.map(jq).mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":$samples,"guard_warns":$warnsJson,"n_err":$nerr,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_samples.json"),

@@ -2,16 +2,27 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
-  * One quirk: `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark refuses
-  * by default. Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
-  * at build time (see [[configure]], called by Verify/Bench/tests) — the
-  * column then reads as `LongType` epoch-nanos and [[events]] exposes both the
-  * raw nanos (`ts_ns`, exact — use for ordering/tie-breaks so results match
-  * engines that keep full nanos) and a µs-truncated proper `TimestampType`
-  * `ts` for date/window arithmetic.
+  * One quirk: the physical encoding of `events.ts` has drifted across
+  * testdata generations, so [[events]] adapts to the schema it actually
+  * reads rather than assuming one encoding:
+  *
+  *   - parquet `TIMESTAMP(NANOS)` (early generations): Spark refuses it
+  *     unless `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+  *     [[configure]]), after which the column reads as `LongType`
+  *     epoch-nanos;
+  *   - parquet `TIMESTAMP(MICROS)`, `isAdjustedToUTC=false` (2026-08-13
+  *     regen): Spark reads it as `TimestampNTZType` (µs precision).
+  *
+  * Either way the loader exposes the same logical contract: `ts_ns: Long`
+  * epoch-nanos (exact — use for ordering/tie-breaks so results match
+  * engines that keep full nanos) and `ts: TimestampType` (µs, UTC) for
+  * date/window arithmetic. The NTZ→LTZ cast is exact under the session's
+  * UTC timezone ([[configure]]), and `ts_ns = unix_micros(ts) * 1000` is
+  * exact because the source has µs precision.
   */
 object Tables {
 
@@ -20,6 +31,12 @@ object Tables {
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs-encoded events.ts (isAdjustedToUTC=false) then reads as plain
+      // TimestampType rather than TIMESTAMP_NTZ: exact under the UTC
+      // session timezone, and — the part that matters at 100 TB — range
+      // filters on ts stay pushable to the parquet scan, with no NTZ→LTZ
+      // cast sitting between the predicate and the physical column.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // ContextCleaner is GC-driven; under a large un-pressured heap the
       // default 30min periodic GC lets shuffle files/broadcasts from a
@@ -55,16 +72,32 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** events with `ts_ns: Long` (exact) and `ts: Timestamp` (µs, UTC).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` ([[configure]]);
-    * set as runtime conf too for sessions built without it (it is a
-    * per-read option in practice, safe to set late).
+  /** events with `ts_ns: Long` (exact) and `ts: Timestamp` (µs, UTC),
+    * whatever the physical `ts` encoding (see class doc). The nanosAsLong
+    * conf is set as runtime conf too for sessions built without
+    * [[configure]] (it is a per-read option in practice, safe to set
+    * late) — a no-op on µs-encoded files.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      // integer division — a double intermediate would lose precision at 1e18
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = table(spark, sfDir, "events")
+    val adapted = raw.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as epoch-nanos Long
+        raw.withColumnRenamed("ts", "ts_ns")
+          // integer division — a double intermediate loses precision at 1e18
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType | TimestampType => // µs-encoded timestamp
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other in $sfDir")
+    }
+    // both branches expose identical column order (raw order with ts_ns in
+    // ts's slot, ts appended) so positional consumers see one schema
+    val legacyOrder = raw.columns.toSeq
+      .map(c => if (c == "ts") col("ts_ns") else col(c)) :+ col("ts")
+    adapted.select(legacyOrder: _*)
   }
 }

@@ -253,15 +253,18 @@ object CoreQueries {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1""".stripMargin
 
-  /** S1 — partition-pruned scan: one day of events, predicate pushed to the
-    * parquet scan as a raw int64 range on the nanos column
-    * (`/root/reference/embargo.go:265-271`).
+  /** S1 — partition-pruned scan: one day of events, the range predicate on
+    * the PHYSICAL `ts` column so it pushes to the parquet scan as min/max
+    * row-group pruning (`/root/reference/embargo.go:265-271`). Filtering
+    * the derived `ts_ns` instead would strand the predicate above a
+    * projection and read every row group — the PlanSpec pushdown pin
+    * guards exactly that.
     */
   def prefixScan(spark: SparkSession, sfDir: String): DataFrame = {
-    val dayStartNs = 1704153600000000000L // 2024-01-02T00:00:00Z
-    val dayEndNs = 1704240000000000000L // 2024-01-03T00:00:00Z
+    val dayStart = java.time.Instant.parse("2024-01-02T00:00:00Z")
+    val dayEnd = java.time.Instant.parse("2024-01-03T00:00:00Z")
     Tables.events(spark, sfDir)
-      .filter(col("ts_ns") >= dayStartNs && col("ts_ns") < dayEndNs)
+      .filter(col("ts") >= lit(dayStart) && col("ts") < lit(dayEnd))
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
   }
 
