@@ -243,6 +243,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"n6 plans a cartesian:\n$p")
   }
 
+  test("IVF-PQ update serves broadcast probes over the appended index (n7)") {
+    // the update path must keep n6's search shape — broadcast probe-side
+    // tables, corpus keyed on cell/(subspace, code) — AND the delta append
+    // must not re-plan the base: the staged base index arrives as a plain
+    // parquet scan unioned with the delta's checkpoint
+    val p = plan("n7_ann_ivfpq_update")
+    assert(p.contains("BroadcastHashJoin"), s"n7 plans no broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"n7 plans a cartesian:\n$p")
+    assert(p.contains("Union"), s"n7 lost the base∪delta union:\n$p")
+  }
+
   test("BPE tokenize applies the learned vocab as a pure scan projection (t17)") {
     // the merge table inlines as literals (the learn pass is a separate
     // bounded job); the tokenize plan must be scan → project with no

@@ -93,6 +93,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(whole.nonEmpty)
   }
 
+  test("N7: appending delta vectors with staged quantizers equals a full rebuild") {
+    // the index-update contract: cell assignment and residual PQ codes are
+    // pure functions of (centroids, codebook), so coding ONLY the arriving
+    // delta and unioning must reproduce the from-scratch full-corpus index
+    // row for row — including vectors the quantizers never trained on
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 10 =!= 7)
+    val delta = emb.filter(col("vec_id") % 10 === 7)
+    assert(delta.count() > 0, "delta slice empty — the test would be vacuous")
+    val cents = Similarity.trainCentroids(base.filter(col("vec_id") % 4 === 0),
+      k = 8, iters = 2)
+    val cb = Similarity.ivfPqTrainResiduals(base.filter(col("vec_id") % 4 === 0),
+      cents, m = 4, subDim = 16, k = 16, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "subspace", "code")
+        .collect().map(_.toSeq.map(String.valueOf).toList).toSet
+    val updated = rows(Similarity.ivfPqBuildIndex(base, cents, cb, m = 4, subDim = 16)) ++
+      rows(Similarity.ivfPqBuildIndex(delta, cents, cb, m = 4, subDim = 16))
+    val rebuilt = rows(Similarity.ivfPqBuildIndex(emb, cents, cb, m = 4, subDim = 16))
+    assert(updated === rebuilt)
+  }
+
   test("N5: exact rerank over the ADC pool recovers recall ADC alone loses") {
     // real embeddings: codebook quantization error makes pure ADC top-3
     // miss exact neighbors that DO sit inside its top-10 pool — the
