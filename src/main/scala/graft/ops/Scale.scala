@@ -150,6 +150,21 @@ object Scale {
   def packByWeight(df: DataFrame, idCol: String, weightCol: String,
                    target: Long, bucketWidth: Long = 1000): DataFrame = {
     require(target > 0, "target must be positive")
+    prefixSum(df, idCol, weightCol, "__pre", bucketWidth)
+      .withColumn("shard", expr(s"__pre div ${target}L"))
+      .drop("__pre")
+  }
+
+  /** The two-level exclusive prefix sum [[packByWeight]] is built on,
+    * exposed: every row gains `outCol` = sum of `weightCol` over all rows
+    * with a strictly smaller `idCol` (walked in id order). Same scale
+    * shape as documented above — the only single-partition step is the
+    * O(#buckets) offset window; the corpus never sorts globally.
+    * [[graft.ops.SequencePack]] consumes the raw offsets to cut the
+    * concatenated token stream at fixed sequence boundaries.
+    */
+  def prefixSum(df: DataFrame, idCol: String, weightCol: String,
+                outCol: String, bucketWidth: Long = 1000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val w = org.apache.spark.sql.expressions.Window
     val bucketed = df.withColumn("__bucket", expr(s"$idCol div $bucketWidth"))
@@ -160,12 +175,11 @@ object Scale {
           w.orderBy("__bucket").rowsBetween(Long.MinValue, -1)), lit(0L)))
       .drop("__btot")
     bucketed.join(broadcast(offsets), "__bucket")
-      .withColumn("__pre",
+      .withColumn(outCol,
         col("__boff") + coalesce(sum(col(weightCol)).over(
           w.partitionBy("__bucket").orderBy(idCol)
             .rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .withColumn("shard", expr(s"__pre div ${target}L"))
-      .drop("__bucket", "__boff", "__pre")
+      .drop("__bucket", "__boff")
   }
 
   /** Hive-style partitioned layout: one directory per distinct

@@ -484,6 +484,43 @@ object TextQueries {
       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1""".stripMargin
 
+  /** T18 — fixed-length sequence packing ([[graft.ops.SequencePack]]):
+    * the concat-and-chunk step of LLM pretraining data prep. Documents
+    * walked in doc_id order concatenate into one virtual token stream cut
+    * every 256 tokens; the output is the span table — which slice
+    * `[tok_start, tok_end)` of which document feeds which training
+    * sequence. Unlike t12 (whole docs into ~2000-token shards), documents
+    * here SPLIT across sequence boundaries, which is what makes every
+    * training row exactly seqLen tokens. The oracle recomputes the
+    * offsets with a plain sequential window and unrolls the same span
+    * arithmetic, so a hash match proves the distributed prefix sum AND
+    * the boundary math equal the sequential definition.
+    */
+  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+    graft.ops.SequencePack.sequenceSpans(toks, "doc_id", "n_tokens",
+      seqLen = 256L, bucketWidth = 100L)
+  }
+
+  val sequencePackSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, n,
+      |             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |                  AS BIGINT) AS strt
+      |      FROM tk),
+      |s AS (SELECT doc_id, n, strt,
+      |             UNNEST(range(strt // 256, (strt + n - 1) // 256 + 1)) AS seq_id
+      |      FROM c WHERE n > 0)
+      |SELECT doc_id, seq_id,
+      |       GREATEST(0, seq_id * 256 - strt) AS tok_start,
+      |       LEAST(n, (seq_id + 1) * 256 - strt) AS tok_end
+      |FROM s""".stripMargin
+
   /** T13 — statistical-LM quality filter (the CCNet/ RefinedWeb "perplexity
     * gate"): train a char-bigram language model on the corpus itself
     * (add-one smoothing over the observed alphabet), score every document
@@ -990,6 +1027,7 @@ object TextQueries {
     "t10_json_props" -> jsonProps,
     "t11_bm25" -> bm25,
     "t12_token_shards" -> tokenShards,
+    "t18_sequence_pack" -> sequencePack,
     "t13_lm_filter" -> lmFilter,
     "t14_corpus_shuffle" -> corpusShuffle,
     "t15_source_mix" -> sourceMix,
@@ -1015,6 +1053,7 @@ object TextQueries {
     "t10_json_props" -> jsonPropsSql,
     "t11_bm25" -> bm25Sql,
     "t12_token_shards" -> tokenShardsSql,
+    "t18_sequence_pack" -> sequencePackSql,
     "t13_lm_filter" -> lmFilterSql,
     "t14_corpus_shuffle" -> corpusShuffleSql,
     "t15_source_mix" -> sourceMixSql,

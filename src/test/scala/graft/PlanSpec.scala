@@ -185,6 +185,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(singles === 1, s"t12 has $singles single-partition exchanges:\n$p")
   }
 
+  test("sequence packing keeps t12's shape — one tiny offset window (t18)") {
+    val p = plan("t18_sequence_pack")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"t18 offset join is not broadcast:\n$p")
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles === 1, s"t18 has $singles single-partition exchanges:\n$p")
+    // the span explode is narrow per-row work, never a wide operator
+    assert(p.contains("Generate"), s"t18 lost the span explode:\n$p")
+  }
+
   test("corpus-to-shards capstone composes without new wide shapes (c1)") {
     val p = plan("c1_corpus_to_shards")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),

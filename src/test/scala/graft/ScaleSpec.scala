@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Scale
+import graft.ops.{Scale, SequencePack}
 
 /** Skew/co-location utility specs: salted join equivalence with a skewed
   * key, heavy-hitter diagnosis, and shuffle-free bucketed joins.
@@ -178,6 +178,42 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       case Seq((_, _, hiA), (_, loB, _)) => assert(hiA < loB)
       case _ =>
     }
+  }
+
+  test("sequenceSpans cuts the stream exactly: docs reassemble, sequences fill") {
+    import spark.implicits._
+    // sparse shuffled ids, varied token counts including zeros
+    val rows = scala.util.Random.shuffle(
+      (0 until 300).map(i => (i * 11L % 2503L, (i % 9).toLong)).toList)
+      .toDF("id", "n")
+    val L = 32L
+    val spans = SequencePack.sequenceSpans(rows, "id", "n", seqLen = L,
+        bucketWidth = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = spans.groupBy(_._1)
+    val src = rows.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // every non-empty doc's spans tile [0, n) contiguously, in seq order
+    for ((id, n) <- src) {
+      val s = byDoc.getOrElse(id, Array.empty).sortBy(_._2)
+      if (n == 0) assert(s.isEmpty, s"doc $id is empty but has spans")
+      else {
+        assert(s.head._3 === 0L && s.last._4 === n, s"doc $id span ends: ${s.toSeq}")
+        s.sliding(2).foreach {
+          case Array((_, q1, _, e1), (_, q2, s2, _)) =>
+            assert(q2 === q1 + 1 && s2 === e1, s"doc $id gap: ${s.toSeq}")
+          case _ =>
+        }
+      }
+    }
+    // every sequence except the last holds exactly L tokens
+    val perSeq = spans.groupBy(_._2).view.mapValues(_.map(x => x._4 - x._3).sum)
+      .toSeq.sortBy(_._1)
+    perSeq.init.foreach { case (q, tot) =>
+      assert(tot === L, s"sequence $q holds $tot tokens, want $L")
+    }
+    assert(perSeq.last._2 <= L && perSeq.last._2 > 0)
+    // and the ids are dense 0..#seqs-1
+    assert(perSeq.map(_._1) === (0L until perSeq.size.toLong))
   }
 
   test("AQE splits the skewed partition of a planted-skew sort-merge join") {
