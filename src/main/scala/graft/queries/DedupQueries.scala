@@ -80,6 +80,43 @@ object DedupQueries {
        |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id, MAX(doc_id) AS dup_id
        |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
 
+  /** D14 — leakage-safe train/valid/test split: every document is
+    * assigned 90/5/5 by a bucket of its CONTENT fingerprint
+    * (`hash32(canonText) mod 100` — the engine-portable md5-prefix
+    * family), never by doc_id. Content keying is the point: byte-identical
+    * documents always share a bucket, so an exact duplicate can NEVER
+    * straddle train and test — the contamination the split step exists to
+    * prevent, and exactly what an id-keyed split does wrong (every
+    * planted exact copy here has a different id from its original).
+    * Graded over the planted-dup corpus so the co-location property is
+    * non-vacuous; output is the full per-doc assignment, so the hash
+    * match grades bucket arithmetic and split boundaries both.
+    * Scale shape: a pure scan projection — zero joins, zero shuffles;
+    * the split of a 100 TB corpus is exactly one pass.
+    */
+  def leakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.{canonText, fingerprint, hash32}
+    val bucket = pmod(hash32(canonText(col("text"))), lit(100L))
+    corpus(spark, sfDir).select(
+      col("doc_id"), fingerprint(col("text")).as("fp"),
+      when(bucket < 90, lit("train"))
+        .when(bucket < 95, lit("valid"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  val leakageSplitSql: String =
+    s"""WITH $corpusSql,
+       |f AS (SELECT doc_id,
+       |             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |      FROM corpus)
+       |SELECT doc_id, fp,
+       |       CASE WHEN CAST(('0x' || substr(fp, 1, 8)) AS BIGINT) % 100 < 90
+       |              THEN 'train'
+       |            WHEN CAST(('0x' || substr(fp, 1, 8)) AS BIGINT) % 100 < 95
+       |              THEN 'valid'
+       |            ELSE 'test' END AS split
+       |FROM f""".stripMargin
+
   /** D2 — banded minhash-LSH near-dup (32 bands × 3 rows), exact-verified
     * at jaccard ≥ 0.5; the oracle is the exhaustive jaccard scan.
     */
@@ -474,6 +511,7 @@ object DedupQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> exactDedup,
+    "d14_leakage_split" -> leakageSplit,
     "d2_minhash_neardup" -> minhashNearDup,
     "d3_simhash_neardup" -> simhashNearDup,
     "d5_clean_corpus" -> cleanCorpus,
@@ -489,6 +527,7 @@ object DedupQueries {
 
   def oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> exactDedupSql,
+    "d14_leakage_split" -> leakageSplitSql,
     "d2_minhash_neardup" -> minhashNearDupSql,
     "d3_simhash_neardup" -> simhashNearDupSql,
     "d5_clean_corpus" -> cleanCorpusSql,

@@ -26,6 +26,25 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(d.head.getAs[Long]("dup_id") === 2L)
   }
 
+  test("D14: the leakage-safe split co-locates every exact duplicate") {
+    // content-keyed bucketing: docs with equal canonical text MUST share a
+    // split, whatever their ids — the property an id-keyed split violates
+    val rows = queries.DedupQueries
+      .leakageSplit(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val splitsPerFp = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    splitsPerFp.foreach { case (fp, ss) =>
+      assert(ss.size === 1, s"fingerprint $fp straddles splits: $ss")
+    }
+    // the planted exact copies exist (non-vacuous) and the 90/5/5 buckets
+    // all materialized
+    assert(rows.groupBy(_._2).exists(_._2.length > 1), "no exact dup groups")
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "valid", "test"), s"$bySplit")
+    val n = rows.length.toDouble
+    assert(bySplit("train") / n > 0.8 && bySplit("train") / n < 0.97, s"$bySplit")
+  }
+
   test("D7: dupClusters propagates the component minimum across chains") {
     import spark.implicits._
     // chain 5-3-8 (min spreads two hops), separate pair 10-7, and a
