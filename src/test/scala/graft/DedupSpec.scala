@@ -266,6 +266,28 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pairs.forall { case (a, b, h) => a < b && b <= 100L && h === 0 })
   }
 
+  test("D3: the minimal band partition is pigeonhole-lossless at its bound") {
+    // for every threshold, random 48-bit pairs at EXACTLY maxHamming flips
+    // must still share at least one band — the adversarial case for the
+    // width/offset arithmetic (uneven widths when h+1 does not divide 48)
+    val rng = new scala.util.Random(42)
+    for (h <- Seq(0, 1, 2, 3, 4, 5, 7)) {
+      val bands = Dedup.simhashBandPartition(h)
+      assert(bands.size === h + 1)
+      assert(bands.map(_._2).sum === Dedup.SimhashBits)
+      assert(bands.map(_._2).forall(_ >= 1))
+      for (_ <- 0 until 300) {
+        val v = rng.nextLong() & ((1L << Dedup.SimhashBits) - 1)
+        val flips = rng.shuffle((0 until Dedup.SimhashBits).toList).take(h)
+        val w = flips.foldLeft(v)((acc, b) => acc ^ (1L << b))
+        val collide = bands.exists { case (off, wd) =>
+          ((v >> off) & ((1L << wd) - 1)) === ((w >> off) & ((1L << wd) - 1))
+        }
+        assert(collide, s"h=$h v=$v flips=$flips escaped every band")
+      }
+    }
+  }
+
   test("simhash is set-semantics and deterministic") {
     val s = Dedup.simhashes(docs(1L -> "a b c a b", 2L -> "c b a"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
