@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TablesContractSpec extends AnyFunSuite with SparkSuite {
 
-  private val sfDirs = Seq("sf0.001", "sf0.01")
+  private val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
     .map(d => s"/root/testdata/$d")
     .filter(d => new java.io.File(d, "events.parquet").exists())
 
