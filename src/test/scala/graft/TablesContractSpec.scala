@@ -20,6 +20,47 @@ class TablesContractSpec extends AnyFunSuite with SparkSuite {
     assert(sfDirs.nonEmpty, "no /root/testdata/sf*/events.parquet found")
   }
 
+  /** What every loader-read table looks like to the engine TODAY
+    * (Spark types under [[Tables.configure]]'s session — µs parquet
+    * timestamps read as plain `timestamp`). A driver-side regen that
+    * drifts any column fails HERE, in one named test per table, before
+    * it can fail as dozens of opaque query errors (the r11 lesson).
+    */
+  private val expectedSchemas: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int"))
+
+  for (dir <- sfDirs; (tbl, want) <- expectedSchemas.toSeq.sortBy(_._1)) {
+    test(s"$tbl schema contract holds for $dir") {
+      val got = Tables.table(spark, dir, tbl).schema
+        .map(f => f.name -> f.dataType.catalogString)
+      assert(got === want,
+        s"$dir/$tbl.parquet drifted from the engine's read contract")
+    }
+  }
+
   for (dir <- sfDirs) {
     test(s"events loader contract holds for $dir") {
       val ev = Tables.events(spark, dir)
