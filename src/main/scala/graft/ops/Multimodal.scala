@@ -768,4 +768,125 @@ object Multimodal {
       }
     }
   }
+
+  /** Plain 16-bit mono PCM RIFF/WAVE — the LOSSLESS sibling of
+    * [[AdpcmCodec]]: build writes the canonical fmt(0x01)+data layout,
+    * parse walks the chunk list defensively (same never-throw contract and
+    * Long-bounded sizes as the ADPCM/AVI parsers) and iterates samples
+    * straight off the little-endian data chunk without materializing them.
+    */
+  object PcmCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** One parsed PCM payload; `samples` re-walks the data chunk. */
+    final class PcmAudio(val sampleRate: Int, val sampleCount: Int,
+                         bytes: Array[Byte], dataOff: Int) {
+      def samples: Iterator[Short] = new Iterator[Short] {
+        private val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        private var i = 0
+        def hasNext: Boolean = i < sampleCount
+        def next(): Short = { val s = bb.getShort(dataOff + 2 * i); i += 1; s }
+      }
+    }
+
+    def build(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val data = ByteBuffer.allocate(2 * samples.length).order(ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(data.putShort)
+      val fmt = {
+        val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putShort(1).putShort(1).putInt(sampleRate)    // PCM, mono
+        bb.putInt(sampleRate * 2).putShort(2).putShort(16) // byte rate, align, bits
+        bb.array
+      }
+      def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+        val bb = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(cc.getBytes("US-ASCII")).putInt(body.length).put(body)
+        bb.array
+      }
+      val body = "WAVE".getBytes("US-ASCII") ++
+        chunk("fmt ", fmt) ++ chunk("data", data.array)
+      val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+      out.array
+    }
+
+    /** None unless the payload is a well-formed mono 16-bit PCM WAV. */
+    def parse(bytes: Array[Byte]): Option[PcmAudio] = {
+      if (!looksLikeWav(bytes)) return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      var off = 12
+      var tag, channels, rate, bits = 0
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= bytes.length) {
+        val cc = new String(bytes, off, 4, "US-ASCII")
+        val size = bb.getInt(off + 4)
+        if (size < 0 || off.toLong + 8 + size > bytes.length) return None
+        cc match {
+          case "fmt " if size >= 16 =>
+            tag = bb.getShort(off + 8) & 0xffff
+            channels = bb.getShort(off + 10) & 0xffff
+            rate = bb.getInt(off + 12)
+            bits = bb.getShort(off + 22) & 0xffff
+          case "data" => dataOff = off + 8; dataLen = size
+          case _ => ()
+        }
+        off += 8 + size + (size & 1)
+      }
+      if (tag != 1 || channels != 1 || bits != 16 || rate <= 0 ||
+        dataOff < 0 || dataLen % 2 != 0) None
+      else Some(new PcmAudio(rate, dataLen / 2, bytes, dataOff))
+    }
+  }
+
+  /** Per-window features of one decoded audio payload: integer energy
+    * (Σ x², exact in Long — 16-bit samples bound each term below 2³⁰, so
+    * even 2³³ samples per window cannot overflow) and the zero-crossing
+    * count (sign flips vs the previous sample, window boundaries
+    * included, `x ≥ 0` counting as positive) — the classic cheap
+    * voice/music/silence discriminators.
+    */
+  final case class AudioWindow(
+      media_id: Long,
+      win: Long,
+      n_samples: Long,
+      energy: Long,
+      zero_crossings: Long)
+
+  /** Windowed audio-feature stage: REAL PCM parse, then ONE incremental
+    * pass over the sample iterator folding each fixed `window`-sample
+    * stretch into (energy, crossings) — O(1) memory per payload, output
+    * volume `samples / window`, no per-sample rows, no shuffle (the
+    * per-window fold happens inside the decode pass, the mapPartitions
+    * analogue of a map-side combine). Non-PCM payloads drop silently.
+    */
+  def audioWindowFeatures(media: Dataset[MediaRow], window: Int): Dataset[AudioWindow] = {
+    require(window > 0, "window must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        PcmCodec.parse(r.content).iterator.flatMap { a =>
+          new Iterator[AudioWindow] {
+            private val it = a.samples
+            private var win = 0L
+            private var prev = 0: Short
+            private var first = true
+            def hasNext: Boolean = it.hasNext
+            def next(): AudioWindow = {
+              var n = 0L; var energy = 0L; var zc = 0L
+              while (n < window && it.hasNext) {
+                val x = it.next()
+                energy += x.toLong * x.toLong
+                if (!first && ((x >= 0) != (prev >= 0))) zc += 1
+                prev = x; first = false; n += 1
+              }
+              val w = AudioWindow(r.media_id, win, n, energy, zc)
+              win += 1
+              w
+            }
+          }
+        }
+      }
+    }
+  }
 }

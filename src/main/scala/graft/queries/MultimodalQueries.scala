@@ -212,6 +212,57 @@ object MultimodalQueries {
       |SELECT media_id, frame_idx FROM f
       |WHERE (media_id + frame_idx) % 12 = 0""".stripMargin
 
+  /** M7 — windowed audio features over a REAL (and lossless) PCM WAV
+    * decode ([[graft.ops.Multimodal.audioWindowFeatures]]): each doc's
+    * deterministic triangle wave round-trips through the canonical
+    * 16-bit mono RIFF/WAVE container, and the decode pass folds every
+    * 250-sample window into integer energy (Σx²) and zero-crossing
+    * counts — the classic cheap voice/music/silence discriminators.
+    * Because PCM is lossless (unlike m5's ADPCM), the oracle
+    * re-synthesizes the SAME triangle in SQL integer arithmetic and
+    * computes the same windowed sums — a full-strength hash grade of
+    * container build, chunk-walk parse, sample iteration, window
+    * framing, and boundary-crossing bookkeeping at once. Scale shape:
+    * the fold happens inside the decode `mapPartitions` (O(1) memory
+    * per payload, output = samples/window rows), zero shuffles.
+    */
+  def audioWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wavs = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id, "audio",
+            Multimodal.PcmCodec.build(triWave(id), 8000 + (id % 4).toInt * 4000))
+        }
+      }.toDF("media_id", "kind", "content")
+    Multimodal.audioWindowFeatures(Multimodal.asMedia(wavs), window = 250).toDF()
+  }
+
+  val audioWindowsSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 2000 + (doc_id % 7) * 500 AS n,
+      |         64 + (doc_id % 5) * 16 AS period,
+      |         4096 + (doc_id % 8) * 1024 AS amp
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |s AS (SELECT doc_id, period, amp, UNNEST(range(n)) AS i FROM p),
+      |v AS (SELECT doc_id, i,
+      |             CASE WHEN (i % period) < period // 2
+      |                  THEN -amp + (2 * amp * (i % period)) // (period // 2)
+      |                  ELSE amp - (2 * amp * ((i % period) - period // 2)) // (period // 2)
+      |             END AS x
+      |      FROM s),
+      |w AS (SELECT doc_id, i, x, i // 250 AS win,
+      |             lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+      |      FROM v)
+      |SELECT doc_id AS media_id, win, COUNT(*) AS n_samples,
+      |       CAST(SUM(x * x) AS BIGINT) AS energy,
+      |       CAST(COUNT(*) FILTER (WHERE px IS NOT NULL AND ((x >= 0) != (px >= 0)))
+      |            AS BIGINT) AS zero_crossings
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   /** Deterministic triangle PCM for one media id — the planted waveform of
     * m5 and the reference its fidelity check re-synthesizes (in SQL
     * arithmetic) to bound the codec's reconstruction error.
@@ -283,6 +334,7 @@ object MultimodalQueries {
     "m3_resize" -> resized,
     "m4_video_frames" -> videoFrameStats,
     "m5_adpcm_audio" -> adpcmAudio,
+    "m7_audio_windows" -> audioWindows,
     "m6_shot_detect" -> shotDetect
   )
 
@@ -292,6 +344,7 @@ object MultimodalQueries {
     "m3_resize" -> resizedSql,
     "m4_video_frames" -> videoFrameStatsSql,
     "m5_adpcm_audio" -> adpcmAudioSql,
+    "m7_audio_windows" -> audioWindowsSql,
     "m6_shot_detect" -> shotDetectSql
   )
 }

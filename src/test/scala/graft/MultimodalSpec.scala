@@ -210,6 +210,36 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(errR <= 512, s"right channel max error $errR")
   }
 
+  test("PcmCodec: build/parse round-trips samples; windowed features are exact") {
+    import org.apache.spark.sql.functions.col
+    // square wave, period 8, amp 100: analytic per-window features
+    val n = 1000
+    val sq = Array.tabulate(n)(i => (if ((i / 4) % 2 == 0) 100 else -100).toShort)
+    val wav = Multimodal.PcmCodec.build(sq, 16000)
+    val a = Multimodal.PcmCodec.parse(wav).get
+    assert(a.sampleRate === 16000 && a.sampleCount === n)
+    assert(a.samples.toArray === sq)
+    import spark.implicits._
+    val media = Seq((1L, "audio", wav)).toDF("media_id", "kind", "content")
+    val rows = Multimodal.audioWindowFeatures(Multimodal.asMedia(media), window = 100)
+      .collect().sortBy(_.win)
+    assert(rows.length === 10)
+    // every window: 100 samples at |x| = 100 -> energy 100 * 100^2; the
+    // square flips sign every 4 samples -> 25 crossings per window except
+    // the first (24: the first sample has no predecessor)
+    rows.foreach { w =>
+      assert(w.n_samples === 100L && w.energy === 100L * 100L * 100L, s"$w")
+      assert(w.zero_crossings === (if (w.win == 0L) 24L else 25L), s"$w")
+    }
+    // format isolation + never-throw: ADPCM payloads are not PCM and vice
+    // versa, truncated bytes drop
+    val adpcm = Multimodal.AdpcmCodec.build(sq, 16000)
+    assert(Multimodal.PcmCodec.parse(adpcm).isEmpty)
+    assert(Multimodal.AdpcmCodec.parse(wav).isEmpty)
+    assert(Multimodal.PcmCodec.parse(wav.take(30)).isEmpty)
+    assert(Multimodal.PcmCodec.parse(Array[Byte]()).isEmpty)
+  }
+
   test("shotBoundaries cuts on the luma jump, ignores small motion") {
     import spark.implicits._
     import Multimodal.AviCodec
