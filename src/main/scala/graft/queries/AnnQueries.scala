@@ -537,11 +537,17 @@ object AnnQueries {
        |  FROM ann3 JOIN exact ON ann3.p_id = exact.p_id AND ann3.vec_id = exact.vec_id
        |  GROUP BY 1) h ON h.p_id = probes.p_id""".stripMargin
 
-  /** sfDirs whose n7 quantizers + BASE index are already staged in this
-    * JVM (train-once; the graded per-call surface is the update + serve).
+  /** The sfDir whose n7 quantizers + BASE index are CURRENTLY staged in
+    * this JVM (train-once; the graded per-call surface is the update +
+    * serve). A single current-value marker, not a seen-set: the staged
+    * files live at fixed paths (the oracle SQL references them
+    * literally), so the memo must track what the files HOLD, not which
+    * sfDirs were ever staged — a seen-set would skip restaging after a
+    * different sfDir overwrote the artifacts and serve an index built
+    * from the wrong corpus (ADVICE r12).
     */
-  private val n7Built =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val n7StagedFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** N7 — IVF-PQ index UPDATE, the daily-ingest analogue of d10: the
     * quantizers (coarse centroids + residual codebook) train ONCE on the
@@ -560,22 +566,24 @@ object AnnQueries {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val base = emb.filter(col("vec_id") % 10 =!= 7)
     val delta = emb.filter(col("vec_id") % 10 === 7)
-    n7Built.computeIfAbsent(sfDir, _ => {
-      // delta vectors are EXCLUDED from training: n7 grades that vectors
-      // the quantizers never saw still land in the exact cells/codes a
-      // rebuild would give them
-      val sample = base.filter(col("vec_id") % 4 === 0)
-      Similarity.trainCentroids(sample, k = 8, iters = 2)
-        .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n7_centroids.parquet")
-      val c = spark.read.parquet(s"${TarQueries.StageDir}/n7_centroids.parquet")
-      Similarity.ivfPqTrainResiduals(sample, c, m = 4, subDim = 16, k = 16,
-          iters = 2)
-        .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n7_pq.parquet")
-      val cb0 = spark.read.parquet(s"${TarQueries.StageDir}/n7_pq.parquet")
-      Similarity.ivfPqBuildIndex(base, c, cb0, m = 4, subDim = 16)
-        .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n7_base_index.parquet")
-      sfDir
-    })
+    n7StagedFor.synchronized {
+      if (n7StagedFor.get != sfDir) {
+        // delta vectors are EXCLUDED from training: n7 grades that vectors
+        // the quantizers never saw still land in the exact cells/codes a
+        // rebuild would give them
+        val sample = base.filter(col("vec_id") % 4 === 0)
+        Similarity.trainCentroids(sample, k = 8, iters = 2)
+          .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n7_centroids.parquet")
+        val c = spark.read.parquet(s"${TarQueries.StageDir}/n7_centroids.parquet")
+        Similarity.ivfPqTrainResiduals(sample, c, m = 4, subDim = 16, k = 16,
+            iters = 2)
+          .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n7_pq.parquet")
+        val cb0 = spark.read.parquet(s"${TarQueries.StageDir}/n7_pq.parquet")
+        Similarity.ivfPqBuildIndex(base, c, cb0, m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n7_base_index.parquet")
+        n7StagedFor.set(sfDir)
+      }
+    }
     val cents = spark.read.parquet(s"${TarQueries.StageDir}/n7_centroids.parquet")
     val cb = spark.read.parquet(s"${TarQueries.StageDir}/n7_pq.parquet")
     val baseIdx = spark.read.parquet(s"${TarQueries.StageDir}/n7_base_index.parquet")
@@ -604,11 +612,14 @@ object AnnQueries {
   private val st8Staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** sfDirs whose st8 quantizers + servable index are already staged in
-    * this JVM (train-once/serve-many).
+  /** The sfDir whose st8 quantizers + servable index are CURRENTLY staged
+    * in this JVM (train-once/serve-many). Current-value marker for the
+    * same reason as [[n7StagedFor]]: the artifacts live at fixed paths
+    * the oracle SQL names literally, so staleness is "files hold a
+    * different corpus", not "sfDir never seen" (ADVICE r12).
     */
-  private val st8Built =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val st8StagedFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** ST8 — streaming ANN serving ([[graft.streaming.StreamAnn]]): the
     * IVF-PQ quantizers build batch-side and stage to parquet, then the
@@ -627,21 +638,23 @@ object AnnQueries {
     // in the JVM reuses the staged artifacts, exactly like the probe
     // staging below and st3's source staging. The graded surface is the
     // SERVE path: stream ≡ batch replay from the staged floats.
-    st8Built.computeIfAbsent(sfDir, _ => {
-      val sample = emb.filter(col("vec_id") % 4 === 0)
-      // fewer Lloyd rounds than n6: st8 grades SERVE consistency, not
-      // quantizer quality — n6 owns that — so the build cost stays small
-      Similarity.trainCentroids(sample, k = 8, iters = 2)
-        .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/st8_centroids.parquet")
-      val c = spark.read.parquet(s"${TarQueries.StageDir}/st8_centroids.parquet")
-      Similarity.ivfPqTrainResiduals(sample, c, m = 4, subDim = 16, k = 16,
-          iters = 2)
-        .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/st8_pq.parquet")
-      val cb0 = spark.read.parquet(s"${TarQueries.StageDir}/st8_pq.parquet")
-      Similarity.ivfPqBuildIndex(emb, c, cb0, m = 4, subDim = 16)
-        .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/st8_index.parquet")
-      sfDir
-    })
+    st8StagedFor.synchronized {
+      if (st8StagedFor.get != sfDir) {
+        val sample = emb.filter(col("vec_id") % 4 === 0)
+        // fewer Lloyd rounds than n6: st8 grades SERVE consistency, not
+        // quantizer quality — n6 owns that — so the build cost stays small
+        Similarity.trainCentroids(sample, k = 8, iters = 2)
+          .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/st8_centroids.parquet")
+        val c = spark.read.parquet(s"${TarQueries.StageDir}/st8_centroids.parquet")
+        Similarity.ivfPqTrainResiduals(sample, c, m = 4, subDim = 16, k = 16,
+            iters = 2)
+          .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/st8_pq.parquet")
+        val cb0 = spark.read.parquet(s"${TarQueries.StageDir}/st8_pq.parquet")
+        Similarity.ivfPqBuildIndex(emb, c, cb0, m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/st8_index.parquet")
+        st8StagedFor.set(sfDir)
+      }
+    }
     val cents = spark.read.parquet(s"${TarQueries.StageDir}/st8_centroids.parquet")
     val cb = spark.read.parquet(s"${TarQueries.StageDir}/st8_pq.parquet")
     val index = spark.read.parquet(s"${TarQueries.StageDir}/st8_index.parquet")

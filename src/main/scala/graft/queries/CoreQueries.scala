@@ -253,18 +253,26 @@ object CoreQueries {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1""".stripMargin
 
-  /** S1 — partition-pruned scan: one day of events, the range predicate on
-    * the PHYSICAL `ts` column so it pushes to the parquet scan as min/max
-    * row-group pruning (`/root/reference/embargo.go:265-271`). Filtering
-    * the derived `ts_ns` instead would strand the predicate above a
-    * projection and read every row group — the PlanSpec pushdown pin
-    * guards exactly that.
+  /** S1 — partition-pruned scan: one day of events, the range predicate
+    * stated on BOTH timestamp encodings (`/root/reference/embargo.go:265-271`).
+    * `Tables.events` supports two physical layouts — µs `TIMESTAMP` (where
+    * `ts` is physical and `ts_ns` derived) and legacy `TIMESTAMP(NANOS)`
+    * (where `ts_ns` is the physical Long and `ts` derived) — and a
+    * predicate on a derived column strands above a projection and reads
+    * every row group. The two range conjuncts are exactly equivalent
+    * (ts = timestamp_micros(ts_ns div 1000), both bounds whole-second),
+    * so whichever column is physical for the file at hand carries the
+    * min/max row-group pruning and the other folds into a cheap residual
+    * (ADVICE r12). The PlanSpec pushdown pin guards the µs branch.
     */
   def prefixScan(spark: SparkSession, sfDir: String): DataFrame = {
     val dayStart = java.time.Instant.parse("2024-01-02T00:00:00Z")
     val dayEnd = java.time.Instant.parse("2024-01-03T00:00:00Z")
+    val startNs = dayStart.getEpochSecond * 1000000000L
+    val endNs = dayEnd.getEpochSecond * 1000000000L
     Tables.events(spark, sfDir)
-      .filter(col("ts") >= lit(dayStart) && col("ts") < lit(dayEnd))
+      .filter(col("ts") >= lit(dayStart) && col("ts") < lit(dayEnd) &&
+        col("ts_ns") >= lit(startNs) && col("ts_ns") < lit(endNs))
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
   }
 
