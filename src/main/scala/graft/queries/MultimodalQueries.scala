@@ -328,7 +328,142 @@ object MultimodalQueries {
       |       TRUE AS err_ok
       |FROM documents WHERE doc_id % 3 = 1""".stripMargin
 
+  /** The synthetic gradient-PNG corpus shared by m8/d15: one 32×32
+    * grayscale PNG per image id (doc_id ≡ 0 mod 3), luma
+    * `(a·x + b·y + c) mod 256` with the sawtooth params drawn from the
+    * PAIR id `doc_id div 6` — so ids `6k` and `6k+3` render the same
+    * pattern, and the second member adds a bounded `+8` brightening to
+    * its 4×4 top-left corner (`least(l+8, 255)` — no wraparound
+    * impulse): a planted near-duplicate pair per `k`, the "same photo,
+    * small edit" case image dedup exists for. Disparate sawtooths sit
+    * near hamming ~31 (measured at sf0.01: the all-pairs mode is 30-35);
+    * same-slope patterns at different offsets are diagonal TRANSLATES of
+    * each other and often hash within a few bits — which is correct
+    * pHash behavior, a translated gradient IS perceptually similar.
+    * Manifest fan-out as in m3: PNG encode is the CPU stage, spread ids
+    * across cores first.
+    */
+  private def gradientPngs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val pid = id / 6
+          val variant = (id / 3) % 2
+          val a = 1 + (pid % 7).toInt
+          val b = 2 + (pid % 5).toInt
+          val c = ((pid * 37) % 256).toInt
+          val n = Multimodal.PHashGrid
+          val img = new java.awt.image.BufferedImage(n, n,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < n) {
+            var y = 0
+            while (y < n) {
+              var l = (a * x + b * y + c) % 256
+              if (variant == 1 && x < 4 && y < 4) l = math.min(l + 8, 255)
+              img.setRGB(x, y, (l << 16) | (l << 8) | l)
+              y += 1
+            }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image", bos.toByteArray)
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
+  /** The analytic DuckDB replay of [[graft.ops.Multimodal.pHash64]] over
+    * the planted gradient corpus, as a WITH-clause body ending in
+    * `ph(doc_id, phash)`. The planted images are exactly 32×32, so the
+    * downscale is the identity and the oracle computes luma per grid
+    * cell directly; the DCT replays the same [[graft.ops.Multimodal.DctCos]]
+    * integers (rendered as literals), the same lower-median rank, the
+    * same bit layout — BIGINT arithmetic end-to-end, so the hash match
+    * is exact, grading PNG encode, ImageIO decode, grid, DCT, median,
+    * and bit packing at once.
+    */
+  private def phashCtes: String =
+    s"""p AS (
+       |  SELECT doc_id, doc_id // 6 AS pid, (doc_id // 3) % 2 AS variant
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |pp AS (
+       |  SELECT doc_id, variant, 1 + pid % 7 AS a, 2 + pid % 5 AS b,
+       |         (pid * 37) % 256 AS c
+       |  FROM p),
+       |cells AS (
+       |  SELECT doc_id,
+       |         CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       |         CASE WHEN variant = 1 AND gx < 4 AND gy < 4
+       |              THEN least((a * gx + b * gy + c) % 256 + 8, 255)
+       |              ELSE (a * gx + b * gy + c) % 256 END AS l
+       |  FROM pp
+       |  CROSS JOIN generate_series(0, 31) gxs(gx)
+       |  CROSS JOIN generate_series(0, 31) gys(gy)),
+       |ct AS (SELECT * FROM (VALUES ${Multimodal.dctCosSqlValues}) AS t(u, x, cv)),
+       |dct AS (
+       |  SELECT c.doc_id, cu.u AS u, cv2.u AS v,
+       |         CAST(SUM(CAST(c.l AS BIGINT) * cu.cv * cv2.cv) AS BIGINT) AS coef
+       |  FROM cells c
+       |  JOIN ct cu ON cu.x = c.gx
+       |  JOIN ct cv2 ON cv2.x = c.gy
+       |  GROUP BY 1, 2, 3),
+       |med AS (
+       |  SELECT doc_id,
+       |         list_sort(list(coef) FILTER (WHERE NOT (u = 0 AND v = 0)))[32] AS m
+       |  FROM dct GROUP BY 1),
+       |ph AS (
+       |  SELECT d.doc_id,
+       |         CAST(SUM(CASE WHEN NOT (d.u = 0 AND d.v = 0) AND d.coef > med.m
+       |                       THEN (CAST(1 AS BIGINT) << (d.u * 8 + d.v - 1))
+       |                       ELSE 0 END) AS BIGINT) AS phash
+       |  FROM dct d JOIN med ON med.doc_id = d.doc_id
+       |  GROUP BY 1)""".stripMargin
+
+  /** M8 — perceptual image hash ([[graft.ops.Multimodal.pHashes]]): the
+    * REAL PNG decode → integer pHash pipeline over the planted gradient
+    * corpus; one `(media_id, phash)` row per image, hash-graded against
+    * the full analytic DCT replay in DuckDB.
+    */
+  def phash(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.pHashes(Multimodal.asMedia(gradientPngs(spark, sfDir)))
+      .toDF().select(col("media_id"), col("phash"))
+
+  val phashSql: String =
+    s"""WITH $phashCtes
+       |SELECT doc_id AS media_id, phash FROM ph""".stripMargin
+
+  /** D15 — image near-dup dedup: [[phash]]'s hashes through the same
+    * pigeonhole-lossless hamming banding d3 uses
+    * ([[graft.ops.Dedup.hammingNearDups]], 63 effective bits, 11 bands
+    * for hamming ≤ 10), exact `bit_count(xor)` verify. Most planted
+    * corner-edit pairs land within the bound (median hamming ~6; a few
+    * whose coefficients cluster at the median flip more bits — honest
+    * pHash sensitivity, not a defect), plus same-slope translated
+    * gradients that genuinely hash close. The oracle scans all pairs
+    * exhaustively over the same analytic hashes, so recall loss in the
+    * banding (or a hash divergence) breaks the grade.
+    */
+  def imageNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.hammingNearDups(
+      phash(spark, sfDir)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+      bits = 63, maxHamming = 10)
+
+  val imageNearDupSql: String =
+    s"""WITH $phashCtes
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_phash" -> phash,
+    "d15_image_neardup" -> imageNearDup,
     "m1_media_features" -> mediaFeatures,
     "m2_frame_sample" -> frameSample,
     "m3_resize" -> resized,
@@ -339,6 +474,8 @@ object MultimodalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "m8_phash" -> phashSql,
+    "d15_image_neardup" -> imageNearDupSql,
     "m1_media_features" -> mediaFeaturesSql,
     "m2_frame_sample" -> frameSampleSql,
     "m3_resize" -> resizedSql,
