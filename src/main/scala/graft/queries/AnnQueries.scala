@@ -435,10 +435,16 @@ object AnnQueries {
 
   /** The shared IVF-PQ replay CTE chain (through `rr`, the exact-cosine
     * rerank of each probe's ADC top-10 pool), parameterized by the staged
-    * quantizer paths so n6 (batch grading) and st8 (streaming serve)
-    * replay the same machinery against their own staged floats.
+    * quantizer paths so n6 (batch grading), n7/st8 (serve paths), and n8
+    * (filtered search) replay the same machinery against their own staged
+    * floats. `extraCtes` (a full CTE definition ending in a comma)
+    * splices additional relations into the chain; `candJoin` (a JOIN
+    * clause against `resid`) restricts the candidate set INSIDE the ADC
+    * CTE — the oracle-side mirror of n8's pre-ADC eligibility semi-join.
     */
-  private def ivfPqOracleCtes(centPath: String, cbPath: String): String =
+  private def ivfPqOracleCtes(centPath: String, cbPath: String,
+                              extraCtes: String = "",
+                              candJoin: String = ""): String =
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |un AS (SELECT vec_id,
        |              list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS u
@@ -463,6 +469,7 @@ object AnnQueries {
        |          JOIN centu ON centu.c_id = a.cell),
        |cb AS (SELECT subspace, code, CAST(embedding AS DOUBLE[]) AS ce
        |       FROM read_parquet('$cbPath/*.parquet')),
+       |$extraCtes
        |sv AS (SELECT resid.vec_id, cb.subspace, cb.code,
        |              list_inner_product(
        |                r[CAST(1 + subspace * 16 AS INT):CAST(subspace * 16 + 16 AS INT)],
@@ -499,6 +506,7 @@ object AnnQueries {
        |  FROM resid
        |  JOIN cconst cc ON cc.cell = resid.cell AND resid.vec_id <> cc.p_id
        |  JOIN codes k ON k.vec_id = resid.vec_id
+       |  $candJoin
        |  JOIN ptab p ON p.p_id = cc.p_id AND p.subspace = k.subspace
        |             AND p.code = k.code
        |  GROUP BY 1, 2, 3),
@@ -536,6 +544,55 @@ object AnnQueries {
        |  SELECT ann3.p_id, COUNT(*) AS n_hits
        |  FROM ann3 JOIN exact ON ann3.p_id = exact.p_id AND ann3.vec_id = exact.vec_id
        |  GROUP BY 1) h ON h.p_id = probes.p_id""".stripMargin
+
+  /** N8 — FILTERED ANN, the RAG retrieval shape: "top-k among docs WHERE
+    * lang='en' AND n_chars ≥ 200". The metadata predicate (an eligibility
+    * set from the documents table) SEMI-JOINS the index's (vec_id, cell)
+    * slice BEFORE the per-cell candidate fan-out, so the ADC compressed-
+    * domain scoring — the cost that scales with the corpus — only touches
+    * eligible vectors, and the exact rerank sees an already-filtered
+    * pool. The alternative, filtering AFTER an unfiltered top-k, returns
+    * fewer than k (often zero) rows whenever the predicate is selective —
+    * the classic filtered-ANN failure this operator exists to avoid; a
+    * PlanSpec pin holds the semi-join below the ADC aggregate. Quantizers
+    * + index build per call and stage to parquet like n6; the oracle
+    * replays the same staged floats with the same eligibility join
+    * spliced into its candidate CTE.
+    */
+  def annFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val sample = emb.filter(col("vec_id") % 4 === 0)
+    Similarity.trainCentroids(sample, k = 8, iters = 4)
+      .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n8_centroids.parquet")
+    val cents = spark.read.parquet(s"${TarQueries.StageDir}/n8_centroids.parquet")
+    Similarity.ivfPqTrainResiduals(sample, cents, m = 4, subDim = 16, k = 16,
+        iters = 3)
+      .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n8_pq.parquet")
+    val cb = spark.read.parquet(s"${TarQueries.StageDir}/n8_pq.parquet")
+    val eligible = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id").as("vec_id"))
+    val index = Similarity.ivfPqBuildIndex(emb, cents, cb, m = 4, subDim = 16)
+      .localCheckpoint()
+    val res = index.filter(col("subspace") === 0).select("vec_id", "cell")
+      .join(eligible, Seq("vec_id"), "left_semi")
+    Similarity.ivfPqTopKParts(res, index.select("vec_id", "subspace", "code"),
+      emb, cents, cb, probeSet = emb.filter(col("vec_id") % 50 === 0),
+      k = 3, pool = 10, nprobe = 2, m = 4, subDim = 16)
+  }
+
+  val annFilteredSql: String =
+    s"""${ivfPqOracleCtes(s"${TarQueries.StageDir}/n8_centroids.parquet",
+          s"${TarQueries.StageDir}/n8_pq.parquet",
+          extraCtes = "elig AS (SELECT doc_id AS vec_id FROM documents " +
+            "WHERE lang = 'en' AND n_chars >= 200),",
+          candJoin = "JOIN elig ON elig.vec_id = resid.vec_id")}
+       |SELECT p_id AS probe_id, vec_id AS neighbor_id, CAST(rnk AS BIGINT) AS rank
+       |FROM (SELECT p_id, vec_id,
+       |             row_number() OVER (PARTITION BY p_id
+       |                                ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM rr)
+       |WHERE rnk <= 3""".stripMargin
 
   /** The sfDir whose n7 quantizers + BASE index are CURRENTLY staged in
     * this JVM (train-once; the graded per-call surface is the update +
@@ -703,6 +760,7 @@ object AnnQueries {
     "h1_hybrid_retrieval" -> hybridRetrieval,
     "n6_ann_ivfpq" -> annIvfPq,
     "n7_ann_ivfpq_update" -> annIvfPqUpdate,
+    "n8_ann_filtered" -> annFiltered,
     "n5_ann_pq" -> annPq,
     "d4_embed_neardup" -> embedNearDup,
     "d9_semdedup" -> semDedup,
@@ -717,6 +775,7 @@ object AnnQueries {
     "n5_ann_pq" -> annPqSql,
     "n6_ann_ivfpq" -> annIvfPqSql,
     "n7_ann_ivfpq_update" -> annIvfPqUpdateSql,
+    "n8_ann_filtered" -> annFilteredSql,
     "st8_stream_ann_serve" -> annServeSql,
     "d4_embed_neardup" -> embedNearDupSql,
     "d9_semdedup" -> semDedupSql,

@@ -297,6 +297,31 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("filtered ANN applies the predicate before ADC, not post-rerank (n8)") {
+    // the eligibility semi-join must sit INSIDE the ADC aggregate's
+    // subtree (candidates pruned before any distance math); a filter
+    // above the rerank would instead return < k rows under a selective
+    // predicate — the classic filtered-ANN failure
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val df = SparkEntry.queries("n8_ann_filtered")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    // the ADC scoring aggregate is the one grouping on (p_id, vec_id,
+    // cconst) — the probe-side cell-assignment aggregate (groupBy vec_id)
+    // is intentionally unfiltered, probes need no eligibility
+    val adcAggs = optimized.collect {
+      case a: Aggregate if a.groupingExpressions.length == 3 => a
+    }
+    assert(adcAggs.nonEmpty, s"n8 plans no ADC aggregate:\n$optimized")
+    assert(adcAggs.forall(_.collectFirst {
+        case j: Join if j.joinType == LeftSemi => j
+      }.nonEmpty),
+      s"n8's eligibility semi-join is not below the ADC aggregate:\n$optimized")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"n8 plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"n8 plans no broadcast joins:\n$p")
+  }
+
   test("corpus shuffle range-sorts and never plans a global window (t14)") {
     val p = plan("t14_corpus_shuffle")
     // positions come from the prefix-summed offset join, not row_number():
