@@ -757,11 +757,16 @@ object TextQueries {
     * few hundred. The tokenize pass stays scan → project, zero shuffles.
     */
   private def bpeTokenizeWith(spark: SparkSession, sfDir: String,
-                              nMerges: Int): DataFrame = {
+                              nMerges: Int): DataFrame =
+    bpeTokenizeDocs(Tables.documents(spark, sfDir), nMerges)
+
+  /** [[bpeTokenizeWith]] over an explicit docs frame (t17c feeds the
+    * derived high-entropy corpus through the same learn + apply body).
+    */
+  private def bpeTokenizeDocs(docs: DataFrame, nMerges: Int): DataFrame = {
     val merges = graft.ops.Bpe.learnedMerges(
-      graft.ops.Bpe.wordFrequencies(Tables.documents(spark, sfDir), "text"),
-      nMerges).toSeq
-    Tables.documents(spark, sfDir)
+      graft.ops.Bpe.wordFrequencies(docs, "text"), nMerges).toSeq
+    docs
       .select(col("doc_id"),
         aggregate(
           transform(
@@ -832,11 +837,14 @@ object TextQueries {
     * [[graft.ops.Bpe.train]]'s deterministic vocabulary pruning
     * (`ORDER BY freq DESC, w ASC LIMIT K`) before symbolization.
     */
-  private def bpeRecursiveTrainSql(n: Int, maxWords: Int = 0): String =
-    s"""WITH RECURSIVE wf0 AS MATERIALIZED (
+  private def bpeRecursiveTrainSql(n: Int, maxWords: Int = 0,
+                                   preCte: String = "",
+                                   src: String = "documents"): String =
+    s"""WITH RECURSIVE $preCte
+       |wf0 AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-       |    FROM documents)
+       |    FROM $src)
        |  WHERE length(w) > 0 AND w NOT LIKE '%(%' AND w NOT LIKE '%)%'
        |  GROUP BY w),
        |wf AS MATERIALIZED (${
@@ -893,6 +901,53 @@ object TextQueries {
     s"""${bpeRecursiveTrainSql(BpeRoundsPruned, maxWords = BpeMaxWords)}
        |SELECT CAST(r AS BIGINT) AS rank, mp AS pair, CAST(mn AS BIGINT) AS n_occ
        |FROM (SELECT DISTINCT r, mp, mn FROM st WHERE r >= 1)""".stripMargin
+
+  /** T17c — BPE tokenize where real tokenizers live: 1024 REAL merges.
+    * t17b's natural-text corpus saturates at ~89 learnable merges, so
+    * this one derives a HIGH-ENTROPY corpus both engines can construct
+    * analytically — each doc's text is `md5(doc_id)` hex, 500 distinct
+    * 32-char words over a 16-char alphabet whose pair diversity supports
+    * 1024+ rounds without saturating. The tokenize pass is the SAME
+    * [[graft.functions.BpeFunctions.bpe_word_tokens]] codegen projection
+    * as t17/t17b: the merge table rides as ONE reference object, so
+    * expression depth — and the plan, pinned in PlanSpec — is O(1) in
+    * the merge count at 4× t17b's vocabulary; the hash-keyed apply walk
+    * makes per-word cost track word LENGTH, not merge-table size. The
+    * oracle replays training through the same recursive CTE (1024
+    * linear passes) and reads tokenization off the final word states.
+    */
+  private val BpeRounds1k = 1024
+
+  /** The derived corpus: one 32-hex-char word per doc. Spark's `md5`
+    * takes binary, DuckDB's takes VARCHAR; both hash the same decimal
+    * string rendering and emit lowercase hex.
+    */
+  private def hexDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      md5(col("doc_id").cast("string").cast("binary")).as("text"))
+
+  def bpeTokenize1k(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTokenizeDocs(hexDocs(spark, sfDir), BpeRounds1k)
+
+  private val hexDocsCte =
+    "hexdocs AS MATERIALIZED (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) " +
+      "AS text FROM documents),"
+
+  val bpeTokenize1kSql: String =
+    s"""${bpeRecursiveTrainSql(BpeRounds1k, preCte = hexDocsCte, src = "hexdocs")},
+       |fin AS (SELECT w, s FROM st WHERE r = (SELECT MAX(r) FROM st)),
+       |wtok AS (SELECT w,
+       |  CAST(len(regexp_extract_all(s, '\\(([^)]*)\\)', 1)) AS BIGINT) AS nt
+       |  FROM fin),
+       |tok AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM hexdocs),
+       |wx AS (SELECT t.doc_id, wt.nt FROM tok t JOIN wtok wt USING (w)
+       |       WHERE length(t.w) > 0 AND t.w NOT LIKE '%(%'
+       |         AND t.w NOT LIKE '%)%')
+       |SELECT d.doc_id, CAST(COALESCE(SUM(wx.nt), 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN wx ON wx.doc_id = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
 
   val bpeTokenizeBigSql: String =
     s"""${bpeRecursiveTrainSql(BpeRoundsBig)},
@@ -1036,6 +1091,7 @@ object TextQueries {
     "t16c_bpe_merges_pruned" -> bpeMergesPruned,
     "t17_bpe_tokenize" -> bpeTokenize,
     "t17b_bpe_tokenize256" -> bpeTokenizeBig,
+    "t17c_bpe_tokenize1k" -> bpeTokenize1k,
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
@@ -1062,6 +1118,7 @@ object TextQueries {
     "t16c_bpe_merges_pruned" -> bpeMergesPrunedSql,
     "t17_bpe_tokenize" -> bpeTokenizeSql,
     "t17b_bpe_tokenize256" -> bpeTokenizeBigSql,
+    "t17c_bpe_tokenize1k" -> bpeTokenize1kSql,
     "t1_token_stats" -> tokenStatsSql,
     "t2_quality_score" -> qualityScoreSql,
     "t3_langid" -> langIdSql,

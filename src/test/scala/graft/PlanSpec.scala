@@ -288,6 +288,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"t17b inlines merges as a replace chain:\n$p")
   }
 
+  test("1024-merge BPE tokenize keeps the scan→project shape (t17c)") {
+    // the O(1)-depth claim where real tokenizers live: at 4x t17b's
+    // merge count the plan must still be scan → project — no Exchange,
+    // no join, no aggregate, no literal replace chain
+    val p = plan("t17c_bpe_tokenize1k")
+    assert(!p.contains("Exchange"), s"t17c tokenize plan shuffles:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("SortAggregate"),
+      s"t17c tokenize plan is not a pure projection:\n$p")
+    assert(!p.contains("replace("),
+      s"t17c inlines merges as a replace chain:\n$p")
+  }
+
   test("bloom decontamination filters at the scan, verifies a sliver (d13)") {
     // the training gram stream must die at a might_contain scan predicate
     // BELOW the verify join — that predicate is what turns the semi-join's
