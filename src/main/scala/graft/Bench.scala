@@ -158,6 +158,18 @@ object Bench {
         java.nio.file.Paths.get("bench_samples.json"),
         (detail + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // guard WARNs also append to the round log (VERDICT r12 ask #8): a
+    // >1.8x drift lands in the committed PROGRESS record automatically,
+    // not just in a scrolled-away stdout line. Fail-soft like the guard.
+    if (guardWarns.nonEmpty) {
+      val line = s"""{"ts":${System.currentTimeMillis / 1000}.0,"kind":"bench_guard","sf":"$sfDir","warns":$warnsJson}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("PROGRESS.jsonl"),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND,
+        java.nio.file.StandardOpenOption.CREATE)
+      catch { case _: Throwable => () }
+    }
     // The driver keeps only the last ~2000 chars of stdout, and at 100+
     // queries the full per-query map (~2.6 KB) overflows it — every
     // BENCH_r01-r12 recorded `parsed: null` because the line lost its head

@@ -22,7 +22,7 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
 
   test("dedup pipelines never cartesian-product") {
     Seq("d1_exact_dedup", "d2_minhash_neardup", "d3_simhash_neardup",
-      "d4_embed_neardup", "d6_ngram_jaccard").foreach { q =>
+      "d4_embed_neardup", "d6_ngram_jaccard", "d15_image_neardup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
