@@ -671,11 +671,7 @@ object Dedup {
     val reps = sims.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("simhash"))
 
-    val bandKeys = bandPartition(bits, maxHamming).map { case (off, wd) =>
-      shiftright(col("simhash"), off).bitwiseAND((1L << wd) - 1)
-    }
-    val bands = reps.select(col("doc_id"), col("simhash"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val bands = hammingBands(reps, bits, maxHamming)
     val a = bands.select(col("band"), col("key"), col("doc_id").as("id_a"), col("simhash").as("ha"))
     val b = bands.select(col("band"), col("key"), col("doc_id").as("id_b"), col("simhash").as("hb"))
     val repPairs = a.join(b, Seq("band", "key"))
@@ -695,6 +691,52 @@ object Dedup {
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"), col("hamming"))
     within.unionAll(cross)
+  }
+
+  /** Band-explode precomputed hashes (`(doc_id, simhash)` →
+    * `(doc_id, simhash, band, key)`, one row per [[bandPartition]] band)
+    * — the shared candidate generator of [[hammingNearDups]] and the
+    * streaming batch-vs-corpus matcher ([[hammingMatchesAgainst]],
+    * [[graft.streaming.StreamPHash]]).
+    */
+  def hammingBands(hashes: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val bandKeys = bandPartition(bits, maxHamming).map { case (off, wd) =>
+      shiftright(col("simhash"), off).bitwiseAND((1L << wd) - 1)
+    }
+    hashes.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+  }
+
+  /** Batch-vs-corpus hamming matches — the d10/st3 incremental shape for
+    * hash-keyed near-dup: banded candidates come from batch ⋈ corpus
+    * ONLY (never corpus ⋈ corpus, so recurring cost scales with the
+    * batch), `bit_count(xor)` verify exact, output
+    * `(batch_id, corpus_id, hamming ≤ maxHamming)`. Same pigeonhole
+    * losslessness as [[hammingNearDups]]: a cross-set pair within the
+    * bound always shares ≥ 1 band.
+    */
+  def hammingMatchesAgainst(batch: DataFrame, corpusHashes: DataFrame,
+                            bits: Int, maxHamming: Int): DataFrame =
+    hammingMatchesAgainstBands(batch,
+      hammingBands(corpusHashes, bits, maxHamming), bits, maxHamming)
+
+  /** [[hammingMatchesAgainst]] with PRE-EXPLODED corpus bands — the serve
+    * path ([[graft.streaming.StreamPHash]]) materializes the corpus side
+    * once and hands the SAME DataFrame to every micro-batch.
+    */
+  def hammingMatchesAgainstBands(batch: DataFrame, corpusBands: DataFrame,
+                                 bits: Int, maxHamming: Int): DataFrame = {
+    val b = hammingBands(batch, bits, maxHamming)
+      .select(col("band"), col("key"), col("doc_id").as("batch_id"),
+        col("simhash").as("hb"))
+    val c = corpusBands
+      .select(col("band"), col("key"), col("doc_id").as("corpus_id"),
+        col("simhash").as("hc"))
+    b.join(c, Seq("band", "key"))
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("hb").bitwiseXOR(col("hc"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** D12 — exact-substring dedup at span granularity (the C4/RefinedWeb

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults every read/write through a DISK-backed stream cache:
+  // each decode creates+deletes a temp file, which serializes 32 decode
+  // threads on /tmp metadata and turned the sf1 sweep's per-frame JPEG
+  // stages (m4/m6) superlinear. Payloads here are in-memory byte arrays —
+  // cache in memory. Runs once per JVM at class load (driver AND each
+  // executor loads this object before any decode call).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media payload: binary content + routing metadata. */
   final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
 

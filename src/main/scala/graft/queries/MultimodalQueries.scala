@@ -350,31 +350,38 @@ object MultimodalQueries {
       .as[Long]
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
-        ids.map { id =>
-          val pid = id / 6
-          val variant = (id / 3) % 2
-          val a = 1 + (pid % 7).toInt
-          val b = 2 + (pid % 5).toInt
-          val c = ((pid * 37) % 256).toInt
-          val n = Multimodal.PHashGrid
-          val img = new java.awt.image.BufferedImage(n, n,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var x = 0
-          while (x < n) {
-            var y = 0
-            while (y < n) {
-              var l = (a * x + b * y + c) % 256
-              if (variant == 1 && x < 4 && y < 4) l = math.min(l + 8, 255)
-              img.setRGB(x, y, (l << 16) | (l << 8) | l)
-              y += 1
-            }
-            x += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (id, "image", bos.toByteArray)
-        }
+        ids.map(id =>
+          (id, "image", gradientPngBytes(id / 6, ((id / 3) % 2).toInt)))
       }.toDF("media_id", "kind", "content")
+  }
+
+  /** Render one 32×32 gradient PNG for `(pid, variant)` — variant 0 is
+    * the base sawtooth, 1 the `+8` corner edit (m8/d15's planted pair
+    * member), 2 the `+16` corner edit (st9's arriving near-copies, a
+    * slightly larger edit of the SAME pattern so ingest matching is
+    * non-vacuous for both corpus members).
+    */
+  private def gradientPngBytes(pid: Long, variant: Int): Array[Byte] = {
+    val a = 1 + (pid % 7).toInt
+    val b = 2 + (pid % 5).toInt
+    val c = ((pid * 37) % 256).toInt
+    val n = Multimodal.PHashGrid
+    val img = new java.awt.image.BufferedImage(n, n,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < n) {
+      var y = 0
+      while (y < n) {
+        var l = (a * x + b * y + c) % 256
+        if (variant >= 1 && x < 4 && y < 4) l = math.min(l + 8 * variant, 255)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** The analytic DuckDB replay of [[graft.ops.Multimodal.pHash64]] over
@@ -387,10 +394,17 @@ object MultimodalQueries {
     * is exact, grading PNG encode, ImageIO decode, grid, DCT, median,
     * and bit packing at once.
     */
-  private def phashCtes: String =
-    s"""p AS (
-       |  SELECT doc_id, doc_id // 6 AS pid, (doc_id // 3) % 2 AS variant
-       |  FROM documents WHERE doc_id % 3 = 0),
+  private def phashCtes: String = phashCtesOver(
+    """p AS (
+      |  SELECT doc_id, doc_id // 6 AS pid, (doc_id // 3) % 2 AS variant
+      |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin)
+
+  /** [[phashCtes]] over an arbitrary image-manifest CTE `p(doc_id, pid,
+    * variant)` — st9 unions the corpus with its arriving variant-2
+    * images through the same replay chain.
+    */
+  private def phashCtesOver(pCte: String): String =
+    s"""$pCte,
        |pp AS (
        |  SELECT doc_id, variant, 1 + pid % 7 AS a, 2 + pid % 5 AS b,
        |         (pid * 37) % 256 AS c
@@ -398,8 +412,8 @@ object MultimodalQueries {
        |cells AS (
        |  SELECT doc_id,
        |         CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
-       |         CASE WHEN variant = 1 AND gx < 4 AND gy < 4
-       |              THEN least((a * gx + b * gy + c) % 256 + 8, 255)
+       |         CASE WHEN variant >= 1 AND gx < 4 AND gy < 4
+       |              THEN least((a * gx + b * gy + c) % 256 + 8 * variant, 255)
        |              ELSE (a * gx + b * gy + c) % 256 END AS l
        |  FROM pp
        |  CROSS JOIN generate_series(0, 31) gxs(gx)
@@ -461,9 +475,89 @@ object MultimodalQueries {
        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= 10""".stripMargin
 
+  /** sfDirs whose st9 corpus hashes are already staged in this JVM (the
+    * staged path embeds the sfDir, so a seen-set memo is safe here).
+    */
+  private val st9CorpusStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** sfDirs whose st9 arrival image files are already staged in this JVM. */
+  private val st9Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST9 — streaming image-ingest dedup ([[graft.streaming.StreamPHash]]):
+    * the corpus pHash table builds offline (batch m8 over the gradient
+    * corpus, staged to parquet), then "arriving" images — variant-2
+    * (+16 corner) edits of every corpus pattern, ids offset by 1e6 —
+    * stream in two files → two micro-batches, each decoded, hashed, and
+    * banded-hamming matched against the staged corpus bands. Output one
+    * row per (arrival, corpus image) pair within hamming ≤ 10. Stateless
+    * per-arrival answers are batch-split-invariant, so the oracle
+    * replays the batch definition: analytic hashes for BOTH sides
+    * through the same DCT chain, exhaustive cross-set scan.
+    */
+  def streamPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpusHashPath = TarQueries.stagePath("st9_corpus_ph", sfDir)
+    st9CorpusStaged.computeIfAbsent(sfDir, _ => {
+      phash(spark, sfDir)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+        .write.mode("overwrite").parquet(corpusHashPath)
+      sfDir
+    })
+    val src = TarQueries.stagePath("st9_arrivals", sfDir)
+    st9Staged.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      graft.io.FsOps.deletePrefix(spark, src)
+      val arrivals = Tables.documents(spark, sfDir)
+        .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+        .as[Long]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapPartitions { ids =>
+          ids.map(id => (id + 1000000L, "image", gradientPngBytes(id / 6, 2)))
+        }.toDF("media_id", "kind", "content")
+      // two files → two micro-batches, split on arrival-id parity
+      arrivals.filter(col("media_id") % 2 === 0)
+        .repartition(1).write.mode("overwrite").parquet(src)
+      arrivals.filter(col("media_id") % 2 === 1)
+        .repartition(1).write.mode("append").parquet(src)
+      src
+    })
+    val out = s"${TarQueries.StageDir}/st9_matches.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st9")
+      .resolve("ckpt").toString
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    graft.streaming.StreamPHash.matchArrivals(stream,
+      spark.read.parquet(corpusHashPath), bits = 63, maxHamming = 10,
+      outDir = out, checkpointDir = ckpt)
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    if (outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(outPath))
+      spark.read.parquet(out)
+    else
+      spark.range(0).select(col("id").as("batch_id"), col("id").as("corpus_id"),
+        col("id").cast("int").as("hamming"))
+  }
+
+  val streamPhashDedupSql: String =
+    s"""WITH ${phashCtesOver(
+      """p AS (
+        |  SELECT doc_id, doc_id // 6 AS pid, (doc_id // 3) % 2 AS variant
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id // 6, 2
+        |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin)}
+       |SELECT a.doc_id AS batch_id, c.doc_id AS corpus_id,
+       |       CAST(bit_count(xor(a.phash, c.phash)) AS INT) AS hamming
+       |FROM ph a JOIN ph c ON a.doc_id >= 1000000 AND c.doc_id < 1000000
+       |WHERE bit_count(xor(a.phash, c.phash)) <= 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_phash" -> phash,
     "d15_image_neardup" -> imageNearDup,
+    "st9_stream_phash_dedup" -> streamPhashDedup,
     "m1_media_features" -> mediaFeatures,
     "m2_frame_sample" -> frameSample,
     "m3_resize" -> resized,
@@ -476,6 +570,7 @@ object MultimodalQueries {
   def oracleSql: Map[String, String] = Map(
     "m8_phash" -> phashSql,
     "d15_image_neardup" -> imageNearDupSql,
+    "st9_stream_phash_dedup" -> streamPhashDedupSql,
     "m1_media_features" -> mediaFeaturesSql,
     "m2_frame_sample" -> frameSampleSql,
     "m3_resize" -> resizedSql,

@@ -32,7 +32,7 @@ class PHashSpec extends AnyFunSuite with SparkSuite {
     val b = 2 + (pid % 5).toInt
     val c = ((pid * 37) % 256).toInt
     val l = (a * gx + b * gy + c) % 256
-    if (variant == 1 && gx < 4 && gy < 4) math.min(l + 8, 255) else l
+    if (variant >= 1 && gx < 4 && gy < 4) math.min(l + 8 * variant, 255) else l
   }
 
   /** Independent analytic pHash of the pattern: flat double-sum DCT (the
@@ -57,7 +57,7 @@ class PHashSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("M8: pHash64 through PNG encode+decode equals the analytic replay") {
-    for (pid <- Seq(0L, 1L, 7L, 34L, 83L); variant <- Seq(0, 1)) {
+    for (pid <- Seq(0L, 1L, 7L, 34L, 83L); variant <- Seq(0, 1, 2)) {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(patternPng(pid, variant)))
       assert(Multimodal.pHash64(img) === analyticHash(pid, variant),
@@ -100,6 +100,29 @@ class PHashSpec extends AnyFunSuite with SparkSuite {
         assert(collide, s"h=$h v=$v flips=$flips escaped every band")
       }
     }
+  }
+
+  test("ST9: batch-vs-corpus matcher equals the exhaustive cross-set scan") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val corpus = (1L to 30L).map(i => i -> (rng.nextLong() & ((1L << 63) - 1)))
+    // arrivals: near-copies of corpus ids 1/2 (hamming 3 and 0) + noise
+    val cm = corpus.toMap
+    val batch = Seq(
+      101L -> (cm(1L) ^ (1L << 2) ^ (1L << 17) ^ (1L << 44)),
+      102L -> cm(2L)) ++
+      (103L to 110L).map(i => i -> (rng.nextLong() & ((1L << 63) - 1)))
+    val got = Dedup.hammingMatchesAgainst(
+        batch.toDF("doc_id", "simhash"), corpus.toDF("doc_id", "simhash"),
+        bits = 63, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (b, hb) <- batch; (c, hc) <- corpus
+      d = java.lang.Long.bitCount(hb ^ hc) if d <= 10
+    } yield (b, c, d)).toSet
+    assert(got === want)
+    assert(got.contains((101L, 1L, 3)))
+    assert(got.contains((102L, 2L, 0)))
   }
 
   test("D15: banded near-dup equals the exhaustive scan") {
