@@ -717,26 +717,46 @@ object Dedup {
     */
   def hammingMatchesAgainst(batch: DataFrame, corpusHashes: DataFrame,
                             bits: Int, maxHamming: Int): DataFrame =
-    hammingMatchesAgainstBands(batch,
-      hammingBands(corpusHashes, bits, maxHamming), bits, maxHamming)
+    hammingMatchesAgainstBands(batch, corpusHashes,
+      hammingValueBands(corpusHashes, bits, maxHamming), bits, maxHamming)
 
-  /** [[hammingMatchesAgainst]] with PRE-EXPLODED corpus bands — the serve
-    * path ([[graft.streaming.StreamPHash]]) materializes the corpus side
-    * once and hands the SAME DataFrame to every micro-batch.
+  /** Band-explode the DISTINCT hash values of a hash table — the
+    * candidate side of [[hammingMatchesAgainstBands]]. Banding VALUES,
+    * not ids, is the same hot-bucket bound [[hammingNearDups]] gets from
+    * its rep collapse: a value held by m batch ids and n corpus ids
+    * would otherwise put m·n rows through every shared band bucket
+    * (the sf1 sweep measured st9 at 15× on a corpus with ~2× pattern
+    * duplication); distinct-value banding pays 1·1 and the member
+    * expansion happens AFTER the bounded verify.
     */
-  def hammingMatchesAgainstBands(batch: DataFrame, corpusBands: DataFrame,
+  def hammingValueBands(hashes: DataFrame, bits: Int, maxHamming: Int): DataFrame =
+    hammingBands(
+      hashes.select(col("simhash")).distinct()
+        .select(col("simhash").as("doc_id"), col("simhash")),
+      bits, maxHamming)
+
+  /** [[hammingMatchesAgainst]] with PRE-EXPLODED corpus value bands — the
+    * serve path ([[graft.streaming.StreamPHash]]) materializes the corpus
+    * side once and hands the SAME DataFrames to every micro-batch.
+    */
+  def hammingMatchesAgainstBands(batch: DataFrame, corpusHashes: DataFrame,
+                                 corpusValueBands: DataFrame,
                                  bits: Int, maxHamming: Int): DataFrame = {
-    val b = hammingBands(batch, bits, maxHamming)
-      .select(col("band"), col("key"), col("doc_id").as("batch_id"),
-        col("simhash").as("hb"))
-    val c = corpusBands
-      .select(col("band"), col("key"), col("doc_id").as("corpus_id"),
-        col("simhash").as("hc"))
-    b.join(c, Seq("band", "key"))
-      .select(col("batch_id"), col("corpus_id"),
-        bit_count(col("hb").bitwiseXOR(col("hc"))).cast("int").as("hamming"))
-      .distinct()
+    val b = hammingValueBands(batch, bits, maxHamming)
+      .select(col("band"), col("key"), col("simhash").as("hb"))
+    val c = corpusValueBands
+      .select(col("band"), col("key"), col("simhash").as("hc"))
+    val valPairs = b.join(c, Seq("band", "key"))
+      .select(col("hb"), col("hc")).distinct()
+      .withColumn("hamming",
+        bit_count(col("hb").bitwiseXOR(col("hc"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+    valPairs
+      .join(batch.select(col("doc_id").as("batch_id"), col("simhash").as("hb")),
+        "hb")
+      .join(corpusHashes.select(col("doc_id").as("corpus_id"),
+        col("simhash").as("hc")), "hc")
+      .select(col("batch_id"), col("corpus_id"), col("hamming"))
   }
 
   /** D12 — exact-substring dedup at span granularity (the C4/RefinedWeb

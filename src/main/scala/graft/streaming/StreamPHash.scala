@@ -31,8 +31,9 @@ object StreamPHash {
   def matchArrivals(imageStream: DataFrame, corpusHashes: DataFrame,
                     bits: Int, maxHamming: Int,
                     outDir: String, checkpointDir: String): Unit = {
-    val corpusBands = graft.ops.Dedup
-      .hammingBands(corpusHashes, bits, maxHamming)
+    val corpusH = corpusHashes.localCheckpoint()
+    val corpusValueBands = graft.ops.Dedup
+      .hammingValueBands(corpusH, bits, maxHamming)
       .localCheckpoint()
     val q = imageStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -41,7 +42,8 @@ object StreamPHash {
             .pHashes(graft.ops.Multimodal.asMedia(batch)).toDF()
             .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
           graft.ops.Dedup
-            .hammingMatchesAgainstBands(hashes, corpusBands, bits, maxHamming)
+            .hammingMatchesAgainstBands(hashes, corpusH, corpusValueBands,
+              bits, maxHamming)
             .write.mode("append").parquet(outDir)
         }
       }
