@@ -808,4 +808,38 @@ object Dedup {
           s => s.getField("span")),
         " ").as("clean_text"))
   }
+
+  /** D16 — cross-document line-level dedup (the RefinedWeb/Dolma boilerplate
+    * pass): a line whose canonical fingerprint appears in ≥ `minDocs`
+    * DISTINCT documents is boilerplate (nav bars, cookie banners, footers —
+    * content that repeats verbatim across pages) and is dropped from every
+    * document; per-document counts report the removal.
+    *
+    * Shape at scale: one narrow split+explode, ONE shuffle on the line
+    * fingerprint (map-side partial distinct-count), and one shuffle back on
+    * `doc_id` for the per-doc rollup. The boilerplate set is a heavy-hitter
+    * set — at most `total_lines / minDocs` fingerprints, and in practice
+    * tiny — so the line→boilerplate membership test rides a broadcast join
+    * rather than a third corpus-wide exchange. At 100 TB `minDocs` scales
+    * with the corpus (a fixed fraction), which keeps the broadcast bound.
+    */
+  def lineDedup(corpus: DataFrame, minDocs: Long): DataFrame = {
+    require(minDocs > 1, "minDocs must exceed 1 or every line is boilerplate")
+    val lines = corpus
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
+      .select(col("doc_id"), col("line"), fingerprint(col("line")).as("fp"))
+    val boiler = lines.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("fp")
+    lines
+      .join(broadcast(boiler).withColumn("is_boiler", lit(true)),
+        Seq("fp"), "left_outer")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("is_boiler"), 0L).otherwise(length(col("line")).cast("long")))
+          .as("n_chars_kept"))
+  }
 }

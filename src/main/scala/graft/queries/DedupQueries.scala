@@ -509,7 +509,66 @@ object DedupQueries {
        |                '') AS clean_text
        |FROM marked GROUP BY doc_id""".stripMargin
 
+  /** D16 corpus: the synthetic docs are single-line, so boilerplate is
+    * planted deterministically in BOTH engines — a cookie banner prepended
+    * to every 4th doc, a newsletter plea on every 3rd, a rights footer on
+    * every 7th, and a per-`source` footer on every 5th (the last one
+    * repeats only WITHIN a source, so at small sf it sits below the
+    * threshold and must be KEPT — the non-vacuous negative case).
+    */
+  def lineCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 0, lit("please accept our cookie policy\n"))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter today"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\nall rights reserved"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit("\nvisit us at "), col("source")))
+          .otherwise(lit(""))).as("text"))
+
+  private val lineCorpusSql =
+    """lcorpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 4 = 0 THEN 'please accept our cookie policy' || chr(10) ELSE '' END ||
+      |         text ||
+      |         CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END ||
+      |         CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END ||
+      |         CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'visit us at ' || source ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+
+  /** D16 — cross-document line-level dedup ([[graft.ops.Dedup.lineDedup]]):
+    * lines whose canonical fingerprint spans ≥ max(5, n_docs/100) distinct
+    * documents are boilerplate and removed everywhere; per-doc counts
+    * grade the removal. The threshold is corpus-relative (the production
+    * posture) and computed from the memoized base-table count — no extra
+    * count job on the query path.
+    */
+  def lineDedupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.rowCount(spark, sfDir, "documents")
+    Dedup.lineDedup(lineCorpus(spark, sfDir), math.max(5L, (n + 99) / 100))
+  }
+
+  val lineDedupSql: String =
+    s"""WITH $lineCorpusSql,
+       |th AS (SELECT GREATEST(5, CAST(CEIL(COUNT(*) / 100.0) AS BIGINT)) AS t
+       |       FROM documents),
+       |ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+       |       FROM lcorpus),
+       |fpl AS (SELECT doc_id, line,
+       |               md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS fp
+       |        FROM ln),
+       |boiler AS (SELECT fp FROM fpl, th
+       |           GROUP BY fp, t HAVING COUNT(DISTINCT doc_id) >= t)
+       |SELECT doc_id, COUNT(*) AS n_lines,
+       |       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM boiler) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM boiler) THEN 0 ELSE length(line) END) AS BIGINT) AS n_chars_kept
+       |FROM fpl GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_line_dedup" -> lineDedupQ,
     "d1_exact_dedup" -> exactDedup,
     "d14_leakage_split" -> leakageSplit,
     "d2_minhash_neardup" -> minhashNearDup,
@@ -526,6 +585,7 @@ object DedupQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "d16_line_dedup" -> lineDedupSql,
     "d1_exact_dedup" -> exactDedupSql,
     "d14_leakage_split" -> leakageSplitSql,
     "d2_minhash_neardup" -> minhashNearDupSql,

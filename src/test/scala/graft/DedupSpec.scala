@@ -320,6 +320,33 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((3L, 1L, "w w w")))
   }
 
+  test("D16: line dedup drops exactly the lines spanning >= minDocs docs") {
+    // "footer" spans 3 docs (>= minDocs 3, removed everywhere, canon-
+    // insensitive to case/spacing); "menu" spans 2 (kept); bodies unique.
+    // Doc 4 repeats the boilerplate twice in ONE doc: distinct-doc count
+    // still 3, and BOTH its occurrences are removed.
+    val res = Dedup.lineDedup(docs(
+      1L -> "body one\nfooter text",
+      2L -> "body two\nFooter   TEXT\nmenu bar",
+      3L -> "body three\nmenu bar",
+      4L -> "footer text\nbody four\nfooter text"),
+      minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(res(1L) === ((2L, 1L, "body one".length.toLong)))
+    assert(res(2L) === ((3L, 1L, ("body two".length + "menu bar".length).toLong)))
+    assert(res(3L) === ((2L, 0L, ("body three".length + "menu bar".length).toLong)))
+    assert(res(4L) === ((3L, 2L, "body four".length.toLong)))
+  }
+
+  test("D16: threshold is exclusive below — a line in minDocs-1 docs survives") {
+    val res = Dedup.lineDedup(docs(
+      1L -> "shared line\na",
+      2L -> "shared line\nb"),
+      minDocs = 3).collect()
+    assert(res.forall(_.getLong(2) === 0L), "nothing reaches the threshold")
+  }
+
   test("D12: randomized corpus — kept spans are exactly the distinct spans") {
     // small vocabulary forces heavy span collisions across docs
     val rnd = new scala.util.Random(42)
