@@ -313,6 +313,80 @@ object AnnQueries {
        |       CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank
        |FROM cand ORDER BY cos DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** H2 — reciprocal-rank fusion (RRF, K=60) of the two retrieval arms h1
+    * composes SERIALLY: the BM25 lexical ranking and the exact-cosine
+    * vector ranking against the probe embedding (vec_id 0), fused as
+    * Σ 1/(K + rank) — the standard hybrid-retrieval merge when the arms'
+    * scores live on incomparable scales. Each arm contributes a bounded
+    * top-20 (`orderBy.limit` → TakeOrderedAndProject, a distributed
+    * partial top-k — no global sort shuffle), the fusion is a full-outer
+    * join of two 20-row sets, and the final window ranks ≤ 40 rows on the
+    * driver-adjacent single partition — O(k), not O(corpus).
+    *
+    * Output is integer ranks only; the fused score is identical IEEE
+    * double arithmetic over identical integer ranks in both engines (the
+    * per-arm orderings agree by the n1 rank-gap argument), so the hash
+    * compare is deterministic. Symmetric rank swaps tie exactly in both
+    * engines and break by doc_id.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = lit(60.0)
+    val (scored, score) = TextQueries.bm25Pipeline(spark, sfDir)
+    val wl = Window.orderBy(col("s").desc, col("doc_id").asc)
+    val lex = scored.select(col("doc_id"), round(score, 6).as("s"))
+      .orderBy(col("s").desc, col("doc_id").asc).limit(20)
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .select("doc_id", "lex_rank")
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val probe = emb.filter(col("doc_id") === 0).select(col("embedding").as("pe"))
+    val wv = Window.orderBy(col("cos").desc, col("doc_id").asc)
+    val vec = emb.crossJoin(broadcast(probe)).filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), Similarity.cosine(col("embedding"), col("pe")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .select("doc_id", "vec_rank")
+    val rrf = coalesce(lit(1.0) / (k + col("lex_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (k + col("vec_rank")), lit(0.0))
+    val wf = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        col("rank"))
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH ${TextQueries.bm25CtesSql},
+       |lex AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS lex_rank
+       |  FROM (SELECT doc_id, ROUND(${TextQueries.bm25ScoreSql}, 6) AS s
+       |        FROM st, g ORDER BY s DESC, doc_id ASC LIMIT 20)),
+       |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e
+       |      FROM embeddings),
+       |p AS (SELECT e AS pe FROM e WHERE doc_id = 0),
+       |vec AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS vec_rank
+       |  FROM (SELECT e.doc_id, list_cosine_similarity(e.e, p.pe) AS cos
+       |        FROM e CROSS JOIN p WHERE e.doc_id <> 0
+       |        ORDER BY cos DESC, doc_id ASC LIMIT 20)),
+       |f AS (
+       |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+       |         COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + lex_rank), CAST(0.0 AS DOUBLE))
+       |         + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + vec_rank), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+       |SELECT doc_id,
+       |       CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |       CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+       |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+       |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+
   /** N5 — product quantization end-to-end (the FAISS-PQ recipe): a joint
     * Lloyd loop learns m=4 per-subspace codebooks (k=16 codes over 16-dim
     * unit-vector slices), the codebook stages to parquet (train-once/
@@ -758,6 +832,7 @@ object AnnQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st8_stream_ann_serve" -> annServe,
     "h1_hybrid_retrieval" -> hybridRetrieval,
+    "h2_rrf_fusion" -> rrfFusion,
     "n6_ann_ivfpq" -> annIvfPq,
     "n7_ann_ivfpq_update" -> annIvfPqUpdate,
     "n8_ann_filtered" -> annFiltered,
@@ -772,6 +847,7 @@ object AnnQueries {
 
   def oracleSql: Map[String, String] = Map(
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
+    "h2_rrf_fusion" -> rrfFusionSql,
     "n5_ann_pq" -> annPqSql,
     "n6_ann_ivfpq" -> annIvfPqSql,
     "n7_ann_ivfpq_update" -> annIvfPqUpdateSql,

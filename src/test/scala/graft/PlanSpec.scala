@@ -219,6 +219,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"h1 rerank joins are not broadcast:\n$p")
   }
 
+  test("RRF fusion arms cut with bounded heaps; fusion stays O(k) (h2)") {
+    val p = plan("h2_rrf_fusion")
+    // both arms' top-20 cuts are distributed partial top-k
+    assert(p.contains("TakeOrderedAndProject"),
+      s"h2 arm top-k is not a bounded-heap take:\n$p")
+    // no corpus-wide shuffled join: the fusion join runs over two 20-row
+    // sets and the only nested-loop is corpus x broadcast(1-row probe)
+    assert(!p.contains("CartesianProduct"), s"h2 plans a cartesian:\n$p")
+    val d16 = queries.DedupQueries.lineDedupQ(spark, sf)
+      .queryExecution.executedPlan.toString
+    // d16's boilerplate membership test must ride a broadcast, not a third
+    // corpus-wide exchange
+    assert(d16.contains("BroadcastHashJoin") && !d16.contains("CartesianProduct"),
+      s"d16 boilerplate join is not broadcast:\n$d16")
+  }
+
   test("LM filter scoring pass never shuffles the corpus (t13)") {
     // the model pass is a separate bounded-size job (≤|alphabet|² rows,
     // collected to a broadcast variable); the RETURNED scoring plan must

@@ -196,4 +196,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val corpus = (1L to 5L).map(_ -> Array(3.0f, -1.0f)).toDF("vec_id", "embedding")
     assert(Similarity.embeddingNearDups(corpus, threshold = 1.5).count() === 0)
   }
+
+  test("H2: fused order is exactly the RRF of the returned arm ranks") {
+    // recompute sum(1/(60+r)) from the ranks h2 itself reports (0 = absent
+    // from that arm's top-20, contributing nothing) and assert the output
+    // rank column is the descending order of that score, doc_id-tiebroken —
+    // the fusion invariant, independent of either arm's scoring details
+    val rows = queries.AnnQueries.rrfFusion(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 10)
+    assert(rows.map(_._4).sorted.toSeq === (1L to 10L))
+    def contrib(r: Long) = if (r == 0L) 0.0 else 1.0 / (60.0 + r)
+    val expected = rows
+      .sortBy { case (id, lexR, vecR, _) => (-(contrib(lexR) + contrib(vecR)), id) }
+      .map(_._1)
+    val actual = rows.sortBy(_._4).map(_._1)
+    assert(actual.toSeq === expected.toSeq, "fused order diverges from RRF")
+    // every surfaced row came from at least one arm
+    assert(rows.forall { case (_, l, v, _) => l > 0 || v > 0 })
+  }
 }
