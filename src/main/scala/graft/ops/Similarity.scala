@@ -409,6 +409,57 @@ object Similarity {
             org.apache.spark.sql.types.FloatType), nullable = false))))
   }
 
+  /** N9 — capacity-capped balanced assignment (two-choice greedy): partition
+    * the corpus across k centroid-keyed shards such that no shard exceeds
+    * `cap` FIRST-CHOICE members — the embedding-serving layout problem
+    * (near-uniform shard loads beat nearest-only assignment, whose hot
+    * cells absorb arbitrarily more than their share under skewed data).
+    *
+    * Round 1: every vector applies to its nearest cell; the `cap`
+    * strongest affinities (cos desc, vec_id asc) keep their seats.
+    * Round 2: evictees apply to their SECOND-nearest cell for the seats
+    * round 1 left there, same strongest-first rule. Residual overflow
+    * stays in the second-choice cell but is flagged (`seated_round` 3) —
+    * a bounded, reported imbalance rather than a silent one.
+    *
+    * Shapes at scale: preference generation is the [[TopK]] broadcast
+    * argmax (map-side partial, no corpus window); seating is two
+    * cell-partitioned windows (k cells — grow k with the corpus exactly
+    * like IVF, so cells stay executor-sized); the eviction slice joins its
+    * second preference on `vec_id` (one exchange of the evictions only)
+    * and the k-row seat ledger broadcasts. Returns
+    * `(vec_id, cell, seated_round ∈ {1,2,3})` for every corpus vector.
+    */
+  def balancedAssign(corpus: DataFrame, centroids: DataFrame, cap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = withUnit(centroids, "embedding", "cu")
+      .select(col("vec_id").as("c_id"), col("cu"))
+    val top2 = udaf(new TopK(2), Encoders.product[Scored])
+    val prefs = withUnit(corpus, "embedding", "u").crossJoin(broadcast(c))
+      .withColumn("cos", dot(col("cu"), col("u")))
+      .groupBy("vec_id")
+      .agg(top2(col("cos"), col("c_id")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("vec_id"), col("s.id").cast("long").as("cell"),
+        col("s.score").as("cos"), (col("pos") + 1).as("crank"))
+    val byCell = Window.partitionBy("cell")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val first = prefs.filter(col("crank") === 1)
+      .withColumn("seat", row_number().over(byCell))
+    val seated1 = first.filter(col("seat") <= cap)
+      .select(col("vec_id"), col("cell"), lit(1L).as("seated_round"))
+    // k-row ledger of seats round 1 consumed — broadcasts onto round 2
+    val used = seated1.groupBy("cell").agg(count(lit(1)).as("n_used"))
+    val second = prefs.filter(col("crank") === 2)
+      .join(first.filter(col("seat") > cap).select("vec_id"), "vec_id")
+      .join(broadcast(used), Seq("cell"), "left_outer")
+      .withColumn("rem", lit(cap) - coalesce(col("n_used"), lit(0L)))
+      .withColumn("seat", row_number().over(byCell))
+    seated1
+      .unionByName(second.select(col("vec_id"), col("cell"),
+        when(col("seat") <= col("rem"), 2L).otherwise(3L).as("seated_round")))
+  }
+
   /** D9 — SemDeDup-style semantic deduplication (the public recipe of
     * Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication"): cluster the corpus with the coarse

@@ -668,6 +668,56 @@ object AnnQueries {
        |      FROM rr)
        |WHERE rnk <= 3""".stripMargin
 
+  /** N9 — capacity-capped balanced shard assignment
+    * ([[graft.ops.Similarity.balancedAssign]]): the embedding-serving
+    * layout problem. Centroids train on the deterministic 1-in-4 sample
+    * (the n3 practice) and stage to parquet; BOTH engines then replay the
+    * two-choice greedy seating from the same staged floats, so the hash
+    * match grades the full assignment — every vector's shard and which
+    * round seated it. Cap = ceil(1.25 · n / k): 25% headroom over the
+    * uniform share, the knob that trades residual imbalance against
+    * second-choice displacement.
+    */
+  def balancedShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Similarity.trainCentroids(emb.filter(col("vec_id") % 4 === 0), k = 8, iters = 4)
+      .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n9_centroids.parquet")
+    val cents = spark.read.parquet(s"${TarQueries.StageDir}/n9_centroids.parquet")
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    Similarity.balancedAssign(emb, cents, cap = (5 * n + 31) / 32)
+  }
+
+  val balancedShardsSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
+       |         FROM read_parquet('${TarQueries.StageDir}/n9_centroids.parquet/*.parquet')),
+       |cap AS (SELECT (5 * COUNT(*) + 31) // 32 AS cap FROM embeddings),
+       |sc AS (SELECT e.vec_id, c_id, list_cosine_similarity(ce, e.e) AS cos
+       |       FROM e CROSS JOIN cent),
+       |prefs AS (SELECT * FROM (
+       |    SELECT vec_id, c_id AS cell, cos,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY cos DESC, c_id ASC) AS crank
+       |    FROM sc) WHERE crank <= 2),
+       |r1 AS (SELECT vec_id, cell, cos,
+       |              row_number() OVER (PARTITION BY cell
+       |                                 ORDER BY cos DESC, vec_id ASC) AS seat
+       |       FROM prefs WHERE crank = 1),
+       |seated1 AS (SELECT vec_id, cell, CAST(1 AS BIGINT) AS seated_round
+       |            FROM r1, cap WHERE seat <= cap),
+       |used AS (SELECT cell, COUNT(*) AS n_used FROM seated1 GROUP BY 1),
+       |ev AS (SELECT p.vec_id, p.cell, p.cos,
+       |              row_number() OVER (PARTITION BY p.cell
+       |                                 ORDER BY p.cos DESC, p.vec_id ASC) AS seat
+       |       FROM prefs p JOIN r1 ON r1.vec_id = p.vec_id CROSS JOIN cap
+       |       WHERE p.crank = 2 AND r1.seat > cap)
+       |SELECT ev.vec_id, ev.cell,
+       |       CAST(CASE WHEN ev.seat <= cap - COALESCE(n_used, 0)
+       |                 THEN 2 ELSE 3 END AS BIGINT) AS seated_round
+       |FROM ev LEFT JOIN used USING (cell) CROSS JOIN cap
+       |UNION ALL
+       |SELECT vec_id, cell, seated_round FROM seated1""".stripMargin
+
   /** The sfDir whose n7 quantizers + BASE index are CURRENTLY staged in
     * this JVM (train-once; the graded per-call surface is the update +
     * serve). A single current-value marker, not a seen-set: the staged
@@ -836,6 +886,7 @@ object AnnQueries {
     "n6_ann_ivfpq" -> annIvfPq,
     "n7_ann_ivfpq_update" -> annIvfPqUpdate,
     "n8_ann_filtered" -> annFiltered,
+    "n9_balanced_shards" -> balancedShards,
     "n5_ann_pq" -> annPq,
     "d4_embed_neardup" -> embedNearDup,
     "d9_semdedup" -> semDedup,
@@ -852,6 +903,7 @@ object AnnQueries {
     "n6_ann_ivfpq" -> annIvfPqSql,
     "n7_ann_ivfpq_update" -> annIvfPqUpdateSql,
     "n8_ann_filtered" -> annFilteredSql,
+    "n9_balanced_shards" -> balancedShardsSql,
     "st8_stream_ann_serve" -> annServeSql,
     "d4_embed_neardup" -> embedNearDupSql,
     "d9_semdedup" -> semDedupSql,

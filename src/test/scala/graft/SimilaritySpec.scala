@@ -197,6 +197,51 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(Similarity.embeddingNearDups(corpus, threshold = 1.5).count() === 0)
   }
 
+  test("N9: balanced assignment caps first-choice cells, spills to 2nd choice") {
+    import spark.implicits._
+    // 5 vectors all nearest to centroid 0 (x-axis), cap 3: the two weakest
+    // affinities must evict to centroid 1 (y-axis), strongest-first seating
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(10.0f, 0.0f)), // cos 1.0 to cell 0
+      (11L, Array(10.0f, 1.0f)),
+      (12L, Array(10.0f, 2.0f)),
+      (13L, Array(10.0f, 3.0f)),
+      (14L, Array(10.0f, 4.0f))) // weakest affinity to cell 0
+      .toDF("vec_id", "embedding")
+    val res = Similarity.balancedAssign(corpus, cents, cap = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(res.size === 5, "every vector is assigned exactly once")
+    assert(res(10L) === ((0L, 1L)))
+    assert(res(11L) === ((0L, 1L)))
+    assert(res(12L) === ((0L, 1L)))
+    // 13/14 evicted (seats 4,5) -> second choice cell 1, which has 3 free
+    assert(res(13L) === ((1L, 2L)))
+    assert(res(14L) === ((1L, 2L)))
+  }
+
+  test("N9: residual overflow is flagged round 3, never silently seated") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // cap 1: one seat per cell; 3 vectors prefer cell 0 -> one seats round
+    // 1, evictees go to cell 1 where only ONE seat exists -> strongest
+    // evictee seats round 2, the last is flagged overflow (round 3)
+    val corpus = Seq(
+      (10L, Array(10.0f, 0.0f)),
+      (11L, Array(10.0f, 1.0f)),
+      (12L, Array(10.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.balancedAssign(corpus, cents, cap = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(res(10L) === ((0L, 1L)))
+    // 11 has stronger cell-1 affinity (larger y) than... both evictees rank
+    // by cos to cell 1: vec 12 (y=2) beats vec 11 (y=1)
+    assert(res(12L) === ((1L, 2L)))
+    assert(res(11L) === ((1L, 3L)))
+  }
+
   test("H2: fused order is exactly the RRF of the returned arm ranks") {
     // recompute sum(1/(60+r)) from the ranks h2 itself reports (0 = absent
     // from that arm's top-20, contributing nothing) and assert the output
