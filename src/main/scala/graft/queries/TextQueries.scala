@@ -592,6 +592,41 @@ object TextQueries {
       |            < CAST(1.70 AS DOUBLE) AS BIGINT) AS keep
       |FROM arr""".stripMargin
 
+  /** T19 — CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    * the corpus into head/middle/tail THIRDS by LM score — the standard
+    * web-corpus curation step where "head" (lowest perplexity, most
+    * LM-like) trains as-is, "middle" is kept with caveats, and "tail" is
+    * dropped or heavily filtered. Reuses t13's bigram NLL (already rounded
+    * to 6 decimals, the cross-engine stability contract) and cuts at the
+    * exact 1/3 and 2/3 percentiles — the interpolation rule Spark
+    * `percentile` and DuckDB `quantile_cont` share (the a4 pin). The
+    * 1-row threshold aggregate broadcasts onto the scored corpus, so
+    * bucketing is scan → map; the exact percentile is the graded-scale
+    * shape, with `approx_percentile` as the documented 100 TB path (the
+    * a4b treatment: a sketch with map-side combine, rank error ≤ n/acc).
+    */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = lmFilter(spark, sfDir).select(col("doc_id"), col("nll"))
+    val th = s.agg(
+      expr("percentile(nll, 0.3333333333333333)").as("t1"),
+      expr("percentile(nll, 0.6666666666666666)").as("t2"))
+    s.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("nll"),
+        when(col("nll") <= col("t1"), "head")
+          .when(col("nll") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH s AS (SELECT doc_id, nll FROM ($lmFilterSql)),
+       |th AS (SELECT quantile_cont(nll, 0.3333333333333333) AS t1,
+       |              quantile_cont(nll, 0.6666666666666666) AS t2 FROM s)
+       |SELECT doc_id, nll,
+       |       CASE WHEN nll <= t1 THEN 'head'
+       |            WHEN nll <= t2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM s CROSS JOIN th""".stripMargin
+
   /** T14 — deterministic corpus shuffle: the "shuffle the data once,
     * globally, before cutting training shards" step. Every doc gets a
     * reproducible pseudo-random position (rank of `md5(doc_id)` — the
@@ -1101,6 +1136,7 @@ object TextQueries {
     "t12_token_shards" -> tokenShards,
     "t18_sequence_pack" -> sequencePack,
     "t13_lm_filter" -> lmFilter,
+    "t19_ccnet_buckets" -> ccnetBuckets,
     "t14_corpus_shuffle" -> corpusShuffle,
     "t15_source_mix" -> sourceMix,
     "t16_bpe_merges" -> bpeMerges,
@@ -1128,6 +1164,7 @@ object TextQueries {
     "t12_token_shards" -> tokenShardsSql,
     "t18_sequence_pack" -> sequencePackSql,
     "t13_lm_filter" -> lmFilterSql,
+    "t19_ccnet_buckets" -> ccnetBucketsSql,
     "t14_corpus_shuffle" -> corpusShuffleSql,
     "t15_source_mix" -> sourceMixSql,
     "t16_bpe_merges" -> bpeMergesSql,

@@ -69,6 +69,21 @@ class TextQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(keepEmpty === 0L)
   }
 
+  test("t19 terciles are ordered, exhaustive, and near-equal thirds") {
+    val rows = graft.queries.TextQueries.ccnetBuckets(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // bucket boundaries never interleave: max(head) <= min(middle) <= ...
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // thirds within tie-slack of n/3 each
+    val n = rows.length
+    byBucket.foreach { case (b, v) =>
+      assert(math.abs(v.length - n / 3.0) <= n * 0.05, s"bucket $b: ${v.length}/$n")
+    }
+  }
+
   test("t14 positions are an exact permutation with 100-doc shards") {
     val rows = graft.queries.TextQueries.corpusShuffle(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
