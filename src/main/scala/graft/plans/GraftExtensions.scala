@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CanonicalIp, CharGramHashes, ExtractLocalIp, Md5Prefix, MinhashBandKeys, NormalizeIp, RollingHash, Simhash48, WordShingleHashes}
+import graft.functions.{CanonicalIp, CharGramHashes, ExtractLocalIp, Md5Prefix, MinhashBandKeys, NfcNormalize, NormalizeIp, RollingHash, Simhash48, StripAccents, WordShingleHashes}
 
 /** SparkSessionExtensions hook: exposes graft's custom Catalyst expressions
   * to SQL (`SELECT local_ip(name) ...`) so the engine is usable from pure
@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("normalize_ip", classOf[NormalizeIp], NormalizeIp))
     ext.injectFunction(unary("canonical_ip", classOf[CanonicalIp], CanonicalIp))
     ext.injectFunction(unary("rolling_hash", classOf[RollingHash], RollingHash))
+    ext.injectFunction(unary("nfc_normalize", classOf[NfcNormalize], NfcNormalize))
+    ext.injectFunction(unary("strip_accents", classOf[StripAccents], StripAccents))
     ext.injectFunction(unary("simhash48", classOf[Simhash48], Simhash48))
     ext.injectFunction(GraftExtensions.md5PrefixEntry)
     ext.injectFunction(GraftExtensions.wordShingleHashesEntry)
@@ -114,6 +116,12 @@ object GraftExtensions {
     reg.registerFunction(FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[Simhash48].getCanonicalName, "simhash48"),
       { case Seq(c) => Simhash48(c) })
+    reg.registerFunction(FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getCanonicalName, "nfc_normalize"),
+      { case Seq(c) => NfcNormalize(c) })
+    reg.registerFunction(FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getCanonicalName, "strip_accents"),
+      { case Seq(c) => StripAccents(c) })
     Seq(md5PrefixEntry, wordShingleHashesEntry, charGramHashesEntry,
       minhashBandKeysEntry, explodeTarEntry).foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)

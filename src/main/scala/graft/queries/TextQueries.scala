@@ -627,6 +627,48 @@ object TextQueries {
        |            ELSE 'tail' END AS bucket
        |FROM s CROSS JOIN th""".stripMargin
 
+  /** T20 — Unicode normalization + accent folding
+    * ([[graft.functions.NormalizeFunctions]]): the synthetic corpus is
+    * ASCII, so canonically-equivalent spellings are planted in BOTH
+    * engines — every 2nd doc rewrites each `e` to DECOMPOSED `e`+U+0301
+    * and every 3rd doc prepends composed `café naïve` — then the query
+    * reports raw vs NFC lengths (composition shrinks the decomposed docs)
+    * and the md5 of the accent-folded text (equal for docs whose planted
+    * forms fold to the same ASCII). Pure scan → codegen map, zero
+    * shuffles; the oracle replays it on DuckDB's utf8proc-backed
+    * `nfc_normalize`/`strip_accents` — agreement IS the Unicode-conformance
+    * check for the custom expressions.
+    */
+  def unicodeNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NormalizeFunctions.{nfc_normalize, strip_accents}
+    val base = when(col("doc_id") % 2 === 0,
+      regexp_replace(col("text"), "e", "é")).otherwise(col("text"))
+    val planted = when(col("doc_id") % 3 === 0,
+      concat(lit("café naïve "), base)).otherwise(base)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), planted.as("text"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(nfc_normalize(col("text"))).cast("long").as("len_nfc"),
+        md5(strip_accents(nfc_normalize(col("text")))).as("fp_folded"))
+  }
+
+  val unicodeNormalizeSql: String =
+    """WITH ucorpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN 'caf' || chr(233) || ' na' || chr(239) || 've ' || b
+      |              ELSE b END AS text
+      |  FROM (SELECT doc_id,
+      |               CASE WHEN doc_id % 2 = 0
+      |                    THEN regexp_replace(text, 'e', 'e' || chr(769), 'g')
+      |                    ELSE text END AS b
+      |        FROM documents))
+      |SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+      |       CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc,
+      |       md5(strip_accents(nfc_normalize(text))) AS fp_folded
+      |FROM ucorpus""".stripMargin
+
   /** T14 — deterministic corpus shuffle: the "shuffle the data once,
     * globally, before cutting training shards" step. Every doc gets a
     * reproducible pseudo-random position (rank of `md5(doc_id)` — the
@@ -1137,6 +1179,7 @@ object TextQueries {
     "t18_sequence_pack" -> sequencePack,
     "t13_lm_filter" -> lmFilter,
     "t19_ccnet_buckets" -> ccnetBuckets,
+    "t20_unicode_normalize" -> unicodeNormalize,
     "t14_corpus_shuffle" -> corpusShuffle,
     "t15_source_mix" -> sourceMix,
     "t16_bpe_merges" -> bpeMerges,
@@ -1165,6 +1208,7 @@ object TextQueries {
     "t18_sequence_pack" -> sequencePackSql,
     "t13_lm_filter" -> lmFilterSql,
     "t19_ccnet_buckets" -> ccnetBucketsSql,
+    "t20_unicode_normalize" -> unicodeNormalizeSql,
     "t14_corpus_shuffle" -> corpusShuffleSql,
     "t15_source_mix" -> sourceMixSql,
     "t16_bpe_merges" -> bpeMergesSql,

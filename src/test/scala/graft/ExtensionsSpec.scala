@@ -60,6 +60,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(row.getSeq[Long](2) === row.getSeq[Long](3))
   }
 
+  test("nfc_normalize / strip_accents usable from SQL, Unicode-conformant") {
+    GraftExtensions.register(spark)
+    // decomposed e+U+0301 composes to U+00E9; folding strips to ASCII
+    val row = spark.sql(
+      "SELECT length(nfc_normalize('café')) AS ln, " +
+        "nfc_normalize('café') = 'café' AS eq, " +
+        "strip_accents('café naïve') AS folded, " +
+        "strip_accents(nfc_normalize('café')) AS both").head()
+    assert(row.getInt(0) === 4)
+    assert(row.getBoolean(1))
+    assert(row.getString(2) === "cafe naive")
+    assert(row.getString(3) === "cafe")
+    // pure-model properties: idempotence, code-point-aware mark removal
+    import graft.functions.NormalizeFunctions.{nfc, stripAccents}
+    assert(nfc(nfc("café")) === nfc("café"))
+    assert(stripAccents("éèüñç") === "eeunc")
+    // supplementary plane chars pass through untouched
+    val emoji = new String(Character.toChars(0x1F984))
+    assert(stripAccents("a" + emoji + "b") === "a" + emoji + "b")
+  }
+
   test("md5_prefix / rolling_hash implicitly cast non-string input") {
     GraftExtensions.register(spark)
     val row = spark.sql(
