@@ -123,10 +123,11 @@ object TimeJoinQueries {
     * or a late-drop (mis-ordered staging) all break the hash against
     * DuckDB's plain GROUP BY over the same events.
     */
-  def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Stage the st4/st10 chronological event files (halves + far-future
+    * sentinel) once per (JVM, sfDir); returns the source dir.
+    */
+  private def ensureSt4Src(spark: SparkSession, sfDir: String): String = {
     val src = TarQueries.stagePath("st4_src", sfDir)
-    val out = s"${TarQueries.StageDir}/st4_win.parquet"
-    graft.io.FsOps.deletePrefix(spark, out)
     st4Staged.computeIfAbsent(sfDir, _ => {
       graft.io.FsOps.deletePrefix(spark, src)
       val ev = Tables.events(spark, sfDir)
@@ -149,6 +150,12 @@ object TimeJoinQueries {
         tmp, base.resolve("0003.parquet"), t0 + 4000)
       src
     })
+  }
+
+  def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = ensureSt4Src(spark, sfDir)
+    val out = s"${TarQueries.StageDir}/st4_win.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-st4")
       .resolve("ckpt").toString
     val stream = spark.readStream
@@ -164,6 +171,47 @@ object TimeJoinQueries {
         spark.sparkContext.defaultParallelism)))
     spark.read.parquet(out).filter(col("event_type") =!= "__sentinel")
   }
+
+  /** ST10 — streaming trending top-k
+    * ([[graft.streaming.WindowedAgg.drainTrendingTopK]]): the 3 most
+    * frequent event types of every closed hourly window, materialized
+    * incrementally as windows finalize — the trending-dashboard view.
+    * Same staged chronological drain as st4 (shared source, so the
+    * watermark genuinely advances across micro-batches); the oracle is
+    * the batch rank over the same events, so a hash match proves the
+    * per-batch rank saw every window COMPLETE (a window finalizing
+    * split across batches would rank a partial count and diverge). The
+    * far-future sentinel closes the last real windows and is dropped
+    * post-read (it trends alone in its own empty window).
+    */
+  def streamTrending(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = ensureSt4Src(spark, sfDir)
+    val out = s"${TarQueries.StageDir}/st10_trend.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st10")
+      .resolve("ckpt").toString
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    graft.streaming.WindowedAgg.drainTrendingTopK(stream, "1 hour", "1 minute",
+      k = 3, out, ckpt,
+      statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
+        Tables.rowCount(spark, sfDir, "events"),
+        spark.sparkContext.defaultParallelism)))
+    spark.read.parquet(out).filter(col("event_type") =!= "__sentinel")
+  }
+
+  val streamTrendingSql: String =
+    """WITH w AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
+      |         event_type, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT win_us, event_type, n_events, CAST(rnk AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY win_us
+      |                                   ORDER BY n_events DESC, event_type ASC) AS rnk
+      |      FROM w)
+      |WHERE rnk <= 3""".stripMargin
 
   val windowedAggSql: String =
     """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us, event_type,
@@ -255,6 +303,7 @@ object TimeJoinQueries {
     "j5_asof_join" -> asofJoin,
     "j6_range_join" -> rangeJoin,
     "st4_windowed_agg" -> windowedAgg,
+    "st10_stream_trending" -> streamTrending,
     "st5_stream_join" -> streamJoin
   )
 
@@ -262,6 +311,7 @@ object TimeJoinQueries {
     "j5_asof_join" -> asofJoinSql,
     "j6_range_join" -> rangeJoinSql,
     "st4_windowed_agg" -> windowedAggSql,
+    "st10_stream_trending" -> streamTrendingSql,
     "st5_stream_join" -> streamJoinSql
   )
 }

@@ -30,6 +30,46 @@ object WindowedAgg {
       .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** ST10 — streaming trending top-k: maintain, incrementally, the k most
+    * frequent event types of every closed window (the trending-dashboard
+    * materialization). Rides the append-mode watermark contract: ALL of a
+    * window's groups finalize in the same micro-batch (eviction happens
+    * when the global watermark passes the window end), so a per-window
+    * rank INSIDE `foreachBatch` sees the complete window — no cross-batch
+    * rank state needed, and each window's top-k is appended to the sink
+    * exactly once. The rank window partitions by `win_us` over the
+    * finalized slice only (batch-sized, not corpus-sized).
+    */
+  def drainTrendingTopK(stream: DataFrame, window: String, delay: String,
+                        k: Int, outDir: String, checkpointDir: String,
+                        statePartitions: Option[Int] = None): Unit = {
+    val spark = stream.sparkSession
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
+    try StateStores.withRocksDb(spark) {
+      val q = tumblingCounts(stream, window, delay)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            val byWin = org.apache.spark.sql.expressions.Window
+              .partitionBy("win_us")
+              .orderBy(col("n_events").desc, col("event_type").asc)
+            batch.withColumn("rank", row_number().over(byWin).cast("long"))
+              .filter(col("rank") <= k)
+              .select("win_us", "event_type", "n_events", "rank")
+              .write.mode("append").parquet(outDir)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Drain the windowed aggregation of `stream` into `outDir` as parquet
     * (append mode — finalized windows only); blocks until the
     * AvailableNow drain completes. `statePartitions` as in

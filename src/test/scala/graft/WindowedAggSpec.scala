@@ -54,4 +54,44 @@ class WindowedAggSpec extends AnyFunSuite with SparkSuite {
       assert(!rows.exists(_._1 > h11))
     } finally q.stop()
   }
+
+  test("ST10: trending rank sees complete windows even when rows span batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("st10spec")
+    val src = dir.resolve("src")
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def stage(rows: Seq[(Timestamp, String, Double)], name: String, mtime: Long): Unit = {
+      val tmp = dir.resolve(s"tmp_$name").toString
+      rows.toDF("ts", "event_type", "value")
+        .repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(src)
+      java.nio.file.Files.move(part.toPath, src.resolve(name))
+      src.resolve(name).toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis()
+    // the 10:00 window's counts SPAN the two files: a=3, b=2, c=1, d=1
+    stage(Seq((t("10:00"), "a", 0.0), (t("10:01"), "b", 0.0), (t("10:02"), "b", 0.0)),
+      "0001.parquet", t0)
+    stage(Seq((t("10:10"), "a", 0.0), (t("10:11"), "a", 0.0), (t("10:12"), "c", 0.0),
+      (t("10:13"), "d", 0.0), (t("11:10"), "x", 0.0)), "0002.parquet", t0 + 2000)
+    stage(Seq((t("23:00"), "__sentinel", 0.0)), "0003.parquet", t0 + 4000)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    WindowedAgg.drainTrendingTopK(stream, "1 hour", "1 minute", k = 3, out, ckpt)
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+    val h11 = Timestamp.valueOf("2024-01-01 11:00:00").getTime * 1000L
+    val got = spark.read.parquet(out)
+      .filter($"event_type" =!= "__sentinel")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // a(3) > b(2) > c(1) [ties break by name: c before d — d is cut at k=3]
+    assert(got === Set(
+      (h10, "a", 3L, 1L), (h10, "b", 2L, 2L), (h10, "c", 1L, 3L),
+      (h11, "x", 1L, 1L)))
+  }
 }
