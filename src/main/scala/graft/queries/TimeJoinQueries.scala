@@ -123,6 +123,59 @@ object TimeJoinQueries {
     * or a late-drop (mis-ordered staging) all break the hash against
     * DuckDB's plain GROUP BY over the same events.
     */
+  /** W4 — time-series gap-fill (resample + forward fill): each user's
+    * irregular event stream resampled onto a contiguous DAILY grid from
+    * their first to last active day, carrying the last observed `value`
+    * forward across silent days (`filled` marks the carried rows) — the
+    * standard telemetry/feature-store densification step. Shapes: one
+    * shuffle keys (user, day) for the last-observation-per-day cut, one
+    * keys user for the bounds; the grid explode is narrow (post-agg), and
+    * the forward fill is the as-of machinery's per-key running
+    * `last(ignoreNulls)` window — partitioned by user, never global.
+    * `value` passes through untouched (no arithmetic), so the hash
+    * compare is exact.
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DayUs = 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("day", expr(s"us div $DayUs")) // integer floor div — `/` would round through double
+    val byDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val lastPerDay = ev.withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") === 1).select("user_id", "day", "value")
+    val grid = ev.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val fill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerDay, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day"),
+        last(col("value"), ignoreNulls = true).over(fill).as("value"),
+        col("value").isNull.as("filled"))
+  }
+
+  val gapFillSql: String =
+    """WITH e AS (SELECT user_id, event_id, value,
+      |                  epoch_us(ts) AS us, epoch_us(ts) // 86400000000 AS day
+      |           FROM events),
+      |lastd AS (SELECT user_id, day, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+      |                                 ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM e) WHERE rn = 1),
+      |bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |           FROM e GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds),
+      |j AS (SELECT g.user_id, g.day, l.value AS v
+      |      FROM grid g LEFT JOIN lastd l USING (user_id, day))
+      |SELECT user_id, day,
+      |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |       v IS NULL AS filled
+      |FROM j""".stripMargin
+
   /** Stage the st4/st10 chronological event files (halves + far-future
     * sentinel) once per (JVM, sfDir); returns the source dir.
     */
@@ -304,6 +357,7 @@ object TimeJoinQueries {
     "j6_range_join" -> rangeJoin,
     "st4_windowed_agg" -> windowedAgg,
     "st10_stream_trending" -> streamTrending,
+    "w4_gap_fill" -> gapFill,
     "st5_stream_join" -> streamJoin
   )
 
@@ -312,6 +366,7 @@ object TimeJoinQueries {
     "j6_range_join" -> rangeJoinSql,
     "st4_windowed_agg" -> windowedAggSql,
     "st10_stream_trending" -> streamTrendingSql,
+    "w4_gap_fill" -> gapFillSql,
     "st5_stream_join" -> streamJoinSql
   )
 }
