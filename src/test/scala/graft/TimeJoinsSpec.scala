@@ -110,4 +110,45 @@ class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
       assert(joined.count() === expect)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // --- w4 gap-fill: grid completeness + LOCF semantics on real testdata ---
+
+  test("gapFill: contiguous daily grid per user, LOCF carries, no leading fill") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.TimeJoinQueries.gapFill(spark, sf)
+      .select("user_id", "day", "value", "filled").collect()
+    val byUser = out.groupBy(_.getLong(0))
+    // grid is contiguous first..last active day — no holes, no extras
+    byUser.foreach { case (u, rows) =>
+      val days = rows.map(_.getLong(1)).sorted
+      assert(days.head + days.length - 1 === days.last,
+        s"user $u grid not contiguous")
+      assert(days.distinct.length === days.length, s"user $u duplicate days")
+    }
+    // filled rows carry EXACTLY the previous day's value (LOCF), and the
+    // first day of every user is an observation, never a fill
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(!sorted.head.getBoolean(3), s"user $u first day marked filled")
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if cur.getBoolean(3) =>
+          assert(cur.getDouble(2) === prev.getDouble(2),
+            s"user $u day ${cur.getLong(1)} fill broke LOCF")
+        case _ => ()
+      }
+    }
+    // observed rows match the user's LAST event of that day (ts, then
+    // event_id tiebreak) — the resample cut w4 defines
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"),
+        (unix_micros(col("ts")).cast("long")).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .collect().groupBy(r => (r.getLong(0), r.getLong(4)))
+    out.filter(!_.getBoolean(3)).foreach { r =>
+      val want = ev((r.getLong(0), r.getLong(1)))
+        .maxBy(e => (e.getLong(3), e.getLong(1))).getDouble(2)
+      assert(r.getDouble(2) === want,
+        s"user ${r.getLong(0)} day ${r.getLong(1)} not last observation")
+    }
+  }
 }
