@@ -339,6 +339,118 @@ object TextQueries {
       |      FROM documents)
       |WHERE rk <= 15""".stripMargin
 
+  /** T21 — the Gopher quality-rule gate (Rae et al. 2021, App. A — the
+    * standard web-corpus document filter): word-count bounds, mean word
+    * length bounds, symbol-to-word ratio, bullet-line and ellipsis-line
+    * fractions, alphabetic-word fraction, and distinct-stopword presence,
+    * combined into one keep flag. Every ratio test is stated as an INTEGER
+    * cross-multiplication (`10·n_sym ≤ n_words` instead of
+    * `n_sym/n_words ≤ 0.1`), so no float ever crosses the engine boundary
+    * and the hash grade is exact.
+    *
+    * The synthetic corpus is single-line lowercase prose, so each rule is
+    * made non-vacuous by a deterministic doc_id-keyed multi-line tail
+    * (bullet lists, ellipsis endings, symbol runs, numeric words) planted
+    * identically in both engines — the t2/t20 plant pattern.
+    *
+    * Scale shape: pure scan → map (one projection of array folds per doc,
+    * all inside whole-stage codegen); zero shuffles, zero joins — the gate
+    * over 100 TB is one pass, exactly like t13's score step.
+    */
+  def gopherGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir).withColumn("gdoc",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\n- list item\n- another item\n- third item\nplain closing line"))
+          .when(col("doc_id") % 5 === 1,
+            lit("\nread more...\nclick to continue..."))
+          .when(col("doc_id") % 5 === 2,
+            lit("\n# # # # # # # # # # # # # # # #"))
+          .when(col("doc_id") % 5 === 3,
+            lit(" 1 2 3 4 5 6 7 8 9 10 11 12"))
+          .otherwise(lit(""))))
+    val toks = wsTokens(lower(col("gdoc")))
+    val lines = split(col("gdoc"), "\n", -1)
+    val nWords = size(toks).cast("long")
+    // non-overlapping occurrence counts via replace-shrink — identical
+    // semantics in DuckDB's replace()
+    val nHash = (length(col("gdoc")) - length(regexp_replace(col("gdoc"), "#", ""))).cast("long")
+    val nEllTok = ((length(col("gdoc")) -
+      length(regexp_replace(col("gdoc"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val m = g.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      aggregate(transform(toks, t => length(t)), lit(0L), (a, x) => a + x)
+        .as("sum_word_len"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.startsWith("- "))).cast("long").as("n_bullet"),
+      size(filter(lines, l => l.endsWith("..."))).cast("long").as("n_ellipsis"),
+      (nHash + nEllTok).as("n_symbols"),
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("n_alpha_words"),
+      size(array_intersect(array_distinct(toks),
+        array(Stopwords.map(lit(_)): _*))).cast("long").as("n_stop_distinct"))
+    m.select(col("*"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_wordcount"),
+        (lit(3) * col("n_words") <= col("sum_word_len") &&
+          col("sum_word_len") <= lit(10) * col("n_words")).as("r_meanlen"),
+        (lit(10) * col("n_symbols") <= col("n_words")).as("r_symbol"),
+        (lit(10) * col("n_bullet") <= col("n_lines")).as("r_bullet"),
+        (lit(10) * col("n_ellipsis") <= lit(3) * col("n_lines")).as("r_ellipsis"),
+        (lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")).as("r_alpha"),
+        (col("n_stop_distinct") >= 2).as("r_stop"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_meanlen") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
+  val gopherGateSql: String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH g AS (
+       |  SELECT doc_id, text || CASE
+       |    WHEN doc_id % 5 = 0 THEN chr(10) || '- list item' || chr(10) ||
+       |      '- another item' || chr(10) || '- third item' || chr(10) ||
+       |      'plain closing line'
+       |    WHEN doc_id % 5 = 1 THEN chr(10) || 'read more...' || chr(10) ||
+       |      'click to continue...'
+       |    WHEN doc_id % 5 = 2 THEN chr(10) || '# # # # # # # # # # # # # # # #'
+       |    WHEN doc_id % 5 = 3 THEN ' 1 2 3 4 5 6 7 8 9 10 11 12'
+       |    ELSE '' END AS gdoc
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(lower(gdoc)), '\\s+')) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(string_split_regex(trim(lower(gdoc)), '\\s+'),
+       |                                 t -> length(t))) AS BIGINT) AS sum_word_len,
+       |    CAST(len(string_split(gdoc, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(string_split(gdoc, chr(10)),
+       |                         l -> starts_with(l, '- '))) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(string_split(gdoc, chr(10)),
+       |                         l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis,
+       |    CAST(length(gdoc) - length(replace(gdoc, '#', ''))
+       |      + (length(gdoc) - length(replace(gdoc, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(gdoc)), '\\s+'),
+       |                         t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+       |    CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(gdoc)), '\\s+')),
+       |                            [$stop])) AS BIGINT) AS n_stop_distinct
+       |  FROM g)
+       |SELECT *,
+       |  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+       |  (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words) AS r_meanlen,
+       |  (10 * n_symbols <= n_words) AS r_symbol,
+       |  (10 * n_bullet <= n_lines) AS r_bullet,
+       |  (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis,
+       |  (5 * n_alpha_words >= 4 * n_words) AS r_alpha,
+       |  (n_stop_distinct >= 2) AS r_stop,
+       |  (n_words >= 50 AND n_words <= 100000
+       |   AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+       |   AND 10 * n_symbols <= n_words
+       |   AND 10 * n_bullet <= n_lines
+       |   AND 10 * n_ellipsis <= 3 * n_lines
+       |   AND 5 * n_alpha_words >= 4 * n_words
+       |   AND n_stop_distinct >= 2) AS keep
+       |FROM m""".stripMargin
+  }
+
   /** T10 — typed JSON metadata extraction: every training-corpus delivery
     * carries a semi-structured metadata column (crawl headers, annotation
     * payloads — here `events.props`); the Spark-first form is a SCHEMA'D
@@ -1196,7 +1308,8 @@ object TextQueries {
     "t6_stratified_sample" -> stratifiedSample,
     "t7_doc_frequency" -> docFrequency,
     "t8_repetition" -> repetitionStats,
-    "t9_source_cap" -> sourceCap
+    "t9_source_cap" -> sourceCap,
+    "t21_gopher_gate" -> gopherGate
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1225,6 +1338,7 @@ object TextQueries {
     "t6_stratified_sample" -> stratifiedSampleSql,
     "t7_doc_frequency" -> docFrequencySql,
     "t8_repetition" -> repetitionStatsSql,
-    "t9_source_cap" -> sourceCapSql
+    "t9_source_cap" -> sourceCapSql,
+    "t21_gopher_gate" -> gopherGateSql
   )
 }

@@ -93,4 +93,30 @@ class TextQueriesSpec extends AnyFunSuite with SparkSuite {
     // the order is a real shuffle: positions must not equal doc_id order
     assert(rows.count { case (id, pos, _) => id === pos } < n / 10)
   }
+
+  test("t21 Gopher gate: planted tails trip their rules; keep is the conjunction") {
+    val df = graft.queries.TextQueries.gopherGate(spark, sf)
+    val rows = df.collect()
+    val idx = df.columns.zipWithIndex.toMap
+    def b(r: org.apache.spark.sql.Row, c: String) = r.getBoolean(idx(c))
+    rows.foreach { r =>
+      val id = r.getLong(idx("doc_id"))
+      // %5==0 plants 3 bullet lines of 5 total → 30 > 5 always fails
+      if (id % 5 == 0) assert(!b(r, "r_bullet"), s"doc $id bullet rule")
+      // %5==1 plants 2 ellipsis lines of 3 total → 20 > 9 always fails
+      if (id % 5 == 1) assert(!b(r, "r_ellipsis"), s"doc $id ellipsis rule")
+      // unplanted docs have no bullets/ellipses/symbols at all
+      if (id % 5 == 4) {
+        assert(b(r, "r_bullet") && b(r, "r_ellipsis") && b(r, "r_symbol"),
+          s"doc $id clean doc tripped a plant-only rule")
+        assert(r.getLong(idx("n_lines")) === 1L, s"doc $id line count")
+      }
+      val conj = Seq("r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop").forall(b(r, _))
+      assert(b(r, "keep") === conj, s"doc $id keep is not the conjunction")
+    }
+    // the gate is a pure scan → map: no shuffle, join, or aggregation
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"t21 gate plan shuffles:\n$p")
+  }
 }
