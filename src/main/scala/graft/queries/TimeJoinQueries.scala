@@ -176,6 +176,61 @@ object TimeJoinQueries {
       |       v IS NULL AS filled
       |FROM j""".stripMargin
 
+  /** W5 — rolling z-score anomaly detection: each event tested against
+    * its user's 5 PRECEDING events (current excluded — a member of its own
+    * 5-sample window is bounded at |z| ≤ (n−1)/√n ≈ 1.79 < 2, so an
+    * inclusive frame can never flag anything) — the standard telemetry
+    * outlier gate. Stated ENTIRELY in integer arithmetic so the hash grade
+    * is exact: values scale to thousandths (`floor(value·1000)`, identical
+    * IEEE multiply+floor both engines), the window keeps exact integer Σv
+    * and Σv², and the test `|x − mean| > 2·std` cross-multiplies to
+    * `(n·x − S)² > 4·(n·Q − S²)` — no division, no sqrt, no doubles.
+    * Warm-up rows (fewer than 5 preceding events) never flag.
+    *
+    * Scale shape: ONE shuffle keyed user_id (the window partition); the
+    * frame is bounded (5 rows), so window state is O(1) per user and the
+    * pass streams — the w2 running-frame posture with an anomaly
+    * predicate on top. Long bounds: |v| ≤ ~1e6 ⇒ n·Q ≤ 5e13, S² ≤ 2.5e13,
+    * (n·x − S)² ≤ 3.6e14 — far inside Long.
+    */
+  def rollingAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-5, -1)
+    val n = count(lit(1)).over(w).cast("long")
+    val s = sum(col("v")).over(w).cast("long")
+    val q = sum(col("v") * col("v")).over(w).cast("long")
+    val dev = col("n5") * col("v") - col("s5")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      .select(col("user_id"), col("event_id"), col("v"),
+        n.as("n5"), s.as("s5"), q.as("q5"))
+      .withColumn("anomaly",
+        col("n5") === 5 &&
+          dev * dev > lit(4L) * (col("n5") * col("q5") - col("s5") * col("s5")))
+  }
+
+  val rollingAnomalySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, v,
+      |         CAST(COUNT(*) OVER w AS BIGINT) AS n5,
+      |         CAST(SUM(v) OVER w AS BIGINT) AS s5,
+      |         CAST(SUM(v * v) OVER w AS BIGINT) AS q5
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, v, n5, s5, q5,
+      |       (n5 = 5 AND (n5 * v - s5) * (n5 * v - s5)
+      |                   > 4 * (n5 * q5 - s5 * s5)) AS anomaly
+      |FROM r""".stripMargin
+
   /** Stage the st4/st10 chronological event files (halves + far-future
     * sentinel) once per (JVM, sfDir); returns the source dir.
     */
@@ -358,6 +413,7 @@ object TimeJoinQueries {
     "st4_windowed_agg" -> windowedAgg,
     "st10_stream_trending" -> streamTrending,
     "w4_gap_fill" -> gapFill,
+    "w5_rolling_anomaly" -> rollingAnomaly,
     "st5_stream_join" -> streamJoin
   )
 
@@ -367,6 +423,7 @@ object TimeJoinQueries {
     "st4_windowed_agg" -> windowedAggSql,
     "st10_stream_trending" -> streamTrendingSql,
     "w4_gap_fill" -> gapFillSql,
+    "w5_rolling_anomaly" -> rollingAnomalySql,
     "st5_stream_join" -> streamJoinSql
   )
 }

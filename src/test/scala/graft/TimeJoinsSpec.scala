@@ -151,4 +151,38 @@ class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
         s"user ${r.getLong(0)} day ${r.getLong(1)} not last observation")
     }
   }
+
+  test("w5 rolling anomaly equals a sequential reference; warm-up never flags") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.TimeJoinQueries.rollingAnomaly(spark, sf)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(6))).toMap
+    // sequential reference: per user in (us, event_id) order, test each
+    // event against its 5 preceding scaled values with the same
+    // cross-multiplied variance inequality
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var flagged = 0
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.indices.foreach { i =>
+        val (_, eid, _, x) = ordered(i)
+        val prev = ordered.slice(math.max(0, i - 5), i).map(_._4)
+        val n = prev.length.toLong
+        val want = n == 5 && {
+          val s = prev.sum; val q = prev.map(p => p * p).sum
+          val d = n * x - s
+          d * d > 4L * (n * q - s * s)
+        }
+        val (_, _, n5, got) = out(eid)
+        assert(n5 === n, s"event $eid preceding count")
+        assert(got === want, s"event $eid anomaly flag")
+        if (got) flagged += 1
+      }
+    }
+    assert(flagged > 0, "anomaly flag is vacuous on sf0.001")
+  }
 }
