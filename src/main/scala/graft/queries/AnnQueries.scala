@@ -387,6 +387,58 @@ object AnnQueries {
        |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
        |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** H3 — conjunctive boolean retrieval (the inverted-index AND query
+    * under every keyword search): documents containing ALL four query
+    * terms, ranked by total term frequency (ties by doc_id), top 20. The
+    * output is integers only (presence counts, tf sums, ranks), so the
+    * hash grade is exact.
+    *
+    * Scale shape: the term filter runs INSIDE the scan projection
+    * (`filter(toks, isin(terms))` — only matching tokens leave the map
+    * side), the per-(doc, term) and per-doc rollups are two map-side-
+    * combining hash aggregations keyed doc_id (the t7 posture), the
+    * conjunction is a HAVING on the count of distinct present terms, and
+    * the final cut is `orderBy.limit` → `TakeOrderedAndProject` (bounded
+    * per-partition heaps). Nothing wider than (doc_id, term, count)
+    * shuffles — the posting-list volume, not the corpus volume.
+    */
+  private val BoolTerms = Seq("scan", "join", "stream", "vector")
+
+  def booleanRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val terms = BoolTerms.map(lit(_))
+    val hits = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(filter(wsTokens(lower(col("text"))), t => t.isin(terms: _*)))
+          .as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").cast("long").as("total_tf"))
+      .filter(col("n_terms") === BoolTerms.length)
+    val ranked = hits.orderBy(col("total_tf").desc, col("doc_id").asc).limit(20)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_tf").desc, col("doc_id").asc)
+    // rank over the bounded 20-row cut only (the h1/h2 O(k) tail pattern)
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("total_tf"), col("rank"))
+  }
+
+  val booleanRetrievalSql: String = {
+    val set = BoolTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |           string_split_regex(trim(lower(text)), '\\s+'),
+       |           t -> t IN ($set))) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |d AS (SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(tf) AS BIGINT) AS total_tf
+       |      FROM tf GROUP BY 1
+       |      HAVING COUNT(*) = ${BoolTerms.length})
+       |SELECT doc_id, total_tf,
+       |       CAST(row_number() OVER (ORDER BY total_tf DESC, doc_id ASC) AS BIGINT) AS rank
+       |FROM d ORDER BY total_tf DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   /** N5 — product quantization end-to-end (the FAISS-PQ recipe): a joint
     * Lloyd loop learns m=4 per-subspace codebooks (k=16 codes over 16-dim
     * unit-vector slices), the codebook stages to parquet (train-once/
@@ -883,6 +935,7 @@ object AnnQueries {
     "st8_stream_ann_serve" -> annServe,
     "h1_hybrid_retrieval" -> hybridRetrieval,
     "h2_rrf_fusion" -> rrfFusion,
+    "h3_boolean_retrieval" -> booleanRetrieval,
     "n6_ann_ivfpq" -> annIvfPq,
     "n7_ann_ivfpq_update" -> annIvfPqUpdate,
     "n8_ann_filtered" -> annFiltered,
@@ -899,6 +952,7 @@ object AnnQueries {
   def oracleSql: Map[String, String] = Map(
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "h2_rrf_fusion" -> rrfFusionSql,
+    "h3_boolean_retrieval" -> booleanRetrievalSql,
     "n5_ann_pq" -> annPqSql,
     "n6_ann_ivfpq" -> annIvfPqSql,
     "n7_ann_ivfpq_update" -> annIvfPqUpdateSql,

@@ -235,6 +235,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d16 boilerplate join is not broadcast:\n$d16")
   }
 
+  test("boolean retrieval cuts with a bounded heap; posting-volume shuffles only (h3)") {
+    val p = plan("h3_boolean_retrieval")
+    // final top-20 is a distributed partial top-k, never a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"h3 top-k is not a bounded-heap take:\n$p")
+    // the rollups are hash aggregations (map-side combine); no join at all
+    // touches the corpus and nothing cartesians
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"h3 plans a wide join:\n$p")
+    // the term filter runs inside the scan-side projection: the explode's
+    // input is already filtered, so only posting-list tokens shuffle
+    assert(p.contains("Generate explode"), s"h3 lost its explode:\n$p")
+  }
+
   test("LM filter scoring pass never shuffles the corpus (t13)") {
     // the model pass is a separate bounded-size job (≤|alphabet|² rows,
     // collected to a broadcast variable); the RETURNED scoring plan must
