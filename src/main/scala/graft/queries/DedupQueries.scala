@@ -567,7 +567,55 @@ object DedupQueries {
        |       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM boiler) THEN 0 ELSE length(line) END) AS BIGINT) AS n_chars_kept
        |FROM fpl GROUP BY doc_id""".stripMargin
 
+  /** D17 — semantic decontamination: the embedding-space analogue of d8.
+    * d8 catches verbatim 8-gram overlap; paraphrased eval leakage shares
+    * no grams but lands NEAR the eval point in embedding space, so the
+    * production gate also flags any training vector within cosine ≥ τ of
+    * ANY eval vector. Eval set = the deterministic vec_id % 50 slice;
+    * corpus = the d4 augmented corpus, whose planted ×2 copies of eval
+    * members are exact semantic matches (cos = 1) that share no id — the
+    * paraphrase stand-in. τ = 0.95 sits in the corpus's similarity gap
+    * (planted matches at 1.0, natural pairs ≤ ~0.7), so the flag is
+    * deterministic cross-engine despite the double-valued cosine.
+    *
+    * Scale shape: the eval set is small by construction (the benchmark
+    * suite), so it BROADCASTS onto the corpus scan — corpus × tiny, the
+    * t13/d13 posture — and the only exchange is the per-vector rollup
+    * (vec_id, n_hits): one narrow row per corpus vector, with map-side
+    * combine. An eval member flags itself (identity IS contamination).
+    */
+  def embedDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Similarity
+    val corpus = AnnQueries.embCorpus(spark, sfDir)
+    val eval = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+    corpus.crossJoin(broadcast(eval))
+      .withColumn("hit",
+        (Similarity.cosine(col("embedding"), col("ee")) >= 0.95).cast("long"))
+      .groupBy("vec_id").agg(sum("hit").cast("long").as("n_eval_hits"))
+      .withColumn("contaminated", col("n_eval_hits") >= 1)
+  }
+
+  val embedDecontaminateSql: String =
+    """WITH ecorpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ee
+      |       FROM embeddings WHERE vec_id % 50 = 0)
+      |SELECT c.vec_id,
+      |       CAST(SUM(CASE WHEN list_cosine_similarity(c.e, ev.ee) >= 0.95
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+      |       SUM(CASE WHEN list_cosine_similarity(c.e, ev.ee) >= 0.95
+      |                THEN 1 ELSE 0 END) >= 1 AS contaminated
+      |FROM ecorpus c CROSS JOIN ev
+      |GROUP BY c.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_embed_decontaminate" -> embedDecontaminate,
     "d16_line_dedup" -> lineDedupQ,
     "d1_exact_dedup" -> exactDedup,
     "d14_leakage_split" -> leakageSplit,
@@ -585,6 +633,7 @@ object DedupQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "d17_embed_decontaminate" -> embedDecontaminateSql,
     "d16_line_dedup" -> lineDedupSql,
     "d1_exact_dedup" -> exactDedupSql,
     "d14_leakage_split" -> leakageSplitSql,

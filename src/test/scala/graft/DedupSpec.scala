@@ -521,4 +521,21 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(ks.distinct.length === 144)
     assert(ks.forall(k => k % 2 == 1 && k > 0 && k < (1L << 31)))
   }
+
+  test("d17 semantic decontamination flags eval members and their planted copies, nothing else") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.queries.DedupQueries.embedDecontaminate(spark, sf)
+    val flagged = df.filter($"contaminated").collect()
+      .map(_.getLong(0)).toSet
+    val evalIds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" % 50 === 0).collect().map(_.getLong(0)).toSet
+    // identity matches + the x2 scaled copies (scale-invariant cosine = 1);
+    // the corpus's natural pairs stay below the 0.95 line
+    assert(flagged === evalIds ++ evalIds.map(_ + 1000000L))
+    // the eval set rides a broadcast: no shuffled join anywhere
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"d17 eval join is not broadcast:\n$p")
+  }
 }
