@@ -1014,6 +1014,56 @@ object Multimodal {
     }
   }
 
+  /** One image's integer luma statistics (the image-corpus quality
+    * signals: exposure via sum/min/max, flat/synthetic detection via the
+    * distinct-level count, clipping via the dark/bright tails).
+    */
+  final case class ImageStatsRow(media_id: Long, n_px: Long, sum_l: Long,
+    min_l: Long, max_l: Long, n_distinct_l: Long, n_dark: Long, n_bright: Long)
+
+  /** M9 — per-image luma statistics over the REAL ImageIO decode: one
+    * pass per image computing pixel count, luma sum/min/max, distinct
+    * luma-level count (a 256-slot bitset — O(1) memory), and the dark
+    * (< 64) / bright (≥ 192) tail counts. Luma is the pHash formula
+    * (`(r+g+b) div 3`), so the two ops share one definition and the
+    * oracle replays identical integers. Narrow map inside the decode
+    * pass, zero shuffles — the m7/m8 posture.
+    */
+  def imageStats(media: Dataset[MediaRow]): Dataset[ImageStatsRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeImageFull(r.content).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val seen = new Array[Boolean](256)
+          var sum = 0L; var mn = 255L; var mx = 0L
+          var dark = 0L; var bright = 0L
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) {
+              val rgb = img.getRGB(x, y)
+              val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              sum += l
+              if (l < mn) mn = l
+              if (l > mx) mx = l
+              if (l < 64) dark += 1
+              if (l >= 192) bright += 1
+              seen(l) = true
+              y += 1
+            }
+            x += 1
+          }
+          var nd = 0L
+          var i = 0
+          while (i < 256) { if (seen(i)) nd += 1; i += 1 }
+          ImageStatsRow(r.media_id, w.toLong * h, sum, mn, mx, nd, dark, bright)
+        }
+      }
+    }
+  }
+
   /** Windowed audio-feature stage: REAL PCM parse, then ONE incremental
     * pass over the sample iterator folding each fixed `window`-sample
     * stretch into (energy, crossings) — O(1) memory per payload, output

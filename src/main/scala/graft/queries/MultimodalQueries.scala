@@ -403,7 +403,11 @@ object MultimodalQueries {
     * variant)` — st9 unions the corpus with its arriving variant-2
     * images through the same replay chain.
     */
-  private def phashCtesOver(pCte: String): String =
+  /** The p/pp/cells analytic luma replay shared by the m8/d15/st9 DCT
+    * chain and m9's pixel statistics: `cells(doc_id, gx, gy, l)` holds the
+    * exact integer luma of every pixel of the planted 32×32 corpus.
+    */
+  private def cellsCtesOver(pCte: String): String =
     s"""$pCte,
        |pp AS (
        |  SELECT doc_id, variant, 1 + pid % 7 AS a, 2 + pid % 5 AS b,
@@ -417,7 +421,10 @@ object MultimodalQueries {
        |              ELSE (a * gx + b * gy + c) % 256 END AS l
        |  FROM pp
        |  CROSS JOIN generate_series(0, 31) gxs(gx)
-       |  CROSS JOIN generate_series(0, 31) gys(gy)),
+       |  CROSS JOIN generate_series(0, 31) gys(gy))""".stripMargin
+
+  private def phashCtesOver(pCte: String): String =
+    s"""${cellsCtesOver(pCte)},
        |ct AS (SELECT * FROM (VALUES ${Multimodal.dctCosSqlValues}) AS t(u, x, cv)),
        |dct AS (
        |  SELECT c.doc_id, cu.u AS u, cv2.u AS v,
@@ -450,6 +457,31 @@ object MultimodalQueries {
   val phashSql: String =
     s"""WITH $phashCtes
        |SELECT doc_id AS media_id, phash FROM ph""".stripMargin
+
+  /** M9 — per-image luma statistics ([[graft.ops.Multimodal.imageStats]]):
+    * the image-corpus quality signals (exposure, flatness, clipping) over
+    * the REAL PNG decode, all-Long arithmetic. The oracle replays the
+    * identical pixel luma analytically (the shared `cells` CTE), so the
+    * hash match grades decode + per-pixel luma + every statistic at once.
+    */
+  def imageStatsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.imageStats(Multimodal.asMedia(gradientPngs(spark, sfDir)))
+      .toDF().select(col("media_id"), col("n_px"), col("sum_l"), col("min_l"),
+        col("max_l"), col("n_distinct_l"), col("n_dark"), col("n_bright"))
+
+  val imageStatsSql: String =
+    s"""WITH ${cellsCtesOver(
+      """p AS (
+        |  SELECT doc_id, doc_id // 6 AS pid, (doc_id // 3) % 2 AS variant
+        |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin)}
+       |SELECT doc_id AS media_id, COUNT(*) AS n_px,
+       |       CAST(SUM(l) AS BIGINT) AS sum_l,
+       |       CAST(MIN(l) AS BIGINT) AS min_l,
+       |       CAST(MAX(l) AS BIGINT) AS max_l,
+       |       CAST(COUNT(DISTINCT l) AS BIGINT) AS n_distinct_l,
+       |       CAST(SUM(CASE WHEN l < 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark,
+       |       CAST(SUM(CASE WHEN l >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+       |FROM cells GROUP BY 1""".stripMargin
 
   /** D15 — image near-dup dedup: [[phash]]'s hashes through the same
     * pigeonhole-lossless hamming banding d3 uses
@@ -556,6 +588,7 @@ object MultimodalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_phash" -> phash,
+    "m9_image_stats" -> imageStatsQ,
     "d15_image_neardup" -> imageNearDup,
     "st9_stream_phash_dedup" -> streamPhashDedup,
     "m1_media_features" -> mediaFeatures,
@@ -569,6 +602,7 @@ object MultimodalQueries {
 
   def oracleSql: Map[String, String] = Map(
     "m8_phash" -> phashSql,
+    "m9_image_stats" -> imageStatsSql,
     "d15_image_neardup" -> imageNearDupSql,
     "st9_stream_phash_dedup" -> streamPhashDedupSql,
     "m1_media_features" -> mediaFeaturesSql,

@@ -369,4 +369,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.AdpcmCodec.parse(evil("WAVE", "fmt ")).isEmpty)
     assert(Multimodal.AviCodec.parse(evil("AVI ", "avih")).isEmpty)
   }
+
+  test("imageStats: analytic statistics of a crafted image; non-images drop") {
+    import spark.implicits._
+    // 2x2: lumas (r+g+b)/3 = 0, 60, 200, 255 — exercises every statistic
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000)            // luma 0   (dark)
+    img.setRGB(1, 0, (60 << 16) | (60 << 8) | 60)   // luma 60 (dark)
+    img.setRGB(0, 1, (200 << 16) | (200 << 8) | 200) // luma 200 (bright)
+    img.setRGB(1, 1, 0xffffff)            // luma 255 (bright)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((1L, "image", bos.toByteArray),
+      (2L, "image", "not a png".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "content")
+    val got = Multimodal.imageStats(Multimodal.asMedia(media)).collect()
+    assert(got.length === 1) // the undecodable payload drops, never throws
+    val s = got.head
+    assert(s.media_id === 1L && s.n_px === 4L)
+    assert(s.sum_l === 515L && s.min_l === 0L && s.max_l === 255L)
+    assert(s.n_distinct_l === 4L && s.n_dark === 2L && s.n_bright === 2L)
+  }
 }
