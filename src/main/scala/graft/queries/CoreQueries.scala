@@ -428,6 +428,36 @@ object CoreQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
       |FROM events GROUP BY 1""".stripMargin
 
+  /** A6 — sketch-based exact heavy hitters ([[graft.ops.Sketch]]): tokens
+    * whose frequency is ≥ 1/50 of the corpus, found by a Misra-Gries
+    * k=63 summary pass (merge-order-proof candidate guarantee for every
+    * θ ≥ 1/64) and confirmed by an exact count of the ≤ k candidates
+    * only. q7 ranks the top-N by a full groupBy; a6 is the 100 TB form —
+    * the full-keyspace shuffle never happens, and the answer is exact and
+    * deterministic anyway because the sketch only proposes, never scores.
+    * The oracle recomputes heavy tokens exhaustively: a candidate the
+    * sketch missed (guarantee broken) or a surplus key the exact pass
+    * failed to trim both break the row set.
+    */
+  def heavyTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.wsTokens
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(wsTokens(lower(col("text")))).as("key"))
+      .as[String]
+    graft.ops.Sketch.heavyHitters(toks, k = 63, thetaInv = 50)
+  }
+
+  val heavyTokensSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS key
+      |  FROM documents),
+      |t AS (SELECT COUNT(*) AS total FROM tok)
+      |SELECT key, COUNT(*) AS n
+      |FROM tok, t
+      |GROUP BY key, t.total
+      |HAVING COUNT(*) >= (t.total + 49) // 50""".stripMargin
+
   /** Q7 — heavy-hitter diagnosis ([[graft.ops.Scale.heavyHitters]]): the
     * top-N keys by row count — the scan that decides whether a key is
     * skewed enough for Q6's salting. Integer-only; ties broken by key
@@ -759,6 +789,7 @@ object CoreQueries {
     "q5_decorrelated" -> decorrelated,
     "q6_salted_agg" -> saltedAgg,
     "a5_distinct_approx" -> distinctApprox,
+    "a6_heavy_tokens" -> heavyTokens,
     "q7_heavy_hitters" -> heavyHittersQ,
     "q8_bucketed_join" -> bucketedJoin,
     "q9_partition_prune" -> partitionPrune,
@@ -792,6 +823,7 @@ object CoreQueries {
     "q5_decorrelated" -> decorrelatedSql,
     "q6_salted_agg" -> saltedAggSql,
     "a5_distinct_approx" -> distinctApproxSql,
+    "a6_heavy_tokens" -> heavyTokensSql,
     "q7_heavy_hitters" -> heavyHittersSql,
     "q8_bucketed_join" -> bucketedJoinSql,
     "q9_partition_prune" -> partitionPruneSql,
