@@ -522,6 +522,30 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** IVF radius (range) search: ALL neighbors within cosine ≥ `threshold`
+    * of each probe, looking in the probe's `nprobe` nearest cells — the
+    * retrieval form dedup/recall jobs need ("everything this similar"),
+    * where top-k's fixed cut is wrong. Same shapes as [[ivfTopK]]
+    * (broadcast-scored assignment, cell-keyed equi-join), but the
+    * per-cell cut is a predicate instead of a bounded heap, so output
+    * volume tracks the true neighborhood size. Each pair surfaces at most
+    * once: a neighbor has exactly one primary cell, whichever of the
+    * probe's `nprobe` cells it is.
+    */
+  def ivfRadius(corpus: DataFrame, centroids: DataFrame, probeFilter: Column,
+                threshold: Double, nprobe: Int = 1): DataFrame = {
+    val assign = ivfAssign(corpus, centroids).localCheckpoint()
+    val withCell = withUnit(corpus.join(assign, "vec_id"), "embedding", "u")
+    val probes = withUnit(ivfAssignTop(corpus.filter(probeFilter), centroids, nprobe)
+        .join(corpus, "vec_id"), "embedding", "pu")
+      .select(col("vec_id").as("p_id"), col("pu"), col("cell"))
+    withCell.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("p_id"))
+      .withColumn("cos", dot(col("pu"), col("u")))
+      .filter(col("cos") >= threshold)
+      .select(col("p_id").as("probe_id"), col("vec_id").as("neighbor_id"))
+  }
+
   // ------------------------------------------------------------------
   // N5 — product quantization (the FAISS-PQ recipe): split each unit
   // vector into m subvectors, learn a tiny per-subspace codebook, store

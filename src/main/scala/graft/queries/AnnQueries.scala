@@ -387,6 +387,55 @@ object AnnQueries {
        |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
        |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** N10 — IVF radius (range) search ([[Similarity.ivfRadius]]): every
+    * neighbor within cosine ≥ 0.35 of each probe among the probe's 2
+    * nearest of 8 staged cells, over the d4 augmented corpus (whose
+    * planted ×2 copies sit at cosine 1.0 — guaranteed in-radius mass).
+    * τ = 0.35 sits ≥ 7e-4 from every pair's cosine at the graded scale,
+    * so the predicate is deterministic cross-engine. Centroids train on
+    * the deterministic 1-in-4 base sample and stage to parquet (the n3
+    * practice): BOTH engines replay assignment → probe cells → radius
+    * predicate from the same staged floats, so the pair set hash-matches
+    * without any float ever crossing the boundary.
+    */
+  def annRadius(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // fixed path (the oracle SQL names it literally), retrained on every
+    // call like n3 — train cost is bounded by the 1-in-4 sample
+    val stage = s"${TarQueries.StageDir}/n10_centroids.parquet"
+    Similarity.trainCentroids(emb.filter(col("vec_id") % 4 === 0), k = 8, iters = 4)
+      .write.mode("overwrite").parquet(stage)
+    val cents = spark.read.parquet(stage)
+    Similarity.ivfRadius(embCorpus(spark, sfDir), cents,
+      probeFilter = col("vec_id") % 50 === 0, threshold = 0.35, nprobe = 2)
+  }
+
+  val annRadiusSql: String =
+    s"""WITH $embCorpusSql,
+       |cent AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
+       |         FROM read_parquet('${TarQueries.StageDir}/n10_centroids.parquet/*.parquet')),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT e.vec_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY list_cosine_similarity(ce, e.e) DESC, c_id ASC) AS rn
+       |    FROM ecorpus e CROSS JOIN cent)
+       |  WHERE rn = 1),
+       |pcells AS (
+       |  SELECT vec_id AS p_id, c_id AS cell FROM (
+       |    SELECT e.vec_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY list_cosine_similarity(ce, e.e) DESC, c_id ASC) AS rn
+       |    FROM ecorpus e CROSS JOIN cent WHERE e.vec_id % 50 = 0)
+       |  WHERE rn <= 2),
+       |probes AS (SELECT vec_id AS p_id, e AS pe FROM ecorpus WHERE vec_id % 50 = 0)
+       |SELECT probes.p_id AS probe_id, c.vec_id AS neighbor_id
+       |FROM probes
+       |JOIN pcells ON pcells.p_id = probes.p_id
+       |JOIN assign a2 ON a2.cell = pcells.cell
+       |JOIN ecorpus c ON c.vec_id = a2.vec_id AND c.vec_id != probes.p_id
+       |WHERE list_cosine_similarity(pe, c.e) >= 0.35""".stripMargin
+
   /** H3 — conjunctive boolean retrieval (the inverted-index AND query
     * under every keyword search): documents containing ALL four query
     * terms, ranked by total term frequency (ties by doc_id), top 20. The
@@ -936,6 +985,7 @@ object AnnQueries {
     "h1_hybrid_retrieval" -> hybridRetrieval,
     "h2_rrf_fusion" -> rrfFusion,
     "h3_boolean_retrieval" -> booleanRetrieval,
+    "n10_ann_radius" -> annRadius,
     "n6_ann_ivfpq" -> annIvfPq,
     "n7_ann_ivfpq_update" -> annIvfPqUpdate,
     "n8_ann_filtered" -> annFiltered,
@@ -953,6 +1003,7 @@ object AnnQueries {
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "h2_rrf_fusion" -> rrfFusionSql,
     "h3_boolean_retrieval" -> booleanRetrievalSql,
+    "n10_ann_radius" -> annRadiusSql,
     "n5_ann_pq" -> annPqSql,
     "n6_ann_ivfpq" -> annIvfPqSql,
     "n7_ann_ivfpq_update" -> annIvfPqUpdateSql,

@@ -71,6 +71,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(Set(11L, 12L, 13L).contains(top1(10L)), s"probe 10 -> ${top1(10L)}")
   }
 
+  test("N10: radius search returns the whole in-threshold neighborhood of probed cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val a = Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f)
+    val b = Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)
+    val corpus = (
+      (0L to 3L).map(i => i -> jitter(a, 0.01f * (i + 1))) ++
+      (10L to 13L).map(i => i -> jitter(b, 0.01f * (i - 9)))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, k = 2, iters = 3)
+    val got = Similarity.ivfRadius(corpus, cents,
+        probeFilter = col("vec_id").isin(0L, 10L), threshold = 0.9, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the whole same-cluster neighborhood, nothing cross-cluster (cos = 0.5
+    // across quadrants), no self-pair, each pair exactly once
+    assert(got === Set((0L, 1L), (0L, 2L), (0L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L)))
+    // with every cell probed, radius search ≡ the exhaustive scan
+    val all = Similarity.ivfRadius(corpus, cents,
+        probeFilter = col("vec_id").isin(0L, 10L), threshold = 0.9, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === got, "nprobe=2 found cross-cluster mass above 0.9")
+  }
+
   test("ST8's contract: probe-set search is batch-split-invariant") {
     // serving splits the probe set across micro-batches; per-probe
     // results must not depend on which batch a probe arrived in
