@@ -130,4 +130,32 @@ object TimeJoins {
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-interval OVERLAP join ([rangeJoin] generalized to two range
+    * sides): pairs whose half-open intervals `[aStart, aEnd) × [bStart,
+    * bEnd)` intersect. Both sides explode to fixed-width buckets and
+    * hash-join on the bucket key; overlapping pairs sharing SEVERAL
+    * buckets are deduplicated arithmetically, not by `distinct`: a pair is
+    * kept only in the bucket containing the OVERLAP'S START
+    * (`max(aStart, bStart)`) — one canonical bucket per pair, so no
+    * post-join de-dup shuffle exists to become the bottleneck when long
+    * intervals span thousands of buckets. Plans as a shuffled hash/merge
+    * equi-join on `__bucket` — never a nested loop (an inequality-only
+    * overlap join is BroadcastNestedLoop, the classic quadratic trap).
+    */
+  def intervalJoin(a: DataFrame, aStart: String, aEnd: String,
+                   b: DataFrame, bStart: String, bEnd: String,
+                   width: Long): DataFrame = {
+    require(width > 0, s"bucket width $width must be positive")
+    def buckets(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__bucket",
+        explode(sequence(floor(col(s) / width).cast("long"),
+          floor((col(e) - 1) / width).cast("long"))))
+    buckets(a, aStart, aEnd).join(buckets(b, bStart, bEnd), Seq("__bucket"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__bucket") ===
+        floor(greatest(col(aStart), col(bStart)) / width).cast("long"))
+      .drop("__bucket")
+  }
 }

@@ -123,6 +123,40 @@ object TimeJoinQueries {
     * or a late-drop (mis-ordered staging) all break the hash against
     * DuckDB's plain GROUP BY over the same events.
     */
+  /** J7 — interval-interval overlap join ([[TimeJoins.intervalJoin]]):
+    * error incidents (10-minute windows) overlapping purchase activity
+    * windows (5 minutes) — the temporal-correlation query (which
+    * incidents coincided with purchasing). The bucketed equi-join keeps
+    * the plan a hash join with ONE canonical bucket per overlapping pair
+    * (the overlap's start bucket), so no post-join dedup; the oracle
+    * states the same semantics as a plain inequality join. Integer ids
+    * and epoch-µs bounds only — exact hash grade.
+    */
+  def intervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).withColumn("us", unix_micros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("us").as("e_start"),
+        (col("us") + IncidentWindowUs).as("e_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("us").as("p_start"),
+        (col("us") + IncidentWindowUs / 2).as("p_end"))
+    TimeJoins.intervalJoin(errors, "e_start", "e_end",
+        purchases, "p_start", "p_end", width = IncidentWindowUs)
+      .select(col("err_id"), col("pur_id"), col("e_start"), col("p_start"))
+  }
+
+  val intervalOverlapSql: String =
+    s"""WITH err AS (
+       |  SELECT event_id AS err_id, epoch_us(ts) AS e_start,
+       |         epoch_us(ts) + $IncidentWindowUs AS e_end
+       |  FROM events WHERE event_type = 'error'),
+       |pur AS (
+       |  SELECT event_id AS pur_id, epoch_us(ts) AS p_start,
+       |         epoch_us(ts) + ${IncidentWindowUs / 2} AS p_end
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT err_id, pur_id, e_start, p_start
+       |FROM err JOIN pur ON e_start < p_end AND p_start < e_end""".stripMargin
+
   /** W4 — time-series gap-fill (resample + forward fill): each user's
     * irregular event stream resampled onto a contiguous DAILY grid from
     * their first to last active day, carrying the last observed `value`
@@ -412,6 +446,7 @@ object TimeJoinQueries {
     "j6_range_join" -> rangeJoin,
     "st4_windowed_agg" -> windowedAgg,
     "st10_stream_trending" -> streamTrending,
+    "j7_interval_join" -> intervalOverlap,
     "w4_gap_fill" -> gapFill,
     "w5_rolling_anomaly" -> rollingAnomaly,
     "st5_stream_join" -> streamJoin
@@ -422,6 +457,7 @@ object TimeJoinQueries {
     "j6_range_join" -> rangeJoinSql,
     "st4_windowed_agg" -> windowedAggSql,
     "st10_stream_trending" -> streamTrendingSql,
+    "j7_interval_join" -> intervalOverlapSql,
     "w4_gap_fill" -> gapFillSql,
     "w5_rolling_anomaly" -> rollingAnomalySql,
     "st5_stream_join" -> streamJoinSql

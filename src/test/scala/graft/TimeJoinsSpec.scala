@@ -111,6 +111,35 @@ class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("intervalJoin: overlap pairs appear exactly once, boundaries half-open") {
+    import spark.implicits._
+    // a: one long interval spanning many buckets + one short; b overlaps
+    // both, one touching only at the boundary (half-open: no match)
+    val a = Seq((1L, 0L, 10000L), (2L, 500L, 600L)).toDF("aid", "as", "ae")
+    val b = Seq((10L, 9500L, 9600L),   // inside a1's far end
+      (11L, 550L, 560L),               // inside both a1 and a2
+      (12L, 10000L, 10100L),           // touches a1 at ae — half-open, no match
+      (13L, 0L, 1L)                    // minimal overlap at a1's start
+    ).toDF("bid", "bs", "be")
+    val got = TimeJoins.intervalJoin(a, "as", "ae", b, "bs", "be", width = 10L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (1L, 11L), (2L, 11L), (1L, 13L)))
+    // exhaustive-check with wide random intervals: each pair exactly once
+    val rnd = new scala.util.Random(5)
+    val ra = (0L until 50L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, s, s + 1 + rnd.nextInt(300))
+    }.toDF("aid", "as", "ae")
+    val rb = (0L until 50L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, s, s + 1 + rnd.nextInt(300))
+    }.toDF("bid", "bs", "be")
+    val bucketed = TimeJoins.intervalJoin(ra, "as", "ae", rb, "bs", "be", 25L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = ra.join(rb, col("as") < col("be") && col("bs") < col("ae"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bucketed.sorted.toSeq === naive.sorted.toSeq,
+      "bucketed overlap join diverged from the inequality join (dups or loss)")
+  }
+
   // --- w4 gap-fill: grid completeness + LOCF semantics on real testdata ---
 
   test("gapFill: contiguous daily grid per user, LOCF carries, no leading fill") {
