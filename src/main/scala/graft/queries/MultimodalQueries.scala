@@ -263,6 +263,90 @@ object MultimodalQueries {
       |            AS BIGINT) AS zero_crossings
       |FROM w GROUP BY 1, 2""".stripMargin
 
+  /** M10 — energy-based activity segmentation (the VAD shape: detect
+    * speech/sound bursts, merge consecutive active stretches into
+    * segments): a burst-gated triangle corpus — per 250-sample window the
+    * amplitude is full (`amp`) when `(win·37 + id) % 5 < 3` and
+    * attenuated (`amp // 32`, POSITIVE division only, so Scala trunc and
+    * DuckDB floor agree) otherwise — round-trips through the real PCM
+    * container into [[graft.ops.Multimodal.audioWindowFeatures]]; windows
+    * at energy ≥ 5·10⁷ (three decades above quiet, one below active) flag
+    * active, and consecutive active windows merge by the gaps-and-islands
+    * trick (`win − row_number`, integer-exact) into segments with
+    * start/end/width/total energy. One media-keyed window shuffle after
+    * the in-decode fold; everything integer, exact hash grade.
+    */
+  def audioSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wavs = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id, "audio",
+            Multimodal.PcmCodec.build(gatedTriWave(id), 16000))
+        }
+      }.toDF("media_id", "kind", "content")
+    val feats = Multimodal.audioWindowFeatures(Multimodal.asMedia(wavs),
+      window = 250).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("win")
+    feats.filter(col("energy") >= 50000000L)
+      .withColumn("grp", col("win") - row_number().over(w))
+      .groupBy("media_id", "grp")
+      .agg(min("win").as("seg_start"), max("win").as("seg_end"),
+        count(lit(1)).as("n_windows"),
+        sum("energy").cast("long").as("total_energy"))
+      .drop("grp")
+  }
+
+  val audioSegmentsSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 2000 + (doc_id % 7) * 500 AS n,
+      |         64 + (doc_id % 5) * 16 AS period,
+      |         4096 + (doc_id % 8) * 1024 AS amp
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT doc_id, period, amp, UNNEST(range(n)) AS i FROM p),
+      |g AS (SELECT doc_id, period, i,
+      |             CASE WHEN ((i // 250) * 37 + doc_id) % 5 < 3 THEN amp
+      |                  ELSE amp // 32 END AS wamp
+      |      FROM s),
+      |v AS (SELECT doc_id, i,
+      |             CASE WHEN (i % period) < period // 2
+      |                  THEN -wamp + (2 * wamp * (i % period)) // (period // 2)
+      |                  ELSE wamp - (2 * wamp * ((i % period) - period // 2)) // (period // 2)
+      |             END AS x
+      |      FROM g),
+      |w AS (SELECT doc_id AS media_id, i // 250 AS win,
+      |             CAST(SUM(x * x) AS BIGINT) AS energy
+      |      FROM v GROUP BY 1, 2),
+      |act AS (SELECT media_id, win, energy,
+      |               win - row_number() OVER (PARTITION BY media_id ORDER BY win) AS grp
+      |        FROM w WHERE energy >= 50000000)
+      |SELECT media_id, MIN(win) AS seg_start, MAX(win) AS seg_end,
+      |       COUNT(*) AS n_windows, CAST(SUM(energy) AS BIGINT) AS total_energy
+      |FROM act GROUP BY media_id, grp""".stripMargin
+
+  /** [[triWave]] with a per-window burst gate: window `i div 250` plays at
+    * full `amp` when `(win·37 + id) % 5 < 3`, else at `amp div 32` —
+    * m10's planted activity pattern (all divisions positive, engine-safe).
+    */
+  private def gatedTriWave(id: Long): Array[Short] = {
+    val n = 2000 + (id % 7).toInt * 500
+    val period = 64 + (id % 5).toInt * 16
+    val amp = 4096 + (id % 8).toInt * 1024
+    val half = period / 2
+    Array.tabulate(n) { i =>
+      val win = i / 250
+      val wamp = if ((win * 37 + id) % 5 < 3) amp else amp / 32
+      val pos = i % period
+      val v = if (pos < half) -wamp + (2 * wamp * pos) / half
+              else wamp - (2 * wamp * (pos - half)) / half
+      v.toShort
+    }
+  }
+
   /** Deterministic triangle PCM for one media id — the planted waveform of
     * m5 and the reference its fidelity check re-synthesizes (in SQL
     * arithmetic) to bound the codec's reconstruction error.
@@ -589,6 +673,7 @@ object MultimodalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_phash" -> phash,
     "m9_image_stats" -> imageStatsQ,
+    "m10_audio_segments" -> audioSegments,
     "d15_image_neardup" -> imageNearDup,
     "st9_stream_phash_dedup" -> streamPhashDedup,
     "m1_media_features" -> mediaFeatures,
@@ -603,6 +688,7 @@ object MultimodalQueries {
   def oracleSql: Map[String, String] = Map(
     "m8_phash" -> phashSql,
     "m9_image_stats" -> imageStatsSql,
+    "m10_audio_segments" -> audioSegmentsSql,
     "d15_image_neardup" -> imageNearDupSql,
     "st9_stream_phash_dedup" -> streamPhashDedupSql,
     "m1_media_features" -> mediaFeaturesSql,

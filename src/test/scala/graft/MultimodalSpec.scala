@@ -370,6 +370,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.AviCodec.parse(evil("AVI ", "avih")).isEmpty)
   }
 
+  test("audioSegments: islands are maximal, widths consistent, pattern matches the gate") {
+    val out = graft.queries.MultimodalQueries
+      .audioSegments(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (id, segs) =>
+      val sorted = segs.sortBy(_._2)
+      sorted.foreach { case (_, s, e, nw) =>
+        assert(nw === e - s + 1, s"media $id segment [$s,$e] width $nw")
+        // every window inside a segment must be gate-active, and the
+        // windows flanking it gate-quiet (maximality of the island)
+        (s to e).foreach(w => assert((w * 37 + id) % 5 < 3,
+          s"media $id window $w in-segment but gate-quiet"))
+        if (s > 0) assert((((s - 1) * 37 + id) % 5) >= 3,
+          s"media $id segment [$s,$e] not maximal on the left")
+      }
+      // segments never touch (else the island merge failed)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, s"media $id adjacent segments [$e1]/[$s2]")
+        case _ => ()
+      }
+    }
+  }
+
   test("imageStats: analytic statistics of a crafted image; non-images drop") {
     import spark.implicits._
     // 2x2: lumas (r+g+b)/3 = 0, 60, 200, 255 — exercises every statistic
