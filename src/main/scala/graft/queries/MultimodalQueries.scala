@@ -591,6 +591,41 @@ object MultimodalQueries {
        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= 10""".stripMargin
 
+  /** C2 — the multimodal pipeline capstone: decode → pHash (m8) →
+    * banded-hamming near-dup (d15) → keep-lowest-id per dup pair →
+    * per-image luma statistics (m9) of the SURVIVORS only. The
+    * keep-first rule drops any image appearing as the HIGHER id of a
+    * near-dup pair (ids ordered inside the pair output, so the rule is
+    * deterministic and single-pass — no transitive clustering needed for
+    * an admission gate). Composition adds one broadcast-able anti-join
+    * over the ≤|pairs| drop set; every stage keeps its own pinned
+    * posture (decode-pass maps, band-keyed shuffles only).
+    */
+  def imagePipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Multimodal.asMedia(gradientPngs(spark, sfDir))
+    val pairs = graft.ops.Dedup.hammingNearDups(
+      Multimodal.pHashes(corpus).toDF()
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+      bits = 63, maxHamming = 10)
+    val drops = pairs.select(col("id_b").as("media_id")).distinct()
+    Multimodal.imageStats(corpus).toDF()
+      .join(drops, Seq("media_id"), "left_anti")
+      .select(col("media_id"), col("n_px"), col("sum_l"), col("n_distinct_l"))
+  }
+
+  val imagePipelineSql: String =
+    s"""WITH $phashCtes,
+       |drops AS (
+       |  SELECT DISTINCT b.doc_id AS media_id
+       |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 10)
+       |SELECT doc_id AS media_id, COUNT(*) AS n_px,
+       |       CAST(SUM(l) AS BIGINT) AS sum_l,
+       |       CAST(COUNT(DISTINCT l) AS BIGINT) AS n_distinct_l
+       |FROM cells
+       |WHERE doc_id NOT IN (SELECT media_id FROM drops)
+       |GROUP BY 1""".stripMargin
+
   /** sfDirs whose st9 corpus hashes are already staged in this JVM (the
     * staged path embeds the sfDir, so a seen-set memo is safe here).
     */
@@ -674,6 +709,7 @@ object MultimodalQueries {
     "m8_phash" -> phash,
     "m9_image_stats" -> imageStatsQ,
     "m10_audio_segments" -> audioSegments,
+    "c2_image_pipeline" -> imagePipeline,
     "d15_image_neardup" -> imageNearDup,
     "st9_stream_phash_dedup" -> streamPhashDedup,
     "m1_media_features" -> mediaFeatures,
@@ -689,6 +725,7 @@ object MultimodalQueries {
     "m8_phash" -> phashSql,
     "m9_image_stats" -> imageStatsSql,
     "m10_audio_segments" -> audioSegmentsSql,
+    "c2_image_pipeline" -> imagePipelineSql,
     "d15_image_neardup" -> imageNearDupSql,
     "st9_stream_phash_dedup" -> streamPhashDedupSql,
     "m1_media_features" -> mediaFeaturesSql,

@@ -235,6 +235,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d16 boilerplate join is not broadcast:\n$d16")
   }
 
+  test("image-pipeline capstone: drop set broadcasts, nothing cartesians (c2)") {
+    val p = plan("c2_image_pipeline")
+    assert(!p.contains("CartesianProduct"), s"c2 plans a cartesian:\n$p")
+    // the survivor cut is an anti-join against the <=|pairs| drop set — it
+    // must ride a broadcast, never re-shuffle the stats table
+    assert(p.contains("BroadcastHashJoin"), s"c2 anti-join is not broadcast:\n$p")
+  }
+
   test("boolean retrieval cuts with a bounded heap; posting-volume shuffles only (h3)") {
     val p = plan("h3_boolean_retrieval")
     // final top-20 is a distributed partial top-k, never a global sort
