@@ -488,6 +488,46 @@ object AnnQueries {
        |FROM d ORDER BY total_tf DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** H4 — exact phrase search through a positional inverted index: docs
+    * where "hash join" occurs as CONSECUTIVE tokens, with the occurrence
+    * count — the phrase-query operator boolean retrieval (h3) can't
+    * express (bag-of-words loses adjacency). The index shape: one
+    * `(doc_id, term, pos)` posting per occurrence of either phrase term
+    * (the filter runs inside the scan projection like h3), then the
+    * adjacency test is a positional SELF-JOIN on `(doc_id, pos + 1)` —
+    * the classic positional-index merge, keyed and narrow: only postings
+    * of the two phrase terms ever shuffle, volume = their posting lists,
+    * not the corpus.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val Seq(t1, t2) = Seq("hash", "join")
+    val posts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "term")))
+      .filter(col("term").isin(t1, t2))
+    val a = posts.filter(col("term") === t1)
+      .select(col("doc_id"), col("pos"))
+    val b = posts.filter(col("term") === t2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      |  FROM tk),
+      |f AS (SELECT doc_id, pos, term FROM tok WHERE term IN ('hash', 'join'))
+      |SELECT a.doc_id, COUNT(*) AS n_occurrences
+      |FROM (SELECT doc_id, pos FROM f WHERE term = 'hash') a
+      |JOIN (SELECT doc_id, pos - 1 AS pos FROM f WHERE term = 'join') b
+      |  ON a.doc_id = b.doc_id AND a.pos = b.pos
+      |GROUP BY 1""".stripMargin
+
   /** N5 — product quantization end-to-end (the FAISS-PQ recipe): a joint
     * Lloyd loop learns m=4 per-subspace codebooks (k=16 codes over 16-dim
     * unit-vector slices), the codebook stages to parquet (train-once/
@@ -985,6 +1025,7 @@ object AnnQueries {
     "h1_hybrid_retrieval" -> hybridRetrieval,
     "h2_rrf_fusion" -> rrfFusion,
     "h3_boolean_retrieval" -> booleanRetrieval,
+    "h4_phrase_search" -> phraseSearch,
     "n10_ann_radius" -> annRadius,
     "n6_ann_ivfpq" -> annIvfPq,
     "n7_ann_ivfpq_update" -> annIvfPqUpdate,
@@ -1003,6 +1044,7 @@ object AnnQueries {
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "h2_rrf_fusion" -> rrfFusionSql,
     "h3_boolean_retrieval" -> booleanRetrievalSql,
+    "h4_phrase_search" -> phraseSearchSql,
     "n10_ann_radius" -> annRadiusSql,
     "n5_ann_pq" -> annPqSql,
     "n6_ann_ivfpq" -> annIvfPqSql,

@@ -235,6 +235,28 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d16 boilerplate join is not broadcast:\n$d16")
   }
 
+  test("ORC round-trip scan pushes the predicate and prunes columns (s17)") {
+    // stage once via the query itself, then inspect the ORC read's plan
+    SparkEntry.queries("s17_orc_scan")(spark, sf).count()
+    val orc = spark.read.orc(s"${queries.TarQueries.StageDir}/s17_events_orc")
+      .filter(org.apache.spark.sql.functions.col("event_type") =!= "error")
+      .select("event_id", "event_type")
+    val p = orc.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), Not(EqualTo(event_type,error))]"),
+      s"s17 ORC scan lost its pushed predicate:\n$p")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,event_type:string>"),
+      s"s17 ORC scan reads more than the projection:\n$p")
+  }
+
+  test("cumulative uniques: one hash agg + a bounded-tail running sum (w6)") {
+    val p = plan("w6_cumulative_uniques")
+    // the running sum's single partition holds <= #days rows; the heavy
+    // work is the two keyed hash aggregations — no corpus-wide window
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"w6 has $singles single-partition exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("image-pipeline capstone: drop set broadcasts, nothing cartesians (c2)") {
     val p = plan("c2_image_pipeline")
     assert(!p.contains("CartesianProduct"), s"c2 plans a cartesian:\n$p")

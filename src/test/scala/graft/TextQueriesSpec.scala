@@ -94,6 +94,34 @@ class TextQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.count { case (id, pos, _) => id === pos } < n / 10)
   }
 
+  test("h4 phrase search: reported docs really contain the adjacent phrase, none missed") {
+    val got = graft.queries.AnnQueries.phraseSearch(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.trim.split("\\s+")
+        r.getLong(0) -> toks.indices.dropRight(1)
+          .count(i => toks(i) == "hash" && toks(i + 1) == "join").toLong
+      }.filter(_._2 > 0).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "phrase absent from the corpus — vacuous")
+  }
+
+  test("w6 cumulative uniques: final total equals the distinct user count") {
+    val rows = graft.queries.CoreQueries.cumulativeUniques(spark, sf)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // running sum is consistent and ends at the global distinct count
+    rows.foldLeft(0L) { case (acc, (_, nNew, cum)) =>
+      assert(cum === acc + nNew); cum
+    }
+    val total = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.last._3 === total)
+  }
+
   test("t21 Gopher gate: planted tails trip their rules; keep is the conjunction") {
     val df = graft.queries.TextQueries.gopherGate(spark, sf)
     val rows = df.collect()
