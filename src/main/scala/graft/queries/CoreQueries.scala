@@ -686,6 +686,49 @@ object CoreQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1""".stripMargin
 
+  /** Q10 — dynamic partition pruning (DPP): the partition predicate is
+    * only known at RUNTIME — the fact's `event_type` partitions are
+    * selected by a dim-side filter on a DIFFERENT column (`category =
+    * 'conv'`), so static pruning can't fire and the optimizer must inject
+    * a `dynamicpruning` subquery into the partitioned scan (reusing the
+    * dim's broadcast). At 100 TB this is the difference between scanning
+    * 2 of N partitions and scanning the whole fact before the join drops
+    * the rows; `PlanSpec` pins the pruning expression in the scan.
+    */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Scale
+    import spark.implicits._
+    Scale.writePartitioned(
+      Tables.events(spark, sfDir).select(col("event_type"), col("user_id"), col("value")),
+      PartitionPruneDir, "event_type")
+    // the dim must be a REAL datasource: a LocalRelation dim gets its
+    // filter constant-folded away (ConvertToLocalRelation) before the
+    // PartitionPruning rule looks for a selective filter, and DPP never
+    // fires — exactly what happens with literal test dims but never with
+    // production dim tables
+    Seq(("click", "browse"), ("view", "browse"),
+      ("purchase", "conv"), ("signup", "conv"), ("error", "ops"))
+      .toDF("event_type", "category")
+      .write.mode("overwrite").parquet(DppDimDir)
+    dppJoinRead(spark)
+  }
+
+  /** Staging path for Q10's category dim. */
+  val DppDimDir: String = s"${TarQueries.StageDir}/q10_dim"
+
+  /** Read half of Q10 over [[PartitionPruneDir]] (the `PlanSpec` target). */
+  def dppJoinRead(spark: SparkSession): DataFrame =
+    spark.read.parquet(PartitionPruneDir)
+      .join(spark.read.parquet(DppDimDir).filter(col("category") === "conv"),
+        Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+  val dppJoinSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1""".stripMargin
+
   /** O3 — pivot: per-day event counts widened to one column per event
     * type (explicit value list so both engines emit identical column
     * names; count coalesced to 0 so sparse days match the SUM-CASE oracle).
@@ -853,6 +896,7 @@ object CoreQueries {
     "q7_heavy_hitters" -> heavyHittersQ,
     "q8_bucketed_join" -> bucketedJoin,
     "q9_partition_prune" -> partitionPrune,
+    "q10_dpp_join" -> dppJoin,
     "s14_jsonl_scan" -> jsonlScan,
     "s17_orc_scan" -> orcScan,
     "w6_cumulative_uniques" -> cumulativeUniques,
@@ -889,6 +933,7 @@ object CoreQueries {
     "q7_heavy_hitters" -> heavyHittersSql,
     "q8_bucketed_join" -> bucketedJoinSql,
     "q9_partition_prune" -> partitionPruneSql,
+    "q10_dpp_join" -> dppJoinSql,
     "s14_jsonl_scan" -> jsonlScanSql,
     "s17_orc_scan" -> orcScanSql,
     "w6_cumulative_uniques" -> cumulativeUniquesSql,

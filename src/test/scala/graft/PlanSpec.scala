@@ -235,6 +235,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d16 boilerplate join is not broadcast:\n$d16")
   }
 
+  test("dynamic partition pruning fires on the runtime-filtered join (q10)") {
+    // stage the partitioned layout, then inspect the join plan: the
+    // partitioned scan must carry a dynamicpruning expression — without
+    // DPP the whole fact is scanned and the join drops the rows after
+    SparkEntry.queries("q10_dpp_join")(spark, sf).count()
+    val p = queries.CoreQueries.dppJoinRead(spark)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"q10 partitioned scan lost its dynamic pruning subquery:\n$p")
+  }
+
   test("ORC round-trip scan pushes the predicate and prunes columns (s17)") {
     // stage once via the query itself, then inspect the ORC read's plan
     SparkEntry.queries("s17_orc_scan")(spark, sf).count()
