@@ -123,6 +123,58 @@ object TimeJoinQueries {
     * or a late-drop (mis-ordered staging) all break the hash against
     * DuckDB's plain GROUP BY over the same events.
     */
+  /** sfDirs whose st11 arrival files are already staged in this JVM. */
+  private val st11Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST11 — streaming cumulative uniques: w6's metric computed at the
+    * ingest door instead of by corpus re-scan. Arriving events drain
+    * through cross-batch `dropDuplicates(user_id, day)` (RocksDB state,
+    * keyspace-sized partitions — the st3 machinery generalized to a
+    * compound key), so the sink holds each user-day pair EXACTLY once
+    * however many batches replay it; the staged source appends a
+    * later file that REPLAYS 10% of users, so a pass proves the state
+    * survived micro-batches (a state loss double-counts those pairs and
+    * shifts every cumulative count after them). The read-time rollup —
+    * first-seen day per user, daily counts, one ≤ #days running sum —
+    * is w6's exact shape, and the oracle IS w6's oracle.
+    */
+  def streamUniques(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = TarQueries.stagePath("st11_src", sfDir) + ".parquet"
+    val out = s"${TarQueries.StageDir}/st11_days.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    st11Staged.computeIfAbsent(sfDir, _ => {
+      graft.io.FsOps.deletePrefix(spark, src)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      ev.repartition(2).write.mode("overwrite").parquet(src)
+      // the replay batch: these user-days already sit in state
+      ev.filter(col("user_id") % 10 === 0)
+        .repartition(1).write.mode("append").parquet(src)
+      src
+    })
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st11")
+      .resolve("ckpt").toString
+    val stream = spark.readStream.schema("user_id BIGINT, day BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    graft.streaming.StreamDedup.distinctRows(stream, Seq("user_id", "day"),
+      out, ckpt,
+      statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
+        Tables.rowCount(spark, sfDir, "events"),
+        spark.sparkContext.defaultParallelism)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.read.parquet(out)
+      .groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum("n_new").over(w).cast("long"))
+  }
+
+  val streamUniquesSql: String = CoreQueries.cumulativeUniquesSql
+
   /** J7 — interval-interval overlap join ([[TimeJoins.intervalJoin]]):
     * error incidents (10-minute windows) overlapping purchase activity
     * windows (5 minutes) — the temporal-correlation query (which
@@ -447,6 +499,7 @@ object TimeJoinQueries {
     "st4_windowed_agg" -> windowedAgg,
     "st10_stream_trending" -> streamTrending,
     "j7_interval_join" -> intervalOverlap,
+    "st11_stream_uniques" -> streamUniques,
     "w4_gap_fill" -> gapFill,
     "w5_rolling_anomaly" -> rollingAnomaly,
     "st5_stream_join" -> streamJoin
@@ -458,6 +511,7 @@ object TimeJoinQueries {
     "st4_windowed_agg" -> windowedAggSql,
     "st10_stream_trending" -> streamTrendingSql,
     "j7_interval_join" -> intervalOverlapSql,
+    "st11_stream_uniques" -> streamUniquesSql,
     "w4_gap_fill" -> gapFillSql,
     "w5_rolling_anomaly" -> rollingAnomalySql,
     "st5_stream_join" -> streamJoinSql

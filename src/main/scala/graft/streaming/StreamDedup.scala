@@ -35,13 +35,22 @@ object StreamDedup {
     */
   def distinctFingerprints(stream: DataFrame, outDir: String,
                            checkpointDir: String,
-                           statePartitions: Option[Int] = None): Unit = {
+                           statePartitions: Option[Int] = None): Unit =
+    distinctRows(stream, Seq("fp"), outDir, checkpointDir, statePartitions)
+
+  /** [[distinctFingerprints]] generalized to any key-column set: drain
+    * `stream` through cross-batch `dropDuplicates(cols)` into `outDir`
+    * (st11 dedups `(user_id, day)` pairs through the same machinery).
+    */
+  def distinctRows(stream: DataFrame, cols: Seq[String], outDir: String,
+                   checkpointDir: String,
+                   statePartitions: Option[Int] = None): Unit = {
     val conf = stream.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
     try StateStores.withRocksDb(stream.sparkSession) {
       val q = stream
-        .dropDuplicates("fp")
+        .dropDuplicates(cols)
         .writeStream
         .format("parquet")
         .option("path", outDir)

@@ -111,6 +111,24 @@ class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("st11: replayed user-days survive cross-batch state exactly once") {
+    val sf = "/root/testdata/sf0.001"
+    graft.queries.TimeJoinQueries.streamUniques(spark, sf).count()
+    // the sink must hold each (user_id, day) pair exactly once even
+    // though the third staged file replays 10% of users — a state loss
+    // between micro-batches would emit those pairs twice
+    val sunk = spark.read
+      .parquet(s"${graft.queries.TarQueries.StageDir}/st11_days.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sunk.length === sunk.distinct.length,
+      "duplicate user-day pairs — dedup state lost between batches")
+    // and it matches the batch definition of the distinct pair set
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sunk.sorted.toSeq === want.sorted.toSeq)
+  }
+
   test("intervalJoin: overlap pairs appear exactly once, boundaries half-open") {
     import spark.implicits._
     // a: one long interval spanning many buckets + one short; b overlaps
