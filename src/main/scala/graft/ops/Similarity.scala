@@ -434,6 +434,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val c = withUnit(centroids, "embedding", "cu")
       .select(col("vec_id").as("c_id"), col("cu"))
+    // two-choice seating needs two choices: with one centroid an evicted
+    // vector has no crank-2 row and would silently VANISH from the output
+    // (contract: one row per corpus vector) — fail loudly instead
+    require(c.limit(2).count() >= 2,
+      "balancedAssign needs >= 2 centroids (two-choice seating)")
     val top2 = udaf(new TopK(2), Encoders.product[Scored])
     val prefs = withUnit(corpus, "embedding", "u").crossJoin(broadcast(c))
       .withColumn("cos", dot(col("cu"), col("u")))

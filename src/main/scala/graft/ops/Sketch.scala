@@ -26,9 +26,13 @@ object Sketch {
 
   /** Misra-Gries summary: the counter map (≤ k entries) plus the total
     * item count, so one aggregation pass yields both the candidate set
-    * and the θ-threshold denominator.
+    * and the θ-threshold denominator. The map is MUTATED in place by the
+    * aggregator (kryo-encoded buffer, never code-generated against), so
+    * the per-token hot path allocates nothing — an immutable Map paid a
+    * path-copy per element and a full rebuild per decrement, real GC
+    * pressure at token-stream volume.
     */
-  final case class MgSummary(counters: Map[String, Long], n: Long)
+  final case class MgSummary(counters: java.util.HashMap[String, Long], var n: Long)
 
   /** Misra-Gries summary aggregator. The per-key counter values depend on
     * merge order and are never a public estimate — see [[heavyHitters]].
@@ -36,33 +40,43 @@ object Sketch {
   class MisraGries(k: Int) extends Aggregator[String, MgSummary, MgSummary] {
     require(k > 0, "k must be positive")
 
-    def zero: MgSummary = MgSummary(Map.empty, 0L)
+    def zero: MgSummary = MgSummary(new java.util.HashMap[String, Long], 0L)
 
     def reduce(b: MgSummary, key: String): MgSummary = {
       val m = b.counters
-      val next = m.get(key) match {
-        case Some(c) => m.updated(key, c + 1)
-        case None if m.size < k => m.updated(key, 1L)
-        case None =>
-          // decrement-all step: drop zeroed counters (O(k), amortized O(1))
-          m.flatMap { case (s, c) => if (c > 1) Some(s -> (c - 1)) else None }
+      if (m.containsKey(key)) m.put(key, m.get(key) + 1)
+      else if (m.size < k) m.put(key, 1L)
+      else {
+        // decrement-all step: drop zeroed counters (O(k), amortized O(1))
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > 1) e.setValue(e.getValue - 1) else it.remove()
+        }
       }
-      MgSummary(next, b.n + 1)
+      b.n += 1
+      b
     }
 
     def merge(a: MgSummary, b: MgSummary): MgSummary = {
-      val sum = b.counters.foldLeft(a.counters) { case (m, (s, c)) =>
-        m.updated(s, m.getOrElse(s, 0L) + c)
-      }
-      val trimmed =
-        if (sum.size <= k) sum
-        else {
-          // subtract the (k+1)-th largest count from all, keep positives —
-          // at most k survive and the n/(k+1) bound is preserved (PODS '12)
-          val d = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
-          sum.flatMap { case (s, c) => if (c > d) Some(s -> (c - d)) else None }
+      val m = a.counters
+      b.counters.forEach { (s, c) => m.put(s, m.getOrDefault(s, 0L) + c) }
+      if (m.size > k) {
+        // subtract the (k+1)-th largest count from all, keep positives —
+        // at most k survive and the n/(k+1) bound is preserved (PODS '12)
+        val vals = new Array[Long](m.size)
+        var i = 0
+        m.forEach { (_, c) => vals(i) = c; i += 1 }
+        java.util.Arrays.sort(vals)
+        val d = vals(vals.length - (k + 1))
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > d) e.setValue(e.getValue - d) else it.remove()
         }
-      MgSummary(trimmed, a.n + b.n)
+      }
+      a.n += b.n
+      a
     }
 
     def finish(r: MgSummary): MgSummary = r
@@ -74,17 +88,20 @@ object Sketch {
   }
 
   /** Two-pass exact heavy hitters over a key column: keys whose exact
-    * count is ≥ ⌈n/θinv⌉, for θinv ≤ k+1 (so the sketch provably misses
-    * none). Pass 1 reduces to one ≤ k-entry summary (map-side combined,
-    * one job — the total rides in the buffer); the candidate set (≤ k
-    * strings, a legitimate bounded collect) rides back as a scan
-    * predicate for the exact pass — only candidate keys are ever grouped.
+    * count is ≥ ⌈n/θinv⌉, for θinv ≤ k (strictly inside the sketch's
+    * `> n/(k+1)` survival guarantee — at the θinv = k+1 boundary a key
+    * sitting exactly on the inclusive threshold can be legally evicted,
+    * so the boundary is rejected rather than silently lossy). Pass 1
+    * reduces to one ≤ k-entry summary (map-side combined, one job — the
+    * total rides in the buffer); the candidate set (≤ k strings, a
+    * legitimate bounded collect) rides back as a scan predicate for the
+    * exact pass — only candidate keys are ever grouped.
     */
   def heavyHitters(keys: Dataset[String], k: Int, thetaInv: Long): DataFrame = {
-    require(thetaInv <= k + 1,
-      s"theta 1/$thetaInv below the sketch guarantee 1/${k + 1}")
+    require(thetaInv <= k,
+      s"theta 1/$thetaInv not strictly inside the sketch guarantee 1/${k + 1}")
     val summary = keys.select(new MisraGries(k).toColumn).head()
-    val candidates = summary.counters.keys.toSeq
+    val candidates = summary.counters.keySet().toArray(Array.empty[String]).toSeq
     val floor = (summary.n + thetaInv - 1) / thetaInv // ceil(n / thetaInv)
     keys.toDF("key")
       .filter(col("key").isin(candidates: _*))

@@ -26,7 +26,7 @@ object AnnQueries {
     base.unionAll(copies)
   }
 
-  private val embCorpusSql =
+  private[queries] val embCorpusSql =
     """ecorpus AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
       |  UNION ALL

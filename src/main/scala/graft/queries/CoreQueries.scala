@@ -664,11 +664,28 @@ object CoreQueries {
     * a partition dropped on write, mis-assigned rows, or a filter that
     * silently became a row filter over the full scan all break the hash.
     */
+  /** The sfDir whose partitioned events layout is CURRENTLY staged at
+    * [[PartitionPruneDir]] (shared by q9 and q10 — staging the identical
+    * layout twice doubled the full-corpus partitioned write per bench
+    * run). Current-value marker, not a seen-set: the path is fixed, so
+    * staleness is "holds a different corpus" (the n7 pattern).
+    */
+  private val partitionedStagedFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def ensurePartitionedEvents(spark: SparkSession, sfDir: String): Unit =
+    partitionedStagedFor.synchronized {
+      if (partitionedStagedFor.get != sfDir) {
+        graft.ops.Scale.writePartitioned(
+          Tables.events(spark, sfDir)
+            .select(col("event_type"), col("user_id"), col("value")),
+          PartitionPruneDir, "event_type")
+        partitionedStagedFor.set(sfDir)
+      }
+    }
+
   def partitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.Scale
-    Scale.writePartitioned(
-      Tables.events(spark, sfDir).select(col("event_type"), col("user_id"), col("value")),
-      PartitionPruneDir, "event_type")
+    ensurePartitionedEvents(spark, sfDir)
     partitionPruneRead(spark)
   }
 
@@ -696,11 +713,8 @@ object CoreQueries {
     * the rows; `PlanSpec` pins the pruning expression in the scan.
     */
   def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.Scale
     import spark.implicits._
-    Scale.writePartitioned(
-      Tables.events(spark, sfDir).select(col("event_type"), col("user_id"), col("value")),
-      PartitionPruneDir, "event_type")
+    ensurePartitionedEvents(spark, sfDir)
     // the dim must be a REAL datasource: a LocalRelation dim gets its
     // filter constant-folded away (ConvertToLocalRelation) before the
     // PartitionPruning rule looks for a selective filter, and DPP never

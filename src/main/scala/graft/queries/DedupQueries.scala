@@ -597,13 +597,11 @@ object DedupQueries {
       .withColumn("contaminated", col("n_eval_hits") >= 1)
   }
 
+  // the corpus CTE is the SHARED d4 definition (AnnQueries.embCorpusSql) —
+  // an inlined copy would silently drift if the augmented-corpus recipe
+  // ever changes while the Spark side follows AnnQueries.embCorpus
   val embedDecontaminateSql: String =
-    """WITH ecorpus AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-      |  UNION ALL
-      |  SELECT vec_id + 1000000 AS vec_id,
-      |         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS e
-      |  FROM embeddings WHERE vec_id % 10 = 0),
+    s"""WITH ${AnnQueries.embCorpusSql},
       |ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ee
       |       FROM embeddings WHERE vec_id % 50 = 0)
       |SELECT c.vec_id,

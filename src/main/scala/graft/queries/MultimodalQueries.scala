@@ -602,7 +602,11 @@ object MultimodalQueries {
     * posture (decode-pass maps, band-keyed shuffles only).
     */
   def imagePipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = Multimodal.asMedia(gradientPngs(spark, sfDir))
+    // materialize the rendered corpus ONCE: both the pHash branch and the
+    // survivor-stats branch consume it, and without the boundary the
+    // CPU-dominant PNG encode + ImageIO decode would run twice
+    // (localCheckpoint, not persist — blocks free with the RDD reference)
+    val corpus = Multimodal.asMedia(gradientPngs(spark, sfDir).localCheckpoint())
     val pairs = graft.ops.Dedup.hammingNearDups(
       Multimodal.pHashes(corpus).toDF()
         .select(col("media_id").as("doc_id"), col("phash").as("simhash")),

@@ -28,18 +28,20 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val k = 19
     for (parts <- Seq(1, 3, 8)) {
+      import scala.jdk.CollectionConverters._
       val sum = spark.createDataset(data).repartition(parts)
         .select(new Sketch.MisraGries(k).toColumn).head()
+      val counters = sum.counters.asScala
       assert(sum.n === n)
-      assert(sum.counters.size <= k)
-      sum.counters.foreach { case (key, est) =>
+      assert(counters.size <= k)
+      counters.foreach { case (key, est) =>
         val ex = exact.getOrElse(key, 0L)
         assert(est <= ex, s"$key overestimated: $est > $ex")
         assert(ex - est <= n / (k + 1), s"$key undercount past n/(k+1)")
       }
       // the guarantee: every key above n/(k+1) is in the candidate set
       exact.filter(_._2 > n / (k + 1)).keys.foreach { key =>
-        assert(sum.counters.contains(key),
+        assert(counters.contains(key),
           s"theta-heavy $key missing at $parts partitions")
       }
     }
@@ -60,9 +62,11 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got === want, s"answer diverged at $parts partitions")
     }
-    // theta below the sketch guarantee must be rejected, not silently lossy
+    // theta at or past the guarantee boundary must be rejected, not
+    // silently lossy — at thetaInv = k+1 a key sitting exactly on the
+    // inclusive exact-pass threshold can be legally evicted from the sketch
     intercept[IllegalArgumentException] {
-      Sketch.heavyHitters(spark.createDataset(data), k = 19, thetaInv = 21)
+      Sketch.heavyHitters(spark.createDataset(data), k = 19, thetaInv = 20)
     }
   }
 }
