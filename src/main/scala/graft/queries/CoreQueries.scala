@@ -743,6 +743,39 @@ object CoreQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1""".stripMargin
 
+  /** Q11 — incremental aggregate maintenance (the materialized-view /
+    * lakehouse delta-refresh shape, and n7's daily-ingest idea applied to
+    * aggregates): the BASE aggregate (events with `event_id % 10 != 7`,
+    * grouped by type × day) stages to parquet once; the "daily" DELTA
+    * (`% 10 == 7`) aggregates separately — delta-sized work — and merges
+    * by key-summing the two states. COUNT and SUM are self-mergeable
+    * aggregates, so merge ≡ recompute EXACTLY; the oracle is the full
+    * recompute over ALL events, making the hash match the
+    * refresh-equals-rebuild guarantee. At 100 TB the base never rescans:
+    * the nightly job costs |delta| + |aggregate state|.
+    */
+  def incrAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = s"${TarQueries.StageDir}/q11_base_agg"
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyyMMdd").as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("val_sum"))
+    val ev = Tables.events(spark, sfDir)
+    aggOf(ev.filter(col("event_id") % 10 =!= 7))
+      .write.mode("overwrite").parquet(stage)
+    // THE refresh: aggregate only the delta, merge states by key
+    spark.read.parquet(stage)
+      .unionByName(aggOf(ev.filter(col("event_id") % 10 === 7)))
+      .groupBy("event_type", "day")
+      .agg(sum("cnt").cast("long").as("cnt"),
+        sum("val_sum").cast("double").as("val_sum"))
+  }
+
+  val incrAggSql: String =
+    """SELECT event_type, strftime(ts, '%Y%m%d') AS day, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** O3 — pivot: per-day event counts widened to one column per event
     * type (explicit value list so both engines emit identical column
     * names; count coalesced to 0 so sparse days match the SUM-CASE oracle).
@@ -911,6 +944,7 @@ object CoreQueries {
     "q8_bucketed_join" -> bucketedJoin,
     "q9_partition_prune" -> partitionPrune,
     "q10_dpp_join" -> dppJoin,
+    "q11_incr_agg" -> incrAgg,
     "s14_jsonl_scan" -> jsonlScan,
     "s17_orc_scan" -> orcScan,
     "w6_cumulative_uniques" -> cumulativeUniques,
@@ -948,6 +982,7 @@ object CoreQueries {
     "q8_bucketed_join" -> bucketedJoinSql,
     "q9_partition_prune" -> partitionPruneSql,
     "q10_dpp_join" -> dppJoinSql,
+    "q11_incr_agg" -> incrAggSql,
     "s14_jsonl_scan" -> jsonlScanSql,
     "s17_orc_scan" -> orcScanSql,
     "w6_cumulative_uniques" -> cumulativeUniquesSql,
