@@ -339,6 +339,48 @@ object TextQueries {
       |      FROM documents)
       |WHERE rk <= 15""".stripMargin
 
+  /** T22 — token-budget mix construction (the step after t15 decides
+    * rates: actually SELECT documents until each source's token budget
+    * fills): per source, docs order by `(md5(doc_id), doc_id)` — the t9
+    * deterministic shuffle — and the greedy cut keeps every doc whose
+    * EXCLUSIVE token prefix sum is below the budget (the boundary doc is
+    * included, the standard fill-then-stop rule, so every non-empty
+    * source fills to ≥ budget unless exhausted). Output carries the
+    * per-doc bookkeeping (tokens, exclusive prefix, keep flag), all
+    * integers — exact hash grade.
+    *
+    * Scale shape: ONE source-keyed window (hash-partitioned running sum
+    * — the t9 posture); the mega-source straggler escape is the same
+    * two-level prefix sum t12 uses, documented there.
+    */
+  def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val Budget = 800L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(wsTokens(lower(col("text")))).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("kept", col("cum_before") < Budget)
+  }
+
+  val tokenBudgetMixSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, n_tok,
+      |         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |           AS cum_before
+      |  FROM t)
+      |SELECT doc_id, source, n_tok, cum_before, cum_before < 800 AS kept
+      |FROM p""".stripMargin
+
   /** T21 — the Gopher quality-rule gate (Rae et al. 2021, App. A — the
     * standard web-corpus document filter): word-count bounds, mean word
     * length bounds, symbol-to-word ratio, bullet-line and ellipsis-line
@@ -1309,7 +1351,8 @@ object TextQueries {
     "t7_doc_frequency" -> docFrequency,
     "t8_repetition" -> repetitionStats,
     "t9_source_cap" -> sourceCap,
-    "t21_gopher_gate" -> gopherGate
+    "t21_gopher_gate" -> gopherGate,
+    "t22_token_budget_mix" -> tokenBudgetMix
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1339,6 +1382,7 @@ object TextQueries {
     "t7_doc_frequency" -> docFrequencySql,
     "t8_repetition" -> repetitionStatsSql,
     "t9_source_cap" -> sourceCapSql,
-    "t21_gopher_gate" -> gopherGateSql
+    "t21_gopher_gate" -> gopherGateSql,
+    "t22_token_budget_mix" -> tokenBudgetMixSql
   )
 }

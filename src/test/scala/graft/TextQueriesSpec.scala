@@ -94,6 +94,34 @@ class TextQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.count { case (id, pos, _) => id === pos } < n / 10)
   }
 
+  test("t22 budget mix: kept set is the exact greedy md5-order prefix per source") {
+    // sf0.01 — the graded scale, where the 800-token budget BINDS
+    // (sf0.001 sources are smaller than any useful budget)
+    val rows = graft.queries.TextQueries
+      .tokenBudgetMix(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.exists(!_._5), "budget never binds — vacuous at graded scale")
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val ordered = docs.sortBy { case (id, _, _, _, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)
+      }
+      // exclusive prefix sums recompute sequentially; keep iff < budget
+      var cum = 0L
+      ordered.foreach { case (id, _, nTok, cumBefore, kept) =>
+        assert(cumBefore === cum, s"$src doc $id prefix")
+        assert(kept === (cum < 800L), s"$src doc $id keep flag")
+        cum += nTok
+      }
+      // greedy fill: the kept set reaches the budget unless exhausted
+      val keptTok = ordered.filter(_._5).map(_._3).sum
+      assert(keptTok >= math.min(800L, cum), s"$src under-filled")
+    }
+  }
+
   test("h4 phrase search: reported docs really contain the adjacent phrase, none missed") {
     val got = graft.queries.AnnQueries.phraseSearch(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
