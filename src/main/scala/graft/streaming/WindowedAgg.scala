@@ -95,4 +95,38 @@ object WindowedAgg {
       q.awaitTermination()
     } finally conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** ST12 — streaming per-window approximate distinct: HLL++
+    * (`approx_count_distinct`) inside the watermarked windowed
+    * aggregation. Exact `COUNT(DISTINCT)` is UNSUPPORTED in streaming
+    * (it would need the full per-window key set in state); the sketch is
+    * the only windowed-distinct shape a stream can run — fixed-size
+    * state per open window, mergeable across micro-batches, finalized
+    * exactly once by the append-mode watermark contract (the a5
+    * trade-off made mandatory by streaming semantics rather than chosen
+    * for shuffle volume).
+    */
+  def drainTumblingDistinct(stream: DataFrame, keyCol: String, window: String,
+                            delay: String, rsd: Double, outDir: String,
+                            checkpointDir: String,
+                            statePartitions: Option[Int] = None): Unit = {
+    val conf = stream.sparkSession.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
+    try StateStores.withRocksDb(stream.sparkSession) {
+      val q = stream
+        .withWatermark("ts", delay)
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+        .agg(approx_count_distinct(col(keyCol), rsd).as("n_hll"))
+        .select(unix_micros(col("window.start")).as("win_us"), col("n_hll"))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

@@ -94,4 +94,45 @@ class WindowedAggSpec extends AnyFunSuite with SparkSuite {
       (h10, "a", 3L, 1L), (h10, "b", 2L, 2L), (h10, "c", 1L, 3L),
       (h11, "x", 1L, 1L)))
   }
+
+  test("ST12: windowed HLL merges across batches, one finalized row per window") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("st12spec")
+    val src = dir.resolve("src")
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def stage(rows: Seq[(Timestamp, Long)], name: String, mtime: Long): Unit = {
+      val tmp = dir.resolve(s"tmp_$name").toString
+      rows.toDF("ts", "user_id")
+        .repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(src)
+      java.nio.file.Files.move(part.toPath, src.resolve(name))
+      src.resolve(name).toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis()
+    // the 10:00 window's users SPAN the two files: {1,2} then {2,3,4} —
+    // a cross-batch merge must see 4 distinct; a per-batch reset sees 3
+    stage(Seq((t("10:00"), 1L), (t("10:01"), 2L)), "0001.parquet", t0)
+    stage(Seq((t("10:10"), 2L), (t("10:11"), 3L), (t("10:12"), 4L),
+      (t("11:10"), 9L)), "0002.parquet", t0 + 2000)
+    stage(Seq((t("23:00"), 0L)), "0003.parquet", t0 + 4000)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    WindowedAgg.drainTumblingDistinct(stream, "user_id", "1 hour", "1 minute",
+      rsd = 0.02, out, ckpt)
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+    val h11 = Timestamp.valueOf("2024-01-01 11:00:00").getTime * 1000L
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // one row per finalized window (the sentinel's own window stays open)
+    assert(got.map(_._1).sorted.toSeq === Seq(h10, h11))
+    val byWin = got.toMap
+    // tiny cardinalities sit in the exact regime of the dense HLL here
+    assert(byWin(h10) === 4L, s"cross-batch sketch merge lost users: $byWin")
+    assert(byWin(h11) === 1L)
+  }
 }
