@@ -567,6 +567,38 @@ object CoreQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events WHERE event_type != 'error' GROUP BY 1""".stripMargin
 
+  /** S18 — schema-evolution read (the lake reality that old files lack
+    * new columns): half the events stage as a v1 layout WITHOUT
+    * `event_type`, the other half as v2 WITH it, and one
+    * `mergeSchema=true` parquet read unifies them — v1 rows surface the
+    * missing column as NULL, bucketed here as `__legacy`. The oracle
+    * derives the same buckets from the original table by the staging
+    * split, so a mis-merged schema (column dropped, values misaligned,
+    * NULLs in the wrong half) breaks the hash. Footer-merge cost is the
+    * documented trade: production pins a table schema instead and pays
+    * the merge only on evolution boundaries.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = s"${TarQueries.StageDir}/s18_evo"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.filter(col("event_id") % 2 === 0)
+      .drop("event_type") // the v1 era: the column does not exist yet
+      .write.mode("overwrite").parquet(s"$stage/v1")
+    ev.filter(col("event_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$stage/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$stage/v1", s"$stage/v2")
+      .groupBy(coalesce(col("event_type"), lit("__legacy")).as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"), dsum(col("value")).as("sum_value"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CASE WHEN event_id % 2 = 0 THEN '__legacy' ELSE event_type END AS event_type,
+      |       COUNT(*) AS n_events, MIN(event_id) AS min_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** W6 — cumulative unique users per day (the DAU/cumulative-uniques
     * dashboard query): naive running COUNT(DISTINCT) over an expanding
     * window re-deduplicates the whole prefix at every step — quadratic
@@ -947,6 +979,7 @@ object CoreQueries {
     "q11_incr_agg" -> incrAgg,
     "s14_jsonl_scan" -> jsonlScan,
     "s17_orc_scan" -> orcScan,
+    "s18_schema_evolution" -> schemaEvolution,
     "w6_cumulative_uniques" -> cumulativeUniques,
     "s15_malformed_json" -> malformedJson,
     "w3_sliding_window" -> slidingCounts
@@ -985,6 +1018,7 @@ object CoreQueries {
     "q11_incr_agg" -> incrAggSql,
     "s14_jsonl_scan" -> jsonlScanSql,
     "s17_orc_scan" -> orcScanSql,
+    "s18_schema_evolution" -> schemaEvolutionSql,
     "w6_cumulative_uniques" -> cumulativeUniquesSql,
     "s15_malformed_json" -> malformedJsonSql,
     "w3_sliding_window" -> slidingCountsSql

@@ -179,6 +179,55 @@ object TimeJoinQueries {
       |       COUNT(DISTINCT user_id) AS n_users, TRUE AS hll_ok
       |FROM events GROUP BY 1""".stripMargin
 
+  /** ST13 — stream-static enrichment join: arriving events join a STATIC
+    * dimension (the user → nation mapping derived from customer) inside
+    * the stream — the most common production streaming join (every
+    * ingest enriches against reference data). Stream-static joins are
+    * STATELESS on the stream side (no watermark, no join state — the
+    * static side broadcasts into each micro-batch), which is why this
+    * shape scales where stream-stream (st5) needs bounded state. Graded
+    * over the st4 chronological drain: per-micro-batch enrichment +
+    * append sink, rolled up at read time; the oracle is the plain batch
+    * join + rollup, so a pass proves stream enrichment ≡ batch
+    * enrichment across batch boundaries.
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = ensureSt4Src(spark, sfDir)
+    val out = s"${TarQueries.StageDir}/st13_enriched.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st13")
+      .resolve("ckpt").toString
+    // static dim: user → nation (user ids map onto customer keys mod |c|)
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"),
+        col("c_nationkey").cast("long").as("nation"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .filter(col("event_type") =!= "__sentinel")
+      .join(dim, Seq("user_id")) // stream-static equi-join, stateless
+      .select(col("user_id"), col("event_type"), col("nation"), col("value"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("nation", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation, event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   /** sfDirs whose st11 arrival files are already staged in this JVM. */
   private val st11Staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -557,6 +606,7 @@ object TimeJoinQueries {
     "j7_interval_join" -> intervalOverlap,
     "st11_stream_uniques" -> streamUniques,
     "st12_stream_window_distinct" -> streamWindowDistinct,
+    "st13_stream_static_join" -> streamStaticJoin,
     "w4_gap_fill" -> gapFill,
     "w5_rolling_anomaly" -> rollingAnomaly,
     "st5_stream_join" -> streamJoin
@@ -570,6 +620,7 @@ object TimeJoinQueries {
     "j7_interval_join" -> intervalOverlapSql,
     "st11_stream_uniques" -> streamUniquesSql,
     "st12_stream_window_distinct" -> streamWindowDistinctSql,
+    "st13_stream_static_join" -> streamStaticJoinSql,
     "w4_gap_fill" -> gapFillSql,
     "w5_rolling_anomaly" -> rollingAnomalySql,
     "st5_stream_join" -> streamJoinSql
