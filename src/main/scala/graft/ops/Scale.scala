@@ -87,7 +87,17 @@ object Scale {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     path: Option[String] = None): Unit = {
-    val w = df.write.mode("overwrite")
+    // ONE file per bucket (repartition on the bucket key first): with
+    // several input partitions each bucket gets several files, and the
+    // reader can then trust only the hash partitioning, not the per-file
+    // sort order — the downstream SortMergeJoin re-sorts. One file per
+    // bucket lets the scan expose BOTH partitioning and ordering, so the
+    // join plans neither Exchange NOR Sort (pinned in ScaleSpec). Spark 3
+    // dropped the ordering guarantee by default (SPARK-28595 — several
+    // files per bucket made it unsound); a reader that wants the
+    // sort-free join over THIS one-file-per-bucket layout opts back in
+    // with spark.sql.legacy.bucketedTableScan.outputOrdering=true.
+    val w = df.repartition(buckets, col(key)).write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")

@@ -72,6 +72,10 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     graft.queries.CoreQueries.bucketedJoin(spark, "/root/testdata/sf0.001").collect()
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // ordering opt-in: Spark 3 dropped the bucket-scan sort guarantee by
+    // default (SPARK-28595); writeBucketed's one-file-per-bucket layout is
+    // exactly the case the legacy flag re-enables it for
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
       // the join itself (pre-aggregation) must carry no shuffle exchange:
       // both scans expose the bucket hash partitioning on the join key
@@ -80,8 +84,15 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed q8 join should not shuffle:\n$plan")
+      // one file per bucket (writeBucketed repartitions on the key) means
+      // the scans expose sort order too: the merge join plans NO Sort
+      assert(!plan.contains("Sort "),
+        s"bucketed-sorted q8 join should not re-sort:\n$plan")
       assert(j.count() > 0)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
   }
 
   test("stableIds: contiguous 0..n-1 with no sort and no data shuffle") {
