@@ -762,6 +762,29 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
   }
 
+  /** M11 — per-shot keyframe selection over [[shotBoundaries]]' cut
+    * logic: each boundary starts a new shot (frame 0 starts shot 0), the
+    * shot index is the running cut count, and the keyframe is the shot's
+    * FIRST frame — the standard thumbnail/sampling policy. One
+    * media-keyed window + one keyed rollup; integer output only.
+    */
+  def shotKeyframes(frames: Dataset[VideoFrame],
+                    threshold: Double = 100.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frames.toDF()
+      .withColumn("prev", lag(col("mean_luma"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          abs(col("mean_luma") - col("prev")) > threshold, 1).otherwise(0))
+      .withColumn("shot_idx", sum("cut").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .cast("long"))
+      .groupBy("media_id", "shot_idx")
+      .agg(min(col("frame_idx")).cast("long").as("keyframe_idx"),
+        count(lit(1)).as("n_frames"))
+  }
+
   def videoFrames(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

@@ -212,6 +212,35 @@ object MultimodalQueries {
       |SELECT media_id, frame_idx FROM f
       |WHERE (media_id + frame_idx) % 12 = 0""".stripMargin
 
+  /** M11 — per-shot keyframes ([[graft.ops.Multimodal.shotKeyframes]]):
+    * m6's cut logic rolled into shots (running cut count) with each
+    * shot's first frame as the keyframe — the thumbnail/sampling policy
+    * every video pipeline applies after shot detection. Real decode on
+    * the Spark side; the oracle replays the analytic cut walk and the
+    * same running-count shot assignment.
+    */
+  def shotKeyframesQ(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.shotKeyframes(
+      Multimodal.videoFrames(Multimodal.asMedia(syntheticAvis(spark, sfDir))),
+      threshold = 100.0)
+
+  val shotKeyframesSql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, 2 + doc_id % 6 AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT media_id, unnest(range(n_frames)) AS frame_idx FROM v),
+      |s AS (
+      |  SELECT media_id, frame_idx,
+      |         CAST(SUM(CASE WHEN frame_idx >= 1 AND (media_id + frame_idx) % 12 = 0
+      |                       THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY media_id ORDER BY frame_idx
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS shot_idx
+      |  FROM f)
+      |SELECT media_id, shot_idx, CAST(MIN(frame_idx) AS BIGINT) AS keyframe_idx,
+      |       COUNT(*) AS n_frames
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   /** M7 — windowed audio features over a REAL (and lossless) PCM WAV
     * decode ([[graft.ops.Multimodal.audioWindowFeatures]]): each doc's
     * deterministic triangle wave round-trips through the canonical
@@ -722,7 +751,8 @@ object MultimodalQueries {
     "m4_video_frames" -> videoFrameStats,
     "m5_adpcm_audio" -> adpcmAudio,
     "m7_audio_windows" -> audioWindows,
-    "m6_shot_detect" -> shotDetect
+    "m6_shot_detect" -> shotDetect,
+    "m11_shot_keyframes" -> shotKeyframesQ
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -738,6 +768,7 @@ object MultimodalQueries {
     "m4_video_frames" -> videoFrameStatsSql,
     "m5_adpcm_audio" -> adpcmAudioSql,
     "m7_audio_windows" -> audioWindowsSql,
-    "m6_shot_detect" -> shotDetectSql
+    "m6_shot_detect" -> shotDetectSql,
+    "m11_shot_keyframes" -> shotKeyframesSql
   )
 }

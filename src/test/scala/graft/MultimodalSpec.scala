@@ -370,6 +370,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.AviCodec.parse(evil("AVI ", "avih")).isEmpty)
   }
 
+  test("shotKeyframes: shots split at cuts, keyframe is each shot's first frame") {
+    import spark.implicits._
+    // luma walk: 10,20,30 | 200,210 | 40 — cuts at frames 3 and 5
+    val frames = Seq(
+      (1L, 0, 8, 8, 10.0), (1L, 1, 8, 8, 20.0), (1L, 2, 8, 8, 30.0),
+      (1L, 3, 8, 8, 200.0), (1L, 4, 8, 8, 210.0), (1L, 5, 8, 8, 40.0),
+      (2L, 0, 8, 8, 50.0) // single-frame video: one shot, keyframe 0
+    ).toDF("media_id", "frame_idx", "frame_w", "frame_h", "mean_luma")
+      .as[Multimodal.VideoFrame]
+    val got = Multimodal.shotKeyframes(frames, threshold = 100.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 0L, 0L, 3L), (1L, 1L, 3L, 2L), (1L, 2L, 5L, 1L),
+      (2L, 0L, 0L, 1L)))
+  }
+
   test("audioSegments: islands are maximal, widths consistent, pattern matches the gate") {
     val out = graft.queries.MultimodalQueries
       .audioSegments(spark, "/root/testdata/sf0.001")
