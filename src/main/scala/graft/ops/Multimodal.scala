@@ -751,16 +751,26 @@ object Multimodal {
     * per-frame rows (frames of one video colocate; nothing corpus-wide),
     * downstream of the same manifest-fan-out decode stage m4 uses.
     */
-  def shotBoundaries(frames: Dataset[VideoFrame],
-                     threshold: Double = 100.0): DataFrame = {
+  /** Per-frame cut flag shared by [[shotBoundaries]] and [[shotKeyframes]]
+    * — ONE definition of "a cut" (luma delta vs the previous frame above
+    * `threshold`), so the two ops can never desynchronize.
+    */
+  private def withCutFlag(frames: Dataset[VideoFrame],
+                          threshold: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy("frame_idx")
     frames.toDF()
       .withColumn("prev", lag(col("mean_luma"), 1).over(w))
-      .filter(col("prev").isNotNull &&
-        abs(col("mean_luma") - col("prev")) > threshold)
-      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          abs(col("mean_luma") - col("prev")) > threshold, 1).otherwise(0))
   }
+
+  def shotBoundaries(frames: Dataset[VideoFrame],
+                     threshold: Double = 100.0): DataFrame =
+    withCutFlag(frames, threshold)
+      .filter(col("cut") === 1)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
 
   /** M11 — per-shot keyframe selection over [[shotBoundaries]]' cut
     * logic: each boundary starts a new shot (frame 0 starts shot 0), the
@@ -772,11 +782,7 @@ object Multimodal {
                     threshold: Double = 100.0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy("frame_idx")
-    frames.toDF()
-      .withColumn("prev", lag(col("mean_luma"), 1).over(w))
-      .withColumn("cut",
-        when(col("prev").isNotNull &&
-          abs(col("mean_luma") - col("prev")) > threshold, 1).otherwise(0))
+    withCutFlag(frames, threshold)
       .withColumn("shot_idx", sum("cut").over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
         .cast("long"))

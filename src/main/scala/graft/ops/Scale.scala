@@ -97,6 +97,11 @@ object Scale {
     // files per bucket made it unsound); a reader that wants the
     // sort-free join over THIS one-file-per-bucket layout opts back in
     // with spark.sql.legacy.bucketedTableScan.outputOrdering=true.
+    // The trade this imposes: the write itself shuffles once and runs at
+    // `buckets`-task parallelism — so the bucket count IS the write
+    // parallelism knob, and a 100 TB table wants hundreds-to-thousands
+    // of buckets (also the right granularity for the join), never the
+    // single digits a demo uses.
     val w = df.repartition(buckets, col(key)).write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)

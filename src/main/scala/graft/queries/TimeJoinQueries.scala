@@ -110,6 +110,17 @@ object TimeJoinQueries {
     dest.toFile.setLastModified(mtime)
   }
 
+  /** The staged-chronological readStream every st-drain here opens:
+    * explicit schema (one batch read of the staged dir), one file per
+    * micro-batch. A drain-contract change (e.g. the trigger granularity)
+    * lands once.
+    */
+  private def chronStream(spark: SparkSession, src: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+
   /** ST4 — watermarked tumbling-window streaming aggregation
     * ([[graft.streaming.WindowedAgg]]): events split into two
     * chronological files drained one per micro-batch (so the watermark
@@ -148,10 +159,7 @@ object TimeJoinQueries {
     // the last real window (filtering it pre-watermark left that window
     // open forever — one missing row); its own far-future window never
     // finalizes, and the exact-side inner join excludes it regardless
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
+    val stream = chronStream(spark, src)
     graft.streaming.WindowedAgg.drainTumblingDistinct(stream, "user_id",
       "1 hour", "1 minute", rsd, out, ckpt,
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
@@ -201,10 +209,7 @@ object TimeJoinQueries {
     val dim = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("user_id"),
         col("c_nationkey").cast("long").as("nation"))
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
+    val stream = chronStream(spark, src)
       .filter(col("event_type") =!= "__sentinel")
       .join(dim, Seq("user_id")) // stream-static equi-join, stateless
       .select(col("user_id"), col("event_type"), col("nation"), col("value"))
@@ -457,10 +462,7 @@ object TimeJoinQueries {
     graft.io.FsOps.deletePrefix(spark, out)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-st4")
       .resolve("ckpt").toString
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
+    val stream = chronStream(spark, src)
     graft.streaming.WindowedAgg.drainTumbling(stream, "1 hour", "1 minute",
       out, ckpt,
       // keyspace-sized; the event count upper-bounds the live
@@ -489,10 +491,7 @@ object TimeJoinQueries {
     graft.io.FsOps.deletePrefix(spark, out)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-st10")
       .resolve("ckpt").toString
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
+    val stream = chronStream(spark, src)
     graft.streaming.WindowedAgg.drainTrendingTopK(stream, "1 hour", "1 minute",
       k = 3, out, ckpt,
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(

@@ -42,33 +42,21 @@ object WindowedAgg {
     */
   def drainTrendingTopK(stream: DataFrame, window: String, delay: String,
                         k: Int, outDir: String, checkpointDir: String,
-                        statePartitions: Option[Int] = None): Unit = {
-    val spark = stream.sparkSession
-    val conf = spark.conf
-    val prev = conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try StateStores.withRocksDb(spark) {
-      val q = tumblingCounts(stream, window, delay)
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          if (!batch.isEmpty) {
-            val byWin = org.apache.spark.sql.expressions.Window
-              .partitionBy("win_us")
-              .orderBy(col("n_events").desc, col("event_type").asc)
-            batch.withColumn("rank", row_number().over(byWin).cast("long"))
-              .filter(col("rank") <= k)
-              .select("win_us", "event_type", "n_events", "rank")
-              .write.mode("append").parquet(outDir)
-          }
-          ()
+                        statePartitions: Option[Int] = None): Unit =
+    drainAppend(tumblingCounts(stream, window, delay), outDir, checkpointDir,
+      statePartitions)(
+      _.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val byWin = org.apache.spark.sql.expressions.Window
+            .partitionBy("win_us")
+            .orderBy(col("n_events").desc, col("event_type").asc)
+          batch.withColumn("rank", row_number().over(byWin).cast("long"))
+            .filter(col("rank") <= k)
+            .select("win_us", "event_type", "n_events", "rank")
+            .write.mode("append").parquet(outDir)
         }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally conf.set("spark.sql.shuffle.partitions", prev)
-  }
+        ()
+      })
 
   /** Drain the windowed aggregation of `stream` into `outDir` as parquet
     * (append mode — finalized windows only); blocks until the
@@ -77,24 +65,33 @@ object WindowedAgg {
     * per open (window, type) group, so the per-micro-batch state-store
     * commit cost wants few partitions, not cluster-width.
     */
-  def drainTumbling(stream: DataFrame, window: String, delay: String,
-                    outDir: String, checkpointDir: String,
-                    statePartitions: Option[Int] = None): Unit = {
-    val conf = stream.sparkSession.conf
+  /** Shared drain scaffold: size the state-store partitions, run the
+    * append-mode AvailableNow drain on RocksDB, restore the shuffle conf
+    * — the boilerplate every windowed drain here repeats (a fix to the
+    * save/restore logic now lands once).
+    */
+  private def drainAppend(df: DataFrame, outDir: String, checkpointDir: String,
+                          statePartitions: Option[Int])
+                         (sink: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]
+                           => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+    val conf = df.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try StateStores.withRocksDb(stream.sparkSession) {
-      val q = tumblingCounts(stream, window, delay)
-        .writeStream
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", checkpointDir)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
+    try StateStores.withRocksDb(df.sparkSession) {
+      val q = sink(df.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()))
         .start()
       q.awaitTermination()
     } finally conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  def drainTumbling(stream: DataFrame, window: String, delay: String,
+                    outDir: String, checkpointDir: String,
+                    statePartitions: Option[Int] = None): Unit =
+    drainAppend(tumblingCounts(stream, window, delay), outDir, checkpointDir,
+      statePartitions)(_.format("parquet").option("path", outDir))
 
   /** ST12 — streaming per-window approximate distinct: HLL++
     * (`approx_count_distinct`) inside the watermarked windowed
@@ -109,24 +106,12 @@ object WindowedAgg {
   def drainTumblingDistinct(stream: DataFrame, keyCol: String, window: String,
                             delay: String, rsd: Double, outDir: String,
                             checkpointDir: String,
-                            statePartitions: Option[Int] = None): Unit = {
-    val conf = stream.sparkSession.conf
-    val prev = conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try StateStores.withRocksDb(stream.sparkSession) {
-      val q = stream
+                            statePartitions: Option[Int] = None): Unit =
+    drainAppend(stream
         .withWatermark("ts", delay)
         .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
         .agg(approx_count_distinct(col(keyCol), rsd).as("n_hll"))
-        .select(unix_micros(col("window.start")).as("win_us"), col("n_hll"))
-        .writeStream
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", checkpointDir)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally conf.set("spark.sql.shuffle.partitions", prev)
-  }
+        .select(unix_micros(col("window.start")).as("win_us"), col("n_hll")),
+      outDir, checkpointDir, statePartitions)(
+      _.format("parquet").option("path", outDir))
 }

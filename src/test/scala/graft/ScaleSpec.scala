@@ -75,6 +75,8 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     // ordering opt-in: Spark 3 dropped the bucket-scan sort guarantee by
     // default (SPARK-28595); writeBucketed's one-file-per-bucket layout is
     // exactly the case the legacy flag re-enables it for
+    val prevOrd = spark.conf
+      .getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
       // the join itself (pre-aggregation) must carry no shuffle exchange:
@@ -91,7 +93,12 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       assert(j.count() > 0)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      prevOrd match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      }
     }
   }
 
