@@ -567,6 +567,52 @@ object CoreQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events WHERE event_type != 'error' GROUP BY 1""".stripMargin
 
+  /** J8 — fuzzy (edit-distance) reference matching: corpus vocabulary
+    * matched against a small reference list at levenshtein ≤ 2 — the
+    * data-cleaning join every entity-resolution/typo-normalization
+    * pipeline runs (exact joins miss `tabel` → `table`). The planted
+    * reference carries deliberate misspellings of real corpus tokens so
+    * the fuzzy arm is non-vacuous (an exact join finds none of them).
+    *
+    * Scale shape: the corpus side first collapses to its DISTINCT
+    * vocabulary with doc frequencies (one map-side-combining agg — the
+    * edit-distance never runs per occurrence), then vocab × broadcast
+    * reference scores levenshtein map-side; nothing wider than the
+    * vocabulary shuffles. Both engines run the same full-DP levenshtein
+    * (integer), so the hash grade is exact.
+    */
+  private val FuzzyRefs = Seq("tabel", "scann", "joiin", "vektor", "streem")
+
+  def fuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val vocab = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(wsTokens(lower(col("text"))))).as("token"))
+      .groupBy("token").agg(countDistinct(col("doc_id")).as("n_docs"))
+    val refs = FuzzyRefs.map(lit(_))
+    vocab.crossJoin(broadcast(
+        spark.range(FuzzyRefs.length).select(
+          element_at(array(refs: _*), col("id").cast("int") + 1).as("ref"))))
+      .withColumn("dist", levenshtein(col("ref"), col("token")))
+      .filter(col("dist") <= 2)
+      .select(col("ref"), col("token"), col("dist").cast("long").as("dist"),
+        col("n_docs"))
+  }
+
+  val fuzzyMatchSql: String = {
+    val refs = FuzzyRefs.map(r => s"('$r')").mkString(", ")
+    s"""WITH vocab AS (
+       |  SELECT token, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM (SELECT doc_id,
+       |               unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS token
+       |        FROM documents)
+       |  GROUP BY 1),
+       |refs(ref) AS (VALUES $refs)
+       |SELECT ref, token, CAST(levenshtein(ref, token) AS BIGINT) AS dist, n_docs
+       |FROM vocab CROSS JOIN refs
+       |WHERE levenshtein(ref, token) <= 2""".stripMargin
+  }
+
   /** S18 — schema-evolution read (the lake reality that old files lack
     * new columns): half the events stage as a v1 layout WITHOUT
     * `event_type`, the other half as v2 WITH it, and one
@@ -980,6 +1026,7 @@ object CoreQueries {
     "s14_jsonl_scan" -> jsonlScan,
     "s17_orc_scan" -> orcScan,
     "s18_schema_evolution" -> schemaEvolution,
+    "j8_fuzzy_match" -> fuzzyMatch,
     "w6_cumulative_uniques" -> cumulativeUniques,
     "s15_malformed_json" -> malformedJson,
     "w3_sliding_window" -> slidingCounts
@@ -1019,6 +1066,7 @@ object CoreQueries {
     "s14_jsonl_scan" -> jsonlScanSql,
     "s17_orc_scan" -> orcScanSql,
     "s18_schema_evolution" -> schemaEvolutionSql,
+    "j8_fuzzy_match" -> fuzzyMatchSql,
     "w6_cumulative_uniques" -> cumulativeUniquesSql,
     "s15_malformed_json" -> malformedJsonSql,
     "w3_sliding_window" -> slidingCountsSql
