@@ -285,6 +285,37 @@ object TimeJoinQueries {
 
   val streamUniquesSql: String = CoreQueries.cumulativeUniquesSql
 
+  /** W7 — period-over-period comparison (the day-over-day dashboard
+    * delta): daily counts per event type, each row carrying the PREVIOUS
+    * day's count (lag over the per-type daily series) and the integer
+    * delta — first-day rows surface prev = 0, delta = count (the "new
+    * series" convention). Two tiny keyed aggregations + a per-type lag
+    * window over ≤ #days rows; integers end-to-end.
+    */
+  def periodCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DayUs = 86400000000L
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div $DayUs").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("prev_n", coalesce(lag(col("n"), 1).over(w), lit(0L)))
+      .withColumn("delta", col("n") - col("prev_n"))
+  }
+
+  val periodCompareSql: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n,
+      |       CAST(COALESCE(lag(n) OVER (PARTITION BY event_type ORDER BY day), 0)
+      |            AS BIGINT) AS prev_n,
+      |       CAST(n - COALESCE(lag(n) OVER (PARTITION BY event_type ORDER BY day), 0)
+      |            AS BIGINT) AS delta
+      |FROM d""".stripMargin
+
   /** J7 — interval-interval overlap join ([[TimeJoins.intervalJoin]]):
     * error incidents (10-minute windows) overlapping purchase activity
     * windows (5 minutes) — the temporal-correlation query (which
@@ -608,6 +639,7 @@ object TimeJoinQueries {
     "st13_stream_static_join" -> streamStaticJoin,
     "w4_gap_fill" -> gapFill,
     "w5_rolling_anomaly" -> rollingAnomaly,
+    "w7_period_compare" -> periodCompare,
     "st5_stream_join" -> streamJoin
   )
 
@@ -622,6 +654,7 @@ object TimeJoinQueries {
     "st13_stream_static_join" -> streamStaticJoinSql,
     "w4_gap_fill" -> gapFillSql,
     "w5_rolling_anomaly" -> rollingAnomalySql,
+    "w7_period_compare" -> periodCompareSql,
     "st5_stream_join" -> streamJoinSql
   )
 }
