@@ -235,6 +235,31 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d16 boilerplate join is not broadcast:\n$d16")
   }
 
+  test("budget mix runs on one source-keyed window; fuzzy match broadcasts (t22, j8)") {
+    val t22 = plan("t22_token_budget_mix")
+    // one hash exchange (the source-keyed window), nothing global
+    assert("Exchange hashpartitioning".r.findAllIn(t22).size === 1,
+      s"t22 has extra exchanges:\n$t22")
+    assert(!t22.contains("Exchange SinglePartition"), s"t22 went global:\n$t22")
+    val j8 = plan("j8_fuzzy_match")
+    // the reference list rides a broadcast nested loop over the VOCAB
+    // (already aggregated), never a shuffled join
+    assert(j8.contains("BroadcastNestedLoopJoin") &&
+      !j8.contains("SortMergeJoin") && !j8.contains("CartesianProduct"),
+      s"j8 reference join is not broadcast:\n$j8")
+  }
+
+  test("incremental refresh reads the staged base, re-aggregates only the merge (q11)") {
+    val p = plan("q11_incr_agg")
+    // the refresh half unions a parquet read of the staged base aggregate
+    // with the delta aggregation — the base EVENTS table must appear only
+    // once in the plan (the delta scan), or the refresh is a full rescan
+    val eventScans = "events\\.parquet".r.findAllIn(p).size
+    assert(eventScans === 1,
+      s"q11 refresh rescans the base ($eventScans event scans):\n$p")
+    assert(p.contains("q11_base_agg"), s"q11 lost its staged base read:\n$p")
+  }
+
   test("dynamic partition pruning fires on the runtime-filtered join (q10)") {
     // stage the partitioned layout, then inspect the join plan: the
     // partitioned scan must carry a dynamicpruning expression — without

@@ -111,6 +111,26 @@ class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("w7: first-day prev is 0 and per-type deltas telescope to the last count") {
+    val rows = graft.queries.TimeJoinQueries
+      .periodCompare(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, days) =>
+      val sorted = days.sortBy(_._2)
+      assert(sorted.head._4 === 0L, s"$t first-day prev")
+      // prev chains: row i's prev equals row i-1's count
+      sorted.sliding(2).foreach {
+        case Array((_, _, n1, _, _), (_, _, _, p2, _)) =>
+          assert(p2 === n1, s"$t prev chain broken")
+        case _ => ()
+      }
+      // deltas telescope: sum of deltas = last day's count
+      assert(sorted.map(_._5).sum === sorted.last._3, s"$t deltas")
+    }
+  }
+
   test("st11: replayed user-days survive cross-batch state exactly once") {
     val sf = "/root/testdata/sf0.001"
     graft.queries.TimeJoinQueries.streamUniques(spark, sf).count()
