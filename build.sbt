@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked run output through RAW. Under the default LoggedOutput
+// strategy sbt prefixes every stdout line with "[info] " — which makes
+// the Bench/Verify JSON contract line unparseable in the driver's
+// captured tail (BENCH_r01-r13 all recorded `parsed: null`; the r13
+// tail shows the line arrived intact but as `[info] {...}`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,6 +32,16 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The four global-window queries (w1/w2/o1 + percentile ranks) emit a
+    // "No Partition Defined for Window operation" WARN per task — ~200
+    // lines per bench run, which flooded the driver's bounded stdout tail
+    // every round (VERDICT r13 §next-round 1). The global windows are
+    // by-design bounded (top-k / small aggregate inputs), so the warning
+    // carries no information here: silence that one logger, keep WARN
+    // elsewhere.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warmup: JIT/codegen + parquet footer caches, so the first
     // timed query isn't charged several seconds of JVM start-up
     try {
@@ -113,8 +123,13 @@ object Bench {
           // file must not silently join the baseline map (ADVICE r11)
           .filter(kv => SparkEntry.queries.contains(kv._1)).toMap
       } else Map.empty
+    // Baselines are an sf0.1 contract — at any other sf both the guard
+    // comparison and a tightening write would be cross-scale nonsense
+    // (a dev run at sf0.001 would ratchet entries ~100x down and every
+    // later real run would warn spuriously).
+    val canonicalSf = sfDir.stripSuffix("/").endsWith("sf0.1")
     val vsFirst = results.collect { case (k, v, _, None) =>
-      k -> baseline.get(k).map(b => v / b)
+      k -> (if (canonicalSf) baseline.get(k).map(b => v / b) else None)
     }.toMap
     val guardWarns = vsFirst.toSeq.sortBy(_._1).collect {
       case (k, Some(r)) if r > 1.8 =>
@@ -122,7 +137,7 @@ object Bench {
           f"(${f3(results.find(_._1 == k).get._2)} vs ${f3(baseline(k))} s)"
     }
     guardWarns.foreach(w => println(s"[bench-guard] WARN $w"))
-    val tightened = results.collect {
+    val tightened = if (!canonicalSf) Seq.empty else results.collect {
       case (k, v, _, None) if v < baseline.getOrElse(k, Double.MaxValue) => k -> v
     }
     if (tightened.nonEmpty && baseline.nonEmpty) {
@@ -178,7 +193,15 @@ object Bench {
     // headline total and the per-query detail lives in bench_samples.json.
     val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_err":$nerr,"sf":"$sfDir"}"""
     val compactLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_err":$nerr,"n_queries":${results.size},"samples_file":"bench_samples.json","sf":"$sfDir"}"""
-    println(if (fullLine.length <= 1800) fullLine else compactLine)
+    // Emit the full per-query map first (humans + any tail space left),
+    // then stop Spark UNDER an ERROR log level so shutdown cannot log
+    // over the contract line, and print the compact headline as the very
+    // last stdout of the process. Combined with build.sbt's raw
+    // StdoutOutput strategy this guarantees the final JSON line reaches
+    // the driver's bounded tail unprefixed and unpolluted.
+    println(fullLine)
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(compactLine)
   }
 }
