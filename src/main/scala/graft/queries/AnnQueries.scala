@@ -616,6 +616,58 @@ object AnnQueries {
        |  FROM pq3 JOIN exact ON pq3.p_id = exact.p_id AND pq3.vec_id = exact.vec_id
        |  GROUP BY 1) h ON h.p_id = probes.p_id""".stripMargin
 
+  /** The sfDir whose SHARED full-corpus IVF-PQ quantizers are currently
+    * staged (used by n6 batch grading and n8 filtered search — identical
+    * training sample and hyperparameters, so one training serves both).
+    * Same current-value-marker discipline as [[n7StagedFor]]: the files
+    * live at fixed paths the oracle SQL references literally, so the memo
+    * tracks what the files HOLD, not which sfDirs were ever staged
+    * (ADVICE r12). Training per graded call cost ~3-4 s of bench and
+    * contradicted the train-once/serve-many posture n7 itself pins
+    * (VERDICT r13 §next-round 2).
+    */
+  private val ivfStagedFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Train-once/serve-many for the shared (n6/n8) coarse centroids +
+    * residual codebook: k-means on the deterministic 1-in-4 sample, k=8,
+    * then residual PQ (m=4, subDim=16, 16 codes). Returns the staged
+    * (centroids, codebook) readers.
+    */
+  private def stageIvfPq(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    val centPath = s"${TarQueries.StageDir}/ivf_centroids.parquet"
+    val cbPath = s"${TarQueries.StageDir}/ivf_pq.parquet"
+    val idxPath = s"${TarQueries.StageDir}/ivf_index.parquet"
+    ivfStagedFor.synchronized {
+      if (ivfStagedFor.get != sfDir) {
+        val emb = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val sample = emb.filter(col("vec_id") % 4 === 0)
+        Similarity.trainCentroids(sample, k = 8, iters = 4)
+          .write.mode("overwrite").parquet(centPath)
+        val c = spark.read.parquet(centPath)
+        Similarity.ivfPqTrainResiduals(sample, c, m = 4, subDim = 16, k = 16,
+            iters = 3)
+          .write.mode("overwrite").parquet(cbPath)
+        // the full-corpus coded index is a pure function of (corpus,
+        // staged quantizers) — the artifact a serving system persists
+        // (FAISS writes the coded lists, not just the codebooks), so it
+        // stages with them; n8's per-call work is then eligibility-join +
+        // ADC search, not a corpus re-code
+        val cb0 = spark.read.parquet(cbPath)
+        Similarity.ivfPqBuildIndex(emb, c, cb0, m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(idxPath)
+        ivfStagedFor.set(sfDir)
+      }
+    }
+    (spark.read.parquet(centPath), spark.read.parquet(cbPath))
+  }
+
+  /** The staged full-corpus coded index ([[stageIvfPq]] must have run). */
+  private def stagedIvfIndex(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"${TarQueries.StageDir}/ivf_index.parquet")
+
   /** N6 — IVF-PQ end-to-end (the FAISS IVFPQ composition;
     * [[graft.ops.Similarity.ivfPqTopK]]): n3's coarse quantizer bounds
     * WHERE to look (top-2 of 8 cells per probe), n5's product quantizer —
@@ -629,14 +681,7 @@ object AnnQueries {
     */
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val sample = emb.filter(col("vec_id") % 4 === 0)
-    Similarity.trainCentroids(sample, k = 8, iters = 4)
-      .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n6_centroids.parquet")
-    val cents = spark.read.parquet(s"${TarQueries.StageDir}/n6_centroids.parquet")
-    Similarity.ivfPqTrainResiduals(sample, cents, m = 4, subDim = 16, k = 16,
-        iters = 3)
-      .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n6_pq.parquet")
-    val cb = spark.read.parquet(s"${TarQueries.StageDir}/n6_pq.parquet")
+    val (cents, cb) = stageIvfPq(spark, sfDir)
     val probeFilter = col("vec_id") % 50 === 0
     val ann = Similarity.ivfPqTopK(emb, cents, cb, probeFilter, k = 3,
       pool = 10, nprobe = 2, m = 4, subDim = 16)
@@ -738,8 +783,8 @@ object AnnQueries {
        |            JOIN c ON c.vec_id = pool.vec_id)""".stripMargin
 
   val annIvfPqSql: String =
-    s"""${ivfPqOracleCtes(s"${TarQueries.StageDir}/n6_centroids.parquet",
-          s"${TarQueries.StageDir}/n6_pq.parquet")},
+    s"""${ivfPqOracleCtes(s"${TarQueries.StageDir}/ivf_centroids.parquet",
+          s"${TarQueries.StageDir}/ivf_pq.parquet")},
        |ann3 AS (SELECT p_id, vec_id FROM (
        |    SELECT p_id, vec_id,
        |           row_number() OVER (PARTITION BY p_id
@@ -770,25 +815,18 @@ object AnnQueries {
     * fewer than k (often zero) rows whenever the predicate is selective —
     * the classic filtered-ANN failure this operator exists to avoid; a
     * PlanSpec pin holds the semi-join below the ADC aggregate. Quantizers
-    * + index build per call and stage to parquet like n6; the oracle
-    * replays the same staged floats with the same eligibility join
+    * come from the shared sfDir-memoized stage ([[stageIvfPq]], the n7
+    * train-once posture); only the index build + search run per call. The
+    * oracle replays the same staged floats with the same eligibility join
     * spliced into its candidate CTE.
     */
   def annFiltered(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val sample = emb.filter(col("vec_id") % 4 === 0)
-    Similarity.trainCentroids(sample, k = 8, iters = 4)
-      .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n8_centroids.parquet")
-    val cents = spark.read.parquet(s"${TarQueries.StageDir}/n8_centroids.parquet")
-    Similarity.ivfPqTrainResiduals(sample, cents, m = 4, subDim = 16, k = 16,
-        iters = 3)
-      .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n8_pq.parquet")
-    val cb = spark.read.parquet(s"${TarQueries.StageDir}/n8_pq.parquet")
+    val (cents, cb) = stageIvfPq(spark, sfDir)
     val eligible = Tables.documents(spark, sfDir)
       .filter(col("lang") === "en" && col("n_chars") >= 200)
       .select(col("doc_id").as("vec_id"))
-    val index = Similarity.ivfPqBuildIndex(emb, cents, cb, m = 4, subDim = 16)
-      .localCheckpoint()
+    val index = stagedIvfIndex(spark)
     val res = index.filter(col("subspace") === 0).select("vec_id", "cell")
       .join(eligible, Seq("vec_id"), "left_semi")
     Similarity.ivfPqTopKParts(res, index.select("vec_id", "subspace", "code"),
@@ -797,8 +835,8 @@ object AnnQueries {
   }
 
   val annFilteredSql: String =
-    s"""${ivfPqOracleCtes(s"${TarQueries.StageDir}/n8_centroids.parquet",
-          s"${TarQueries.StageDir}/n8_pq.parquet",
+    s"""${ivfPqOracleCtes(s"${TarQueries.StageDir}/ivf_centroids.parquet",
+          s"${TarQueries.StageDir}/ivf_pq.parquet",
           extraCtes = "elig AS (SELECT doc_id AS vec_id FROM documents " +
             "WHERE lang = 'en' AND n_chars >= 200),",
           candJoin = "JOIN elig ON elig.vec_id = resid.vec_id")}
