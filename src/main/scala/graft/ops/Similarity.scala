@@ -434,11 +434,6 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val c = withUnit(centroids, "embedding", "cu")
       .select(col("vec_id").as("c_id"), col("cu"))
-    // two-choice seating needs two choices: with one centroid an evicted
-    // vector has no crank-2 row and would silently VANISH from the output
-    // (contract: one row per corpus vector) — fail loudly instead
-    require(c.limit(2).count() >= 2,
-      "balancedAssign needs >= 2 centroids (two-choice seating)")
     val top2 = udaf(new TopK(2), Encoders.product[Scored])
     val prefs = withUnit(corpus, "embedding", "u").crossJoin(broadcast(c))
       .withColumn("cos", dot(col("cu"), col("u")))
@@ -455,8 +450,20 @@ object Similarity {
       .select(col("vec_id"), col("cell"), lit(1L).as("seated_round"))
     // k-row ledger of seats round 1 consumed — broadcasts onto round 2
     val used = seated1.groupBy("cell").agg(count(lit(1)).as("n_used"))
-    val second = prefs.filter(col("crank") === 2)
-      .join(first.filter(col("seat") > cap).select("vec_id"), "vec_id")
+    // two-choice seating needs two choices: with a single centroid an
+    // evicted vector has no crank-2 row — keep it seated in its only
+    // cell, flagged round 3 (a bounded, REPORTED imbalance), instead of
+    // letting the row vanish from the output (contract: one row per
+    // corpus vector). The left join costs nothing in the k >= 2 case
+    // (every vector then has a second preference) and replaces the
+    // previous eager `limit(2).count()` arity guard, which ran a Spark
+    // job on every call (ADVICE r13).
+    val second = first.filter(col("seat") > cap)
+      .select(col("vec_id"), col("cell").as("__cell1"))
+      .join(prefs.filter(col("crank") === 2)
+        .select(col("vec_id"), col("cell"), col("cos")), Seq("vec_id"), "left_outer")
+      .withColumn("cell", coalesce(col("cell"), col("__cell1")))
+      .withColumn("cos", coalesce(col("cos"), lit(Double.NegativeInfinity)))
       .join(broadcast(used), Seq("cell"), "left_outer")
       .withColumn("rem", lit(cap) - coalesce(col("n_used"), lit(0L)))
       .withColumn("seat", row_number().over(byCell))

@@ -117,15 +117,30 @@ object TimeJoins {
     * are ordinary groupBy skew — AQE skew-join or salting applies
     * unchanged.
     */
+  /** Exact floor division of an integral column by a positive literal
+    * width. `floor(col / width)` divides as DOUBLE first, which is
+    * silently lossy once |col| leaves the 2^53-exact range — fine for
+    * epoch-µs, wrong for e.g. nanosecond timestamps (ADVICE r13). pmod
+    * (non-negative for positive width) adjusts to an exact multiple, so
+    * the long division truncates to the true floor for negatives too.
+    */
+  private def floorDivBucket(c: Column, width: Long): Column = {
+    val cl = c.cast("long")
+    // `div` = IntegralDivide: true 64-bit division (Column./ would go
+    // through double again). Truncation == floor because the numerator
+    // is pmod-adjusted to an exact multiple of the width.
+    call_function("div", cl - pmod(cl, lit(width)), lit(width))
+  }
+
   def rangeJoin(intervals: DataFrame, startCol: String, endCol: String,
                 points: DataFrame, pointTs: String, width: Long): DataFrame = {
     require(width > 0, s"bucket width $width must be positive")
     val iv = intervals
       .filter(col(endCol) > col(startCol)) // empty interval matches nothing
       .withColumn("__bucket",
-        explode(sequence(floor(col(startCol) / width).cast("long"),
-          floor((col(endCol) - 1) / width).cast("long"))))
-    val pt = points.withColumn("__bucket", floor(col(pointTs) / width).cast("long"))
+        explode(sequence(floorDivBucket(col(startCol), width),
+          floorDivBucket(col(endCol) - 1, width))))
+    val pt = points.withColumn("__bucket", floorDivBucket(col(pointTs), width))
     iv.join(pt, Seq("__bucket"))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bucket")
@@ -150,12 +165,12 @@ object TimeJoins {
     def buckets(df: DataFrame, s: String, e: String) = df
       .filter(col(e) > col(s))
       .withColumn("__bucket",
-        explode(sequence(floor(col(s) / width).cast("long"),
-          floor((col(e) - 1) / width).cast("long"))))
+        explode(sequence(floorDivBucket(col(s), width),
+          floorDivBucket(col(e) - 1, width))))
     buckets(a, aStart, aEnd).join(buckets(b, bStart, bEnd), Seq("__bucket"))
       .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
       .filter(col("__bucket") ===
-        floor(greatest(col(aStart), col(bStart)) / width).cast("long"))
+        floorDivBucket(greatest(col(aStart), col(bStart)), width))
       .drop("__bucket")
   }
 }

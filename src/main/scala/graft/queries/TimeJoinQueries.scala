@@ -176,15 +176,27 @@ object TimeJoinQueries {
     // register-collision error that no relative bound captures (measured:
     // 9 for 11 exact at rsd 0.02); the floor is the small-n guard every
     // production sketch check carries
+    // hll_diag: 'ok' inside the envelope (what the oracle states), the
+    // raw sketch-vs-exact numbers on a breach — the envelope is
+    // empirically tuned to Spark's current dense-register HLL++, and a
+    // Spark upgrade shifting sketch internals would otherwise flip
+    // hll_ok with nothing in the graded dump to diagnose from
+    // (ADVICE r13): on a mismatch the Verify parquet row itself now
+    // carries |hll − exact| and the bound it broke.
     spark.read.parquet(out).join(exact, Seq("win_us"))
+      .withColumn("__bound", greatest(col("n_users") * lit(5 * rsd), lit(3.0)))
+      .withColumn("__delta", abs(col("n_hll") - col("n_users")))
       .select(col("win_us"), col("n_users"),
-        (abs(col("n_hll") - col("n_users")) <=
-          greatest(col("n_users") * lit(5 * rsd), lit(3.0))).as("hll_ok"))
+        (col("__delta") <= col("__bound")).as("hll_ok"),
+        when(col("__delta") <= col("__bound"), lit("ok"))
+          .otherwise(concat(lit("delta="), col("__delta").cast("string"),
+            lit(">bound="), format_number(col("__bound"), 2))).as("hll_diag"))
   }
 
   val streamWindowDistinctSql: String =
     """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
-      |       COUNT(DISTINCT user_id) AS n_users, TRUE AS hll_ok
+      |       COUNT(DISTINCT user_id) AS n_users, TRUE AS hll_ok,
+      |       'ok' AS hll_diag
       |FROM events GROUP BY 1""".stripMargin
 
   /** ST13 — stream-static enrichment join: arriving events join a STATIC

@@ -268,6 +268,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(res(11L) === ((1L, 3L)))
   }
 
+  test("N9: single-centroid corpus keeps every vector, overflow flagged round 3") {
+    import spark.implicits._
+    // degenerate arity: two-choice seating with ONE cell has no second
+    // choice. Contract (one output row per corpus vector) must still
+    // hold — evictees stay in their only cell, flagged round 3 — rather
+    // than vanishing or requiring an eager arity-guard job (ADVICE r13).
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(10.0f, 0.0f)),
+      (11L, Array(10.0f, 1.0f)),
+      (12L, Array(10.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.balancedAssign(corpus, cents, cap = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(res.size === 3, "every vector is assigned exactly once")
+    assert(res(10L) === ((0L, 1L)))
+    assert(res(11L) === ((0L, 1L)))
+    assert(res(12L) === ((0L, 3L)), "evictee stays in its only cell, flagged")
+  }
+
   test("H2: fused order is exactly the RRF of the returned arm ranks") {
     // recompute sum(1/(60+r)) from the ranks h2 itself reports (0 = absent
     // from that arm's top-20, contributing nothing) and assert the output

@@ -178,6 +178,31 @@ class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
       "bucketed overlap join diverged from the inequality join (dups or loss)")
   }
 
+  test("bucket ids are exact past double's 2^53 range and floor on negatives") {
+    import spark.implicits._
+    // nanosecond-magnitude bounds (> 2^53, where a double round-trip is
+    // lossy) and negative timestamps (where truncating division would
+    // disagree with floor) — both joins must still match a brute-force
+    // inequality join exactly (ADVICE r13: bucket ids via integer floor
+    // division, not floor(col/width) through double).
+    val big = 1L << 55
+    val a = Seq((1L, big + 3L, big + 9L), (2L, -7L, -1L))
+      .toDF("aid", "as", "ae")
+    val b = Seq((10L, big + 8L, big + 20L), // overlaps a1's tail
+      (11L, big + 9L, big + 10L),           // touches a1 at ae — no match
+      (12L, -3L, 0L)                        // overlaps a2
+    ).toDF("bid", "bs", "be")
+    val got = TimeJoins.intervalJoin(a, "as", "ae", b, "bs", "be", width = 2L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 12L)))
+    val pts = Seq((20L, big + 3L), (21L, big + 8L), (22L, -4L), (23L, -1L))
+      .toDF("pid", "ts")
+    val rj = TimeJoins.rangeJoin(a, "as", "ae", pts, "ts", width = 2L)
+      .select("aid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pt 23 sits ON a2's half-open end — excluded
+    assert(rj === Set((1L, 20L), (1L, 21L), (2L, 22L)))
+  }
+
   // --- w4 gap-fill: grid completeness + LOCF semantics on real testdata ---
 
   test("gapFill: contiguous daily grid per user, LOCF carries, no leading fill") {
