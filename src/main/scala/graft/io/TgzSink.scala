@@ -43,6 +43,11 @@ import graft.model.Schemas
   * Two marked attempts of the SAME partition are duplicate successes
   * (retry after a lost heartbeat, speculation) writing identical content;
   * the latest is picked for determinism.
+  *
+  * Marking and publishing are rename-based only where rename is atomic
+  * (posix/HDFS); on object-store schemes the sink switches to the
+  * rename-free [[CopyCommit]] protocol (marker PUT + copy-then-verify) —
+  * see [[CommitProtocol]].
   */
 object TgzSink {
 
@@ -61,7 +66,16 @@ object TgzSink {
     * Output names: `<archiveBasename>` for the public half,
     * `<archiveBasename>` with `.tgz` → `-e.tgz` for the private half.
     */
-  def writeSplit(routed: Dataset[Row], outDir: String): Unit = {
+  def writeSplit(routed: Dataset[Row], outDir: String): Unit =
+    writeSplit(routed, outDir,
+      CommitProtocol.forPath(outDir,
+        bridge.sessionHadoopConf(routed.sparkSession)))
+
+  /** [[writeSplit]] with an explicit commit protocol — the no-arg overload
+    * picks [[CopyCommit]] automatically for object-store schemes.
+    */
+  def writeSplit(routed: Dataset[Row], outDir: String,
+                 protocol: CommitProtocol): Unit = {
     val spark = routed.sparkSession
     // session conf captured ONCE on the driver and shipped — a fresh
     // `new Configuration()` in the task would drop spark.hadoop.* settings
@@ -117,14 +131,26 @@ object TgzSink {
       }
       closeCurrent()
       // every writer closed cleanly — mark this attempt's files complete so
-      // commit can tell them from the debris of attempts that died mid-write
+      // commit can tell them from the debris of attempts that died mid-write.
+      // RenameCommit marks by renaming the data file itself (atomic on
+      // posix/HDFS); CopyCommit never renames — it PUTs a zero-byte
+      // `.done` marker beside the data file (atomic single-object PUT).
       stagedNames.foreach { n =>
-        if (!fs.rename(new Path(tmpDir, n), new Path(tmpDir, n + DoneSuffix)))
-          throw new java.io.IOException(s"failed to mark staged file $n complete")
+        protocol match {
+          case RenameCommit =>
+            if (!fs.rename(new Path(tmpDir, n), new Path(tmpDir, n + DoneSuffix)))
+              throw new java.io.IOException(s"failed to mark staged file $n complete")
+          case CopyCommit =>
+            val m = fs.create(new Path(tmpDir, n + DoneSuffix), true)
+            // non-empty on purpose: the commit election lists the staging
+            // dir through Spark's file index, which prunes zero-length
+            // files — an empty marker would be invisible to it
+            m.write('k'); m.close()
+        }
       }
     }
 
-    commit(spark, outDir, sconf)
+    commit(spark, outDir, sconf, protocol)
   }
 
   /** Publish `_tmp` outputs: consider only `.done`-marked files (attempts
@@ -143,7 +169,8 @@ object TgzSink {
     * conflict verdict (a handful of example names).
     */
   private[io] def commit(spark: org.apache.spark.sql.SparkSession, outDir: String,
-                         sconf: SerializableHadoopConf): Unit = {
+                         sconf: SerializableHadoopConf,
+                         protocol: CommitProtocol = RenameCommit): Unit = {
     import org.apache.spark.sql.functions._
     val out = new Path(outDir)
     val tmp = new Path(out, TmpDir)
@@ -181,9 +208,30 @@ object TgzSink {
         val t = new Path(o, TmpDir)
         it.foreach { r =>
           val target = new Path(o, r.getString(1))
-          pfs.delete(target, false)
-          if (!pfs.rename(new Path(t, r.getString(0)), target))
-            throw new java.io.IOException(s"commit rename failed for ${r.getString(1)}")
+          protocol match {
+            case RenameCommit =>
+              // the `.done` file IS the data under rename marking
+              pfs.delete(target, false)
+              if (!pfs.rename(new Path(t, r.getString(0)), target))
+                throw new java.io.IOException(
+                  s"commit rename failed for ${r.getString(1)}")
+            case CopyCommit =>
+              // the `.done` file is a marker; the data sits beside it.
+              // Copy-then-verify: object copy/PUT is complete-or-absent,
+              // and the length check turns "copy claimed success" into
+              // "published object verifiably holds the staged bytes"
+              // before the winner is declared committed. The staged
+              // source is left for the staging-dir sweep.
+              val src = new Path(t, r.getString(0).stripSuffix(DoneSuffix))
+              val srcLen = pfs.getFileStatus(src).getLen
+              org.apache.hadoop.fs.FileUtil.copy(pfs, src, pfs, target,
+                false, true, conf)
+              val dstLen = pfs.getFileStatus(target).getLen
+              if (dstLen != srcLen)
+                throw new java.io.IOException(
+                  s"commit verify failed for ${r.getString(1)}: " +
+                    s"published $dstLen bytes, staged $srcLen")
+          }
         }
       }
     } finally perFin.unpersist()
