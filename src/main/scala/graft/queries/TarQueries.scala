@@ -27,6 +27,21 @@ object TarQueries {
     "/root/repo/testdata/20170315T000000Z-mlab3-sea03-sidestream-0000.tgz"
   val FixtureWhitelist = "/root/repo/testdata/whitelist_full"
 
+  /** Second golden fixture (hand-built, `tools/gen_fixture2.py`): IPv6-heavy
+    * names including the `:::` quirk in both directions, a non-canonically
+    * spelled whitelisted address, a mid-stream directory entry, malformed/
+    * old-format names, a non-web100 file, and a per-file date older than
+    * the cutoff — the routing arms fixture 1 cannot exercise. Its `-p`/`-e`
+    * goldens carry a hand-computed split (5 public / 5 private).
+    */
+  val Fixture2Tgz =
+    "/root/repo/testdata/20170316T000000Z-mlab2-syd02-sidestream-0000.tgz"
+
+  /** Fixture-2 cutoff: the archive's own day, so the one entry dated a day
+    * earlier exercises the per-file age arm (P5).
+    */
+  val Fixture2Cutoff = 20170316
+
   /** Deterministic absolute staging dir for oracle-checkable dumps of
     * tgz-parsed rows; the oracle SQL references it literally via
     * `read_parquet`.

@@ -73,4 +73,27 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(r2(("d/20170316T00:00:00Z_9.9.9.9_0.web100", "public")) === 1L)
     assert(r2.values.sum === 4L)
   }
+
+  test("ST1 drain matches both golden fixtures' hand-computed splits") {
+    import graft.queries.TarQueries.{Fixture2Cutoff, Fixture2Tgz, FixtureCutoff, FixtureTgz, FixtureWhitelist}
+    // the graded st1 query drains fixture 1; this pins the SAME drain over
+    // the second golden (`tools/gen_fixture2.py` — ::: quirk, mid-stream
+    // dir, malformed names, per-file age arm) so streaming ≡ batch holds
+    // on every routing arm, not just whole-bucket routing
+    for ((tgz, cutoff, nPub, nPriv) <- Seq(
+        (FixtureTgz, FixtureCutoff, 145L, 59L),
+        (Fixture2Tgz, Fixture2Cutoff, 5L, 5L))) {
+      val root = Files.createTempDirectory("graft-st1-golden")
+      val inDir = Files.createDirectory(root.resolve("in"))
+      Files.copy(java.nio.file.Paths.get(tgz),
+        inDir.resolve(tgz.substring(tgz.lastIndexOf('/') + 1)))
+      val outDir = root.resolve("out").toString
+      StreamingEmbargo.drain(spark, inDir.toString, FixtureWhitelist,
+        cutoff, outDir, root.resolve("ckpt").toString)
+      val counts = spark.read.parquet(outDir).collect()
+        .groupBy(_.getAs[String]("route")).view.mapValues(_.length.toLong).toMap
+      assert(counts === Map("public" -> nPub, "private" -> nPriv),
+        s"drain of $tgz diverged from the golden split")
+    }
+  }
 }
