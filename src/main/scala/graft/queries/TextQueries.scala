@@ -1278,6 +1278,83 @@ object TextQueries {
        |       CAST(MAX(pos) AS BIGINT) AS last_pos
        |FROM c GROUP BY 1""".stripMargin
 
+  /** sfDirs whose c3 multi-file stream source is already staged this JVM. */
+  private val c3Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** C3 — the STREAMING corpus capstone ([[graft.streaming.StreamCorpus]]):
+    * c1's ingest door run in production shape — one AvailableNow drain
+    * composing the st6 LM gate (batch-trained broadcast model, stateless
+    * per-batch scoring) with st3's cross-batch fingerprint dedup
+    * (RocksDB state surviving micro-batch boundaries), then t12's
+    * two-level-prefix-sum shard packing over the survivors on drain
+    * close. The staged source re-delivers every 25th document in a LATER
+    * file/batch (the st3 layout), so a green run proves re-deliveries
+    * drop against state from earlier batches INSIDE the composition, not
+    * just in the isolated st3 operator. The oracle replays the whole door
+    * in batch: gate (t13) → distinct kept fingerprints → md5-ordered
+    * packing — stream ≡ batch for the composed pipeline.
+    */
+  def streamCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = TarQueries.stagePath("c3_src", sfDir) + ".parquet"
+    val out = s"${TarQueries.StageDir}/c3_corpus.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    c3Staged.computeIfAbsent(sfDir, _ => {
+      graft.io.FsOps.deletePrefix(spark, src)
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      docs.repartition(2).write.mode("overwrite").parquet(src)
+      // the re-delivery file: copies of every 25th doc arrive in a later
+      // micro-batch and must fall to cross-batch dedup state
+      docs.filter(col("doc_id") % 25 === 0)
+        .repartition(1).write.mode("append").parquet(src)
+      src
+    })
+    val d = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val model = graft.ops.LmScore.trainBigramModel(d)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-c3")
+      .resolve("ckpt").toString
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    graft.streaming.StreamCorpus.drainGateDedup(stream, model, out, ckpt,
+      statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
+        Tables.rowCount(spark, sfDir, "documents"),
+        spark.sparkContext.defaultParallelism)))
+    // drain close → t12 packing over the drained (fp, n_tokens) survivors
+    val keyed = spark.read.parquet(out)
+      .select(col("fp"), col("n_tokens"), md5(col("fp")).as("k"))
+      .orderBy(col("k"), col("fp"))
+      .localCheckpoint()
+    graft.ops.Scale.packByWeight(graft.ops.Scale.stableIds(keyed, "pos"),
+        "pos", "n_tokens", target = 2000L, bucketWidth = 100L)
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"))
+  }
+
+  val streamCorpusSql: String =
+    s"""WITH lm AS (SELECT doc_id FROM ($lmFilterSql) WHERE keep = 1),
+       |kept AS (SELECT d.text FROM documents d JOIN lm USING (doc_id)),
+       |fps AS (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       |               MIN(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) AS n
+       |        FROM kept GROUP BY 1),
+       |ord AS (SELECT fp, n,
+       |               row_number() OVER (ORDER BY md5(fp), fp) - 1 AS pos
+       |        FROM fps),
+       |c AS (SELECT pos, n,
+       |             CAST(COALESCE(SUM(n) OVER (ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |                  AS BIGINT) AS pre
+       |      FROM ord)
+       |SELECT pre // 2000 AS shard, COUNT(*) AS n_docs,
+       |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       |       CAST(MAX(pos) AS BIGINT) AS last_pos
+       |FROM c GROUP BY 1""".stripMargin
+
   /** ST6 — streaming LM gating ([[graft.streaming.StreamScore]]): the
     * model trains batch-side on the corpus snapshot, then the SAME
     * documents arrive as a stream and are gated per micro-batch against
@@ -1326,6 +1403,7 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_corpus_to_shards" -> corpusToShards,
+    "c3_stream_corpus" -> streamCorpus,
     "st6_stream_lm_gate" -> streamLmGate,
     "t10_json_props" -> jsonProps,
     "t11_bm25" -> bm25,
@@ -1357,6 +1435,7 @@ object TextQueries {
 
   def oracleSql: Map[String, String] = Map(
     "c1_corpus_to_shards" -> corpusToShardsSql,
+    "c3_stream_corpus" -> streamCorpusSql,
     "st6_stream_lm_gate" -> streamLmGateSql,
     "t10_json_props" -> jsonPropsSql,
     "t11_bm25" -> bm25Sql,

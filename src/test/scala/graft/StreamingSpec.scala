@@ -74,6 +74,61 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(r2.values.sum === 4L)
   }
 
+  test("C3: re-deliveries drop against cross-batch state inside gate+dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lower}
+    import graft.ops.LmScore
+    val root = Files.createTempDirectory("graft-c3-spec")
+    val src = root.resolve("src").toString
+    val likely = "the cat sat on the mat and the cat sat again"
+    val gibberish = "zq xv jk wq pz bn mf gh qq ww"
+    // file 1 (batch 1): two distinct docs + a gibberish doc for the gate;
+    // file 2 (batch 2): an EXACT re-delivery of doc 1's text under a new
+    // id, plus a fresh doc — the re-delivery must drop against batch-1
+    // fingerprint state, the fresh doc must survive
+    val batch1 = Seq((1L, likely), (2L, likely + " and again"), (3L, gibberish))
+    val batch2 = Seq((4L, likely), (5L, "the mat sat on the cat"))
+    batch1.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(src)
+    batch2.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(src)
+
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val model = LmScore.trainBigramModel(
+      all.select(col("doc_id"), lower(col("text")).as("t")))
+    // gate non-vacuity: the synthetic set must fire the gate both ways
+    val keeps = (batch1 ++ batch2).map { case (id, t) =>
+      id -> LmScore.score(model, id, t.toLowerCase)._3
+    }.toMap
+    assert(keeps.values.toSet === Set(0L, 1L), s"gate is vacuous: $keeps")
+
+    val out = root.resolve("out").toString
+    val stream = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    graft.streaming.StreamCorpus.drainGateDedup(stream, model, out,
+      root.resolve("ckpt").toString, statePartitions = Some(2))
+
+    val sunk = spark.read.parquet(out).collect()
+      .map(r => r.getAs[String]("fp") -> r.getAs[Long]("n_tokens"))
+    assert(sunk.map(_._1).distinct.length === sunk.length,
+      "a fingerprint survived twice — cross-batch state was lost")
+    // exactly the kept docs' distinct fingerprints, re-delivery collapsed
+    def fp(t: String): String = {
+      val canon = t.toLowerCase.trim.replaceAll("\\s+", " ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = (batch1 ++ batch2).filter(d => keeps(d._1) == 1L)
+      .map(d => fp(d._2)).distinct.sorted
+    assert(sunk.map(_._1).sorted.toSeq === expected,
+      "drained set != distinct fingerprints of gate-kept docs")
+    assert(expected.contains(fp(likely)) &&
+      (batch1 ++ batch2).count(_._2 == likely) == 2,
+      "the re-delivered fingerprint must be in play exactly once")
+  }
+
   test("ST1 drain matches both golden fixtures' hand-computed splits") {
     import graft.queries.TarQueries.{Fixture2Cutoff, Fixture2Tgz, FixtureCutoff, FixtureTgz, FixtureWhitelist}
     // the graded st1 query drains fixture 1; this pins the SAME drain over
