@@ -158,9 +158,45 @@ object Dedup {
     * collision ≤ jBg^r while a real near-dup at j ≥ 0.9 still misses
     * every band with negligible probability.
     */
+  /** Doc-frequency pruning of shingle sets FOR CANDIDATE GENERATION: grams
+    * present in more than `dfFrac` of the documents are removed from the
+    * copies of the sets that feed BANDING (the exact-jaccard verify always
+    * runs on the full sets, so surviving pairs keep their true scores).
+    * This is the hot-bucket lever for dense char-gram corpora whose band
+    * shape is recall-capped (d6's 16×3: the round-14 occupancy sweep
+    * measured the >64-occupancy bucket tail growing superlinearly at sf3
+    * while wall time was still sub-linear — ubiquitous grams seed the
+    * band-key minima of large unrelated groups). Pruning trades recall
+    * ONLY for pairs whose similarity rides on corpus-ubiquitous grams —
+    * exactly the pairs near-dup detection does not want. A doc whose
+    * set would prune to empty keeps its original set (an all-hot doc
+    * must not join a single global bucket of its peers).
+    */
+  def pruneFrequentShingles(sets: DataFrame, dfFrac: Double,
+                            maxPrune: Int = 4096): DataFrame = {
+    require(dfFrac > 0.0 && dfFrac < 1.0, s"dfFrac $dfFrac must be in (0,1)")
+    val cap = math.max(1L, (sets.count() * dfFrac).toLong)
+    // distinct grams past the cap are bounded by totalOccurrences/cap —
+    // a handful of ubiquitous grams in practice; maxPrune bounds the
+    // driver collect regardless
+    val hot = sets.select(explode(col("shingles")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .orderBy(col("df").desc, col("g"))
+      .limit(maxPrune)
+      .collect().map(_.getLong(0))
+    if (hot.isEmpty) sets
+    else {
+      val pruned = array_except(col("shingles"), typedLit(hot.toSeq))
+      sets.withColumn("shingles",
+        when(size(pruned) > 0, pruned).otherwise(col("shingles")))
+    }
+  }
+
   def ngramJaccardNearDups(corpus: DataFrame, threshold: Double = 0.8,
                            n: Int = 5, numBands: Int = 0, rowsPerBand: Int = 0,
-                           collapseIdentical: Boolean = true): DataFrame = {
+                           collapseIdentical: Boolean = true,
+                           bandDfPrune: Double = 1.0): DataFrame = {
     require((numBands > 0) == (rowsPerBand > 0),
       "set both numBands and rowsPerBand, or neither (self-size)")
     val (b, r) =
@@ -182,13 +218,21 @@ object Dedup {
       corpus.select(col("doc_id"),
         graft.functions.HashFunctions.char_gram_hashes(
           graft.functions.TextFunctions.canonText(col("text")), n, 7).as("shingles")),
-      threshold, b, r, collapseIdentical)
+      threshold, b, r, collapseIdentical,
+      bandPrune =
+        if (bandDfPrune < 1.0) s => pruneFrequentShingles(s, bandDfPrune)
+        else identity)
   }
 
-  /** Shared LSH near-dup core over precomputed `(doc_id, shingles)` sets. */
+  /** Shared LSH near-dup core over precomputed `(doc_id, shingles)` sets.
+    * `bandPrune` transforms the sets fed to BANDING only (candidate
+    * generation); verification always reads the untransformed sets.
+    */
   private def nearDupsFromSets(rawSets: DataFrame, threshold: Double,
                                numBands: Int, rowsPerBand: Int,
-                               collapseIdentical: Boolean): DataFrame = {
+                               collapseIdentical: Boolean,
+                               bandPrune: DataFrame => DataFrame = identity)
+      : DataFrame = {
     // The shingle arrays feed several branches (grouping, signatures, both
     // verify joins) — materialize them ONCE with an eager localCheckpoint.
     // The r10 repartition-for-ReusedExchange form did NOT hold: the
@@ -212,7 +256,8 @@ object Dedup {
       // round-trip of the ~3×-text-size shingle arrays (A/B at sf0.1:
       // d5 2.00 s checkpointed vs 1.33 s reused).
       val flat = rawSets.repartition(col("doc_id"))
-      return verifyPairs(candidatePairs(lshBands(flat, numBands, rowsPerBand)),
+      return verifyPairs(
+        candidatePairs(lshBands(bandPrune(flat), numBands, rowsPerBand)),
         flat, threshold)
     }
     val sets = rawSets.localCheckpoint()
@@ -228,7 +273,8 @@ object Dedup {
     // and repSets (a join over both checkpoints) is left with exactly one
     // consumer instead of being recomputed into each verify branch
     val repPairs = verifyPairs(
-      candidatePairs(lshBands(repSets, numBands, rowsPerBand)), sets, threshold)
+      candidatePairs(lshBands(bandPrune(repSets), numBands, rowsPerBand)),
+      sets, threshold)
 
     // expand representatives back to full doc pairs
     val within = groups.as("x").join(groups.as("y"),

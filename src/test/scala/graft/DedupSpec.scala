@@ -246,6 +246,46 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(jac > 0.8 && jac < 1.0)
   }
 
+  test("D6: band-side df-pruning drops ubiquitous grams, keeps rare, never empties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 10 docs all containing hot gram 99; each also carries a unique gram
+    // and doc 1/2 share gram 7. Doc 10 is ALL-hot (would prune to empty).
+    val sets = (1L to 10L).map { i =>
+      val own = if (i == 10L) Seq(99L) else Seq(99L, 1000L + i) ++
+        (if (i <= 2) Seq(7L) else Nil)
+      (i, own.toArray)
+    }.toDF("doc_id", "shingles")
+    val pruned = Dedup.pruneFrequentShingles(sets, dfFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // gram 99 (df 10/10) pruned everywhere a non-empty remainder exists
+    (1L to 9L).foreach(i => assert(!pruned(i).contains(99L), s"doc $i keeps hot gram"))
+    // rare grams survive (df 1-2 <= cap)
+    assert(pruned(1L) === Set(1001L, 7L) && pruned(5L) === Set(1005L))
+    // the all-hot doc keeps its original set instead of going empty
+    assert(pruned(10L) === Set(99L))
+  }
+
+  test("D6: df-pruned banding still finds the planted near-dup, same verified jaccard") {
+    // the hot-bucket lever must not cost the pair whose similarity is
+    // carried by DISTINCTIVE grams: same corpus as the D6 base test, a
+    // shared boilerplate suffix on every doc making some grams ubiquitous
+    val boiler = " copyright footer all rights reserved"
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val joined = base.replace("river bank", "riverbank")
+    val corpus = docs(
+      1L -> (base + boiler), 2L -> (joined + boiler),
+      3L -> ("completely unrelated text talking about other things entirely" + boiler))
+    val plain = Dedup.ngramJaccardNearDups(corpus, threshold = 0.7).collect()
+    val prunedRun = Dedup.ngramJaccardNearDups(corpus, threshold = 0.7,
+      bandDfPrune = 0.9).collect()
+    def pairsOf(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jac"))).toMap
+    assert(pairsOf(prunedRun) === pairsOf(plain),
+      "band-side pruning changed the verified result")
+    assert(pairsOf(plain).contains((1L, 2L)), "planted pair missing")
+  }
+
   test("D3: simhash hamming 0 for identical token sets, bands are lossless") {
     val res = Dedup.simhashNearDups(docs(
       1L -> "one two three four five six seven eight",
