@@ -68,11 +68,22 @@ object LshStats {
       val n6 = sample.count()
       val (b6, r6) = LshSizing.bandShape(n6, threshold = 0.8,
         jBg = 1.0 / 3.0, maxBands = 16)
-      occupancy(spark, s"d6@$sfDir(n=$n6)",
-        sample.select(col("doc_id"),
-          graft.functions.HashFunctions.char_gram_hashes(
-            graft.functions.TextFunctions.canonText(col("text")), 5, 7)
-            .as("shingles")), b6, r6)
+      val gramSets = sample.select(col("doc_id"),
+        graft.functions.HashFunctions.char_gram_hashes(
+          graft.functions.TextFunctions.canonText(col("text")), 5, 7)
+          .as("shingles")).localCheckpoint()
+      occupancy(spark, s"d6@$sfDir(n=$n6)", gramSets, b6, r6)
+      // the hot-bucket lever, measured: same banding over df-pruned sets
+      occupancy(spark, s"d6-pruned0.1@$sfDir(n=$n6)",
+        Dedup.pruneFrequentShingles(gramSets, dfFrac = 0.1), b6, r6)
+      // wall effect on the full d6 pass (candidates + exact verify)
+      for ((lbl, frac) <- Seq("plain" -> 1.0, "pruned0.1" -> 0.1)) {
+        val t0 = System.nanoTime()
+        val nPairs = Dedup.ngramJaccardNearDups(sample, threshold = 0.8,
+          bandDfPrune = frac).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"LSHSTATS d6-wall $lbl@$sfDir: $dt%.2f s, $nPairs pairs")
+      }
     }
     spark.stop()
   }
