@@ -17,6 +17,10 @@ run / fork := true
 // captured tail (BENCH_r01-r13 all recorded `parsed: null`; the r13
 // tail shows the line arrived intact but as `[info] {...}`).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop sbt's trailing "[success] Total time: ..." banner so the
+// contract line printed by Bench/Verify is the LAST line of the combined
+// output — robust even against a last-line-only tail parser.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
