@@ -21,6 +21,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // contract line printed by Bench/Verify is the LAST line of the combined
 // output — robust even against a last-line-only tail parser.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
