@@ -104,6 +104,52 @@ object TarQueries {
        |FROM read_parquet('$StageDir/e1_routed.parquet/*.parquet')
        |GROUP BY 1""".stripMargin
 
+  /** E2 — GRADED payload fidelity of the golden split (VERDICT r13
+    * residual #2 promoted from spec to oracle gate): both golden fixtures
+    * run the full S4→P3→S7 pipeline into a scratch dir, the produced
+    * `-p`/`-e` tarballs are re-read and every regular entry's DECOMPRESSED
+    * payload md5 is emitted; the oracle reads the staged manifest of the
+    * reference's own golden `-p`/`-e` files (their fixed bytes, hashed by
+    * the same reader the s4 oracle independently grades). A hash match is
+    * end-to-end proof that the split's inner bytes equal the reference's
+    * — the strongest portable form of `embargo_test.go:54-90`'s
+    * byte-compare (compressed bytes differ across gzip implementations by
+    * the reference's own admission, `embargo_test.go:51-53`).
+    */
+  def splitPayloads(spark: SparkSession, sfDir: String): DataFrame = {
+    def manifest(paths: Seq[(String, String)]): DataFrame =
+      paths.map { case (label, p) =>
+        TgzSource.entries(spark, p)
+          .filter(col("typeflag") === "0")
+          .select(lit(label).as("half"), col("name"),
+            md5(col("content")).as("payload_md5"))
+      }.reduce(_ unionAll _)
+    // golden side: the reference fixture's own -p/-e bytes, staged fresh
+    // every call (214 rows — always-overwrite beats staleness guards)
+    val halves = Seq(
+      ("f1-p", FixtureTgz.replace(".tgz", "-p.tgz")),
+      ("f1-e", FixtureTgz.replace(".tgz", "-e.tgz")),
+      ("f2-p", Fixture2Tgz.replace(".tgz", "-p.tgz")),
+      ("f2-e", Fixture2Tgz.replace(".tgz", "-e.tgz")))
+    manifest(halves)
+      .write.mode("overwrite").parquet(s"$StageDir/e2_golden.parquet")
+    // our side: run the real pipeline (explode → route → repack) per
+    // fixture and hash what the sink actually published
+    val out = java.nio.file.Files.createTempDirectory("graft-e2").toString
+    EmbargoSplit.run(spark, FixtureTgz, FixtureWhitelist, FixtureCutoff, out)
+    EmbargoSplit.run(spark, Fixture2Tgz, FixtureWhitelist, Fixture2Cutoff, out)
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    manifest(Seq(
+      ("f1-p", s"$out/${base(FixtureTgz)}"),
+      ("f1-e", s"$out/${base(FixtureTgz).replace(".tgz", "-e.tgz")}"),
+      ("f2-p", s"$out/${base(Fixture2Tgz)}"),
+      ("f2-e", s"$out/${base(Fixture2Tgz).replace(".tgz", "-e.tgz")}")))
+  }
+
+  val splitPayloadsSql: String =
+    s"""SELECT half, name, payload_md5
+       |FROM read_parquet('$StageDir/e2_golden.parquet/*.parquet')""".stripMargin
+
   /** S2 — full catalog listing of the sf directory. Sizes are real file
     * sizes; names are the stable table set. The lexicographic order the
     * reference's paged listing yields
@@ -226,6 +272,7 @@ object TarQueries {
     "s16_tgz_dsv2" -> tarScanDsv2,
     "s2_bucket_list" -> bucketList,
     "e1_split_counts" -> splitCounts,
+    "e2_split_payloads" -> splitPayloads,
     "w100_latest_per_cid" -> web100Latest,
     "st1_stream_drain" -> streamDrain
   )
@@ -239,6 +286,7 @@ object TarQueries {
     "s16_tgz_dsv2" -> tarScanDsv2Sql,
     "w100_latest_per_cid" -> web100LatestSql,
     "e1_split_counts" -> splitCountsSql,
+    "e2_split_payloads" -> splitPayloadsSql,
     "st1_stream_drain" -> streamDrainSql
   )
 }
