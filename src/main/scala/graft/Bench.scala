@@ -186,11 +186,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // The driver keeps only the last ~2000 chars of stdout, and at 100+
-    // queries the full per-query map (~2.6 KB) overflows it — every
-    // BENCH_r01-r12 recorded `parsed: null` because the line lost its head
-    // (VERDICT r12 §wrong 1). Print the per-query map only while it still
-    // fits the tail; past that, the contract line carries just the
-    // headline total and the per-query detail lives in bench_samples.json.
+    // queries the full per-query map (~2.6 KB) overflows it. Both lines
+    // print unconditionally, full map FIRST: a tail-parser scanning for
+    // parseable JSON lines skips the head-truncated full line and lands
+    // on the compact one, which is guaranteed to fit and (with
+    // build.sbt's raw StdoutOutput + showSuccess=false) is the process's
+    // final output line.
     val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_err":$nerr,"sf":"$sfDir"}"""
     val compactLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_err":$nerr,"n_queries":${results.size},"samples_file":"bench_samples.json","sf":"$sfDir"}"""
     // Emit the full per-query map first (humans + any tail space left),

@@ -40,6 +40,10 @@ object CommitProtocol {
   def forPath(path: String, conf: Configuration): CommitProtocol = {
     val scheme = Option(new Path(path).toUri.getScheme)
       .getOrElse(FileSystem.getDefaultUri(conf).getScheme)
-    if (ObjectStoreSchemes.contains(scheme)) CopyCommit else RenameCommit
+    // URI schemes are case-insensitive (RFC 3986 §3.1): GS:// must not
+    // silently fall back to the rename path on an object store
+    if (scheme != null && ObjectStoreSchemes.contains(scheme.toLowerCase))
+      CopyCommit
+    else RenameCommit
   }
 }

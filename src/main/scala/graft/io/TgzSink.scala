@@ -133,7 +133,7 @@ object TgzSink {
       // every writer closed cleanly — mark this attempt's files complete so
       // commit can tell them from the debris of attempts that died mid-write.
       // RenameCommit marks by renaming the data file itself (atomic on
-      // posix/HDFS); CopyCommit never renames — it PUTs a zero-byte
+      // posix/HDFS); CopyCommit never renames — it PUTs a one-byte
       // `.done` marker beside the data file (atomic single-object PUT).
       stagedNames.foreach { n =>
         protocol match {

@@ -434,6 +434,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val c = withUnit(centroids, "embedding", "cu")
       .select(col("vec_id").as("c_id"), col("cu"))
+    // zero centroids would make every pref row vanish and return an empty
+    // frame in silent violation of the one-row-per-corpus-vector contract
+    // — fail loudly. (isEmpty is a limit-1 probe of a dimension-sized
+    // table; the k = 1 degenerate case is handled lazily below.)
+    require(!c.isEmpty, "balancedAssign needs at least one centroid")
     val top2 = udaf(new TopK(2), Encoders.product[Scored])
     val prefs = withUnit(corpus, "embedding", "u").crossJoin(broadcast(c))
       .withColumn("cos", dot(col("cu"), col("u")))

@@ -660,8 +660,11 @@ object AnnQueries {
           .write.mode("overwrite").parquet(idxPath)
         ivfStagedFor.set(sfDir)
       }
+      // readers built INSIDE the lock: constructing them after release
+      // would let a concurrent restage for another sfDir overwrite the
+      // fixed paths between the memo check and the read
+      (spark.read.parquet(centPath), spark.read.parquet(cbPath))
     }
-    (spark.read.parquet(centPath), spark.read.parquet(cbPath))
   }
 
   /** The staged full-corpus coded index ([[stageIvfPq]] must have run). */
@@ -926,7 +929,7 @@ object AnnQueries {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val base = emb.filter(col("vec_id") % 10 =!= 7)
     val delta = emb.filter(col("vec_id") % 10 === 7)
-    n7StagedFor.synchronized {
+    val (cents, cb, baseIdx) = n7StagedFor.synchronized {
       if (n7StagedFor.get != sfDir) {
         // delta vectors are EXCLUDED from training: n7 grades that vectors
         // the quantizers never saw still land in the exact cells/codes a
@@ -943,10 +946,11 @@ object AnnQueries {
           .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n7_base_index.parquet")
         n7StagedFor.set(sfDir)
       }
+      // readers built inside the lock — the stageIvfPq rationale
+      (spark.read.parquet(s"${TarQueries.StageDir}/n7_centroids.parquet"),
+        spark.read.parquet(s"${TarQueries.StageDir}/n7_pq.parquet"),
+        spark.read.parquet(s"${TarQueries.StageDir}/n7_base_index.parquet"))
     }
-    val cents = spark.read.parquet(s"${TarQueries.StageDir}/n7_centroids.parquet")
-    val cb = spark.read.parquet(s"${TarQueries.StageDir}/n7_pq.parquet")
-    val baseIdx = spark.read.parquet(s"${TarQueries.StageDir}/n7_base_index.parquet")
     // THE update: code the arriving vectors with the staged quantizers and
     // append. Checkpoint only the delta slice — the search reads the index
     // on two branches, and the base side is already parquet-backed.

@@ -40,7 +40,10 @@ object LshStats {
       .collect()
       .map(row => row.getString(0) -> ((row.getLong(1), row.getLong(2))))
       .toMap
-    val maxS = sizes.agg(max(col("s"))).collect()(0).getLong(0)
+    // max over zero rows is null — an empty corpus prints an empty
+    // histogram instead of dying on the diagnostic
+    val maxS = Option(sizes.agg(max(col("s"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val total = hist.values.map(_._2).sum
     val parts = Seq("1", "2", "3-4", "5-16", "17-64", ">64")
       .flatMap(k => hist.get(k).map(v => s""""$k":{"n":${v._1},"pairs":${v._2}}"""))

@@ -268,6 +268,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(res(11L) === ((1L, 3L)))
   }
 
+  test("N9: zero centroids fails loudly instead of returning an empty layout") {
+    import spark.implicits._
+    val corpus = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.balancedAssign(corpus, none, cap = 2)
+    }
+    assert(e.getMessage.contains("at least one centroid"))
+  }
+
   test("N9: single-centroid corpus keeps every vector, overflow flagged round 3") {
     import spark.implicits._
     // degenerate arity: two-choice seating with ONE cell has no second
