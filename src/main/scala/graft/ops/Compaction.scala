@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** S19 — small-file compaction, the lake-maintenance op every long-lived
+  * table needs: streaming sinks and incremental batches accrete files far
+  * below the row-group size scans want (the SCALING.md sweep measured the
+  * inverse lesson — ONE giant file serializes the scan; thousands of tiny
+  * ones drown it in per-file open/footer overhead and, on object stores,
+  * per-object request cost). Compaction rewrites a directory into
+  * `ceil(totalBytes / targetBytes)` range-clustered files.
+  *
+  * `repartitionByRange(sortCol)` + `sortWithinPartitions` does double
+  * duty: files come out size-targeted AND key-clustered, so every output
+  * file covers a disjoint `sortCol` range and parquet min/max stats prune
+  * file- and row-group-level on that key — compaction and layout
+  * optimization in one pass (the poor man's OPTIMIZE ... ZORDER for the
+  * single-key case). One range shuffle of the table, no driver
+  * materialization beyond the size listing.
+  */
+object Compaction {
+
+  /** Rewrite parquet `inDir` into `outDir` as size-targeted, range-
+    * clustered files; returns the file count written.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long, sortCol: String): Int = {
+    require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
+    val totalBytes = graft.io.FsOps.list(spark, inDir, suffix = ".parquet")
+      .agg(coalesce(sum(col("size")), lit(0L))).collect()(0).getLong(0)
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartitionByRange(n, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SCD type-2 merge — dimension history tracking, the warehouse-side
+  * sibling of [[graft.ops.Unembargo]]'s type-1 upsert (J3): instead of
+  * overwriting a changed dimension row, the current version is CLOSED
+  * (`valid_to` = batch day) and the new value appended as the open
+  * version (`valid_from` = batch day), so every fact can join the
+  * dimension AS OF its own date (j5's as-of join is the read side of
+  * this table).
+  *
+  * Spark-first shape: one key-equi left-outer join of the OPEN slice
+  * against the (dimension-sized) update batch + one anti-join for
+  * first-appearance keys — closed history never reshuffles (it unions
+  * through untouched), so a daily merge costs the open slice + the
+  * batch, not the accumulated history. At 100 TB the open slice and
+  * updates hash-join on the key; closed rows are append-only storage.
+  *
+  * `OpenSentinel` (99999999, an impossible yyyymmdd) marks open rows
+  * instead of NULL so downstream interval predicates (`day < valid_to`)
+  * and cross-engine hash grading need no three-valued-logic special
+  * cases.
+  */
+object Scd {
+
+  val OpenSentinel = 99999999
+
+  /** Apply one update batch. `current` must carry `key`, `value`,
+    * `valid_from`, `valid_to`; `updates` carries `key`, `value` (the new
+    * absolute value per key). Keys whose open value differs are closed at
+    * `day` and re-opened with the new value; identical values are
+    * no-ops; keys never seen before open their first version at `day`.
+    */
+  def applyBatch(current: DataFrame, updates: DataFrame, day: Int): DataFrame = {
+    val closedHistory = current.filter(col("valid_to") =!= OpenSentinel)
+    val open = current.filter(col("valid_to") === OpenSentinel)
+    val up = updates.select(col("key"), col("value").as("__new"))
+    val joined = open.join(up, Seq("key"), "left_outer")
+    // unchanged: no update for the key, or the update carries the same value
+    val unchanged = joined
+      .filter(col("__new").isNull || col("__new") === col("value"))
+      .drop("__new")
+    val changed = joined.filter(col("__new").isNotNull && col("__new") =!= col("value"))
+    val closedNow = changed
+      .select(col("key"), col("value"), col("valid_from"),
+        lit(day).as("valid_to"))
+    val reopened = changed
+      .select(col("key"), col("__new").as("value"),
+        lit(day).as("valid_from"), lit(OpenSentinel).as("valid_to"))
+    val firstSeen = up.join(open.select("key"), Seq("key"), "left_anti")
+      .select(col("key"), col("__new").as("value"),
+        lit(day).as("valid_from"), lit(OpenSentinel).as("valid_to"))
+    closedHistory
+      .unionByName(unchanged)
+      .unionByName(closedNow)
+      .unionByName(reopened)
+      .unionByName(firstSeen)
+  }
+}

