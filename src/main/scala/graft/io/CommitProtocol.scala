@@ -42,7 +42,8 @@ object CommitProtocol {
       .getOrElse(FileSystem.getDefaultUri(conf).getScheme)
     // URI schemes are case-insensitive (RFC 3986 §3.1): GS:// must not
     // silently fall back to the rename path on an object store
-    if (scheme != null && ObjectStoreSchemes.contains(scheme.toLowerCase))
+    if (scheme != null &&
+        ObjectStoreSchemes.contains(scheme.toLowerCase(java.util.Locale.ROOT)))
       CopyCommit
     else RenameCommit
   }

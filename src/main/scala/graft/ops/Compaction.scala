@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
 object Compaction {
 
   /** Rewrite parquet `inDir` into `outDir` as size-targeted, range-
-    * clustered files; returns the file count written.
+    * clustered files; returns the file count actually written — at most
+    * `ceil(totalBytes/targetBytes)`, fewer when range sampling leaves
+    * empty partitions (heavy skew / few distinct keys emit no file).
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long, sortCol: String): Int = {
@@ -34,6 +36,7 @@ object Compaction {
       .repartitionByRange(n, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(outDir)
-    n
+    graft.io.FsOps.list(spark, outDir, suffix = ".parquet")
+      .count().toInt
   }
 }

@@ -36,13 +36,29 @@ object Scd {
   def applyBatch(current: DataFrame, updates: DataFrame, day: Int): DataFrame = {
     val closedHistory = current.filter(col("valid_to") =!= OpenSentinel)
     val open = current.filter(col("valid_to") === OpenSentinel)
-    val up = updates.select(col("key"), col("value").as("__new"))
+    // One update row per key is the contract; exact duplicates collapse
+    // harmlessly, CONFLICTING values for a key fail loudly at execution
+    // (a silent pick would fan the open slice out into several open
+    // versions per key and corrupt history from then on). The aggregate
+    // is batch-sized — a delta, not the dimension.
+    val up = updates.groupBy(col("key"))
+      .agg(min(col("value")).as("__new"),
+        countDistinct(col("value")).as("__nv"))
+      .select(col("key"),
+        when(col("__nv") > 1,
+          raise_error(concat(lit("conflicting SCD update values for key "),
+            col("key").cast("string"))))
+          .otherwise(col("__new")).as("__new"))
     val joined = open.join(up, Seq("key"), "left_outer")
-    // unchanged: no update for the key, or the update carries the same value
+    // unchanged: no update for the key, or the update carries the same
+    // value — compared NULL-SAFELY, so a NULL-valued open row neither
+    // vanishes nor spuriously re-versions (a NULL update value means
+    // "no change" for existing keys, matching the left-outer miss case)
     val unchanged = joined
-      .filter(col("__new").isNull || col("__new") === col("value"))
+      .filter(col("__new").isNull || (col("__new") <=> col("value")))
       .drop("__new")
-    val changed = joined.filter(col("__new").isNotNull && col("__new") =!= col("value"))
+    val changed = joined
+      .filter(col("__new").isNotNull && !(col("__new") <=> col("value")))
     val closedNow = changed
       .select(col("key"), col("value"), col("valid_from"),
         lit(day).as("valid_to"))
@@ -50,6 +66,10 @@ object Scd {
       .select(col("key"), col("__new").as("value"),
         lit(day).as("valid_from"), lit(OpenSentinel).as("valid_to"))
     val firstSeen = up.join(open.select("key"), Seq("key"), "left_anti")
+      // NULL means "no change" — for a never-seen key there is nothing
+      // to not-change, so it opens no version (consistent with the
+      // existing-key no-op above)
+      .filter(col("__new").isNotNull)
       .select(col("key"), col("__new").as("value"),
         lit(day).as("valid_from"), lit(OpenSentinel).as("valid_to"))
     closedHistory

@@ -660,9 +660,12 @@ object AnnQueries {
           .write.mode("overwrite").parquet(idxPath)
         ivfStagedFor.set(sfDir)
       }
-      // readers built INSIDE the lock: constructing them after release
-      // would let a concurrent restage for another sfDir overwrite the
-      // fixed paths between the memo check and the read
+      // readers built INSIDE the lock so their file listings snapshot the
+      // just-staged state. DataFrames stay lazy, so this narrows — not
+      // closes — the window against a CONCURRENT restage for another
+      // sfDir; fixed paths are forced by the static oracle SQL, and the
+      // harness runs queries sequentially. A concurrently-queried
+      // deployment would stage to per-corpus immutable paths instead.
       (spark.read.parquet(centPath), spark.read.parquet(cbPath))
     }
   }
@@ -946,7 +949,8 @@ object AnnQueries {
           .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n7_base_index.parquet")
         n7StagedFor.set(sfDir)
       }
-      // readers built inside the lock — the stageIvfPq rationale
+      // readers built inside the lock — the stageIvfPq rationale (and
+      // the same lazy-scan caveat)
       (spark.read.parquet(s"${TarQueries.StageDir}/n7_centroids.parquet"),
         spark.read.parquet(s"${TarQueries.StageDir}/n7_pq.parquet"),
         spark.read.parquet(s"${TarQueries.StageDir}/n7_base_index.parquet"))

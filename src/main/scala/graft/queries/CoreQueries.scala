@@ -638,8 +638,13 @@ object CoreQueries {
       .select(col("key"), (col("value") + 100).cast("decimal(18,2)").as("value"))
     val day3 = c.filter(col("key") % 3 === 0)
       .select(col("key"), (col("value") + 500).cast("decimal(18,2)").as("value"))
-    val merged = graft.ops.Scd.applyBatch(
-      graft.ops.Scd.applyBatch(day1, day2, day = 2), day3, day = 3)
+    // materialize between chained merges: the day-3 merge consumes the
+    // day-2 state on several branches (open/closed filters, join, anti),
+    // and without a checkpoint Catalyst re-evaluates the whole day-2
+    // union-of-joins per branch — cost compounds with chain depth
+    val afterDay2 = graft.ops.Scd.applyBatch(day1, day2, day = 2)
+      .localCheckpoint()
+    val merged = graft.ops.Scd.applyBatch(afterDay2, day3, day = 3)
     merged.select(col("key"), col("value").cast("double").as("value"),
       col("valid_from").cast("long").as("valid_from"),
       col("valid_to").cast("long").as("valid_to"))

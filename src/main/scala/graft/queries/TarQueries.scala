@@ -134,8 +134,11 @@ object TarQueries {
     manifest(halves)
       .write.mode("overwrite").parquet(s"$StageDir/e2_golden.parquet")
     // our side: run the real pipeline (explode → route → repack) per
-    // fixture and hash what the sink actually published
-    val out = java.nio.file.Files.createTempDirectory("graft-e2").toString
+    // fixture and hash what the sink actually published. Fixed StageDir
+    // scratch path, cleared up front — a per-call temp dir would leak
+    // four tarballs on every graded run (review r14).
+    val out = s"$StageDir/e2_out"
+    graft.io.FsOps.deletePrefix(spark, out)
     EmbargoSplit.run(spark, FixtureTgz, FixtureWhitelist, FixtureCutoff, out)
     EmbargoSplit.run(spark, Fixture2Tgz, FixtureWhitelist, Fixture2Cutoff, out)
     def base(p: String) = p.substring(p.lastIndexOf('/') + 1)

@@ -28,7 +28,9 @@ object LshStats {
       Seq("doc_id"), "left_semi")
     val sizes = Dedup.lshBands(repSets, b, r)
       .groupBy("band", "key").agg(count(lit(1)).as("s"))
-    val hist = sizes.groupBy(
+    // one aggregation pass: the per-class max rides the histogram agg so
+    // the expensive banding+groupBy job runs once, not twice
+    val histRows = sizes.groupBy(
         when(col("s") === 1, lit("1"))
           .when(col("s") === 2, lit("2"))
           .when(col("s") <= 4, lit("3-4"))
@@ -36,14 +38,14 @@ object LshStats {
           .when(col("s") <= 64, lit("17-64"))
           .otherwise(lit(">64")).as("bucket_size"))
       .agg(count(lit(1)).as("n_buckets"),
-        sum(col("s") * (col("s") - 1) / 2).cast("long").as("cand_pairs"))
+        sum(col("s") * (col("s") - 1) / 2).cast("long").as("cand_pairs"),
+        max(col("s")).as("mx"))
       .collect()
+    val hist = histRows
       .map(row => row.getString(0) -> ((row.getLong(1), row.getLong(2))))
       .toMap
-    // max over zero rows is null — an empty corpus prints an empty
-    // histogram instead of dying on the diagnostic
-    val maxS = Option(sizes.agg(max(col("s"))).collect()(0).get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // empty corpus → empty histogram, not an NPE
+    val maxS = if (histRows.isEmpty) 0L else histRows.map(_.getLong(3)).max
     val total = hist.values.map(_._2).sum
     val parts = Seq("1", "2", "3-4", "5-16", "17-64", ">64")
       .flatMap(k => hist.get(k).map(v => s""""$k":{"n":${v._1},"pairs":${v._2}}"""))

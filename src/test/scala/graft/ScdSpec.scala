@@ -45,6 +45,36 @@ class ScdSpec extends AnyFunSuite with SparkSuite {
     assert(out === Set((1L, 10.0, 1, OpenSentinel), (9L, 3.0, 4, OpenSentinel)))
   }
 
+  test("identical duplicate updates collapse; conflicting ones fail loudly") {
+    val cur = dim((1L, 10.0, 1, OpenSentinel))
+    val ok = collectAll(Scd.applyBatch(cur,
+      ups((1L, 20.0), (1L, 20.0)), day = 2))
+    assert(ok === Set((1L, 10.0, 1, 2), (1L, 20.0, 2, OpenSentinel)),
+      "exact-duplicate update rows must collapse to one version")
+    val e = intercept[Exception] {
+      Scd.applyBatch(cur, ups((1L, 20.0), (1L, 30.0)), day = 2).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("conflicting"))),
+      s"expected a loud conflicting-values failure, got: $e")
+  }
+
+  test("NULL-valued rows and updates follow the no-change convention") {
+    // a NULL-valued open row must neither vanish nor re-version on a
+    // matching same-key update carrying NULL; a NULL update on a
+    // never-seen key opens nothing
+    import spark.implicits._
+    val cur = Seq((1L, Option.empty[Double], 1, OpenSentinel))
+      .toDF("key", "value", "valid_from", "valid_to")
+    val up = Seq((1L, Option.empty[Double]), (9L, Option.empty[Double]))
+      .toDF("key", "value")
+    val out = Scd.applyBatch(cur, up, day = 3).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2), r.getInt(3))).toSet
+    assert(out === Set((1L, None, 1, OpenSentinel)))
+  }
+
   test("chained merges close-then-close; closed history never reshapes") {
     val d1 = dim((1L, 10.0, 1, OpenSentinel))
     val d2 = Scd.applyBatch(d1, ups((1L, 20.0)), day = 2)
