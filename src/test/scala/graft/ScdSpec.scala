@@ -75,6 +75,42 @@ class ScdSpec extends AnyFunSuite with SparkSuite {
     assert(out === Set((1L, None, 1, OpenSentinel)))
   }
 
+  test("property: random batch chains equal a sequential reference (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // day-1 load of keys 1-5; later batches may also introduce keys 6-8.
+    // Small value domain on purpose: collisions make no-op updates and
+    // repeat values common, exercising every merge arm.
+    var model = (1L to 5L).map(k =>
+      k -> Vector((k.toDouble, 1, OpenSentinel))).toMap
+    var cur = dim((1L to 5L).map(k => (k, k.toDouble, 1, OpenSentinel)): _*)
+    for (day <- 2 to 7) {
+      val batch = (1L to 8L).filter(_ => rnd.nextBoolean())
+        .map(k => k -> rnd.nextInt(4).toDouble).toMap
+      cur = Scd.applyBatch(cur,
+        ups(batch.toSeq.sortBy(_._1): _*), day).localCheckpoint()
+      batch.foreach { case (k, v) =>
+        model.get(k) match {
+          case None => model += k -> Vector((v, day, OpenSentinel))
+          case Some(vers) =>
+            val (ov, of, _) = vers.last
+            if (ov != v)
+              model += k -> (vers.init :+ ((ov, of, day)) :+
+                ((v, day, OpenSentinel)))
+        }
+      }
+    }
+    val want = model.toSeq.flatMap { case (k, vers) =>
+      vers.map { case (v, f, t) => (k, v, f, t) }
+    }.toSet
+    assert(collectAll(cur) === want)
+    // invariant: exactly one open version per ever-seen key
+    val opens = cur.filter(col("valid_to") === OpenSentinel)
+      .select("key").collect().map(_.getLong(0)).toSeq
+    assert(opens.sorted === opens.distinct.sorted.sorted &&
+      opens.toSet === model.keySet)
+  }
+
   test("chained merges close-then-close; closed history never reshapes") {
     val d1 = dim((1L, 10.0, 1, OpenSentinel))
     val d2 = Scd.applyBatch(d1, ups((1L, 20.0)), day = 2)
