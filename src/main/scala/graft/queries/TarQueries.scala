@@ -116,23 +116,32 @@ object TarQueries {
     * byte-compare (compressed bytes differ across gzip implementations by
     * the reference's own admission, `embargo_test.go:51-53`).
     */
-  def splitPayloads(spark: SparkSession, sfDir: String): DataFrame = {
-    def manifest(paths: Seq[(String, String)]): DataFrame =
-      paths.map { case (label, p) =>
-        TgzSource.entries(spark, p)
-          .filter(col("typeflag") === "0")
-          .select(lit(label).as("half"), col("name"),
-            md5(col("content")).as("payload_md5"))
-      }.reduce(_ unionAll _)
-    // golden side: the reference fixture's own -p/-e bytes, staged fresh
-    // every call (214 rows — always-overwrite beats staleness guards)
-    val halves = Seq(
+  /** Per-entry payload-md5 manifest of labeled tgz files. */
+  private def payloadManifest(spark: SparkSession,
+                              paths: Seq[(String, String)]): DataFrame =
+    paths.map { case (label, p) =>
+      TgzSource.entries(spark, p)
+        .filter(col("typeflag") === "0")
+        .select(lit(label).as("half"), col("name"),
+          md5(col("content")).as("payload_md5"))
+    }.reduce(_ unionAll _)
+
+  /** Stage the golden `-p`/`-e` manifest (both fixtures) to `path` —
+    * staged fresh every call (214 rows; always-overwrite beats staleness
+    * guards). Shared by e2 and e3's oracles.
+    */
+  private def stageGoldenManifest(spark: SparkSession, path: String): Unit =
+    payloadManifest(spark, Seq(
       ("f1-p", FixtureTgz.replace(".tgz", "-p.tgz")),
       ("f1-e", FixtureTgz.replace(".tgz", "-e.tgz")),
       ("f2-p", Fixture2Tgz.replace(".tgz", "-p.tgz")),
-      ("f2-e", Fixture2Tgz.replace(".tgz", "-e.tgz")))
-    manifest(halves)
-      .write.mode("overwrite").parquet(s"$StageDir/e2_golden.parquet")
+      ("f2-e", Fixture2Tgz.replace(".tgz", "-e.tgz"))))
+      .write.mode("overwrite").parquet(path)
+
+  def splitPayloads(spark: SparkSession, sfDir: String): DataFrame = {
+    def manifest(paths: Seq[(String, String)]): DataFrame =
+      payloadManifest(spark, paths)
+    stageGoldenManifest(spark, s"$StageDir/e2_golden.parquet")
     // our side: run the real pipeline (explode → route → repack) per
     // fixture and hash what the sink actually published. Fixed StageDir
     // scratch path, cleared up front — a per-call temp dir would leak
@@ -152,6 +161,67 @@ object TarQueries {
   val splitPayloadsSql: String =
     s"""SELECT half, name, payload_md5
        |FROM read_parquet('$StageDir/e2_golden.parquet/*.parquet')""".stripMargin
+
+  /** E3 — the reference's FULL service lifecycle composed and graded:
+    * E1 embargo (split each fixture day, insert the public half into the
+    * public store and the `-e` half into the embargo store under the
+    * reference's `sidestream/yyyy/mm/dd` day layout,
+    * `/root/reference/embargo.go:266`) then E2 unembargo a year on —
+    * [[graft.ops.Unembargo.validDate]] decides WHICH days promote (at
+    * cutoff 20170315, fixture 1's day is due, fixture 2's is still
+    * embargoed) and [[graft.ops.Unembargo.promoteDay]] copies the due
+    * `-e.tgz` archives into the public store. The graded output is the
+    * FINAL PUBLIC STORE's every decompressed entry payload — which must
+    * equal the golden manifest minus exactly the still-embargoed half
+    * (`f2-e`). One query covers split, repack, bucket insertion, the
+    * promotion decision, the promotion copy, and what a public consumer
+    * can actually read at the end.
+    */
+  def lifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    stageGoldenManifest(spark, s"$StageDir/e3_golden.parquet")
+    val root = s"$StageDir/e3"
+    graft.io.FsOps.deletePrefix(spark, root)
+    val pub = s"$root/public"
+    val priv = s"$root/embargoed"
+    def dayPrefix(date: Int) =
+      f"sidestream/${date / 10000}%04d/${date / 100 % 100}%02d/${date % 100}%02d"
+    val fixtures = Seq((FixtureTgz, FixtureCutoff, 20170315),
+      (Fixture2Tgz, Fixture2Cutoff, 20170316))
+    // E1: split each day, then the S8 insertion into the two stores
+    fixtures.foreach { case (tgz, cutoff, date) =>
+      val out = s"$root/split_$date"
+      EmbargoSplit.run(spark, tgz, FixtureWhitelist, cutoff, out)
+      val base = tgz.substring(tgz.lastIndexOf('/') + 1)
+      val e = base.replace(".tgz", "-e.tgz")
+      val prefix = dayPrefix(date)
+      graft.io.FsOps.mkdirs(spark, s"$pub/$prefix")
+      graft.io.FsOps.mkdirs(spark, s"$priv/$prefix")
+      graft.io.FsOps.copy(spark, s"$out/$base", s"$pub/$prefix/$base")
+      graft.io.FsOps.copy(spark, s"$out/$e", s"$priv/$prefix/$e")
+    }
+    // E2: the year has passed for fixture 1's day only — validDate is the
+    // promotion decision, promoteDay the distributed copy
+    val unembargoCutoff = 20170315
+    fixtures.foreach { case (_, _, date) =>
+      if (graft.ops.Unembargo.validDate(date, unembargoCutoff))
+        graft.ops.Unembargo.promoteDay(spark, priv, pub, date, unembargoCutoff)
+    }
+    // final state: every entry of every archive a public consumer sees
+    TgzSource.entries(spark, s"$pub/sidestream/*/*/*/*.tgz")
+      .filter(col("typeflag") === "0")
+      .select(
+        concat(
+          when(regexp_extract(col("archive"), "([^/]+)$", 1)
+            .startsWith("20170315"), lit("f1")).otherwise(lit("f2")),
+          when(col("archive").endsWith("-e.tgz"), lit("-e"))
+            .otherwise(lit("-p"))).as("half"),
+        col("name"), md5(col("content")).as("payload_md5"))
+  }
+
+  val lifecycleSql: String =
+    s"""SELECT half, name, payload_md5
+       |FROM read_parquet('$StageDir/e3_golden.parquet/*.parquet')
+       |WHERE half <> 'f2-e'""".stripMargin
 
   /** S2 — full catalog listing of the sf directory. Sizes are real file
     * sizes; names are the stable table set. The lexicographic order the
@@ -276,6 +346,7 @@ object TarQueries {
     "s2_bucket_list" -> bucketList,
     "e1_split_counts" -> splitCounts,
     "e2_split_payloads" -> splitPayloads,
+    "e3_lifecycle" -> lifecycle,
     "w100_latest_per_cid" -> web100Latest,
     "st1_stream_drain" -> streamDrain
   )
@@ -290,6 +361,7 @@ object TarQueries {
     "w100_latest_per_cid" -> web100LatestSql,
     "e1_split_counts" -> splitCountsSql,
     "e2_split_payloads" -> splitPayloadsSql,
+    "e3_lifecycle" -> lifecycleSql,
     "st1_stream_drain" -> streamDrainSql
   )
 }
