@@ -1419,6 +1419,51 @@ object TextQueries {
        |FROM ($lmFilterSql)
        |GROUP BY keep""".stripMargin
 
+  /** T23 — overlapping document chunking, the RAG/pretraining window
+    * step t12/t18 deliberately don't cover: t12 packs WHOLE docs into
+    * shards and t18 cuts one global token stream; retrieval corpora
+    * instead need PER-DOCUMENT windows with overlap (stride < window) so
+    * no answer span is ever split across chunk boundaries without also
+    * appearing whole in a neighbor. Window 100 tokens, stride 80: chunk
+    * starts at every multiple of the stride below the doc's token count,
+    * the last window clipped to the end. Each chunk carries its token
+    * span AND the md5 of its joined token text — content-graded without
+    * shipping the text. Pure scan → explode → map: per-doc arithmetic,
+    * ZERO shuffles, the narrow shape a 100 TB chunking pass must have.
+    */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val win = 100
+    val stride = 80
+    val toks = wsTokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(stride.toLong))).as("s"))
+      .select(col("doc_id"),
+        (col("s") / stride).cast("long").as("chunk_id"),
+        col("s").as("tok_start"),
+        least(col("s") + win, col("n")).as("tok_end"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("s") + 1).cast("int"),
+            least(lit(win.toLong), col("n") - col("s")).cast("int"))))
+          .as("chunk_md5"))
+  }
+
+  val docChunksSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d
+      |      WHERE len(toks) >= 1),
+      |s AS (SELECT doc_id, toks, n, unnest(range(0, n, 80)) AS s FROM n)
+      |SELECT doc_id, s // 80 AS chunk_id, s AS tok_start,
+      |       LEAST(s + 100, n) AS tok_end,
+      |       md5(array_to_string(
+      |         toks[CAST(s + 1 AS BIGINT):CAST(LEAST(s + 100, n) AS BIGINT)],
+      |         ' ')) AS chunk_md5
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_corpus_to_shards" -> corpusToShards,
     "c3_stream_corpus" -> streamCorpus,
@@ -1448,7 +1493,8 @@ object TextQueries {
     "t8_repetition" -> repetitionStats,
     "t9_source_cap" -> sourceCap,
     "t21_gopher_gate" -> gopherGate,
-    "t22_token_budget_mix" -> tokenBudgetMix
+    "t22_token_budget_mix" -> tokenBudgetMix,
+    "t23_doc_chunks" -> docChunks
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1480,6 +1526,7 @@ object TextQueries {
     "t8_repetition" -> repetitionStatsSql,
     "t9_source_cap" -> sourceCapSql,
     "t21_gopher_gate" -> gopherGateSql,
-    "t22_token_budget_mix" -> tokenBudgetMixSql
+    "t22_token_budget_mix" -> tokenBudgetMixSql,
+    "t23_doc_chunks" -> docChunksSql
   )
 }

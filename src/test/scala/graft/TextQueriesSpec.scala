@@ -150,6 +150,38 @@ class TextQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.last._3 === total)
   }
 
+  test("t23 chunks: full token coverage, stride overlap, short docs, no shuffle") {
+    val sf = "/root/testdata/sf0.001"
+    val df = queries.TextQueries.docChunks(spark, sf)
+    val chunks = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).groupBy(_._1)
+    val nToks = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "size(split(trim(text), '\\\\s+')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (doc, cs) =>
+      val n = nToks(doc)
+      val sorted = cs.sortBy(_._3)
+      // chunk 0 starts at 0; starts advance by exactly the stride;
+      // ends clip to the doc; the windows jointly cover every token
+      assert(sorted.head._3 === 0L)
+      sorted.foreach { case (_, id, s, e) =>
+        assert(s === id * 80, s"doc $doc chunk $id start")
+        assert(e === math.min(s + 100, n), s"doc $doc chunk $id end")
+      }
+      assert(sorted.last._4 === n, s"doc $doc tail not covered")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, e1), (_, _, s2, _)) =>
+          assert(s2 < e1, s"doc $doc gap between chunks")
+        case _ =>
+      }
+      // short docs (< window) produce exactly one full-doc chunk
+      if (n <= 80) assert(sorted.length === 1 && sorted.head._4 === n)
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"t23 chunking plan shuffles:\n$p")
+  }
+
   test("t21 Gopher gate: planted tails trip their rules; keep is the conjunction") {
     val df = graft.queries.TextQueries.gopherGate(spark, sf)
     val rows = df.collect()
