@@ -313,6 +313,80 @@ object AnnQueries {
        |       CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank
        |FROM cand ORDER BY cos DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** H5 — CHUNK-level retrieval, the granularity RAG actually indexes:
+    * t23's overlapping 100/80 windows become the retrieval units, every
+    * chunk scores against the fixed query terms with t11's exact BM25
+    * machinery ([[TextQueries.bm25Score]] over the chunk frame — chunk
+    * dl/df statistics, not document ones), each document is represented
+    * by its BEST chunk (max-pooling, ties to the earliest chunk), and
+    * the top-10 documents return with the winning chunk id. Scoring a
+    * bounded window beats whole-document scoring exactly when the match
+    * is one passage of a long document — the reason retrieval corpora
+    * chunk at all. Shapes: chunking + scoring are narrow maps, the
+    * corpus-constants row broadcasts back, best-chunk is a doc-keyed
+    * window, and the final cut is a bounded `orderBy.limit` top-k.
+    */
+  def chunkRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.wsTokens
+    val win = 100L
+    val stride = 80L
+    val chunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("dtoks"))
+      .withColumn("n", size(col("dtoks")).cast("long"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("dtoks"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(stride))).as("s"))
+      .select(col("doc_id"),
+        (col("s") / stride).cast("long").as("chunk_id"),
+        slice(col("dtoks"), (col("s") + 1).cast("int"),
+          least(lit(win), col("n") - col("s")).cast("int")).as("toks"))
+    val (scored, score) = TextQueries.bm25Score(chunks)
+    val sc = scored.filter(score > 0).withColumn("sc", score)
+    val perDoc = Window.partitionBy("doc_id")
+      .orderBy(col("sc").desc, col("chunk_id").asc)
+    val best = sc.withColumn("rn", row_number().over(perDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_id"), col("sc"))
+    val top = best.orderBy(col("sc").desc, col("doc_id").asc).limit(10)
+    val w = Window.orderBy(col("sc").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("chunk_id"),
+        round(col("sc"), 6).as("bm25"), col("rank"))
+  }
+
+  val chunkRetrievalSql: String = {
+    val tfCols = TextQueries.Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(", ")
+    val dfCols = TextQueries.Bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |             string_split_regex(trim(lower(text)), '\\s+') AS dtoks
+       |           FROM documents),
+       |nn AS (SELECT doc_id, dtoks, CAST(len(dtoks) AS BIGINT) AS n
+       |       FROM d WHERE len(dtoks) >= 1),
+       |ch AS (SELECT doc_id, s // 80 AS chunk_id,
+       |              dtoks[CAST(s + 1 AS BIGINT):CAST(LEAST(s + 100, n) AS BIGINT)] AS toks
+       |       FROM (SELECT doc_id, dtoks, n, unnest(range(0, n, 80)) AS s
+       |             FROM nn)),
+       |st AS (SELECT doc_id, chunk_id, $tfCols,
+       |              CAST(len(toks) AS DOUBLE) AS dl
+       |       FROM ch),
+       |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols
+       |      FROM st),
+       |sc AS (SELECT doc_id, chunk_id, ${TextQueries.bm25ScoreSql} AS sc
+       |       FROM st, g WHERE ${TextQueries.bm25ScoreSql} > 0),
+       |best AS (SELECT doc_id, chunk_id, sc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                 ORDER BY sc DESC, chunk_id ASC) AS rn
+       |    FROM sc)
+       |  WHERE rn = 1)
+       |SELECT doc_id, chunk_id, ROUND(sc, 6) AS bm25,
+       |       CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS BIGINT) AS rank
+       |FROM best ORDER BY sc DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
   /** H2 — reciprocal-rank fusion (RRF, K=60) of the two retrieval arms h1
     * composes SERIALLY: the BM25 lexical ranking and the exact-cosine
     * vector ranking against the probe embedding (vec_id 0), fused as
@@ -1070,6 +1144,7 @@ object AnnQueries {
     "st8_stream_ann_serve" -> annServe,
     "h1_hybrid_retrieval" -> hybridRetrieval,
     "h2_rrf_fusion" -> rrfFusion,
+    "h5_chunk_retrieval" -> chunkRetrieval,
     "h3_boolean_retrieval" -> booleanRetrieval,
     "h4_phrase_search" -> phraseSearch,
     "n10_ann_radius" -> annRadius,
@@ -1089,6 +1164,7 @@ object AnnQueries {
   def oracleSql: Map[String, String] = Map(
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "h2_rrf_fusion" -> rrfFusionSql,
+    "h5_chunk_retrieval" -> chunkRetrievalSql,
     "h3_boolean_retrieval" -> booleanRetrievalSql,
     "h4_phrase_search" -> phraseSearchSql,
     "n10_ann_radius" -> annRadiusSql,

@@ -543,10 +543,17 @@ object TextQueries {
     * hybrid-retrieval first stage (rank + cut).
     */
   private[queries] def bm25Pipeline(spark: SparkSession, sfDir: String)
-      : (DataFrame, Column) = {
+      : (DataFrame, Column) =
+    bm25Score(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks")))
+
+  /** The scorer over an ARBITRARY `(key..., toks)` unit frame — what lets
+    * h5 score CHUNKS with the exact t11 machinery (tf/dl per unit, one
+    * global constants row broadcast back, identical association order to
+    * the oracle SQL).
+    */
+  private[queries] def bm25Score(base: DataFrame): (DataFrame, Column) = {
     val terms = Bm25Terms
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
     val tf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
       df.withColumn(s"tf$i",
         (size(col("toks")) - size(array_remove(col("toks"), t))).cast("double"))

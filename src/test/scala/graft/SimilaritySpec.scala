@@ -298,6 +298,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(res(12L) === ((0L, 3L)), "evictee stays in its only cell, flagged")
   }
 
+  test("H5: every winner's chunk really contains a query term; pooling is max") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = queries.AnnQueries.chunkRetrieval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length === 10)
+    assert(rows.map(_._4).sorted.toSeq === (1L to 10L))
+    // scores are the descending order of the ranking, doc_id-tiebroken
+    val byRank = rows.sortBy(_._4)
+    byRank.sliding(2).foreach {
+      case Array((d1, _, s1, _), (d2, _, s2, _)) =>
+        assert(s1 > s2 || (s1 == s2 && d1 < d2), "rank order broken")
+      case _ =>
+    }
+    // each winning (doc, chunk) window really contains a query term — the
+    // reported chunk id must locate the matching passage
+    val terms = Set("table", "scan", "join", "vector", "stream")
+    val docs = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') AS toks")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    byRank.foreach { case (doc, chunk, _, _) =>
+      val toks = docs(doc)
+      val s = (chunk * 80).toInt
+      val window = toks.slice(s, math.min(s + 100, toks.length))
+      assert(window.exists(terms), s"doc $doc chunk $chunk has no query term")
+    }
+  }
+
   test("H2: fused order is exactly the RRF of the returned arm ranks") {
     // recompute sum(1/(60+r)) from the ranks h2 itself reports (0 = absent
     // from that arm's top-20, contributing nothing) and assert the output
