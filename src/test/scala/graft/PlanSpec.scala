@@ -206,6 +206,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(singles <= 1, s"c1 has $singles single-partition exchanges:\n$p")
   }
 
+  test("chunk retrieval: bounded heap cut, broadcast constants, no wide join (h5)") {
+    val p = plan("h5_chunk_retrieval")
+    // the top-10 doc cut must be a distributed partial top-k
+    assert(p.contains("TakeOrderedAndProject"),
+      s"h5 top-k is not a bounded-heap take:\n$p")
+    // chunking+scoring are narrow; the only join is the broadcast of the
+    // 1-row corpus-constants aggregate (a BroadcastNestedLoopJoin of one
+    // row — t11's shape); nothing corpus-wide may shuffle-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"h5 plans a wide join:\n$p")
+    // one single-partition exchange: the final rank window over <= 10 rows
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"h5 has $singles single-partition exchanges:\n$p")
+  }
+
   test("hybrid retrieval cuts with bounded heaps, reranks a broadcast set (h1)") {
     val p = plan("h1_hybrid_retrieval")
     // the global top-M cuts must be TakeOrderedAndProject (per-partition
