@@ -131,16 +131,32 @@ object Dedup {
 
   def minhashNearDups(corpus: DataFrame, threshold: Double = 0.5,
                       numBands: Int = 0, rowsPerBand: Int = 0,
-                      collapseIdentical: Boolean = true): DataFrame = {
+                      collapseIdentical: Boolean = true,
+                      bandDfPrune: Double = -1.0,
+                      countHint: Long = -1L): DataFrame = {
     // default (0, 0) self-sizes from the corpus count ([[LshSizing]]):
     // band-key length grows with the corpus so bucket occupancy stays
-    // bounded; explicit values pin a shape (specs, A/B runs)
+    // bounded; explicit values pin a shape (specs, A/B runs).
+    // bandDfPrune: -1 self-sizes ([[LshSizing.dfPruneFrac]]) whenever a
+    // corpus count is at hand (countHint, or the self-size count) — never
+    // pays a count job of its own; 1.0 forces off, (0,1) pins a fraction.
     require((numBands > 0) == (rowsPerBand > 0),
       "set both numBands and rowsPerBand, or neither (self-size)")
+    val n: Long =
+      if (countHint > 0L) countHint
+      else if (numBands > 0) -1L
+      else corpus.count()
     val (b, r) =
       if (numBands > 0) (numBands, rowsPerBand)
-      else LshSizing.bandShape(corpus.count(), threshold, jBg = 0.25)
-    nearDupsFromSets(shingleSets(corpus), threshold, b, r, collapseIdentical)
+      else LshSizing.bandShape(n, threshold, jBg = 0.25)
+    val prune =
+      if (bandDfPrune >= 0.0) bandDfPrune
+      else if (n > 0L) LshSizing.dfPruneFrac(n)
+      else 1.0
+    nearDupsFromSets(shingleSets(corpus), threshold, b, r, collapseIdentical,
+      bandPrune =
+        if (prune < 1.0) s => pruneFrequentShingles(s, prune, knownCount = n)
+        else identity)
   }
 
   /** Character-n-gram jaccard near-dup: the same banded-minhash candidate
@@ -172,14 +188,38 @@ object Dedup {
     * set would prune to empty keeps its original set (an all-hot doc
     * must not join a single global bucket of its peers).
     */
+  /** Corpus size above which [[pruneFrequentShingles]] estimates df on a
+    * 1-in-10 doc sample instead of the full explode: a gram at the cap
+    * (dfFrac of all docs) still hits ~total·dfFrac/10 sampled docs —
+    * orders above noise — while the df scan (the lever's whole cost on
+    * corpora with NO hot grams, where the hot set comes back empty and
+    * pruning is a no-op) shrinks 10×.
+    */
+  private val dfSampleAt = 20000L
+
   def pruneFrequentShingles(sets: DataFrame, dfFrac: Double,
-                            maxPrune: Int = 4096): DataFrame = {
+                            maxPrune: Int = 4096,
+                            knownCount: Long = -1L,
+                            sampleMod: Int = 0): DataFrame = {
     require(dfFrac > 0.0 && dfFrac < 1.0, s"dfFrac $dfFrac must be in (0,1)")
-    val cap = math.max(1L, (sets.count() * dfFrac).toLong)
+    // knownCount lets callers that already paid a corpus count job skip a
+    // second one here. In the collapse path the banding input is the
+    // REPRESENTATIVE sets (≤ corpus rows), so a corpus-count cap is
+    // conservative — it prunes no more than a rep-count cap would.
+    val total = if (knownCount > 0L) knownCount else sets.count()
+    // sampleMod 0 self-sizes (1 = exact df below dfSampleAt); explicit
+    // values pin the sampling for specs/A/B. Which borderline grams land
+    // past an estimated cap is a candidate-VOLUME choice only — every
+    // surviving pair still passes the exact verify on full sets.
+    val mod = if (sampleMod > 0) sampleMod else if (total >= dfSampleAt) 10 else 1
+    val dfDocs =
+      if (mod == 1) sets
+      else sets.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
+    val cap = math.max(1L, (total / mod * dfFrac).toLong)
     // distinct grams past the cap are bounded by totalOccurrences/cap —
     // a handful of ubiquitous grams in practice; maxPrune bounds the
     // driver collect regardless
-    val hot = sets.select(explode(col("shingles")).as("g"))
+    val hot = dfDocs.select(explode(col("shingles")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)
       .orderBy(col("df").desc, col("g"))
@@ -196,13 +236,27 @@ object Dedup {
   def ngramJaccardNearDups(corpus: DataFrame, threshold: Double = 0.8,
                            n: Int = 5, numBands: Int = 0, rowsPerBand: Int = 0,
                            collapseIdentical: Boolean = true,
-                           bandDfPrune: Double = 1.0): DataFrame = {
+                           bandDfPrune: Double = -1.0,
+                           countHint: Long = -1L): DataFrame = {
+    // bandDfPrune follows the [[minhashNearDups]] contract: -1 self-sizes
+    // from an at-hand count, 1.0 off, (0,1) pins. Char-gram corpora are
+    // where the lever earns its keep — the d6 band shape is recall-capped
+    // at 16 bands, so occupancy cannot deepen with the corpus and the
+    // hot-gram tail is the first thing to go superlinear (SCALING.md).
     require((numBands > 0) == (rowsPerBand > 0),
       "set both numBands and rowsPerBand, or neither (self-size)")
+    val docCount: Long =
+      if (countHint > 0L) countHint
+      else if (numBands > 0) -1L
+      else corpus.count()
     val (b, r) =
       if (numBands > 0) (numBands, rowsPerBand)
-      else LshSizing.bandShape(corpus.count(), threshold, jBg = 1.0 / 3.0,
+      else LshSizing.bandShape(docCount, threshold, jBg = 1.0 / 3.0,
         maxBands = 16)
+    val prune =
+      if (bandDfPrune >= 0.0) bandDfPrune
+      else if (docCount > 0L) LshSizing.dfPruneFrac(docCount)
+      else 1.0
     nearDupsFromSets(
       // Grams are hashed to int64 (md5 7-byte prefix) BEFORE any set op:
       // char-gram sets run ~one gram per character, so the exact-jaccard
@@ -220,7 +274,8 @@ object Dedup {
           graft.functions.TextFunctions.canonText(col("text")), n, 7).as("shingles")),
       threshold, b, r, collapseIdentical,
       bandPrune =
-        if (bandDfPrune < 1.0) s => pruneFrequentShingles(s, bandDfPrune)
+        if (prune < 1.0)
+          s => pruneFrequentShingles(s, prune, knownCount = docCount)
         else identity)
   }
 

@@ -121,10 +121,14 @@ object DedupQueries {
     * at jaccard ≥ 0.5; the oracle is the exhaustive jaccard scan.
     */
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val (b, r) = graft.ops.LshSizing.bandShape(
-      corpusCount(spark, sfDir), threshold = 0.5)
+    // countHint feeds both the band shape and the auto df-prune fraction
+    // ([[graft.ops.LshSizing.dfPruneFrac]]) from the one memoized count —
+    // the graded default runs WITH band-side pruning, so the exhaustive
+    // oracle's pass proves recall with the lever on, not just off
+    val n = corpusCount(spark, sfDir)
+    val (b, r) = graft.ops.LshSizing.bandShape(n, threshold = 0.5)
     Dedup.minhashNearDups(corpus(spark, sfDir), threshold = 0.5,
-      numBands = b, rowsPerBand = r)
+      numBands = b, rowsPerBand = r, countHint = n)
   }
 
   val minhashNearDupSql: String =
@@ -253,12 +257,16 @@ object DedupQueries {
     // d6 runs on the 1-in-10 sample — sized by the sample's TRUE count
     // (the augmentation concentrates there; see sampleCount), from the
     // cheap base scan (char-gram background stats, d6's band budget)
+    val n = sampleCount(spark, sfDir)
     val (b, r) = graft.ops.LshSizing.bandShape(
-      sampleCount(spark, sfDir), threshold = 0.8, jBg = 1.0 / 3.0,
+      n, threshold = 0.8, jBg = 1.0 / 3.0,
       maxBands = 16)
+    // countHint also auto-enables band-side df-pruning (the d2 note):
+    // d6's recall-capped 16-band shape is exactly where the hot-gram
+    // occupancy tail forms, so the graded default runs the lever
     Dedup.ngramJaccardNearDups(
       corpus(spark, sfDir).filter(col("doc_id") % 10 === 0), threshold = 0.8,
-      numBands = b, rowsPerBand = r)
+      numBands = b, rowsPerBand = r, countHint = n)
   }
 
   val ngramNearDupSql: String =

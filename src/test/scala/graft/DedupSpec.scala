@@ -266,6 +266,21 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pruned(10L) === Set(99L))
   }
 
+  test("D6: sampled df estimation still prunes hot grams, keeps rare ones") {
+    import spark.implicits._
+    // 200 docs all sharing hot gram 99; each carries one unique gram.
+    // With the 1-in-10 df sample (sampleMod = 10) the hot gram's sampled
+    // df (≈20) clears the scaled cap (200/10·0.3 = 6) while every unique
+    // gram (sampled df ≤ 1) stays — the exact-df decision, 10× cheaper.
+    val sets = (1L to 200L).map(i => (i, Array(99L, 1000L + i)))
+      .toDF("doc_id", "shingles")
+    val pruned = Dedup.pruneFrequentShingles(sets, dfFrac = 0.3, sampleMod = 10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (1L to 200L).foreach { i =>
+      assert(pruned(i) === Set(1000L + i), s"doc $i: ${pruned(i)}")
+    }
+  }
+
   test("D6: df-pruned banding still finds the planted near-dup, same verified jaccard") {
     // the hot-bucket lever must not cost the pair whose similarity is
     // carried by DISTINCTIVE grams: same corpus as the D6 base test, a

@@ -60,6 +60,20 @@ class LshSizingSpec extends AnyFunSuite with SparkSuite {
     assert(bT > 16, "expected b to exceed the too-tight budget")
   }
 
+  test("dfPruneFrac gates the band-side prune on corpus size") {
+    // tiny corpora: df means topical noise, not boilerplate — lever off
+    assert(LshSizing.dfPruneFrac(1) === 1.0)
+    assert(LshSizing.dfPruneFrac(63) === 1.0)
+    // from the enable threshold up: the measured 0.1 knob, flat in n
+    // (the cap it feeds is already proportional to the corpus)
+    assert(LshSizing.dfPruneFrac(64) === 0.1)
+    assert(LshSizing.dfPruneFrac(545) === 0.1)   // graded d2 sf0.01 corpus
+    assert(LshSizing.dfPruneFrac(85) === 0.1)    // graded d6 sf0.01 sample
+    assert(LshSizing.dfPruneFrac(5000000000L) === 0.1)
+    // explicit knobs pass through
+    assert(LshSizing.dfPruneFrac(10, enableAt = 5, frac = 0.25) === 0.25)
+  }
+
   test("auto-sized sign buckets stay small across the sf sweep") {
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
