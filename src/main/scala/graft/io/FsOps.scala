@@ -139,11 +139,21 @@ object FsOps {
     *
     * Returns the output file count.
     */
+  /** Total bytes of the parquet data files under `dir` — the shared size
+    * listing behind both compaction variants ([[compactParquet]] and
+    * [[graft.ops.Compaction.compact]]), so their `ceil(bytes/target)`
+    * file-count arithmetic can never drift apart on what "bytes" means
+    * (data files only; _SUCCESS/metadata excluded).
+    */
+  def parquetBytes(spark: SparkSession, dir: String): Long =
+    list(spark, dir, suffix = ".parquet")
+      .agg(coalesce(sum(col("size")), lit(0L))).collect()(0).getLong(0)
+
   def compactParquet(spark: SparkSession, dir: String,
                      targetBytes: Long = 128L << 20,
                      shuffle: Boolean = true): Int = {
     val f = fs(spark, dir)
-    val size = f.getContentSummary(new Path(dir)).getLength
+    val size = parquetBytes(spark, dir)
     val nFiles = math.max(1, math.ceil(size.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
     val compacted = if (shuffle) df.repartition(nFiles) else df.coalesce(nFiles)

@@ -29,8 +29,14 @@ object Compaction {
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long, sortCol: String): Int = {
     require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
-    val totalBytes = graft.io.FsOps.list(spark, inDir, suffix = ".parquet")
-      .agg(coalesce(sum(col("size")), lit(0L))).collect()(0).getLong(0)
+    // overwrite-mode write into the directory being read would truncate
+    // the input mid-scan; the in-place variant is FsOps.compactParquet
+    // (same ceil(bytes/target) sizing via the shared parquetBytes
+    // listing, hash/coalesce instead of range clustering, staged through
+    // a tmp dir + rename)
+    require(inDir.stripSuffix("/") != outDir.stripSuffix("/"),
+      s"inDir == outDir ($inDir) — use FsOps.compactParquet for in-place")
+    val totalBytes = graft.io.FsOps.parquetBytes(spark, inDir)
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir)
       .repartitionByRange(n, col(sortCol))

@@ -21,10 +21,23 @@ import graft.model.{Schemas, TarEntry}
 object EmbargoSplit {
 
   /** P3+J1 — classify each regular entry `public`/`private`
-    * (`/root/reference/embargo.go:174`): public iff the file date is older
-    * than `cutoffDateInt` (P4/P5), OR the basename is not a web100 file, OR
-    * its extracted local IP (F1) is whitelisted. `local_ip` is coalesced
-    * through `""` so the OR never sees a null under three-valued logic.
+    * (`/root/reference/embargo.go:174`): public iff the ARCHIVE is older
+    * than `cutoffDateInt` (P4/P5), OR the entry basename is not a web100
+    * file, OR its extracted local IP (F1) is whitelisted. `local_ip` is
+    * coalesced through `""` so the OR never sees a null under
+    * three-valued logic.
+    *
+    * The age arm reads the ARCHIVE's date, never the entry's own: the
+    * reference computes `moreThanOneYear` once per archive — from the day
+    * being processed (`embargo.go:272-277`) or the archive basename's
+    * first 8 chars (`embargo.go:306-308`) — and threads it into
+    * `SplitFile` as a constant for every entry (`embargo_test.go:69`
+    * passes it explicitly). An entry dated earlier than its archive (late
+    * rotation) must NOT publish early by its own timestamp — fixture 2
+    * plants exactly that entry to pin this. Deriving the per-archive
+    * boolean from each row's `archive` column is the same decision,
+    * generalized so one Dataset can carry archives from many days (the
+    * day loop's unit of parallelism).
     *
     * `whitelist` must expose one `wip` column (see [[TgzSource.whitelist]]);
     * it is explicitly `broadcast` — thousands of rows at most
@@ -58,7 +71,7 @@ object EmbargoSplit {
       .distinct()
     regs.join(broadcast(wl), canonical_ip(regs("local_ip")) === wl("wip"), "left_outer")
       .withColumn("route",
-        when(fileDateInt(col("base")) < lit(cutoffDateInt)
+        when(fileDateInt(basename(col("archive"))) < lit(cutoffDateInt)
           || !col("base").contains("web100")
           || col("wip").isNotNull, Schemas.RoutePublic)
           .otherwise(Schemas.RoutePrivate))

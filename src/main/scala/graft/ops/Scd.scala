@@ -34,18 +34,32 @@ object Scd {
     * no-ops; keys never seen before open their first version at `day`.
     */
   def applyBatch(current: DataFrame, updates: DataFrame, day: Int): DataFrame = {
-    val closedHistory = current.filter(col("valid_to") =!= OpenSentinel)
-    val open = current.filter(col("valid_to") === OpenSentinel)
+    // A NULL valid_to is malformed input (the sentinel, not NULL, marks
+    // open rows) — and under plain =!=/=== filters such a row would
+    // satisfy NEITHER slice below and silently vanish from history.
+    // Fail loudly at execution instead of dropping data.
+    val guarded = current.withColumn("valid_to",
+      when(col("valid_to").isNull,
+        raise_error(concat(lit("NULL valid_to in SCD dimension for key "),
+          col("key").cast("string"))))
+        .otherwise(col("valid_to")))
+    val closedHistory = guarded.filter(col("valid_to") =!= OpenSentinel)
+    val open = guarded.filter(col("valid_to") === OpenSentinel)
     // One update row per key is the contract; exact duplicates collapse
     // harmlessly, CONFLICTING values for a key fail loudly at execution
     // (a silent pick would fan the open slice out into several open
-    // versions per key and corrupt history from then on). The aggregate
-    // is batch-sized — a delta, not the dimension.
+    // versions per key and corrupt history from then on). A batch mixing
+    // NULL ("no change") and a value ("change") for one key is the same
+    // conflict of intents — countDistinct alone misses it (NULLs don't
+    // count), so NULL presence is tracked explicitly. All-NULL for a key
+    // stays a plain no-op. The aggregate is batch-sized — a delta, not
+    // the dimension.
     val up = updates.groupBy(col("key"))
       .agg(min(col("value")).as("__new"),
-        countDistinct(col("value")).as("__nv"))
+        countDistinct(col("value")).as("__nv"),
+        max(col("value").isNull.cast("int")).as("__anyNull"))
       .select(col("key"),
-        when(col("__nv") > 1,
+        when(col("__nv") > 1 || (col("__nv") === 1 && col("__anyNull") === 1),
           raise_error(concat(lit("conflicting SCD update values for key "),
             col("key").cast("string"))))
           .otherwise(col("__new")).as("__new"))

@@ -30,15 +30,17 @@ object TarQueries {
   /** Second golden fixture (hand-built, `tools/gen_fixture2.py`): IPv6-heavy
     * names including the `:::` quirk in both directions, a non-canonically
     * spelled whitelisted address, a mid-stream directory entry, malformed/
-    * old-format names, a non-web100 file, and a per-file date older than
-    * the cutoff — the routing arms fixture 1 cannot exercise. Its `-p`/`-e`
-    * goldens carry a hand-computed split (5 public / 5 private).
+    * old-format names, a non-web100 file, and an entry dated a day before
+    * its archive — the routing arms fixture 1 cannot exercise. Its
+    * `-p`/`-e` goldens carry a hand-computed split (4 public / 6 private).
     */
   val Fixture2Tgz =
     "/root/repo/testdata/20170316T000000Z-mlab2-syd02-sidestream-0000.tgz"
 
-  /** Fixture-2 cutoff: the archive's own day, so the one entry dated a day
-    * earlier exercises the per-file age arm (P5).
+  /** Fixture-2 cutoff: the archive's own day, so the age arm fires for no
+    * entry — and the one entry dated a day EARLIER pins that the one-year
+    * decision is the archive's (`/root/reference/embargo.go:272-277,
+    * 306-308`), not the entry's: it must stay private.
     */
   val Fixture2Cutoff = 20170316
 

@@ -1337,8 +1337,12 @@ object TextQueries {
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), lower(col("text")).as("t"))
     val model = graft.ops.LmScore.trainBigramModel(d)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-c3")
-      .resolve("ckpt").toString
+    // checkpoint lives at a fixed staged path (the repo's staged-artifact
+    // discipline — no per-run temp-dir accretion) and is cleared up
+    // front: a reused checkpoint would replay "nothing new" against the
+    // same source files and leave `out` empty
+    val ckpt = TarQueries.stagePath("c3_ckpt", sfDir)
+    graft.io.FsOps.deletePrefix(spark, ckpt)
     val stream = spark.readStream.schema(spark.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(src)

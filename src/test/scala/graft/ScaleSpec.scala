@@ -299,6 +299,11 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     def parquetFiles(dir: String) =
       new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(parquetFiles(s"$root/small") === 32)
+    // in-place overwrite would truncate the input mid-scan — refused
+    intercept[IllegalArgumentException] {
+      graft.ops.Compaction.compact(spark, s"$root/small", s"$root/small/",
+        targetBytes = 64L << 10, sortCol = "event_id")
+    }
     val n = graft.ops.Compaction.compact(spark, s"$root/small",
       s"$root/compact", targetBytes = 64L << 10, sortCol = "event_id")
     assert(parquetFiles(s"$root/compact") === n)

@@ -75,6 +75,37 @@ class ScdSpec extends AnyFunSuite with SparkSuite {
     assert(out === Set((1L, None, 1, OpenSentinel)))
   }
 
+  test("malformed dimension (NULL valid_to) fails loudly instead of dropping rows") {
+    // under plain =!=/=== slicing a NULL valid_to row satisfies NEITHER
+    // slice and would silently vanish from history — it must raise
+    import spark.implicits._
+    val cur = Seq((1L, Some(10.0), Some(1), Option.empty[Int]))
+      .toDF("key", "value", "valid_from", "valid_to")
+    val e = intercept[Exception] {
+      Scd.applyBatch(cur, ups((1L, 20.0)), day = 5).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("NULL valid_to"))),
+      s"expected a loud NULL-valid_to failure, got: $e")
+  }
+
+  test("a batch mixing NULL and a value for one key is a conflict, not a silent pick") {
+    import spark.implicits._
+    val cur = dim((1L, 10.0, 1, OpenSentinel))
+    val up = Seq((1L, Option.empty[Double]), (1L, Some(20.0)))
+      .toDF("key", "value")
+    val e = intercept[Exception] {
+      Scd.applyBatch(cur, up, day = 2).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("conflicting"))),
+      s"expected NULL+value mix to fail as a conflict, got: $e")
+  }
+
   test("property: random batch chains equal a sequential reference (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -133,11 +133,11 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     import graft.queries.TarQueries.{Fixture2Cutoff, Fixture2Tgz, FixtureCutoff, FixtureTgz, FixtureWhitelist}
     // the graded st1 query drains fixture 1; this pins the SAME drain over
     // the second golden (`tools/gen_fixture2.py` — ::: quirk, mid-stream
-    // dir, malformed names, per-file age arm) so streaming ≡ batch holds
+    // dir, malformed names, early-dated entry) so streaming ≡ batch holds
     // on every routing arm, not just whole-bucket routing
     for ((tgz, cutoff, nPub, nPriv) <- Seq(
         (FixtureTgz, FixtureCutoff, 145L, 59L),
-        (Fixture2Tgz, Fixture2Cutoff, 5L, 5L))) {
+        (Fixture2Tgz, Fixture2Cutoff, 4L, 6L))) {
       val root = Files.createTempDirectory("graft-st1-golden")
       val inDir = Files.createDirectory(root.resolve("in"))
       Files.copy(java.nio.file.Paths.get(tgz),

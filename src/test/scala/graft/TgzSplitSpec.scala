@@ -24,12 +24,13 @@ class TgzSplitSpec extends AnyFunSuite with SparkSuite {
   /** Both golden fixtures: the reference's own site-day tarball (whole-
     * bucket routing, 145/59) and the hand-built second day
     * (`tools/gen_fixture2.py`: `:::` quirk both directions, non-canonical
-    * whitelisted spelling, mid-stream directory, malformed names, per-file
-    * age arm; 5/5 — routes hand-computed, see the generator).
+    * whitelisted spelling, mid-stream directory, malformed names, an
+    * entry dated before its archive; 4/6 — routes hand-computed, see the
+    * generator).
     */
   private val goldenFixtures = Seq(
     ("fixture1", FixtureTgz, FixtureCutoff, 145, 59),
-    ("fixture2", Fixture2Tgz, Fixture2Cutoff, 5, 5))
+    ("fixture2", Fixture2Tgz, Fixture2Cutoff, 4, 6))
 
   test("S4: fixture explodes to 205 ordered entries, one directory") {
     val es = TgzSource.entries(spark, FixtureTgz).collect().sortBy(_.ordinal)
@@ -123,8 +124,10 @@ class TgzSplitSpec extends AnyFunSuite with SparkSuite {
     // malformed + old-format names: empty local IP, never whitelisted
     assert(routes("20170316T05:00:00Z_not:an:ip_0.web100") === Schemas.RoutePrivate)
     assert(routes("20170316T06:00:00Z.web100") === Schemas.RoutePrivate)
-    // per-file age arm: a day older than the cutoff routes public
-    assert(routes("20170315T23:00:00Z_9.9.9.9_0.web100") === Schemas.RoutePublic)
+    // the age arm is the ARCHIVE's (embargo.go:272-277, 306-308): an
+    // entry dated a day before its 20170316 archive must NOT publish
+    // early by its own timestamp — it stays private (web100, unlisted IP)
+    assert(routes("20170315T23:00:00Z_9.9.9.9_0.web100") === Schemas.RoutePrivate)
   }
 
   test("P4/P5: archives older than the cutoff route public wholesale") {

@@ -7,16 +7,20 @@ routing on one site-day. This second, hand-built site-day tarball covers
 the cases it cannot: the `:::` IPv6 quirk in BOTH directions (collapses
 to a whitelisted address / to an unlisted one), a NON-CANONICALLY spelled
 whitelisted IPv6, a mid-stream directory entry, malformed/old-format
-names, a non-web100 file, and a per-file date older than the cutoff
-(the P5 arm, which fixture 1 never exercises because its cutoff equals
-its only day).
+names, a non-web100 file, and an entry dated EARLIER than its archive
+(which must stay private — the age arm reads the archive's date, never
+the entry's own).
 
 Routes below are HAND-COMPUTED from the routing spec
 (/root/reference/embargo.go:174, embargo_check.go:60-108,
-filename_parser.go:17-29) — public iff file date < cutoff (20170316),
-OR basename lacks "web100", OR the extracted local IP is whitelisted
-(whitelist_full; membership on canonical forms). They are data in this
-script, not the output of any routing implementation.
+filename_parser.go:17-29) — public iff the ARCHIVE date < cutoff, OR
+basename lacks "web100", OR the extracted local IP is whitelisted
+(whitelist_full; membership on canonical forms). moreThanOneYear is a
+per-archive constant in the reference (computed from the processed day,
+embargo.go:272-277, or the archive basename, embargo.go:306-308 —
+never per entry); this archive is dated 20170316 = the cutoff, so the
+age arm fires for NO entry here. They are data in this script, not the
+output of any routing implementation.
 
 Deterministic output: fixed mtimes, gzip mtime=0, ustar format.
 """
@@ -48,8 +52,10 @@ ENTRIES = [
     ("20170316T05:00:00Z_not:an:ip_0.web100", False, "priv"),      # malformed IP
     ("20170316T06:00:00Z.web100", False, "priv"),                  # old-format name
     ("20170316T07:00:00Z_9.9.9.9_0.snaplog", False, "pub"),        # non-web100
-    # per-file date one day older than the 20170316 cutoff: public by age
-    ("20170315T23:00:00Z_9.9.9.9_0.web100", False, "pub"),
+    # entry dated a day before its archive: PRIVATE — the one-year age
+    # decision is the ARCHIVE's (20170316, not < cutoff), and an entry's
+    # own older timestamp must not publish it early
+    ("20170315T23:00:00Z_9.9.9.9_0.web100", False, "priv"),
     ("20170316T08:00:00Z_2606:4700:4700:::1111_0.web100", False, "priv"),
 ]
 
