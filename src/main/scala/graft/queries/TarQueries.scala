@@ -225,6 +225,143 @@ object TarQueries {
        |FROM read_parquet('$StageDir/e3_golden.parquet/*.parquet')
        |WHERE half <> 'f2-e'""".stripMargin
 
+  /** E4 — the single-file submit path composed end to end
+    * (`/root/reference/deploy/deploy.go:23-58` handler +
+    * `embargo.go:295-320` `EmbargoSingleFile`): a batch of `?file=`
+    * submit requests — base64-encoded `gs://bucket/sidestream/...tgz`
+    * URLs — is decoded (F6), validated the way the handler chain does
+    * (`storage.GetFilename` must yield a `gs://` URL, deploy.go:32-37;
+    * then the P1 sidestream/tgz guard, embargo.go:296-298), and each
+    * ACCEPTED archive runs the single-archive embargo: P5 one-year age
+    * from the ARCHIVE basename (embargo.go:306-313), S4→P3 split, and
+    * the `WriteResults` publication (embargo.go:103-121: public half
+    * keeps the archive name in the public store, private half lands as
+    * `-e.tgz` in the embargo store).
+    *
+    * Graded output: one status row per request (`accepted` /
+    * `rejected_invalid` / `rejected_not_sidestream` — firing BOTH ways)
+    * plus every published entry of BOTH stores as per-entry decompressed
+    * payload md5s keyed by the originating request. The requests stage
+    * to parquet, so the oracle independently re-derives every decision:
+    * statuses via `from_base64` + the same guards, payloads from the
+    * golden manifest — fixture 1 submits at a cutoff one day after its
+    * date (`moreThanOneYear` → EVERY entry public: f1-p ∪ f1-e all in
+    * the public store, nothing embargoed), fixture 2 at its own day (the
+    * normal 4/6 split). The two arms of P5 and both reject reasons are
+    * all exercised in one query.
+    */
+  val E4Cutoff = 20170316
+
+  def singleFileSubmit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.NameFunctions.{decodeBase64Path, isSidestreamArchive}
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val reqRows = Seq(
+      (1L, b64(s"gs://scraper-mlab/sidestream/2017/03/15/${base(FixtureTgz)}")),
+      (2L, b64(s"gs://scraper-mlab/sidestream/2017/03/16/${base(Fixture2Tgz)}")),
+      (3L, b64("gs://scraper-mlab/switch/2017/03/16/speedtest-0001.dat")),
+      (4L, b64("https://example.com/sidestream/not-a-gs-url.tgz")))
+    reqRows.toDF("req_id", "b64")
+      .write.mode("overwrite").parquet(s"$StageDir/e4_requests.parquet")
+    stageGoldenManifest(spark, s"$StageDir/e4_golden.parquet")
+
+    // the "source bucket": fixtures staged under their day prefixes
+    val root = s"$StageDir/e4"
+    graft.io.FsOps.deletePrefix(spark, root)
+    val src = s"$root/src"
+    val pub = s"$root/public"
+    val priv = s"$root/embargoed"
+    Seq((FixtureTgz, "sidestream/2017/03/15"),
+        (Fixture2Tgz, "sidestream/2017/03/16")).foreach { case (tgz, prefix) =>
+      graft.io.FsOps.mkdirs(spark, s"$src/$prefix")
+      graft.io.FsOps.copy(spark, tgz, s"$src/$prefix/${base(tgz)}")
+    }
+
+    // request classification — the handler's guard chain as columns
+    val reqs = spark.read.parquet(s"$StageDir/e4_requests.parquet")
+      .withColumn("url", decodeBase64Path(col("b64")))
+    val status = reqs.select(col("req_id"), lit("status").as("kind"),
+      when(!col("url").startsWith("gs://"), lit("rejected_invalid"))
+        .when(!isSidestreamArchive(col("url")), lit("rejected_not_sidestream"))
+        .otherwise(lit("accepted")).as("name"),
+      lit("").as("payload_md5"))
+
+    // the accepted batch is request-sized (one archive per HTTP submit in
+    // the reference; a bounded driver loop here, each archive's split a
+    // distributed job of its own)
+    val accepted = reqs
+      .filter(col("url").startsWith("gs://") && isSidestreamArchive(col("url")))
+      .select("req_id", "url").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    accepted.foreach { case (reqId, url) =>
+      // deploy.go:40-42: strip "gs://", drop the bucket at the first '/'
+      val removePrefix = url.stripPrefix("gs://")
+      val objPath = removePrefix.substring(removePrefix.indexOf('/') + 1)
+      val dayDir = objPath.substring(0, objPath.lastIndexOf('/'))
+      val archBase = base(objPath)
+      val splitOut = s"$root/split_$reqId"
+      EmbargoSplit.run(spark, s"$src/$objPath", FixtureWhitelist, E4Cutoff,
+        splitOut)
+      graft.io.FsOps.mkdirs(spark, s"$pub/$dayDir")
+      graft.io.FsOps.mkdirs(spark, s"$priv/$dayDir")
+      graft.io.FsOps.copy(spark, s"$splitOut/$archBase",
+        s"$pub/$dayDir/$archBase")
+      graft.io.FsOps.copy(spark,
+        s"$splitOut/${archBase.replace(".tgz", "-e.tgz")}",
+        s"$priv/$dayDir/${archBase.replace(".tgz", "-e.tgz")}")
+    }
+
+    // read back what each store actually serves, keyed to the request by
+    // the archive basename (the -e suffix normalized away)
+    val reqKey = accepted.toSeq.map { case (reqId, url) => (reqId, base(url)) }
+      .toDF("req_id", "arch_base")
+    def storeEntries(store: String, kind: String): DataFrame =
+      TgzSource.entries(spark, s"$store/sidestream/*/*/*/*.tgz")
+        .filter(col("typeflag") === "0")
+        .select(
+          regexp_replace(regexp_extract(col("archive"), "([^/]+)$", 1),
+            "-e\\.tgz$", ".tgz").as("arch_base"),
+          lit(kind).as("kind"), col("name"),
+          md5(col("content")).as("payload_md5"))
+    val published = storeEntries(pub, "public")
+      .unionAll(storeEntries(priv, "embargoed"))
+      .join(broadcast(reqKey), Seq("arch_base"))
+      .select("req_id", "kind", "name", "payload_md5")
+    status.unionAll(published)
+  }
+
+  val singleFileSubmitSql: String =
+    s"""WITH reqs AS (
+       |  SELECT req_id, decode(from_base64(b64)) AS url
+       |  FROM read_parquet('$StageDir/e4_requests.parquet/*.parquet')),
+       |status AS (
+       |  SELECT req_id, 'status' AS kind,
+       |         CASE WHEN url NOT LIKE 'gs://%' THEN 'rejected_invalid'
+       |              WHEN NOT (contains(url, 'tgz') AND contains(url, 'sidestream'))
+       |                THEN 'rejected_not_sidestream'
+       |              ELSE 'accepted' END AS name,
+       |         '' AS payload_md5
+       |  FROM reqs),
+       |ent AS (
+       |  SELECT half, name, payload_md5
+       |  FROM read_parquet('$StageDir/e4_golden.parquet/*.parquet')),
+       |-- request 1 = fixture 1 (archive date < cutoff: every entry public),
+       |-- request 2 = fixture 2 (archive date = cutoff: the golden 4/6 split)
+       |published AS (
+       |  SELECT CAST(1 AS BIGINT) AS req_id, 'public' AS kind, name, payload_md5
+       |  FROM ent WHERE half LIKE 'f1-%'
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'public', name, payload_md5
+       |  FROM ent WHERE half = 'f2-p'
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'embargoed', name, payload_md5
+       |  FROM ent WHERE half = 'f2-e')
+       |SELECT req_id, kind, name, payload_md5 FROM status
+       |UNION ALL
+       |SELECT req_id, kind, name, payload_md5 FROM published""".stripMargin
+
   /** S2 — full catalog listing of the sf directory. Sizes are real file
     * sizes; names are the stable table set. The lexicographic order the
     * reference's paged listing yields
@@ -349,6 +486,7 @@ object TarQueries {
     "e1_split_counts" -> splitCounts,
     "e2_split_payloads" -> splitPayloads,
     "e3_lifecycle" -> lifecycle,
+    "e4_single_file_submit" -> singleFileSubmit,
     "w100_latest_per_cid" -> web100Latest,
     "st1_stream_drain" -> streamDrain
   )
@@ -364,6 +502,7 @@ object TarQueries {
     "e1_split_counts" -> splitCountsSql,
     "e2_split_payloads" -> splitPayloadsSql,
     "e3_lifecycle" -> lifecycleSql,
+    "e4_single_file_submit" -> singleFileSubmitSql,
     "st1_stream_drain" -> streamDrainSql
   )
 }
