@@ -137,6 +137,94 @@ object TextQueries {
        |FROM scored GROUP BY 1""".stripMargin
   }
 
+  /** T3b — n-gram-profile language ID ([[graft.ops.LangId]]): the corpus
+    * is deterministically augmented with planted foreign-language
+    * documents (different sentences from the training seeds, free of
+    * every t3 marker word) plus one gibberish class, and every document
+    * is scored against per-language char-3-gram profiles — integer
+    * profile-count sums over the doc's distinct grams, argmax by
+    * cross-multiplied seed-normalized comparison, `unknown` on all-zero.
+    * Output is the full per-doc assignment WITH the four class scores,
+    * so the hash grade covers profile construction, gram extraction,
+    * scoring and the argmax; the oracle re-derives the profiles from the
+    * same seed literals (nothing precomputed crosses the engines).
+    * Scale shape: scan → codegen gram pass → broadcast-profile fold —
+    * zero exchanges, the t13 serve pattern.
+    */
+  def ngramLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.LangId
+    val aug = Tables.documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit(LangId.PlantedEs))
+        .when(col("doc_id") % 7 === 1, lit(LangId.PlantedDe))
+        .when(col("doc_id") % 7 === 2, lit(LangId.PlantedFr))
+        .when(col("doc_id") % 7 === 3, lit(LangId.Gibberish))
+        .otherwise(col("text")).as("t"))
+    aug.select(col("doc_id"),
+        graft.functions.HashFunctions.char_gram_hashes(
+          canonText(col("t")), 3, 7).as("gs"))
+      .as[(Long, Array[Long])]
+      .mapPartitions(_.map { case (id, gs) =>
+        val (guess, s) = LangId.score(gs)
+        (id, guess, s(0), s(1), s(2), s(3))
+      })
+      .toDF("doc_id", "lang_guess", "s_en", "s_es", "s_de", "s_fr")
+  }
+
+  val ngramLangIdSql: String = {
+    import graft.ops.LangId
+    val seedVals = LangId.Seeds
+      .map { case (l, t) => s"('$l', '$t')" }.mkString(",\n    ")
+    // per-class score columns from the one profile join
+    val sCols = LangId.Langs.map(l =>
+      s"CAST(COALESCE(SUM(CASE WHEN p.lang = '$l' THEN p.c END), 0) AS BIGINT) AS s_$l")
+      .mkString(",\n         ")
+    // argmax by cross-multiplication in declaration order: a language wins
+    // when no later one strictly beats its seed-normalized score
+    val langs = LangId.Langs
+    val zero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    val arms = langs.init.zipWithIndex.map { case (l, i) =>
+      val beats = langs.drop(i + 1)
+        .map(o => s"s_$l * t_$o >= s_$o * t_$l").mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString("\n         ")
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         CASE doc_id % 7
+       |           WHEN 0 THEN '${LangId.PlantedEs}'
+       |           WHEN 1 THEN '${LangId.PlantedDe}'
+       |           WHEN 2 THEN '${LangId.PlantedFr}'
+       |           WHEN 3 THEN '${LangId.Gibberish}'
+       |           ELSE text END AS t
+       |  FROM documents),
+       |ct AS (SELECT doc_id, trim(regexp_replace(lower(t), '\\s+', ' ', 'g')) AS c
+       |       FROM aug),
+       |dg AS (SELECT doc_id, unnest(list_distinct(
+       |         CASE WHEN length(c) < 3 THEN [c]
+       |              ELSE [substr(c, CAST(i AS INT), 3)
+       |                    FOR i IN range(1, CAST(length(c) AS BIGINT) - 1)] END)) AS g
+       |       FROM ct),
+       |seeds(lang, txt) AS (VALUES
+       |    $seedVals),
+       |sg AS (SELECT lang, unnest([substr(txt, CAST(i AS INT), 3)
+       |                            FOR i IN range(1, CAST(length(txt) AS BIGINT) - 1)]) AS g
+       |       FROM seeds),
+       |prof AS (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c FROM sg GROUP BY 1, 2),
+       |tot AS (SELECT ${langs.map(l =>
+                  s"MAX(CASE WHEN lang = '$l' THEN t END) AS t_$l").mkString(", ")}
+       |        FROM (SELECT lang, SUM(c) AS t FROM prof GROUP BY 1)),
+       |sc AS (SELECT d.doc_id,
+       |         $sCols
+       |       FROM dg d LEFT JOIN prof p USING (g)
+       |       GROUP BY d.doc_id)
+       |SELECT doc_id,
+       |       CASE WHEN $zero THEN 'unknown'
+       |         $arms
+       |         ELSE '${langs.last}' END AS lang_guess,
+       |       ${langs.map(l => s"s_$l").mkString(", ")}
+       |FROM sc CROSS JOIN tot""".stripMargin
+  }
+
   /** T4 — document fingerprinting: 128-bit md5 of the canonical text plus a
     * 32-bit integer fingerprint (the hash family LSH/minhash builds on).
     */
@@ -1497,6 +1585,7 @@ object TextQueries {
     "t1_token_stats" -> tokenStats,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
+    "t3b_ngram_langid" -> ngramLangId,
     "t4_fingerprints" -> fingerprints,
     "t5_pii_redact" -> piiRedact,
     "t6_stratified_sample" -> stratifiedSample,
@@ -1530,6 +1619,7 @@ object TextQueries {
     "t1_token_stats" -> tokenStatsSql,
     "t2_quality_score" -> qualityScoreSql,
     "t3_langid" -> langIdSql,
+    "t3b_ngram_langid" -> ngramLangIdSql,
     "t4_fingerprints" -> fingerprintsSql,
     "t5_pii_redact" -> piiRedactSql,
     "t6_stratified_sample" -> stratifiedSampleSql,
