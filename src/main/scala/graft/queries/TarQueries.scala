@@ -398,6 +398,92 @@ object TarQueries {
        |FROM expect e LEFT JOIN staged s ON s.base = e.base
        |ORDER BY s.name""".stripMargin
 
+  /** S10 — delete-by-prefix graded end to end (the s2 staged-listing
+    * treatment; `/root/reference/gcs_operations.go:87-120` `DeleteFiles`
+    * deletes every object under a prefix): a deterministic object tree is
+    * staged, the full recursive listing is dumped BEFORE and AFTER
+    * `FsOps.deletePrefix` of one day prefix, and the graded output is
+    * both phases' listings. The oracle reads only the BEFORE dump and
+    * re-derives AFTER from the delete's contract (`NOT LIKE prefix%`) —
+    * so a delete that removes too little, too much, or the wrong prefix
+    * hash-mismatches against the independently-computed expectation.
+    */
+  def deletePrefixListing(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = s"$StageDir/s20_tree"
+    graft.io.FsOps.deletePrefix(spark, root)
+    val files = Seq(
+      "sidestream/2017/03/15/20170315T000000Z-mlab1-lga01-sidestream-0000.tgz",
+      "sidestream/2017/03/15/20170315T000000Z-mlab2-lga02-sidestream-0000.tgz",
+      "sidestream/2017/03/16/20170316T000000Z-mlab1-lga01-sidestream-0000.tgz",
+      "switch/2017/03/15/speedtest-0001.dat")
+    files.foreach { rel =>
+      val p = java.nio.file.Paths.get(s"$root/$rel")
+      java.nio.file.Files.createDirectories(p.getParent)
+      // ≥1 byte: zero-length files are invisible to binaryFile listings
+      java.nio.file.Files.write(p, rel.getBytes("UTF-8"))
+    }
+    def listing(phase: String): DataFrame =
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true").load(root)
+        .select(lit(phase).as("phase"),
+          regexp_extract(col("path"), "s20_tree/(.*)$", 1).as("rel"),
+          col("length").as("size"))
+    listing("before").write.mode("overwrite")
+      .parquet(s"$StageDir/s20_before.parquet")
+    graft.io.FsOps.deletePrefix(spark, s"$root/sidestream/2017/03/15")
+    listing("after").write.mode("overwrite")
+      .parquet(s"$StageDir/s20_after.parquet")
+    spark.read.parquet(s"$StageDir/s20_before.parquet")
+      .unionAll(spark.read.parquet(s"$StageDir/s20_after.parquet"))
+  }
+
+  val deletePrefixListingSql: String =
+    s"""WITH b AS (SELECT phase, rel, size
+       |           FROM read_parquet('$StageDir/s20_before.parquet/*.parquet'))
+       |SELECT phase, rel, size FROM b
+       |UNION ALL
+       |SELECT 'after' AS phase, rel, size FROM b
+       |WHERE rel NOT LIKE 'sidestream/2017/03/15/%'""".stripMargin
+
+  /** S11 — idempotent directory/bucket creation graded end to end
+    * (`/root/reference/gcs_operations.go:36-55` `CreateBucket`: create if
+    * absent, no-op if present): a store dir is created, populated with
+    * one object, then `mkdirs` runs AGAIN on the same path — the graded
+    * output is the listing after first create+insert and after the
+    * repeat. The oracle derives the repeat phase FROM the first phase's
+    * dump: idempotent re-create must leave the store byte-identical (a
+    * clobbering create would empty it; an erroring one would abort the
+    * query).
+    */
+  def mkdirIdempotent(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = s"$StageDir/s21_tree"
+    graft.io.FsOps.deletePrefix(spark, root)
+    val day = s"$root/store/sidestream/2017/03/15"
+    require(graft.io.FsOps.mkdirs(spark, day), "first mkdirs failed")
+    val obj = java.nio.file.Paths.get(s"$day/archive-0000.tgz")
+    java.nio.file.Files.write(obj, "payload".getBytes("UTF-8"))
+    def listing(phase: String): DataFrame =
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true").load(s"$root/store")
+        .select(lit(phase).as("phase"),
+          regexp_extract(col("path"), "s21_tree/store/(.*)$", 1).as("rel"),
+          col("length").as("size"))
+    listing("created").write.mode("overwrite")
+      .parquet(s"$StageDir/s21_created.parquet")
+    require(graft.io.FsOps.mkdirs(spark, day), "repeat mkdirs not idempotent")
+    listing("recreated").write.mode("overwrite")
+      .parquet(s"$StageDir/s21_recreated.parquet")
+    spark.read.parquet(s"$StageDir/s21_created.parquet")
+      .unionAll(spark.read.parquet(s"$StageDir/s21_recreated.parquet"))
+  }
+
+  val mkdirIdempotentSql: String =
+    s"""WITH c AS (SELECT phase, rel, size
+       |           FROM read_parquet('$StageDir/s21_created.parquet/*.parquet'))
+       |SELECT phase, rel, size FROM c
+       |UNION ALL
+       |SELECT 'recreated' AS phase, rel, size FROM c""".stripMargin
+
   /** web100 domain parse (SURVEY §1.1 row 6): latest snapshot per
     * connection over the fixture's 8062 snapshots. The parsed snapshots
     * stage to parquet and BOTH engines run the same latest-per-cid window
@@ -487,6 +573,8 @@ object TarQueries {
     "e2_split_payloads" -> splitPayloads,
     "e3_lifecycle" -> lifecycle,
     "e4_single_file_submit" -> singleFileSubmit,
+    "s20_delete_prefix" -> deletePrefixListing,
+    "s21_mkdir_idempotent" -> mkdirIdempotent,
     "w100_latest_per_cid" -> web100Latest,
     "st1_stream_drain" -> streamDrain
   )
@@ -503,6 +591,8 @@ object TarQueries {
     "e2_split_payloads" -> splitPayloadsSql,
     "e3_lifecycle" -> lifecycleSql,
     "e4_single_file_submit" -> singleFileSubmitSql,
+    "s20_delete_prefix" -> deletePrefixListingSql,
+    "s21_mkdir_idempotent" -> mkdirIdempotentSql,
     "st1_stream_drain" -> streamDrainSql
   )
 }
