@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** T24 — a TRAINED quality-classifier gate: the model-based filter tier
+  * above heuristic rules (the CCNet/fastText practice — fit a cheap
+  * linear model on labeled examples, deploy it as a one-pass scan
+  * filter). Here the weak labels are the corpus' own Gopher-rule
+  * verdicts (t21) — the standard bootstrap when no human labels exist —
+  * and the features are the t1/t2/t21 statistics as FIXED-POINT integers
+  * (scale 1e4, positive integer division, so both engines derive them
+  * exactly).
+  *
+  * The fit is CLOSED-FORM ridge least squares (a linear probability
+  * model): `w = (XᵀX + λI)⁻¹ Xᵀy`. Every entry of XᵀX/Xᵀy is a sum of
+  * products of integer-valued features — exact in double up to 2⁵³
+  * regardless of aggregation order, so the fit is deterministic across
+  * runs and partitionings (the reason the features are integers all the
+  * way down). The k×k solve (k = 8) runs on the driver via Gaussian
+  * elimination with partial pivoting; weights quantize to 1e-6
+  * fixed-point int64. Classification needs no sigmoid: with an LPM,
+  * `p ≥ 0.5 ⟺ w·x ≥ 0.5`, so the gate is one INTEGER dot product
+  * against one integer threshold — the oracle replays exactly that dot
+  * from the staged weight table.
+  *
+  * Scale shape: the fit is ONE aggregation pass emitting k(k+3)/2 sums
+  * (a few dozen numbers at any corpus size) + an O(k³) driver solve; the
+  * score is a pure scan projection with the weights inlined as literals
+  * — zero joins, zero shuffles, the t13/t21 one-pass posture.
+  */
+object QualityModel {
+
+  /** Fixed-point scale of features and the intercept column. */
+  val FeatScale = 10000L
+
+  /** Weight quantization scale (1e-6 units). */
+  val WScale = 1000000L
+
+  /** keep ⟺ z ≥ Half. The fit consumes the ALREADY-SCALED integer
+    * features, so its prediction is `ŷ = Σ w_true·x ∈ [0,1]` directly and
+    * the quantized dot `z = Σ W_i·x_i = ŷ·WScale` carries only the weight
+    * scale — the 0.5 probability threshold is WScale/2.
+    */
+  val Half: Long = WScale / 2
+
+  /** Closed-form ridge LPM fit over integer-valued feature columns and a
+    * 0/1 `labelCol`. One aggregation job; deterministic (see object doc).
+    */
+  def fitLpm(feats: DataFrame, featCols: Seq[String], labelCol: String,
+             ridge: Double = 1e4): Array[Double] = {
+    val k = featCols.length
+    val aggs =
+      (for {
+        i <- 0 until k
+        j <- i until k
+      } yield sum((col(featCols(i)) * col(featCols(j))).cast("double"))
+        .as(s"xx_${i}_$j")) ++
+        (0 until k).map(i =>
+          sum((col(featCols(i)) * col(labelCol)).cast("double")).as(s"xy_$i"))
+    val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val a = Array.ofDim[Double](k, k + 1)
+    var idx = 0
+    for (i <- 0 until k; j <- i until k) {
+      val v = row.getDouble(idx)
+      a(i)(j) = v
+      a(j)(i) = v
+      idx += 1
+    }
+    for (i <- 0 until k) {
+      a(i)(i) += ridge
+      a(i)(k) = row.getDouble(idx)
+      idx += 1
+    }
+    solve(a, k)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting on the k×(k+1)
+    * augmented matrix — deterministic for a fixed input.
+    */
+  private def solve(a: Array[Array[Double]], k: Int): Array[Double] = {
+    for (c <- 0 until k) {
+      var p = c
+      for (r <- c + 1 until k) if (math.abs(a(r)(c)) > math.abs(a(p)(c))) p = r
+      val t = a(c); a(c) = a(p); a(p) = t
+      require(math.abs(a(c)(c)) > 0.0, s"singular normal matrix at column $c")
+      for (r <- c + 1 until k) {
+        val f = a(r)(c) / a(c)(c)
+        for (j <- c until k + 1) a(r)(j) -= f * a(c)(j)
+      }
+    }
+    val w = new Array[Double](k)
+    for (c <- k - 1 to 0 by -1) {
+      var s = a(c)(k)
+      for (j <- c + 1 until k) s -= a(c)(j) * w(j)
+      w(c) = s / a(c)(c)
+    }
+    w
+  }
+
+  /** 1e-6 fixed-point quantization — the form the scoring dot uses. */
+  def quantize(w: Array[Double]): Array[Long] =
+    w.map(x => Math.round(x * WScale.toDouble))
+}

@@ -533,6 +533,83 @@ object TextQueries {
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }
 
+  /** T24 — the trained quality gate ([[graft.ops.QualityModel]]): fit a
+    * closed-form ridge LPM on the corpus' own Gopher verdicts (weak
+    * labels, the CCNet bootstrap), quantize to 1e-6 fixed-point weights,
+    * stage the weight table, and gate every document by ONE integer dot
+    * product against the integer half-threshold. Output carries the
+    * fixed-point features, the raw score z, the model flag AND the
+    * Gopher label — so the hash grade covers feature derivation, the
+    * staged weights, the dot, and the threshold, while the label column
+    * keeps the model/rules disagreement visible. Features are integer
+    * fixed-point (scale 1e4, positive integer division) so both engines
+    * derive them exactly; the oracle replays the identical dot from the
+    * staged weights.
+    */
+  private val QFeatCols = Seq("x0", "x1", "x2", "x3", "x4", "x5", "x6", "x7")
+
+  private def qualityFeatures(g: DataFrame): DataFrame = {
+    import graft.ops.QualityModel.FeatScale
+    // `div` (not `/`): Spark's `/` on longs is double division; every
+    // feature must stay an exact positive integer both engines agree on
+    g.select(col("doc_id"),
+      lit(FeatScale).as("x0"),
+      expr(s"$FeatScale * n_alpha_words div n_words").as("x1"),
+      expr(s"$FeatScale * n_stop_distinct div 8").as("x2"),
+      expr("1000 * sum_word_len div n_words").as("x3"),
+      expr(s"$FeatScale * n_symbols div n_words").as("x4"),
+      expr(s"$FeatScale * n_bullet div n_lines").as("x5"),
+      expr(s"$FeatScale * n_ellipsis div n_lines").as("x6"),
+      (least(col("n_words"), lit(200L)) * lit(50L)).cast("long").as("x7"),
+      col("keep").cast("long").as("y"))
+  }
+
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.QualityModel
+    val f = qualityFeatures(gopherGate(spark, sfDir)).localCheckpoint()
+    val w = QualityModel.quantize(QualityModel.fitLpm(f, QFeatCols, "y"))
+    w.zipWithIndex.map { case (wi, i) => (i.toLong, wi) }.toSeq
+      .toDF("idx", "w")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${TarQueries.StageDir}/t24_weights.parquet")
+    val z = QFeatCols.zipWithIndex
+      .map { case (c, i) => col(c) * lit(w(i)) }
+      .reduce(_ + _)
+    f.select(col("doc_id"),
+      col("x1"), col("x2"), col("x3"), col("x4"), col("x5"), col("x6"),
+      col("x7"),
+      z.as("z"),
+      (z >= lit(QualityModel.Half)).cast("long").as("keep_model"),
+      col("y").as("gopher_label"))
+  }
+
+  def qualityClassifierSql: String = {
+    import graft.ops.QualityModel.{FeatScale, Half}
+    val wPivot = (0 to 7).map(i =>
+      s"MAX(CASE WHEN idx = $i THEN w END) AS w$i").mkString(", ")
+    s"""WITH g AS ($gopherGateSql),
+       |wt AS (SELECT $wPivot
+       |       FROM read_parquet('${TarQueries.StageDir}/t24_weights.parquet/*.parquet')),
+       |f AS (SELECT doc_id,
+       |  CAST($FeatScale AS BIGINT) AS x0,
+       |  $FeatScale * n_alpha_words // n_words AS x1,
+       |  $FeatScale * n_stop_distinct // 8 AS x2,
+       |  1000 * sum_word_len // n_words AS x3,
+       |  $FeatScale * n_symbols // n_words AS x4,
+       |  $FeatScale * n_bullet // n_lines AS x5,
+       |  $FeatScale * n_ellipsis // n_lines AS x6,
+       |  LEAST(n_words, 200) * 50 AS x7,
+       |  CAST(keep AS BIGINT) AS y
+       |  FROM g),
+       |s AS (SELECT doc_id, x1, x2, x3, x4, x5, x6, x7, y,
+       |  x0*w0 + x1*w1 + x2*w2 + x3*w3 + x4*w4 + x5*w5 + x6*w6 + x7*w7 AS z
+       |  FROM f CROSS JOIN wt)
+       |SELECT doc_id, x1, x2, x3, x4, x5, x6, x7, z,
+       |       CAST(z >= $Half AS BIGINT) AS keep_model, y AS gopher_label
+       |FROM s""".stripMargin
+  }
+
   val gopherGateSql: String = {
     val stop = Stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH g AS (
@@ -1706,6 +1783,7 @@ object TextQueries {
     "t8_repetition" -> repetitionStats,
     "t9_source_cap" -> sourceCap,
     "t21_gopher_gate" -> gopherGate,
+    "t24_quality_classifier" -> qualityClassifier,
     "t22_token_budget_mix" -> tokenBudgetMix,
     "t23_doc_chunks" -> docChunks
   )
@@ -1742,6 +1820,7 @@ object TextQueries {
     "t8_repetition" -> repetitionStatsSql,
     "t9_source_cap" -> sourceCapSql,
     "t21_gopher_gate" -> gopherGateSql,
+    "t24_quality_classifier" -> qualityClassifierSql,
     "t22_token_budget_mix" -> tokenBudgetMixSql,
     "t23_doc_chunks" -> docChunksSql
   )
