@@ -883,6 +883,70 @@ object Dedup {
     * carried only for in-partition verification; here the string itself
     * is the key so the oracle comparison stays exact.
     */
+  /** D18 — arbitrary-offset exact-substring dedup (the Lee et al. 2022
+    * "deduplicating training data" pass at sliding-window resolution,
+    * suffix-array-free): a token is removed iff it is covered by some
+    * k-token window whose exact text already occurred earlier in the
+    * corpus (earlier = smaller `(doc_id, pos)` — keep-first, total
+    * order). Unlike [[spanDedup]]'s fixed grid, windows slide over EVERY
+    * offset, so a duplicated run of ≥ k tokens is caught at ANY
+    * alignment: the first occurrence survives (its windows are the
+    * global minima of their texts), every later occurrence's tokens are
+    * blanket-covered and drop. Returns one row per doc:
+    * `(doc_id, n_tokens, n_removed, clean_text)`.
+    *
+    * Shape — exactly TWO keyed exchanges, like spanDedup: (1) the
+    * window-text exchange that marks non-first occurrences (a window
+    * `min(struct(doc_id, pos))`, no self-join); (2) ONE doc_id groupBy
+    * that reassembles from the union of narrow per-token rows and the
+    * duplicate-window position explosions (tokens and removals ride the
+    * same exchange; the combine is a post-agg projection). Window rows
+    * are one per token — k× the string bytes of the grid pass but the
+    * same row count; at 100 TB the exchange keys on `xxhash64(win)` with
+    * in-partition verification, here the text itself so the oracle stays
+    * exact.
+    */
+  def substringDedup(corpus: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, "k must be positive")
+    val docs = corpus
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // one window per offset 0..max(n-k, 0); slice() clips a short tail
+    // (docs shorter than k emit exactly one whole-doc window)
+    val wins = docs.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), greatest(size(col("toks")) - k, lit(0)).cast("int")),
+        i => array_join(slice(col("toks"), i + 1, lit(k)), " ")))
+        .as(Seq("pos", "win")))
+    val byWin = org.apache.spark.sql.expressions.Window.partitionBy("win")
+    val dupWins = wins
+      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byWin))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+    // covered positions of duplicate windows; window length re-derived
+    // from the text so clipped tails cover only what they hold
+    val rmRows = dupWins.select(col("doc_id"),
+      explode(sequence(col("pos"),
+        col("pos") + size(split(col("win"), " ")) - 1)).as("tpos"),
+      lit(null).cast("string").as("tok"))
+    val tokRows = docs.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("tpos", "tok")))
+    tokRows.unionByName(rmRows)
+      .groupBy("doc_id")
+      .agg(
+        collect_list(when(col("tok").isNotNull,
+          struct(col("tpos"), col("tok")))).as("tokens"),
+        collect_set(when(col("tok").isNull, col("tpos"))).as("rm"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(col("rm")).cast("long").as("n_removed"),
+        array_join(
+          transform(
+            filter(array_sort(col("tokens")),
+              s => !array_contains(col("rm"), s.getField("tpos"))),
+            s => s.getField("tok")),
+          " ").as("clean_text"))
+  }
+
   def spanDedup(corpus: DataFrame, spanWords: Int = 10): DataFrame = {
     require(spanWords > 0, "spanWords must be positive")
     val docs = corpus

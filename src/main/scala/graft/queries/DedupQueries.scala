@@ -497,6 +497,56 @@ object DedupQueries {
   def spanDedupQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.spanDedup(corpus(spark, sfDir), spanWords = 10)
 
+  /** D18 — arbitrary-offset substring dedup
+    * ([[graft.ops.Dedup.substringDedup]]): the augmented corpus gains a
+    * third planted family — every 30th doc re-appears with a 3-word
+    * preamble (id +3000000) — whose shared k-token runs sit at an offset
+    * that is NOT a multiple of any grid, exactly the duplication d12's
+    * fixed spans cannot see. Sliding windows must blanket-remove the
+    * copied run (everything after the preamble) while keeping the
+    * preamble itself and the original doc intact; the exact +2M copies
+    * still collapse to empty. The oracle replays windows, keep-first
+    * marking, coverage, and reassembly in SQL.
+    */
+  def substringDedupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val shifted = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(lit("offgrid preamble quote "), col("text")).as("text"))
+    Dedup.substringDedup(corpus(spark, sfDir).unionAll(shifted), k = 8)
+  }
+
+  val substringDedupSql: String =
+    s"""WITH $corpusSql,
+       |full_c AS (
+       |  SELECT doc_id, text FROM corpus
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, 'offgrid preamble quote ' || text
+       |  FROM documents WHERE doc_id % 30 = 0),
+       |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |       FROM full_c
+       |       WHERE len(string_split_regex(trim(text), '\\s+')) > 0),
+       |w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |             array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ') AS win
+       |      FROM tk, LATERAL unnest(range(0, GREATEST(len(toks) - 8, 0) + 1)) r(i)),
+       |m AS (SELECT doc_id, pos, win,
+       |             ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+       |      FROM w),
+       |dup AS (SELECT doc_id, pos,
+       |               CAST(len(string_split(win, ' ')) AS BIGINT) AS wl
+       |        FROM m WHERE rn > 1),
+       |rm AS (SELECT DISTINCT doc_id, CAST(u AS BIGINT) AS tpos
+       |       FROM dup, LATERAL unnest(range(pos, pos + wl)) r(u)),
+       |ra AS (SELECT doc_id, list(tpos) AS rml FROM rm GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(len(rml), 0) AS BIGINT) AS n_removed,
+       |       COALESCE(array_to_string(
+       |         [toks[CAST(i AS INT)] FOR i IN range(1, len(toks) + 1)
+       |          IF NOT list_contains(COALESCE(rml, []), CAST(i - 1 AS BIGINT))],
+       |         ' '), '') AS clean_text
+       |FROM tk t LEFT JOIN ra USING (doc_id)""".stripMargin
+
   val spanDedupSql: String =
     s"""WITH $corpusSql,
        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -634,6 +684,7 @@ object DedupQueries {
     "d10_incremental_neardup" -> incrementalNearDup,
     "d11_containment" -> containmentQ,
     "d12_span_dedup" -> spanDedupQ,
+    "d18_substring_dedup" -> substringDedupQ,
     "d13_bloom_decontaminate" -> bloomDecontaminate,
     "st3_stream_dedup" -> streamDedup
   )
@@ -652,6 +703,7 @@ object DedupQueries {
     "d10_incremental_neardup" -> incrementalNearDupSql,
     "d11_containment" -> containmentSql,
     "d12_span_dedup" -> spanDedupSql,
+    "d18_substring_dedup" -> substringDedupSql,
     "d13_bloom_decontaminate" -> decontaminateSql,
     "st3_stream_dedup" -> streamDedupSql
   )

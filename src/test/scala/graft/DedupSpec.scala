@@ -301,6 +301,38 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pairsOf(plain).contains((1L, 2L)), "planted pair missing")
   }
 
+  test("D18: off-grid duplication invisible to the span grid is caught by sliding windows") {
+    // doc 2 = doc 1 with a 3-word preamble: the 20 copied tokens sit at
+    // offsets 3..22 — no 10-word grid span of doc 2 equals any of doc 1's,
+    // so d12 keeps everything; d18's sliding 8-windows cover the whole
+    // copied run and gut doc 2 down to its preamble
+    val body = (1 to 20).map(i => s"word$i").mkString(" ")
+    val c = docs(1L -> body, 2L -> s"pre amble intro $body")
+    val grid = Dedup.spanDedup(c, spanWords = 10).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert(grid(2L) === s"pre amble intro $body",
+      "grid dedup unexpectedly saw the shifted copy")
+    val slid = Dedup.substringDedup(c, k = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(slid(1L) === ((0L, body)), "first occurrence must survive intact")
+    assert(slid(2L) === ((20L, "pre amble intro")),
+      s"shifted copy not gutted to its preamble: ${slid(2L)}")
+  }
+
+  test("D18: exact trailing copy collapses to empty; short docs pass through") {
+    val c = docs(1L -> "alpha beta gamma delta epsilon zeta eta theta iota",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota", // exact copy
+      3L -> "tiny doc") // < k tokens, unique → untouched
+    val out = Dedup.substringDedup(c, k = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L)._2 === 0L && out(1L)._3.nonEmpty)
+    assert(out(2L) === ((9L, 9L, "")), s"trailing copy survived: ${out(2L)}")
+    assert(out(3L) === ((2L, 0L, "tiny doc")))
+  }
+
   test("D3: simhash hamming 0 for identical token sets, bands are lossless") {
     val res = Dedup.simhashNearDups(docs(
       1L -> "one two three four five six seven eight",

@@ -173,6 +173,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d12 exchange set changed: $exchanges\n$p")
   }
 
+  test("substring dedup keeps the two-keyed-exchange shape of d12 (d18)") {
+    val p = plan("d18_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"d18 grew a join; coverage must ride the union through one agg:\n$p")
+    // exactly two keyed exchanges: hashpartitioning(win) for first-
+    // occurrence marking, hashpartitioning(doc_id) for reassembly —
+    // sliding windows must not add a third corpus-sized shuffle
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.sorted === List("doc_id", "win"),
+      s"d18 exchange set changed: $exchanges\n$p")
+  }
+
   test("shard packing never globally sorts the corpus (t12)") {
     val p = plan("t12_token_shards")
     // the bucket-offset side broadcasts back; a sort-merge join here would
