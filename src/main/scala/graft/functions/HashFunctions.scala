@@ -90,6 +90,16 @@ object HashFunctions {
     h
   }
 
+  /** Driver-side md5 `nBytes`-prefix of a string — the SAME big-endian
+    * fold the gram-hash expressions use, for callers that build constant
+    * lookup tables keyed by gram hash (the [[graft.ops.LangId]]
+    * profiles). One source of truth: a basis change here and in the
+    * expressions stays in lockstep.
+    */
+  def md5Prefix(s: String, nBytes: Int): Long =
+    digestPrefix(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")), nBytes)
+
   private def sortedDistinct(hs: Array[Long], m: Int): Array[Long] = {
     java.util.Arrays.sort(hs, 0, m)
     var out = 0

@@ -146,7 +146,11 @@ object FsOps {
     * (data files only; _SUCCESS/metadata excluded).
     */
   def parquetBytes(spark: SparkSession, dir: String): Long =
-    list(spark, dir, suffix = ".parquet")
+    // recursive: partitioned layouts nest data files under key=value
+    // dirs — a top-level-only listing would size them to 0 and compact
+    // the whole dataset into one file (getContentSummary, which this
+    // replaced, was recursive too)
+    list(spark, dir, suffix = ".parquet", recursive = true)
       .agg(coalesce(sum(col("size")), lit(0L))).collect()(0).getLong(0)
 
   def compactParquet(spark: SparkSession, dir: String,

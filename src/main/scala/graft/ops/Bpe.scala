@@ -196,6 +196,15 @@ object Bpe {
       .toSeq.toDF("rank", "pair", "n_occ")
   }
 
+  /** [[train]]'s counted rows as a plain array — the memoizable form
+    * (rank, "x y", n_occ): callers that need BOTH the graded merge table
+    * and the apply-side pairs can cache this once instead of training
+    * twice (t16d/t17d share one 8k-round loop through it).
+    */
+  def learnedMergesCounted(words: DataFrame, nMerges: Int,
+                           maxWords: Int = 0): Array[(Long, String, Long)] =
+    trainInMemory(collectWordFrequencies(words, maxWords), nMerges)
+
   /** The learned merges of [[train]] as `(x, y)` pairs in rank order —
     * the form the apply side broadcasts
     * ([[graft.functions.BpeFunctions]]). Splitting the trained pair on

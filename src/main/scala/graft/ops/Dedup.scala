@@ -202,20 +202,26 @@ object Dedup {
                             knownCount: Long = -1L,
                             sampleMod: Int = 0): DataFrame = {
     require(dfFrac > 0.0 && dfFrac < 1.0, s"dfFrac $dfFrac must be in (0,1)")
-    // knownCount lets callers that already paid a corpus count job skip a
-    // second one here. In the collapse path the banding input is the
-    // REPRESENTATIVE sets (≤ corpus rows), so a corpus-count cap is
-    // conservative — it prunes no more than a rep-count cap would.
-    val total = if (knownCount > 0L) knownCount else sets.count()
+    // knownCount (a CORPUS-octave hint from callers that already paid a
+    // count job) only decides WHETHER to sample the df scan. The cap
+    // itself is computed from the counted size of the exact population
+    // the df aggregate reads: in the collapse path the banding input is
+    // the REPRESENTATIVE sets, which on the exact-duplicate-heavy corpora
+    // this lever targets can sit far below the corpus count — a
+    // corpus-scaled cap there can exceed the maximum achievable df and
+    // silently disable pruning (review r15). Counting dfDocs is one
+    // narrow job over the (possibly 1-in-10) population.
+    val octave = if (knownCount > 0L) knownCount else sets.count()
     // sampleMod 0 self-sizes (1 = exact df below dfSampleAt); explicit
     // values pin the sampling for specs/A/B. Which borderline grams land
     // past an estimated cap is a candidate-VOLUME choice only — every
     // surviving pair still passes the exact verify on full sets.
-    val mod = if (sampleMod > 0) sampleMod else if (total >= dfSampleAt) 10 else 1
+    val mod = if (sampleMod > 0) sampleMod else if (octave >= dfSampleAt) 10 else 1
     val dfDocs =
-      if (mod == 1) sets
-      else sets.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
-    val cap = math.max(1L, (total / mod * dfFrac).toLong)
+      (if (mod == 1) sets
+       else sets.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0))
+        .localCheckpoint()
+    val cap = math.max(1L, (dfDocs.count() * dfFrac).toLong)
     // distinct grams past the cap are bounded by totalOccurrences/cap —
     // a handful of ubiquitous grams in practice; maxPrune bounds the
     // driver collect regardless

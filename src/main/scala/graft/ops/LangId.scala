@@ -68,14 +68,12 @@ object LangId {
   /** No 3-gram in common with any seed → must classify `unknown`. */
   val Gibberish = "zqxv wqjk xkzq vjqw qzkx jxqv kqzw xjvq"
 
-  private def md5Prefix7(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h
-  }
+  /** The gram-hash basis of [[graft.functions.CharGramHashes]] — shared
+    * helper, not a re-implementation, so the profile keys can never
+    * drift from the expression's output.
+    */
+  private def md5Prefix7(s: String): Long =
+    graft.functions.HashFunctions.md5Prefix(s, 7)
 
   /** All (overlapping, multiplicity-kept) char-3-grams; whole string when
     * shorter — the [[graft.functions.CharGramHashes]] windowing.
@@ -101,13 +99,17 @@ object LangId {
 
   /** Score one document's sorted-distinct gram hashes: `(guess, scores)`.
     * Scores stay far under int64 (≤ seed length); the cross-multiplied
-    * comparison is exact.
+    * comparison is exact. `profile`/`totals` default to the seed-trained
+    * model; specs inject tiny models to pin edge semantics (ties) the
+    * real seeds cannot stage exactly.
     */
-  def score(grams: Array[Long]): (String, Array[Long]) = {
+  def score(grams: Array[Long],
+            profile: Map[Long, Array[Long]] = Profile,
+            totals: Array[Long] = Totals): (String, Array[Long]) = {
     val s = new Array[Long](Langs.length)
     var i = 0
     while (i < grams.length) {
-      val cs = Profile.getOrElse(grams(i), null)
+      val cs = profile.getOrElse(grams(i), null)
       if (cs != null) {
         var j = 0
         while (j < s.length) { s(j) += cs(j); j += 1 }
@@ -122,7 +124,7 @@ object LangId {
       var best = 0
       i = 1
       while (i < s.length) {
-        if (s(i) * Totals(best) > s(best) * Totals(i)) best = i
+        if (s(i) * totals(best) > s(best) * totals(i)) best = i
         i += 1
       }
       (Langs(best), s)

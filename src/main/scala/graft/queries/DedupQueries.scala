@@ -407,13 +407,14 @@ object DedupQueries {
     */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     // same 1-in-10 sample as d6 — size from its true count, not a second
-    // scan through the augmented corpus
-    val (b, r) = graft.ops.LshSizing.bandShape(
-      sampleCount(spark, sfDir), threshold = 0.5)
+    // scan through the augmented corpus; countHint keeps d7's pair
+    // generation on the same auto df-pruned defaults as d2/d6 (review r15)
+    val n = sampleCount(spark, sfDir)
+    val (b, r) = graft.ops.LshSizing.bandShape(n, threshold = 0.5)
     Dedup.dupClusters(
       Dedup.minhashNearDups(
         corpus(spark, sfDir).filter(col("doc_id") % 10 === 0), threshold = 0.5,
-        numBands = b, rowsPerBand = r)
+        numBands = b, rowsPerBand = r, countHint = n)
         .select("id_a", "id_b"))
   }
 

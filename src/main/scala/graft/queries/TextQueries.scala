@@ -1178,20 +1178,28 @@ object TextQueries {
     * retraining.
     */
   private val bpeMergeMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, Long)]]()
 
-  /** The memo-aware merge fetch behind [[bpeTokenizeDocs]] — exposed so
-    * t17d can stage the learned table for its apply-only oracle without
-    * training twice.
+  /** The memo-aware COUNTED merge fetch: one train serves both the graded
+    * merge-table output (needs n_occ — t16d) and the apply side (needs
+    * (x, y) pairs — t17d, t17*), so the deep-vocabulary loops never run
+    * twice per JVM (review r15).
     */
-  private def bpeMergesFor(docs: DataFrame, nMerges: Int, maxWords: Int,
-                           memoKey: String): Seq[(String, String)] = {
-    def train(): Seq[(String, String)] = graft.ops.Bpe.learnedMerges(
+  private def bpeMergesCountedFor(docs: DataFrame, nMerges: Int,
+                                  maxWords: Int,
+                                  memoKey: String): Seq[(Long, String, Long)] = {
+    def train(): Seq[(Long, String, Long)] = graft.ops.Bpe.learnedMergesCounted(
       graft.ops.Bpe.wordFrequencies(docs, "text"), nMerges, maxWords).toSeq
     if (memoKey.isEmpty) train()
     else bpeMergeMemo.computeIfAbsent(s"$memoKey|$nMerges|$maxWords",
       _ => train())
   }
+
+  private def bpeMergesFor(docs: DataFrame, nMerges: Int, maxWords: Int,
+                           memoKey: String): Seq[(String, String)] =
+    bpeMergesCountedFor(docs, nMerges, maxWords, memoKey).map(_._2.split(" ", 2) match {
+      case Array(x, y) => (x, y)
+    })
 
   private def bpeTokenizeDocs(docs: DataFrame, nMerges: Int,
                               maxWords: Int = 0,
@@ -1433,12 +1441,11 @@ object TextQueries {
 
   def bpeMerges8k(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // the t17d-shared memo holds (x, y) pairs but not the winning counts;
-    // t16d's graded output needs n_occ, so it trains via the counting
-    // entry point — still ONE bounded collect + the incremental loop
-    graft.ops.Bpe.train(
-      graft.ops.Bpe.wordFrequencies(hexDocs2(spark, sfDir), "text"),
-      nMerges = BpeRounds8k, maxWords = Bpe8kMaxWords)
+    // one memoized counted train serves t16d's graded table AND t17d's
+    // apply pairs — the 8k loop runs once per (corpus, shape) per JVM
+    bpeMergesCountedFor(hexDocs2(spark, sfDir), BpeRounds8k,
+      maxWords = Bpe8kMaxWords, memoKey = s"$sfDir|hexdocs2")
+      .toDF("rank", "pair", "n_occ")
   }
 
   val bpeMerges8kSql: String =

@@ -43,11 +43,20 @@ class LangIdSpec extends AnyFunSuite with SparkSuite {
     assert(guess === "unknown" && scores.forall(_ == 0L))
     // empty gram set is unknown too (degenerate doc)
     assert(LangId.score(Array.empty[Long])._1 === "unknown")
-    // a single gram present in every seed (the ubiquitous space-joined
-    // fragment below appears in none — craft a real tie instead): score
-    // arrays equal per class → first declared language wins
-    val tieGram = Array(0L) // absent everywhere → unknown, not a crash
-    assert(LangId.score(tieGram)._1 === "unknown")
+    // an unknown gram is a miss, not a crash
+    assert(LangId.score(Array(0L))._1 === "unknown")
+    // a REAL tie (injected model — the seeds can't stage one exactly):
+    // gram 7 counts 1 in en and es, equal totals → normalized scores tie
+    // and the FIRST-DECLARED language wins. This pins the cross-engine
+    // seam: Scala's strict `>` replace-on-beat must stay equivalent to
+    // the oracle's `>=` keep-on-not-beaten arms.
+    val tieProfile = Map(7L -> Array(1L, 1L, 0L, 0L))
+    val totals = Array(10L, 10L, 10L, 10L)
+    assert(LangId.score(Array(7L), tieProfile, totals)._1 === "en")
+    // and an asymmetric total breaks the tie toward the better-normalized
+    // class even when raw scores are equal (es: 1/5 > en: 1/10)
+    assert(LangId.score(Array(7L), tieProfile,
+      Array(10L, 5L, 10L, 10L))._1 === "es")
   }
 
   test("base-vocabulary text classifies en (the unplanted corpus path)") {
