@@ -211,10 +211,17 @@ object Bpe {
     * its space is lossless: symbols come from whitespace-split words, so
     * no symbol can contain a space.
     */
+  /** The pair decoding of counted merge rows — the ONE owner of the
+    * `"x y"` encoding (symbols come from whitespace-split words, so the
+    * space split is lossless).
+    */
+  def pairsOf(counted: Seq[(Long, String, Long)]): Seq[(String, String)] =
+    counted.map(_._2.split(" ", 2) match { case Array(x, y) => (x, y) })
+
   def learnedMerges(words: DataFrame, nMerges: Int,
                     maxWords: Int = 0): Array[(String, String)] =
-    trainInMemory(collectWordFrequencies(words, maxWords), nMerges)
-      .map(_._2.split(" ", 2) match { case Array(x, y) => (x, y) })
+    pairsOf(trainInMemory(collectWordFrequencies(words, maxWords), nMerges)
+      .toSeq).toArray
 
   /** The standard word-frequency input: whitespace tokens of `textCol`,
     * lowercased, empty tokens dropped. Words containing parens are

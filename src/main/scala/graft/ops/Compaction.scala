@@ -29,13 +29,18 @@ object Compaction {
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long, sortCol: String): Int = {
     require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
-    // overwrite-mode write into the directory being read would truncate
-    // the input mid-scan; the in-place variant is FsOps.compactParquet
-    // (same ceil(bytes/target) sizing via the shared parquetBytes
-    // listing, hash/coalesce instead of range clustering, staged through
-    // a tmp dir + rename)
-    require(inDir.stripSuffix("/") != outDir.stripSuffix("/"),
-      s"inDir == outDir ($inDir) — use FsOps.compactParquet for in-place")
+    // overwrite-mode write into (or OVER — an ancestor outDir recursively
+    // deletes the input before the lazy scan reads it) the directory
+    // being read would truncate the input mid-scan; the in-place variant
+    // is FsOps.compactParquet (same ceil(bytes/target) sizing via the
+    // shared parquetBytes listing, hash/coalesce instead of range
+    // clustering, staged through a tmp dir + rename). String-normalized
+    // containment check — callers must spell both paths in one scheme.
+    val inN = inDir.stripSuffix("/") + "/"
+    val outN = outDir.stripSuffix("/") + "/"
+    require(!inN.startsWith(outN) && !outN.startsWith(inN),
+      s"inDir ($inDir) and outDir ($outDir) overlap — " +
+        "use FsOps.compactParquet for in-place")
     val totalBytes = graft.io.FsOps.parquetBytes(spark, inDir)
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir)

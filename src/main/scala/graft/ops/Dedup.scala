@@ -138,8 +138,10 @@ object Dedup {
     // band-key length grows with the corpus so bucket occupancy stays
     // bounded; explicit values pin a shape (specs, A/B runs).
     // bandDfPrune: -1 self-sizes ([[LshSizing.dfPruneFrac]]) whenever a
-    // corpus count is at hand (countHint, or the self-size count) — never
-    // pays a count job of its own; 1.0 forces off, (0,1) pins a fraction.
+    // corpus count is at hand (countHint, or the self-size count) — the
+    // DECISION never pays a count job; an engaged prune then counts its
+    // own banding population inside [[pruneFrequentShingles]] (cap
+    // correctness). 1.0 forces off, (0,1) pins a fraction.
     require((numBands > 0) == (rowsPerBand > 0),
       "set both numBands and rowsPerBand, or neither (self-size)")
     val n: Long =
@@ -155,7 +157,7 @@ object Dedup {
       else 1.0
     nearDupsFromSets(shingleSets(corpus), threshold, b, r, collapseIdentical,
       bandPrune =
-        if (prune < 1.0) s => pruneFrequentShingles(s, prune, knownCount = n)
+        if (prune < 1.0) s => pruneFrequentShingles(s, prune)
         else identity)
   }
 
@@ -199,29 +201,33 @@ object Dedup {
 
   def pruneFrequentShingles(sets: DataFrame, dfFrac: Double,
                             maxPrune: Int = 4096,
-                            knownCount: Long = -1L,
-                            sampleMod: Int = 0): DataFrame = {
+                            sampleMod: Int = 0,
+                            minPop: Long = 64L): DataFrame = {
     require(dfFrac > 0.0 && dfFrac < 1.0, s"dfFrac $dfFrac must be in (0,1)")
-    // knownCount (a CORPUS-octave hint from callers that already paid a
-    // count job) only decides WHETHER to sample the df scan. The cap
-    // itself is computed from the counted size of the exact population
-    // the df aggregate reads: in the collapse path the banding input is
-    // the REPRESENTATIVE sets, which on the exact-duplicate-heavy corpora
-    // this lever targets can sit far below the corpus count — a
-    // corpus-scaled cap there can exceed the maximum achievable df and
-    // silently disable pruning (review r15). Counting dfDocs is one
-    // narrow job over the (possibly 1-in-10) population.
-    val octave = if (knownCount > 0L) knownCount else sets.count()
+    // EVERY sizing decision here keys on the counted size of the input
+    // population itself — in the collapse path that is the REPRESENTATIVE
+    // sets, which on the exact-duplicate-heavy corpora this lever targets
+    // can sit orders below the corpus count. A corpus-octave cap can
+    // exceed the maximum achievable df (silently disabling pruning), and
+    // a corpus-octave ENABLE can engage pruning over a handful of reps
+    // where the df cap is small-integer noise and a true pair's ordinary
+    // topical grams get stripped from banding — a recall hazard, not just
+    // volume (review r15 ×2). One count job of the input; the population
+    // guard mirrors LshSizing.dfPruneFrac's enableAt.
+    val pop = sets.count()
+    if (pop < minPop) return sets
     // sampleMod 0 self-sizes (1 = exact df below dfSampleAt); explicit
     // values pin the sampling for specs/A/B. Which borderline grams land
     // past an estimated cap is a candidate-VOLUME choice only — every
-    // surviving pair still passes the exact verify on full sets.
-    val mod = if (sampleMod > 0) sampleMod else if (octave >= dfSampleAt) 10 else 1
+    // surviving pair still passes the exact verify on full sets. The
+    // sampled cap scales pop by the mod (a 1-in-10 xxhash64 sample
+    // concentrates within a few percent of pop/10 — octave-exact, which
+    // is all a >cap threshold consumes).
+    val mod = if (sampleMod > 0) sampleMod else if (pop >= dfSampleAt) 10 else 1
     val dfDocs =
-      (if (mod == 1) sets
-       else sets.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0))
-        .localCheckpoint()
-    val cap = math.max(1L, (dfDocs.count() * dfFrac).toLong)
+      if (mod == 1) sets
+      else sets.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
+    val cap = math.max(1L, (pop / mod * dfFrac).toLong)
     // distinct grams past the cap are bounded by totalOccurrences/cap —
     // a handful of ubiquitous grams in practice; maxPrune bounds the
     // driver collect regardless
@@ -281,7 +287,7 @@ object Dedup {
       threshold, b, r, collapseIdentical,
       bandPrune =
         if (prune < 1.0)
-          s => pruneFrequentShingles(s, prune, knownCount = docCount)
+          s => pruneFrequentShingles(s, prune)
         else identity)
   }
 

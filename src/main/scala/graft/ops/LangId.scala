@@ -76,9 +76,13 @@ object LangId {
     graft.functions.HashFunctions.md5Prefix(s, 7)
 
   /** All (overlapping, multiplicity-kept) char-3-grams; whole string when
-    * shorter — the [[graft.functions.CharGramHashes]] windowing.
+    * shorter — the [[graft.functions.CharGramHashes]] windowing,
+    * re-stated driver-side for profile construction. `LangIdSpec` pins
+    * the seam: hashed distinct grams of this function must equal the
+    * expression's output for every window edge case, so a rule change on
+    * either side fails loudly instead of silently emptying every lookup.
     */
-  private def grams3(s: String): Seq[String] =
+  private[graft] def grams3(s: String): Seq[String] =
     if (s.length < 3) Seq(s)
     else (0 to s.length - 3).map(i => s.substring(i, i + 3))
 

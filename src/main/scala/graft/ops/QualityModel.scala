@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * products of integer-valued features — exact in double up to 2⁵³
   * regardless of aggregation order, so the fit is deterministic across
   * runs and partitionings (the reason the features are integers all the
-  * way down). The k×k solve (k = 8) runs on the driver via Gaussian
+  * way down). That exactness bound holds to ~9e7 rows at these feature
+  * scales (per-row products ≤ 1e8); a corpus past it should swap the
+  * sums to DECIMAL aggregation — or, the standard practice, fit on a
+  * bounded deterministic sample (the weights are a k-vector; 1e7 rows
+  * estimate them as well as 1e12). The k×k solve (k = 8) runs on the
+  * driver via Gaussian
   * elimination with partial pivoting; weights quantize to 1e-6
   * fixed-point int64. Classification needs no sigmoid: with an LPM,
   * `p ≥ 0.5 ⟺ w·x ≥ 0.5`, so the gate is one INTEGER dot product

@@ -282,8 +282,13 @@ object TarQueries {
     // request classification — the handler's guard chain as columns
     val reqs = spark.read.parquet(s"$StageDir/e4_requests.parquet")
       .withColumn("url", decodeBase64Path(col("b64")))
+    // url IS NULL first: an undecodable base64 yields a null url, and
+    // under three-valued logic both negated arms would skip it straight
+    // into `accepted` (review r15) — the reference rejects undecodable
+    // submissions (deploy.go:32-37)
     val status = reqs.select(col("req_id"), lit("status").as("kind"),
-      when(!col("url").startsWith("gs://"), lit("rejected_invalid"))
+      when(col("url").isNull || !col("url").startsWith("gs://"),
+        lit("rejected_invalid"))
         .when(!isSidestreamArchive(col("url")), lit("rejected_not_sidestream"))
         .otherwise(lit("accepted")).as("name"),
       lit("").as("payload_md5"))
@@ -292,7 +297,8 @@ object TarQueries {
     // the reference; a bounded driver loop here, each archive's split a
     // distributed job of its own)
     val accepted = reqs
-      .filter(col("url").startsWith("gs://") && isSidestreamArchive(col("url")))
+      .filter(col("url").isNotNull && col("url").startsWith("gs://") &&
+        isSidestreamArchive(col("url")))
       .select("req_id", "url").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     accepted.foreach { case (reqId, url) =>
@@ -338,7 +344,8 @@ object TarQueries {
        |  FROM read_parquet('$StageDir/e4_requests.parquet/*.parquet')),
        |status AS (
        |  SELECT req_id, 'status' AS kind,
-       |         CASE WHEN url NOT LIKE 'gs://%' THEN 'rejected_invalid'
+       |         CASE WHEN url IS NULL OR url NOT LIKE 'gs://%'
+       |                THEN 'rejected_invalid'
        |              WHEN NOT (contains(url, 'tgz') AND contains(url, 'sidestream'))
        |                THEN 'rejected_not_sidestream'
        |              ELSE 'accepted' END AS name,

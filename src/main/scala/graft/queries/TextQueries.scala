@@ -1197,9 +1197,7 @@ object TextQueries {
 
   private def bpeMergesFor(docs: DataFrame, nMerges: Int, maxWords: Int,
                            memoKey: String): Seq[(String, String)] =
-    bpeMergesCountedFor(docs, nMerges, maxWords, memoKey).map(_._2.split(" ", 2) match {
-      case Array(x, y) => (x, y)
-    })
+    graft.ops.Bpe.pairsOf(bpeMergesCountedFor(docs, nMerges, maxWords, memoKey))
 
   private def bpeTokenizeDocs(docs: DataFrame, nMerges: Int,
                               maxWords: Int = 0,

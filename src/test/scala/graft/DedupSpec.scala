@@ -256,7 +256,9 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
         (if (i <= 2) Seq(7L) else Nil)
       (i, own.toArray)
     }.toDF("doc_id", "shingles")
-    val pruned = Dedup.pruneFrequentShingles(sets, dfFrac = 0.5)
+    // minPop = 1: this spec pins the pruning SEMANTICS on a readable
+    // 10-doc fixture, below the production population floor
+    val pruned = Dedup.pruneFrequentShingles(sets, dfFrac = 0.5, minPop = 1L)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     // gram 99 (df 10/10) pruned everywhere a non-empty remainder exists
     (1L to 9L).foreach(i => assert(!pruned(i).contains(99L), s"doc $i keeps hot gram"))
@@ -264,6 +266,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pruned(1L) === Set(1001L, 7L) && pruned(5L) === Set(1005L))
     // the all-hot doc keeps its original set instead of going empty
     assert(pruned(10L) === Set(99L))
+  }
+
+  test("D6: df-pruning refuses tiny banding populations (rep-collapse guard)") {
+    import spark.implicits._
+    // 50 rep sets sharing a hot gram: on a population this small a df cap
+    // is small-integer noise and pruning risks recall for nothing — the
+    // op counts ITS OWN input (which after identical-set collapse can sit
+    // orders below the corpus count the caller sized by) and declines
+    val sets = (1L to 50L).map(i => (i, Array(99L, 1000L + i)))
+      .toDF("doc_id", "shingles")
+    val out = Dedup.pruneFrequentShingles(sets, dfFrac = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (1L to 50L).foreach(i => assert(out(i) === Set(99L, 1000L + i),
+      s"doc $i was pruned below the population floor"))
   }
 
   test("D6: sampled df estimation still prunes hot grams, keeps rare ones") {

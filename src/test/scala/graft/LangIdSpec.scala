@@ -65,6 +65,20 @@ class LangIdSpec extends AnyFunSuite with SparkSuite {
     assert(LangId.score(hashes(base))._1 === "en")
   }
 
+  test("profile windowing matches the CharGramHashes expression on every edge") {
+    // the profile builder re-states the expression's windowing rule in
+    // Scala; this pins the two sides byte-for-byte — incl. the
+    // whole-string-when-short case and multi-byte chars
+    for (s <- Seq("a", "ab", "abc", "abcd", "the quick brown fox",
+        LangId.Seeds.head._2.take(40))) {
+      val fromProfileSide = LangId.grams3(s)
+        .map(g => graft.functions.HashFunctions.md5Prefix(g, 7))
+        .distinct.sorted
+      assert(fromProfileSide === hashes(s).sorted.toSeq,
+        s"windowing seam diverged for '$s'")
+    }
+  }
+
   test("profile is well-formed: per-class totals match seed gram counts") {
     assert(LangId.Totals.length === LangId.Langs.length)
     LangId.Seeds.zipWithIndex.foreach { case ((_, txt), i) =>
