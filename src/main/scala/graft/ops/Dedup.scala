@@ -69,14 +69,30 @@ object Dedup {
       posexplode(graft.functions.HashFunctions.minhash_band_keys(
         col("shingles"), numBands, rowsPerBand)).as(Seq("band", "key")))
 
-  /** Candidate pairs (`id_a < id_b`) from shared LSH buckets, deduped. */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
-    val b = bands.select(col("band"), col("key"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+  /** Candidate pairs (`id_a < id_b`) from shared LSH buckets, deduped —
+    * as a bucket AGGREGATION, not a self-join: group on `(band, key)`,
+    * expand each bucket's sorted members to its ordered pairs in-row,
+    * then dedup across bands. The self-join form shuffled the band rows
+    * TWICE and sort-merged 7.5M rows into 3k pairs; this shuffles them
+    * once (map-side partial collect) and the pair dedup exchange carries
+    * only the pairs. In-row expansion is safe because bucket occupancy
+    * is BOUNDED by construction — identical sets collapse to one
+    * representative before banding ([[setGroups]]), band-key depth
+    * self-sizes with the corpus ([[LshSizing.bandShape]]), and dense
+    * gram corpora run band-side df-pruning — the measured maxima are
+    * 15 (d2) / 78 (d6 pruned) members, i.e. ≤ ~3k structs per bucket
+    * row. A corpus that defeats all three bounds should lower
+    * `targetPerBucket`, not re-widen this into a join.
+    */
+  def candidatePairs(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
 
   /** Identical-set collapse for LSH candidate generation: tag every doc
     * with a compact set key (md5 of its sorted shingle set) and the group
@@ -784,6 +800,14 @@ object Dedup {
     val reps = sims.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("simhash"))
 
+    // NOTE: this stays the codegen'd band self-join, deliberately NOT the
+    // bucket-aggregation shape [[candidatePairs]] moved to — measured
+    // A/B at sf1: the hamming band volumes are small (h+1 bands × reps,
+    // ~220k rows vs minhash's 3.8M) so the join was never the cost, and
+    // the interpreted pair-expansion lambda over ~200k mostly-singleton
+    // buckets REGRESSED d3 0.78→1.09 s and d15 2.3→4.9 s. Bucketed
+    // aggregation wins exactly when the band rows are deep-key-heavy and
+    // shuffle-dominant; here codegen wins.
     val bands = hammingBands(reps, bits, maxHamming)
     val a = bands.select(col("band"), col("key"), col("doc_id").as("id_a"), col("simhash").as("ha"))
     val b = bands.select(col("band"), col("key"), col("doc_id").as("id_b"), col("simhash").as("hb"))

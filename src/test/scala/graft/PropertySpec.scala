@@ -82,13 +82,14 @@ class PropertySpec extends AnyFunSuite {
     } yield hs
     for ((nb, rb) <- Seq((32, 3), (16, 4), (1, 1)); hs <- samples(shinglesGen, 80)) {
       val ks = Dedup.multipliers(nb * rb)
-      // independent model: min over shingles of (h*k) mod 2^32, h = top 4 bytes
+      // independent model: min over shingles of (h*k) mod 2^32, h = top 4
+      // bytes; band key = 64-bit polynomial fold of the band's minima
       val mins = ks.map(k => hs.map(s => ((s >> 24) * k) % 4294967296L).min)
       val expected = (0 until nb).map(b =>
-        (0 until rb).map(r => mins(b * rb + r)).mkString(","))
+        (0 until rb).foldLeft(0L)((acc, r) => acc * 1000003L + mins(b * rb + r)))
       val got = HashFunctions.minhashBandKeysData(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray), nb, rb)
-      val gotKeys = (0 until nb).map(i => got.getUTF8String(i).toString)
+      val gotKeys = (0 until nb).map(i => got.getLong(i))
       assert(gotKeys === expected, s"nb=$nb rb=$rb hs=$hs")
     }
   }
