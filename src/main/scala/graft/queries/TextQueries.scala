@@ -719,22 +719,32 @@ object TextQueries {
     */
   private[queries] def bm25Score(base: DataFrame): (DataFrame, Column) = {
     val terms = Bm25Terms
-    val tf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+    // all term frequencies in ONE fused array pass
+    // ([[graft.functions.TermCounts]]) — the per-term
+    // size-minus-array_remove composition allocated a filtered copy of
+    // the token array per term per row, the dominant cost of the
+    // chunk-level h5 pass (5 terms × every chunk)
+    val tf = base
+      .withColumn("__tfs", graft.functions.TermCounts.token_term_counts(
+        col("toks"), terms))
+      .withColumn("dl", size(col("toks")).cast("double"))
+      .drop("toks")
+    val tfCols = terms.indices.foldLeft(tf) { case (df, i) =>
       df.withColumn(s"tf$i",
-        (size(col("toks")) - size(array_remove(col("toks"), t))).cast("double"))
-    }.withColumn("dl", size(col("toks")).cast("double")).drop("toks")
+        element_at(col("__tfs"), i + 1).cast("double"))
+    }.drop("__tfs")
     val aggExprs =
       count(lit(1)).cast("double").as("n") +: avg(col("dl")).as("avgdl") +:
         terms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
-    val g = tf.agg(aggExprs.head, aggExprs.tail: _*)
+    val g = tfCols.agg(aggExprs.head, aggExprs.tail: _*)
     val score = terms.indices.map { i =>
       val idf = log(lit(1.0) +
         (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
       (idf * (col(s"tf$i") * lit(2.2))) /
         (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
-    (tf.crossJoin(broadcast(g)), score)
+    (tfCols.crossJoin(broadcast(g)), score)
   }
 
   def bm25(spark: SparkSession, sfDir: String): DataFrame = {

@@ -94,6 +94,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TokenTermCounts matches the per-term count model") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val terms = Seq("table", "scan", "join", "vector", "stream")
+    val tok = Gen.oneOf(Gen.oneOf(terms), Gen.alphaNumStr.map(_.take(6)),
+      Gen.const(""), Gen.const("ü±"))
+    val toksGen = for { n <- Gen.choose(0, 30); ts <- Gen.listOfN(n, tok) } yield ts
+    for (toks <- samples(toksGen, 200)) {
+      val expected = terms.map(t => toks.count(_ == t).toLong)
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val got = graft.functions.TermCounts.data(
+        arr, terms.map(UTF8String.fromString).toArray).toLongArray().toSeq
+      assert(got === expected, s"toks=$toks")
+    }
+    // null tokens are skipped, not counted or crashed on
+    val withNull = new GenericArrayData(
+      Array[AnyRef](UTF8String.fromString("table"), null))
+    assert(graft.functions.TermCounts.data(withNull,
+      terms.map(UTF8String.fromString).toArray).toLongArray().toSeq ===
+      Seq(1L, 0L, 0L, 0L, 0L))
+  }
+
   test("normalizeIp is idempotent and only ever returns valid or empty") {
     samples(Gen.asciiPrintableStr).foreach { s =>
       val n = IpFunctions.normalizeIp(s)
