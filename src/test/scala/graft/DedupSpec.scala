@@ -349,6 +349,32 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(out(3L) === ((2L, 0L, "tiny doc")))
   }
 
+  test("D12/D18: hashed-key candidate restriction is result-identical to the text-keyed exchange") {
+    // a corpus mixing every case the restriction must preserve: exact
+    // copies (all windows dup), a shifted partial copy (some windows
+    // dup), unique docs (no window dup — must NOT enter the text
+    // exchange yet must survive reassembly intact), and a short doc
+    val body = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val uniq = (1 to 15).map(i => s"only$i").mkString(" ")
+    val c = docs(1L -> body, 2L -> body, 3L -> s"a b c $body",
+      4L -> uniq, 5L -> "short unique doc")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(sorted(Dedup.substringDedup(c, k = 8, hashedKeys = true)) ===
+      sorted(Dedup.substringDedup(c, k = 8, hashedKeys = false)),
+      "d18 hashed path diverged from text-keyed")
+    assert(sorted(Dedup.spanDedup(c, spanWords = 10, hashedKeys = true)) ===
+      sorted(Dedup.spanDedup(c, spanWords = 10, hashedKeys = false)),
+      "d12 hashed path diverged from text-keyed")
+    // all-unique corpus: the nDup == 0 early-exit path must still emit
+    // every doc untouched
+    val u = docs(1L -> uniq, 2L -> "another fully unique document body")
+    assert(sorted(Dedup.spanDedup(u, spanWords = 3, hashedKeys = true)) ===
+      sorted(Dedup.spanDedup(u, spanWords = 3, hashedKeys = false)))
+    assert(sorted(Dedup.substringDedup(u, k = 4, hashedKeys = true)) ===
+      sorted(Dedup.substringDedup(u, k = 4, hashedKeys = false)))
+  }
+
   test("D3: simhash hamming 0 for identical token sets, bands are lossless") {
     val res = Dedup.simhashNearDups(docs(
       1L -> "one two three four five six seven eight",
