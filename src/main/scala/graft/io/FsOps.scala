@@ -145,13 +145,32 @@ object FsOps {
     * file-count arithmetic can never drift apart on what "bytes" means
     * (data files only; _SUCCESS/metadata excluded).
     */
-  def parquetBytes(spark: SparkSession, dir: String): Long =
+  def parquetBytes(spark: SparkSession, dir: String): Long = {
     // recursive: partitioned layouts nest data files under key=value
     // dirs — a top-level-only listing would size them to 0 and compact
     // the whole dataset into one file (getContentSummary, which this
     // replaced, was recursive too)
-    list(spark, dir, suffix = ".parquet", recursive = true)
+    val viaGlob = list(spark, dir, suffix = ".parquet", recursive = true)
       .agg(coalesce(sum(col("size")), lit(0L))).collect()(0).getLong(0)
+    if (viaGlob > 0L) viaGlob
+    else {
+      // Fallback (review r16): a directory whose data files don't match
+      // '*.parquet' (renamed files, or nothing but zero-length files —
+      // which binaryFile listings skip) must not size to 0, or the
+      // ceil(bytes/target) arithmetic downstream compacts it into one
+      // file. Walk the FileSystem directly and sum every non-hidden
+      // file (Spark's own convention: '_'/'.' prefixes are metadata).
+      val f = fs(spark, dir)
+      val it = f.listFiles(new Path(dir), true)
+      var total = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) total += st.getLen
+      }
+      total
+    }
+  }
 
   def compactParquet(spark: SparkSession, dir: String,
                      targetBytes: Long = 128L << 20,

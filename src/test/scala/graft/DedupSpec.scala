@@ -297,6 +297,34 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("D6: sampled df cap is biased upward — borderline grams are kept, not pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    // the sampled-doc set under sampleMod = 10, via the op's own
+    // sampling key so the fixture tracks the implementation
+    val sampledIds = spark.range(1, 201)
+      .where(pmod(xxhash64(col("id")), lit(10)) === 0)
+      .as[Long].collect().toSet
+    assert(sampledIds.size >= 8, s"fixture needs ≥8 sampled docs, got ${sampledIds.size}")
+    // dfFrac 0.3 → base cap 200/10·0.3 = 6, slacked cap 6 + max(2, 1) = 8.
+    // gram 77 lands in exactly 8 SAMPLED docs — sampled df == slacked
+    // cap, i.e. within noise of the base cap: pre-slack it PRUNED (8 > 6)
+    // and any true pair riding it lost its band minima; now it is kept.
+    // gram 99 is fully ubiquitous (sampled df ≈ 20 > 8) and still prunes.
+    val borderHosts = sampledIds.toSeq.sorted.take(8).toSet
+    val sets = (1L to 200L).map { i =>
+      val gs = Seq(99L, 1000L + i) ++ (if (borderHosts(i)) Seq(77L) else Nil)
+      (i, gs.toArray)
+    }.toDF("doc_id", "shingles")
+    val pruned = Dedup.pruneFrequentShingles(sets, dfFrac = 0.3, sampleMod = 10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (1L to 200L).foreach { i =>
+      assert(!pruned(i).contains(99L), s"doc $i keeps ubiquitous gram")
+      if (borderHosts(i))
+        assert(pruned(i).contains(77L), s"doc $i lost borderline gram 77")
+    }
+  }
+
   test("D6: df-pruned banding still finds the planted near-dup, same verified jaccard") {
     // the hot-bucket lever must not cost the pair whose similarity is
     // carried by DISTINCTIVE grams: same corpus as the D6 base test, a
