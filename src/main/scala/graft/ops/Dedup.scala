@@ -991,11 +991,13 @@ object Dedup {
     * reassembly is ONE map-side-combining groupBy on doc_id. Nothing
     * wider than (doc_id, span_idx, span) ever shuffles and no stage is
     * all-pairs, so cost is linear in corpus token count. With
-    * `hashedKeys` (the default, and the 100 TB shape) the corpus-wide
-    * exchanges carry `xxhash64(span)` / doc_id-keyed narrow rows — span
-    * TEXT is exchanged solely for the duplicated subset via
-    * [[dupTextCandidates]], result-identical by construction (pinned
-    * hashed ≡ text-keyed in `DedupSpec`).
+    * `hashedKeys` — the 100 TB shape — the corpus-wide exchanges carry
+    * `xxhash64(span)` / doc_id-keyed narrow rows; span TEXT is exchanged
+    * solely for the duplicated subset via [[dupTextCandidates]],
+    * result-identical by construction (pinned hashed ≡ text-keyed in
+    * `DedupSpec`). Default OFF per the measured sf1 A/B (SCALING.md
+    * r16): in-memory, the restriction costs ~2× — it pays when exchange
+    * bytes are the constraint.
     */
   /** D18 — arbitrary-offset exact-substring dedup (the Lee et al. 2022
     * "deduplicating training data" pass at sliding-window resolution,
@@ -1016,14 +1018,17 @@ object Dedup {
     * duplicate-window position explosions (tokens and removals ride the
     * same exchange; the combine is a post-agg projection). Window rows
     * are one per token — k× the string bytes of the grid pass but the
-    * same row count. With `hashedKeys` (the default, and the 100 TB
-    * shape) the corpus-wide exchange carries only `xxhash64(win)` for
-    * the full corpus — the window TEXT is exchanged solely for the
-    * duplicated subset via [[dupTextCandidates]], result-identical by
-    * construction (pinned hashed ≡ text-keyed in `DedupSpec`).
+    * same row count. With `hashedKeys` — the 100 TB shape — the
+    * corpus-wide exchange carries only `xxhash64(win)`; window TEXT is
+    * exchanged solely for the duplicated subset via
+    * [[dupTextCandidates]], result-identical by construction (pinned
+    * hashed ≡ text-keyed in `DedupSpec`). Default OFF: the measured sf1
+    * A/B (SCALING.md r16) has the restriction COSTING 1.3× while the
+    * corpus fits executor memory — its extra narrow exchange + Bloom
+    * build only pay off once exchange bytes are network/disk-bound.
     */
   def substringDedup(corpus: DataFrame, k: Int = 8,
-                     hashedKeys: Boolean = true): DataFrame = {
+                     hashedKeys: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     val docs = corpus
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
@@ -1066,7 +1071,7 @@ object Dedup {
   }
 
   def spanDedup(corpus: DataFrame, spanWords: Int = 10,
-                hashedKeys: Boolean = true): DataFrame = {
+                hashedKeys: Boolean = false): DataFrame = {
     require(spanWords > 0, "spanWords must be positive")
     val docs = corpus
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
