@@ -85,9 +85,17 @@ object Dedup {
     * `targetPerBucket`, not re-widen this into a join.
     */
   def candidatePairs(bands: DataFrame, maxExpand: Int = 4096): DataFrame = {
+    // ONE aggregation, shared by both arms: the post-filter bucket set
+    // (multi-occupancy only) is orders smaller than the band-row input,
+    // so a lazy localCheckpoint materializes it once and the small/big
+    // arms below read blocks instead of re-running the object aggregate
+    // (a count-prefilter + semi-join alternative measured SLOWER at sf1 —
+    // tools/CandProf, r16: the extra band-row exchange outweighs the
+    // singleton-group savings).
     val buckets = bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .localCheckpoint(false)
     val small = buckets.filter(size(col("ids")) <= maxExpand)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
