@@ -290,6 +290,66 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("AQE coalesces undersized shuffle partitions; results unchanged vs AQE off") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The session plans every groupBy at spark.sql.shuffle.partitions
+    // (sized for the big corpora); small intermediate aggregates would
+    // leave most of those partitions near-empty and pay per-partition
+    // task overhead down the rest of the stage tree. The 100x claims
+    // lean on AQE folding those back at RUNTIME — pin the engagement,
+    // not just the default: the final adaptive plan must read the
+    // aggregate's shuffle through a coalesced AQEShuffleRead, and the
+    // result must be bit-identical to the AQE-off plan.
+    val data = spark.range(0, 5000).select(
+      (col("id") % 40).as("k"), md5(col("id").cast("string")).as("v"))
+    def agg() = data.groupBy("k").agg(count(lit(1)).as("n"),
+      min(col("v")).as("mn")).orderBy("k")
+    val prevAdaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val offRows =
+      try agg().collect().toSeq
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAdaptive)
+    val q = agg()
+    val onRows = q.collect().toSeq
+    assert(onRows === offRows, "AQE changed the aggregate's result")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"plan did not finalize:\n$plan")
+    assert(plan.split("== Initial Plan ==")(0).contains("coalesced"),
+      s"AQE did not coalesce the undersized shuffle partitions:\n$plan")
+  }
+
+  test("AQE converts a shuffle join to broadcast at runtime when a side turns out small") {
+    import org.apache.spark.sql.functions._
+    // Static planning can only see estimated sizes; a filtered dim that
+    // SHRINKS below the broadcast bar at runtime is AQE's other re-plan
+    // lever (the one the skew test above must disable to see a split).
+    // Pin it engaging: static broadcast off, adaptive broadcast on — the
+    // final plan must show BroadcastHashJoin even though the initial
+    // plan was a shuffle join; results unchanged vs both-off.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(0, 50000).select((col("id") % 500).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(0, 5000).select(col("id").as("k"),
+        concat(col("id").cast("string"), lit("-v")).as("v"))
+        .filter(col("k") < 500)
+      val j = big.join(dim, "k")
+      assert(j.collect().length === 50000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan did not finalize:\n$plan")
+      assert(plan.split("== Initial Plan ==")(0).contains("BroadcastHashJoin"),
+        s"AQE did not convert the runtime-small side to broadcast:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("S19: compaction shrinks the file count and clusters disjoint key ranges") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
