@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   * regardless of aggregation order, so the fit is deterministic across
   * runs and partitionings (the reason the features are integers all the
   * way down). That exactness bound holds to ~9e7 rows at these feature
-  * scales (per-row products ≤ 1e8); a corpus past it should swap the
-  * sums to DECIMAL aggregation — or, the standard practice, fit on a
-  * bounded deterministic sample (the weights are a k-vector; 1e7 rows
-  * estimate them as well as 1e12). The k×k solve (k = 8) runs on the
+  * scales (per-row products ≤ 1e8); past `maxFitRows` (default 5e7,
+  * inside the bound) the fit therefore SELF-GUARDS by fitting on a
+  * bounded deterministic 1-in-mod sample — the standard practice
+  * anyway (the weights are a k-vector; 1e7 rows estimate them as well
+  * as 1e12), and deterministic because the sample keys on a content
+  * hash, not on rand(). The k×k solve (k = 8) runs on the
   * driver via Gaussian
   * elimination with partial pivoting; weights quantize to 1e-6
   * fixed-point int64. Classification needs no sigmoid: with an LPM,
@@ -50,10 +52,24 @@ object QualityModel {
   val Half: Long = WScale / 2
 
   /** Closed-form ridge LPM fit over integer-valued feature columns and a
-    * 0/1 `labelCol`. One aggregation job; deterministic (see object doc).
+    * 0/1 `labelCol`. One count job + one aggregation job; deterministic
+    * (see object doc). Corpora past `maxFitRows` fit on a deterministic
+    * 1-in-mod content-hash sample sized to stay under the bound — which
+    * also keeps every sum inside double's exact-integer range. (Rows
+    * with identical feature+label content co-sample; for the weak-label
+    * fits this targets, that only reweights already-duplicated mass.)
     */
   def fitLpm(feats: DataFrame, featCols: Seq[String], labelCol: String,
-             ridge: Double = 1e4): Array[Double] = {
+             ridge: Double = 1e4, maxFitRows: Long = 50000000L): Array[Double] = {
+    require(maxFitRows > 0, s"maxFitRows $maxFitRows must be positive")
+    val n = feats.count()
+    val fit =
+      if (n <= maxFitRows) feats
+      else {
+        val mod = ((n + maxFitRows - 1) / maxFitRows).toInt
+        feats.filter(pmod(xxhash64(struct(
+          (featCols :+ labelCol).map(col): _*)), lit(mod)) === 0)
+      }
     val k = featCols.length
     val aggs =
       (for {
@@ -63,7 +79,7 @@ object QualityModel {
         .as(s"xx_${i}_$j")) ++
         (0 until k).map(i =>
           sum((col(featCols(i)) * col(labelCol)).cast("double")).as(s"xy_$i"))
-    val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = fit.agg(aggs.head, aggs.tail: _*).collect()(0)
     val a = Array.ofDim[Double](k, k + 1)
     var idx = 0
     for (i <- 0 until k; j <- i until k) {

@@ -45,4 +45,32 @@ class QualityModelSpec extends AnyFunSuite with SparkSuite {
     assert(w1.toSeq === w32.toSeq,
       "quantized weights changed under a different partitioning")
   }
+
+  test("past maxFitRows the fit samples deterministically; gate matches the full fit") {
+    import spark.implicits._
+    // a separable-with-noise corpus: y depends on x1 with a band of
+    // exceptions, so the fit has real structure to recover
+    val rows = (0 until 2000).map { i =>
+      val x1 = (i * 37L) % 10000L
+      val x2 = (i * 61L) % 10000L
+      val y = if (x1 >= 5000L ^ (i % 17 == 0)) 1L else 0L
+      (QualityModel.FeatScale, x1, x2, y)
+    }
+    val df = rows.toDF("x0", "x1", "x2", "y")
+    val cols = Seq("x0", "x1", "x2")
+    val full = QualityModel.quantize(QualityModel.fitLpm(df, cols, "y"))
+    // force the sampled path: 2000 rows against a 500-row bound → mod 4
+    val samp = QualityModel.quantize(
+      QualityModel.fitLpm(df, cols, "y", maxFitRows = 500L))
+    val samp2 = QualityModel.quantize(
+      QualityModel.fitLpm(df, cols, "y", maxFitRows = 500L))
+    assert(samp.toSeq === samp2.toSeq, "sampled fit is not deterministic")
+    def gate(w: Array[Long]) = rows.map { case (x0, x1, x2, _) =>
+      w(0) * x0 + w(1) * x1 + w(2) * x2 >= QualityModel.Half
+    }
+    val (gf, gs) = (gate(full), gate(samp))
+    val agree = gf.zip(gs).count { case (a, b) => a == b }
+    assert(agree >= 1900, s"sample-fitted gate agrees on only $agree/2000")
+    assert(gs.contains(true) && gs.contains(false), "one-sided sampled gate")
+  }
 }
