@@ -491,6 +491,54 @@ object TarQueries {
        |UNION ALL
        |SELECT 'recreated' AS phase, rel, size FROM c""".stripMargin
 
+  /** S3 — object download graded end to end
+    * (`/root/reference/embargo.go:283` — the per-archive GCS read the
+    * split pipeline starts from): a staged store is populated with
+    * objects whose CONTENT is their relative path (the s20 convention),
+    * its binaryFile listing stages as the manifest, and every manifest
+    * object is then read back through [[graft.io.FsOps.readBytes]] — the
+    * graded row carries the byte count and payload md5. The oracle never
+    * sees the read-back: it derives the expected md5/size FROM the
+    * manifest alone (content ≡ rel ⇒ md5(payload) = md5(rel)), so a
+    * short read, an offset bug, or mojibake in the byte path breaks the
+    * hash. The read loop is driver-side and request-sized (one call per
+    * staged object — the e4 handler-loop posture), matching the
+    * reference's serial per-archive download.
+    */
+  def readObject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = s"$StageDir/s22_tree"
+    graft.io.FsOps.deletePrefix(spark, root)
+    val files = Seq(
+      "sidestream/2017/03/15/20170315T000000Z-mlab1-lga01-sidestream-0000.tgz",
+      "sidestream/2017/03/16/20170316T000000Z-mlab2-lga02-sidestream-0000.tgz",
+      "switch/2017/03/15/speedtest-0001.dat",
+      "utf8/payload-e2e.dat")
+    files.foreach { rel =>
+      val p = java.nio.file.Paths.get(s"$root/$rel")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, rel.getBytes("UTF-8"))
+    }
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(root)
+      .select(regexp_extract(col("path"), "s22_tree/(.*)$", 1).as("rel"),
+        col("length").as("size"))
+      .write.mode("overwrite").parquet(s"$StageDir/s22_manifest.parquet")
+    val manifest = spark.read.parquet(s"$StageDir/s22_manifest.parquet")
+      .orderBy("rel").collect().map(_.getString(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = manifest.toSeq.map { rel =>
+      val bytes = graft.io.FsOps.readBytes(spark, s"$root/$rel")
+      (rel, bytes.length.toLong,
+        md.digest(bytes).map("%02x".format(_)).mkString)
+    }
+    rows.toDF("rel", "n_bytes", "payload_md5")
+  }
+
+  val readObjectSql: String =
+    s"""SELECT rel, CAST(size AS BIGINT) AS n_bytes, md5(rel) AS payload_md5
+       |FROM read_parquet('$StageDir/s22_manifest.parquet/*.parquet')""".stripMargin
+
   /** web100 domain parse (SURVEY §1.1 row 6): latest snapshot per
     * connection over the fixture's 8062 snapshots. The parsed snapshots
     * stage to parquet and BOTH engines run the same latest-per-cid window
@@ -582,6 +630,7 @@ object TarQueries {
     "e4_single_file_submit" -> singleFileSubmit,
     "s20_delete_prefix" -> deletePrefixListing,
     "s21_mkdir_idempotent" -> mkdirIdempotent,
+    "s22_read_object" -> readObject,
     "w100_latest_per_cid" -> web100Latest,
     "st1_stream_drain" -> streamDrain
   )
@@ -600,6 +649,7 @@ object TarQueries {
     "e4_single_file_submit" -> singleFileSubmitSql,
     "s20_delete_prefix" -> deletePrefixListingSql,
     "s21_mkdir_idempotent" -> mkdirIdempotentSql,
+    "s22_read_object" -> readObjectSql,
     "st1_stream_drain" -> streamDrainSql
   )
 }
