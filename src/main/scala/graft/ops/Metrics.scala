@@ -86,4 +86,46 @@ object Metrics {
     spark.listenerManager.register(l)
     l
   }
+
+  /** Prometheus text exposition of an observed `embargo_metrics` row —
+    * the scrape-format half of the reference's counter surface
+    * (`/root/reference/metrics/metrics.go:79-102` serves
+    * `promhttp.Handler()` at `/metrics`; this renders the same format
+    * from [[observeRouted]]'s aggregates, ready for any pull scraper or
+    * pushgateway wrapper). Families with a reference name keep it —
+    * `embargo_file_total{dataset,status}` (`metrics.go:45-51`) and
+    * `embargo_ipv6_errors_total{error}` (`metrics.go:71-76`); the
+    * per-entry/byte aggregates the columnar pass gets for free are
+    * exported under graft-prefixed names so they cannot be mistaken for
+    * reference families. Counter values render as integers (promhttp
+    * renders untyped float64; every counter here is integral).
+    */
+  def prometheusText(row: Row, dataset: String = "sidestream"): String = {
+    def v(c: String): Long = row.getAs[Long](c)
+    val sb = new StringBuilder
+    def fam(name: String, help: String, series: Seq[(String, Long)]): Unit = {
+      sb.append(s"# HELP $name $help\n")
+      sb.append(s"# TYPE $name counter\n")
+      series.foreach { case (labels, value) =>
+        sb.append(s"$name{$labels} $value\n")
+      }
+    }
+    fam("embargo_file_total",
+      "Number of web100 sidestream files that were processed by embargo app engine.",
+      Seq(
+        s"""dataset="$dataset",status="public"""" -> v("files_public"),
+        s"""dataset="$dataset",status="private"""" -> v("files_private")))
+    fam("embargo_ipv6_errors_total",
+      "Number of failures normalizing IPv6 addresses.",
+      Seq("""error="normalize failed"""" -> v("ipv6_errors")))
+    fam("graft_entries_total",
+      "Number of archive entries routed by the split pass.",
+      Seq(s"""dataset="$dataset"""" -> v("entries_total")))
+    fam("graft_bytes_total",
+      "Entry bytes routed by the split pass.",
+      Seq(
+        s"""dataset="$dataset",status="public"""" -> v("bytes_public"),
+        s"""dataset="$dataset",status="private"""" -> v("bytes_private")))
+    sb.toString
+  }
 }

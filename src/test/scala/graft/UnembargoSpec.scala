@@ -91,6 +91,20 @@ class UnembargoSpec extends AnyFunSuite with SparkSuite {
       assert(m.getAs[Long]("entries_total") === 204)
       assert(m.getAs[Long]("files_public") === 121)
       assert(m.getAs[Long]("files_private") === 59)
+      // scrape-format exposition of the same row (metrics.go:79-102's
+      // /metrics handler): exact text, so names/labels/format are pinned
+      val text = Metrics.prometheusText(m)
+      val expectFile =
+        "# HELP embargo_file_total Number of web100 sidestream files that were processed by embargo app engine.\n" +
+        "# TYPE embargo_file_total counter\n" +
+        "embargo_file_total{dataset=\"sidestream\",status=\"public\"} 121\n" +
+        "embargo_file_total{dataset=\"sidestream\",status=\"private\"} 59\n"
+      assert(text.startsWith(expectFile), s"exposition drifted:\n$text")
+      assert(text.contains("# TYPE embargo_ipv6_errors_total counter"))
+      assert(text.contains("""graft_entries_total{dataset="sidestream"} 204"""))
+      assert(text.linesIterator.forall(l =>
+        l.startsWith("#") || l.matches("""[a-z0-9_]+\{[^}]*\} \d+""")),
+        s"non-exposition line in:\n$text")
     } finally spark.listenerManager.unregister(listener)
   }
 }
