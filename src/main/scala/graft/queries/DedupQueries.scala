@@ -671,6 +671,46 @@ object DedupQueries {
       |FROM ecorpus c CROSS JOIN ev
       |GROUP BY c.vec_id""".stripMargin
 
+  /** D19 — canonical-URL dedup, the cheapest dedup tier of every web
+    * crawl pipeline (C4/CCNet collapse re-crawled spellings of one page
+    * BEFORE any content pass — it needs no text at all): each document
+    * gets a deterministic URL whose spelling varies by `doc_id % 8`
+    * (scheme/host case, explicit default port, fragment, `utm_*`
+    * tracking, query-parameter permutations, trailing slash), and docs
+    * collapse on [[graft.functions.UrlFunctions.canonicalizeUrl]]. The
+    * oracle derives the expected canonical groups from doc_id ARITHMETIC
+    * alone — it never canonicalizes — so every normalization rule is
+    * independently graded (a missed rule splits a group and breaks the
+    * hash). Shape: one codegen scan projection + ONE groupBy exchange on
+    * the canonical string.
+    */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.UrlFunctions.canonicalizeUrl
+    val base = expr("doc_id div 8").cast("string")
+    val url = element_at(array(
+      concat(lit("https://example.com/docs/"), base),
+      concat(lit("HTTPS://EXAMPLE.COM/docs/"), base),
+      concat(lit("https://example.com:443/docs/"), base),
+      concat(lit("https://example.com/docs/"), base, lit("#frag")),
+      concat(lit("https://example.com/docs/"), base, lit("?utm_source=feed")),
+      concat(lit("https://example.com/docs/"), base, lit("?b=2&a=1")),
+      concat(lit("https://example.com/docs/"), base, lit("?a=1&b=2")),
+      concat(lit("https://example.com/docs/"), base, lit("/"))),
+      (col("doc_id") % 8 + 1).cast("int"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), canonicalizeUrl(url).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+  }
+
+  val urlDedupSql: String =
+    """SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM (
+      |  SELECT doc_id,
+      |    'https://example.com/docs/' || CAST(doc_id // 8 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 8 IN (5, 6) THEN '?a=1&b=2' ELSE '' END AS canon_url
+      |  FROM documents)
+      |GROUP BY canon_url""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d17_embed_decontaminate" -> embedDecontaminate,
     "d16_line_dedup" -> lineDedupQ,
@@ -687,6 +727,7 @@ object DedupQueries {
     "d12_span_dedup" -> spanDedupQ,
     "d18_substring_dedup" -> substringDedupQ,
     "d13_bloom_decontaminate" -> bloomDecontaminate,
+    "d19_url_dedup" -> urlDedup,
     "st3_stream_dedup" -> streamDedup
   )
 
@@ -706,6 +747,7 @@ object DedupQueries {
     "d12_span_dedup" -> spanDedupSql,
     "d18_substring_dedup" -> substringDedupSql,
     "d13_bloom_decontaminate" -> decontaminateSql,
+    "d19_url_dedup" -> urlDedupSql,
     "st3_stream_dedup" -> streamDedupSql
   )
 }

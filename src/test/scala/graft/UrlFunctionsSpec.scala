@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.functions.UrlFunctions.canonicalizeUrl
+
+/** D19 canonicalization semantics the arithmetic oracle cannot
+  * articulate: each normalization rule individually, plus the inputs
+  * canonicalization must NOT touch.
+  */
+class UrlFunctionsSpec extends AnyFunSuite with SparkSuite {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("url").select(canonicalizeUrl(col("url"))).as[String].collect().toSeq
+  }
+
+  test("each rule: case, default port, fragment, utm, param order, trailing slash") {
+    assert(canon(
+      "HTTPS://Example.COM/A/b",      // scheme+host lowercase, path case KEPT
+      "https://example.com:443/x",    // default https port dropped
+      "http://example.com:80/x",      // default http port dropped
+      "http://example.com:8080/x",    // non-default port kept
+      "https://example.com/x#sec2",   // fragment dropped
+      "https://example.com/x?utm_source=a&utm_campaign=b", // utm-only → no '?'
+      "https://example.com/x?b=2&a=1&utm_medium=m", // sort + utm strip
+      "https://example.com/x/",       // trailing slash stripped
+      "https://example.com/",         // root path stays '/'
+      "https://example.com"           // empty path becomes '/'
+    ) === Seq(
+      "https://example.com/A/b",
+      "https://example.com/x",
+      "http://example.com/x",
+      "http://example.com:8080/x",
+      "https://example.com/x",
+      "https://example.com/x",
+      "https://example.com/x?a=1&b=2",
+      "https://example.com/x",
+      "https://example.com/",
+      "https://example.com/"))
+  }
+
+  test("scheme-distinct URLs never merge; non-URLs pass through unchanged") {
+    assert(canon("http://example.com/x", "https://example.com/x")
+      === Seq("http://example.com/x", "https://example.com/x"))
+    assert(canon("not a url", "", "relative/path?b=2&a=1")
+      === Seq("not a url", "", "relative/path?b=2&a=1"))
+  }
+}
