@@ -738,11 +738,83 @@ object MultimodalQueries {
        |FROM ph a JOIN ph c ON a.doc_id >= 1000000 AND c.doc_id < 1000000
        |WHERE bit_count(xor(a.phash, c.phash)) <= 10""".stripMargin
 
+  /** C4 — interleaved VLM sample packing (the LLaVA/Flamingo data-prep
+    * step: one sample = a document's text tokens plus its image's ViT
+    * patches, packed greedily into fixed context budgets WITHOUT
+    * splitting a sample — an image cannot straddle two sequences).
+    * Every 3rd doc carries an image whose dims derive from doc_id (the
+    * m3 synthetic-dims convention); patches = ceil(w/14)·ceil(h/14)
+    * (ViT-14 grid). Packing is greedy next-fit over doc_id order WITHIN
+    * 64-doc shards — the real-pipeline shape: a global greedy pack is
+    * inherently sequential (each bin boundary depends on every previous
+    * remainder), so production packers pack within bounded shards. The
+    * per-shard fold runs INSIDE one row via a codegen `aggregate()`
+    * lambda over the collected (bounded, 64-element) item array — one
+    * groupBy exchange in, one map-side-combining rollup out. The oracle
+    * replays the same fold as a rank-recursive CTE.
+    */
+  def vlmPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = graft.Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      expr("doc_id div 64").as("shard"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+      when(col("doc_id") % 3 === 0,
+        expr("((64 + (doc_id % 5) * 32 + 13) div 14) * ((64 + (doc_id % 7) * 16 + 13) div 14)"))
+        .otherwise(0L).cast("long").as("n_patch"))
+    val outType = "array<struct<seq: bigint, n_tok: bigint, n_patch: bigint>>"
+    items.groupBy("shard")
+      .agg(array_sort(collect_list(
+        struct(col("doc_id"), col("n_tok"), col("n_patch")))).as("its"))
+      .select(col("shard"), explode(expr(
+        s"""aggregate(its,
+           |  named_struct('seq', CAST(0 AS BIGINT), 'rem', CAST(0 AS BIGINT),
+           |               'out', CAST(array() AS $outType)),
+           |  (acc, it) -> IF(it.n_tok + it.n_patch <= acc.rem,
+           |    named_struct('seq', acc.seq, 'rem', acc.rem - it.n_tok - it.n_patch,
+           |      'out', array_append(acc.out, named_struct(
+           |        'seq', acc.seq, 'n_tok', it.n_tok, 'n_patch', it.n_patch))),
+           |    named_struct('seq', acc.seq + CAST(1 AS BIGINT),
+           |      'rem', CAST(2048 AS BIGINT) - it.n_tok - it.n_patch,
+           |      'out', array_append(acc.out, named_struct(
+           |        'seq', acc.seq + CAST(1 AS BIGINT), 'n_tok', it.n_tok,
+           |        'n_patch', it.n_patch)))),
+           |  acc -> acc.out)""".stripMargin)).as("e"))
+      .groupBy(col("shard"), col("e.seq").as("seq"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("e.n_tok")).as("n_tokens"),
+        sum(col("e.n_patch")).as("n_patches"))
+  }
+
+  val vlmPackSql: String =
+    """WITH RECURSIVE items AS (
+      |  SELECT doc_id, doc_id // 64 AS shard,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    CAST(CASE WHEN doc_id % 3 = 0
+      |      THEN ((64 + (doc_id % 5) * 32 + 13) // 14) * ((64 + (doc_id % 7) * 16 + 13) // 14)
+      |      ELSE 0 END AS BIGINT) AS n_patch,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |st AS (
+      |  SELECT shard, rn, n_tok, n_patch, CAST(1 AS BIGINT) AS seq,
+      |         2048 - n_tok - n_patch AS rem
+      |  FROM items WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.shard, i.rn, i.n_tok, i.n_patch,
+      |    CASE WHEN i.n_tok + i.n_patch <= s.rem THEN s.seq ELSE s.seq + 1 END,
+      |    CASE WHEN i.n_tok + i.n_patch <= s.rem THEN s.rem - i.n_tok - i.n_patch
+      |         ELSE 2048 - i.n_tok - i.n_patch END
+      |  FROM items i JOIN st s ON i.shard = s.shard AND i.rn = s.rn + 1)
+      |SELECT shard, CAST(seq AS BIGINT) AS seq, COUNT(*) AS n_samples,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_patch) AS BIGINT) AS n_patches
+      |FROM st GROUP BY shard, seq""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m8_phash" -> phash,
     "m9_image_stats" -> imageStatsQ,
     "m10_audio_segments" -> audioSegments,
     "c2_image_pipeline" -> imagePipeline,
+    "c4_vlm_pack" -> vlmPack,
     "d15_image_neardup" -> imageNearDup,
     "st9_stream_phash_dedup" -> streamPhashDedup,
     "m1_media_features" -> mediaFeatures,
@@ -760,6 +832,7 @@ object MultimodalQueries {
     "m9_image_stats" -> imageStatsSql,
     "m10_audio_segments" -> audioSegmentsSql,
     "c2_image_pipeline" -> imagePipelineSql,
+    "c4_vlm_pack" -> vlmPackSql,
     "d15_image_neardup" -> imageNearDupSql,
     "st9_stream_phash_dedup" -> streamPhashDedupSql,
     "m1_media_features" -> mediaFeaturesSql,
