@@ -26,9 +26,21 @@ object UrlFunctions {
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
-    val hostport = regexp_extract(rest, "^([^/?#]*)", 1)
-    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val authority = regexp_extract(rest, "^([^/?#]*)", 1)
+    // userinfo is preserved verbatim (dropping it would merge distinct
+    // resources); host parsing must skip it, and a bracketed IPv6
+    // literal contains colons that are NOT the port separator
+    // (review r16 — '^([^:]*)' over the raw authority returned the
+    // userinfo for user:pass@host and '[2001' for IPv6 literals,
+    // merging distinct pages)
+    val userinfo = regexp_extract(authority, "^([^@/]*@)", 1)
+    val hostport = regexp_replace(authority, "^[^@/]*@", "")
+    val host = lower(when(hostport.startsWith("["),
+      regexp_extract(hostport, "^(\\[[^\\]]*\\])", 1))
+      .otherwise(regexp_extract(hostport, "^([^:]*)", 1)))
+    val port = when(hostport.startsWith("["),
+      regexp_extract(hostport, "^\\[[^\\]]*\\]:([0-9]+)$", 1))
+      .otherwise(regexp_extract(hostport, "^[^:]*:([0-9]+)$", 1))
     val keepPort = (port =!= "") &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
@@ -40,7 +52,7 @@ object UrlFunctions {
       p => p =!= "" && !p.startsWith("utm_"))
     val sortedQ = array_join(array_sort(params), "&")
     when(scheme === "", url).otherwise(concat(
-      scheme, lit("://"), host,
+      scheme, lit("://"), userinfo, host,
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       path,
       when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))

@@ -158,17 +158,19 @@ object FsOps {
       // '*.parquet' (renamed files, or nothing but zero-length files —
       // which binaryFile listings skip) must not size to 0, or the
       // ceil(bytes/target) arithmetic downstream compacts it into one
-      // file. Walk the FileSystem directly and sum every non-hidden
-      // file (Spark's own convention: '_'/'.' prefixes are metadata).
+      // file. Walk the FileSystem directly, pruning hidden names at
+      // EVERY level (Spark's own convention: a '_'/'.' prefix marks
+      // metadata, and Spark skips such DIRECTORIES too — a flat
+      // listFiles would count a crashed write's _temporary leftovers
+      // that Spark reads as empty).
       val f = fs(spark, dir)
-      val it = f.listFiles(new Path(dir), true)
-      var total = 0L
-      while (it.hasNext) {
-        val st = it.next()
+      def walk(p: Path): Long = f.listStatus(p).map { st =>
         val n = st.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) total += st.getLen
-      }
-      total
+        if (n.startsWith("_") || n.startsWith(".")) 0L
+        else if (st.isDirectory) walk(st.getPath)
+        else st.getLen
+      }.sum
+      walk(new Path(dir))
     }
   }
 

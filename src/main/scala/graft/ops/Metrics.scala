@@ -102,6 +102,11 @@ object Metrics {
     */
   def prometheusText(row: Row, dataset: String = "sidestream"): String = {
     def v(c: String): Long = row.getAs[Long](c)
+    // exposition-format label escaping (review r16): an unescaped
+    // backslash/quote/newline in a label value makes the whole scrape
+    // unparseable — promhttp escapes exactly these three
+    val ds = dataset.replace("\\", "\\\\")
+      .replace("\"", "\\\"").replace("\n", "\\n")
     val sb = new StringBuilder
     def fam(name: String, help: String, series: Seq[(String, Long)]): Unit = {
       sb.append(s"# HELP $name $help\n")
@@ -113,19 +118,19 @@ object Metrics {
     fam("embargo_file_total",
       "Number of web100 sidestream files that were processed by embargo app engine.",
       Seq(
-        s"""dataset="$dataset",status="public"""" -> v("files_public"),
-        s"""dataset="$dataset",status="private"""" -> v("files_private")))
+        s"""dataset="$ds",status="public"""" -> v("files_public"),
+        s"""dataset="$ds",status="private"""" -> v("files_private")))
     fam("embargo_ipv6_errors_total",
       "Number of failures normalizing IPv6 addresses.",
       Seq("""error="normalize failed"""" -> v("ipv6_errors")))
     fam("graft_entries_total",
       "Number of archive entries routed by the split pass.",
-      Seq(s"""dataset="$dataset"""" -> v("entries_total")))
+      Seq(s"""dataset="$ds"""" -> v("entries_total")))
     fam("graft_bytes_total",
       "Entry bytes routed by the split pass.",
       Seq(
-        s"""dataset="$dataset",status="public"""" -> v("bytes_public"),
-        s"""dataset="$dataset",status="private"""" -> v("bytes_private")))
+        s"""dataset="$ds",status="public"""" -> v("bytes_public"),
+        s"""dataset="$ds",status="private"""" -> v("bytes_private")))
     sb.toString
   }
 }

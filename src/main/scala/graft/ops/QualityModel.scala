@@ -14,17 +14,19 @@ import org.apache.spark.sql.functions._
   *
   * The fit is CLOSED-FORM ridge least squares (a linear probability
   * model): `w = (XᵀX + λI)⁻¹ Xᵀy`. Every entry of XᵀX/Xᵀy is a sum of
-  * products of integer-valued features — exact in double up to 2⁵³
-  * regardless of aggregation order, so the fit is deterministic across
-  * runs and partitionings (the reason the features are integers all the
-  * way down). That exactness bound holds to ~9e7 rows at these feature
-  * scales (per-row products ≤ 1e8); past `maxFitRows` (default 5e7,
-  * inside the bound) the fit therefore SELF-GUARDS by fitting on a
-  * bounded deterministic 1-in-mod sample — the standard practice
-  * anyway (the weights are a k-vector; 1e7 rows estimate them as well
-  * as 1e12), and deterministic because the sample keys on a content
-  * hash, not on rand(). The k×k solve (k = 8) runs on the
-  * driver via Gaussian
+  * products of integer-valued features, accumulated in DECIMAL(38,0) —
+  * exact at ANY corpus size (headroom: per-row products ≤ 1e16, so the
+  * sums stay under 1e38 to ~1e22 rows) and therefore deterministic
+  * across runs and partitionings regardless of aggregation order (the
+  * reason the features are integers all the way down; the one double
+  * rounding happens ONCE, converting each exact total on the driver).
+  * Past `maxFitRows` (default 5e7) the fit additionally samples — a
+  * pure COST lever now, not a correctness guard (the weights are a
+  * k-vector; 1e7 rows estimate them as well as 1e12), deterministic
+  * because the sample keys on a content hash, not on rand(); duplicated
+  * row contents co-sample, which only reweights already-duplicated
+  * mass and cannot break exactness (review r16). The k×k solve (k = 8)
+  * runs on the driver via Gaussian
   * elimination with partial pivoting; weights quantize to 1e-6
   * fixed-point int64. Classification needs no sigmoid: with an LPM,
   * `p ≥ 0.5 ⟺ w·x ≥ 0.5`, so the gate is one INTEGER dot product
@@ -52,12 +54,12 @@ object QualityModel {
   val Half: Long = WScale / 2
 
   /** Closed-form ridge LPM fit over integer-valued feature columns and a
-    * 0/1 `labelCol`. One count job + one aggregation job; deterministic
-    * (see object doc). Corpora past `maxFitRows` fit on a deterministic
-    * 1-in-mod content-hash sample sized to stay under the bound — which
-    * also keeps every sum inside double's exact-integer range. (Rows
-    * with identical feature+label content co-sample; for the weak-label
-    * fits this targets, that only reweights already-duplicated mass.)
+    * 0/1 `labelCol`. One count job + one aggregation job; sums are
+    * DECIMAL(38,0)-exact at any scale, so the fit is deterministic
+    * unconditionally (see object doc). Corpora past `maxFitRows` fit on
+    * a deterministic 1-in-mod content-hash sample — a cost lever (rows
+    * with identical feature+label content co-sample; that only
+    * reweights already-duplicated mass and cannot affect exactness).
     */
   def fitLpm(feats: DataFrame, featCols: Seq[String], labelCol: String,
              ridge: Double = 1e4, maxFitRows: Long = 50000000L): Array[Double] = {
@@ -75,22 +77,24 @@ object QualityModel {
       (for {
         i <- 0 until k
         j <- i until k
-      } yield sum((col(featCols(i)) * col(featCols(j))).cast("double"))
+      } yield sum((col(featCols(i)) * col(featCols(j))).cast("decimal(38,0)"))
         .as(s"xx_${i}_$j")) ++
         (0 until k).map(i =>
-          sum((col(featCols(i)) * col(labelCol)).cast("double")).as(s"xy_$i"))
+          sum((col(featCols(i)) * col(labelCol)).cast("decimal(38,0)"))
+            .as(s"xy_$i"))
     val row = fit.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def exact(idx: Int): Double = row.getDecimal(idx).doubleValue()
     val a = Array.ofDim[Double](k, k + 1)
     var idx = 0
     for (i <- 0 until k; j <- i until k) {
-      val v = row.getDouble(idx)
+      val v = exact(idx)
       a(i)(j) = v
       a(j)(i) = v
       idx += 1
     }
     for (i <- 0 until k) {
       a(i)(i) += ridge
-      a(i)(k) = row.getDouble(idx)
+      a(i)(k) = exact(idx)
       idx += 1
     }
     solve(a, k)
