@@ -25,7 +25,11 @@ object UrlFunctions {
 
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
+    // (?s): without DOTALL, '(.*)$' cannot cross an embedded line
+    // terminator, so any URL with an interior newline (unsanitized crawl
+    // fields) extracted rest='' and every such URL collapsed into the
+    // single canonical key 'scheme:///' (review r16)
+    val rest = regexp_extract(url, "(?s)^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
     val authority = regexp_extract(rest, "^([^/?#]*)", 1)
     // userinfo is preserved verbatim (dropping it would merge distinct
     // resources); host parsing must skip it, and a bracketed IPv6
@@ -47,7 +51,12 @@ object UrlFunctions {
     val pathRaw = regexp_extract(rest, "^[^/?#]*([^?#]*)", 1)
     val pathNoSlash = regexp_replace(pathRaw, "/$", "")
     val path = when(pathNoSlash === "", lit("/")).otherwise(pathNoSlash)
-    val query = regexp_extract(rest, "\\?([^#]*)", 1)
+    // anchored through the pre-fragment region: an unanchored '\?([^#]*)'
+    // find()-matched a '?' INSIDE the fragment ('/x#a?b=1' resurrected
+    // 'b=1' as a query even though the fragment is dropped), splitting a
+    // page from its fragment-free spelling and merging it with the
+    // genuinely distinct '?b=1' page (review r16)
+    val query = regexp_extract(rest, "^[^?#]*\\?([^#]*)", 1)
     val params = filter(split(query, "&"),
       p => p =!= "" && !p.startsWith("utm_"))
     val sortedQ = array_join(array_sort(params), "&")

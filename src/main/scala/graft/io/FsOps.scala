@@ -146,19 +146,22 @@ object FsOps {
     * (data files only; _SUCCESS/metadata excluded).
     */
   def parquetBytes(spark: SparkSession, dir: String): Long = {
-    // recursive: partitioned layouts nest data files under key=value
-    // dirs — a top-level-only listing would size them to 0 and compact
-    // the whole dataset into one file (getContentSummary, which this
-    // replaced, was recursive too)
-    val viaGlob = list(spark, dir, suffix = ".parquet", recursive = true)
+    // List what the READER reads: every non-hidden file, recursively
+    // (partitioned layouts nest data files under key=value dirs), with
+    // NO name filter — `spark.read.parquet` does not filter on '.parquet'
+    // either, so a dir mixing '*.parquet' and renamed data files must
+    // size ALL of them or the ceil(bytes/target) arithmetic downstream
+    // drifts from the bytes actually rewritten (review r16: the earlier
+    // '*.parquet' glob sized only the matching sliver and compacted the
+    // rest into it). Distributed listing via the binaryFile file index;
+    // Spark's scan convention prunes '_'/'.'-hidden files and dirs.
+    val viaListing = list(spark, dir, suffix = "", recursive = true)
       .agg(coalesce(sum(col("size")), lit(0L))).collect()(0).getLong(0)
-    if (viaGlob > 0L) viaGlob
+    if (viaListing > 0L) viaListing
     else {
-      // Fallback (review r16): a directory whose data files don't match
-      // '*.parquet' (renamed files, or nothing but zero-length files —
-      // which binaryFile listings skip) must not size to 0, or the
-      // ceil(bytes/target) arithmetic downstream compacts it into one
-      // file. Walk the FileSystem directly, pruning hidden names at
+      // Fallback: a directory holding nothing but zero-length files
+      // (which binaryFile listings skip) must not error the listing.
+      // Walk the FileSystem directly, pruning hidden names at
       // EVERY level (Spark's own convention: a '_'/'.' prefix marks
       // metadata, and Spark skips such DIRECTORIES too — a flat
       // listFiles would count a crashed write's _temporary leftovers

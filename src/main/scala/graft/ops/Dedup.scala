@@ -91,7 +91,14 @@ object Dedup {
     // arms below read blocks instead of re-running the object aggregate
     // (a count-prefilter + semi-join alternative measured SLOWER at sf1 —
     // tools/CandProf, r16: the extra band-row exchange outweighs the
-    // singleton-group savings).
+    // singleton-group savings; dropping the checkpoint for a pure
+    // ReuseExchange plan also measured slower — sf1 A/B r16: d2 4.2→4.9,
+    // d6 4.1→4.7 s — the reduce-side aggregate re-runs per arm).
+    // Lifecycle: the checkpointed blocks are ContextCleaner-cleaned once
+    // the returned plan is dereferenced (unlike CacheManager-pinned
+    // persist()); the trade is truncated lineage — on a real cluster an
+    // executor lost between materialization and the arms' reads fails
+    // the JOB (recovered by resubmission), it cannot recompute blocks.
     val buckets = bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -968,11 +975,33 @@ object Dedup {
       val nDup = dupH.count()
       if (nDup == 0) rows.filter(lit(false))
       else {
-        val bloomBytes = dupH
-          .agg(column(new BloomFilterAggregate(expression(col("h")),
-              Literal(nDup), Literal(math.max(64L, nDup * 10L)))
-            .toAggregateExpression()).as("bf"))
-          .collect()(0).getAs[Array[Byte]](0)
+        val numBits = math.max(64L, nDup * 10L)
+        // BloomFilterAggregate SILENTLY clamps to
+        // spark.sql.optimizer.runtime.bloomFilter.maxNumBits/maxNumItems
+        // (defaults 64M bits / 4M items — sized for injected runtime
+        // filters, not for this sketch). Past ~6.7M duplicated hashes a
+        // clamped filter degrades toward FPP≈1 and the restriction stops
+        // restricting — at exactly the scale it exists for. Raise both
+        // caps to our requested size for the duration of the build and
+        // restore after (review r16).
+        val conf = rows.sparkSession.conf
+        val savedBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+        val savedItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+        val bloomBytes =
+          try {
+            conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+              math.max(savedBits.toLong, numBits))
+            conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+              math.max(savedItems.toLong, nDup))
+            dupH
+              .agg(column(new BloomFilterAggregate(expression(col("h")),
+                  Literal(nDup), Literal(numBits))
+                .toAggregateExpression()).as("bf"))
+              .collect()(0).getAs[Array[Byte]](0)
+          } finally {
+            conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", savedBits)
+            conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", savedItems)
+          }
         rows.filter(column(new BloomFilterMightContain(
           Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
           expression(h))))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** T24 — a TRAINED quality-classifier gate: the model-based filter tier
@@ -54,36 +54,46 @@ object QualityModel {
   val Half: Long = WScale / 2
 
   /** Closed-form ridge LPM fit over integer-valued feature columns and a
-    * 0/1 `labelCol`. One count job + one aggregation job; sums are
-    * DECIMAL(38,0)-exact at any scale, so the fit is deterministic
-    * unconditionally (see object doc). Corpora past `maxFitRows` fit on
-    * a deterministic 1-in-mod content-hash sample — a cost lever (rows
-    * with identical feature+label content co-sample; that only
-    * reweights already-duplicated mass and cannot affect exactness).
+    * 0/1 `labelCol`. ONE aggregation job in the common case — the row
+    * count rides the moment aggregation, so an in-budget corpus never
+    * pays a separate counting pass over the feature pipeline (review
+    * r16); sums are DECIMAL(38,0)-exact at any scale, so the fit is
+    * deterministic unconditionally (see object doc). Corpora past
+    * `maxFitRows` re-aggregate once more on a deterministic 1-in-mod
+    * content-hash sample — a cost lever (rows with identical
+    * feature+label content co-sample; that only reweights
+    * already-duplicated mass and cannot affect exactness).
     */
   def fitLpm(feats: DataFrame, featCols: Seq[String], labelCol: String,
              ridge: Double = 1e4, maxFitRows: Long = 50000000L): Array[Double] = {
     require(maxFitRows > 0, s"maxFitRows $maxFitRows must be positive")
-    val n = feats.count()
-    val fit =
-      if (n <= maxFitRows) feats
+    val k = featCols.length
+    // index 0 is the row count; moments follow
+    def moments(df: DataFrame): Row = {
+      val aggs = count(lit(1)).as("n_rows") +:
+        ((for {
+          i <- 0 until k
+          j <- i until k
+        } yield sum((col(featCols(i)) * col(featCols(j))).cast("decimal(38,0)"))
+          .as(s"xx_${i}_$j")) ++
+          (0 until k).map(i =>
+            sum((col(featCols(i)) * col(labelCol)).cast("decimal(38,0)"))
+              .as(s"xy_$i")))
+      df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    }
+    val full = moments(feats)
+    val n = full.getLong(0)
+    val row =
+      if (n <= maxFitRows) full
       else {
         val mod = ((n + maxFitRows - 1) / maxFitRows).toInt
-        feats.filter(pmod(xxhash64(struct(
-          (featCols :+ labelCol).map(col): _*)), lit(mod)) === 0)
+        moments(feats.filter(pmod(xxhash64(struct(
+          (featCols :+ labelCol).map(col): _*)), lit(mod)) === 0))
       }
-    val k = featCols.length
-    val aggs =
-      (for {
-        i <- 0 until k
-        j <- i until k
-      } yield sum((col(featCols(i)) * col(featCols(j))).cast("decimal(38,0)"))
-        .as(s"xx_${i}_$j")) ++
-        (0 until k).map(i =>
-          sum((col(featCols(i)) * col(labelCol)).cast("decimal(38,0)"))
-            .as(s"xy_$i"))
-    val row = fit.agg(aggs.head, aggs.tail: _*).collect()(0)
-    def exact(idx: Int): Double = row.getDecimal(idx).doubleValue()
+    // decimal sums are NULL (not zero) over an empty frame; an empty fit
+    // degenerates to the pure-ridge solution w = 0
+    def exact(idx: Int): Double =
+      Option(row.getDecimal(idx + 1)).fold(0.0)(_.doubleValue())
     val a = Array.ofDim[Double](k, k + 1)
     var idx = 0
     for (i <- 0 until k; j <- i until k) {

@@ -60,6 +60,23 @@ class UrlFunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(canon("https://alice@example.com/a", "https://bob@example.com/a").distinct.size === 2)
   }
 
+  test("fragment-embedded '?' stays dropped; interior newlines don't collapse (review r16)") {
+    // a '?' inside the fragment must NOT be resurrected as a query
+    assert(canon(
+      "https://example.com/x#a?b=1",   // query-in-fragment: drop it all
+      "https://example.com/x",         // ... so these three are one page
+      "https://example.com/x#frag",
+      "https://example.com/x?b=1"      // a REAL ?b=1 is a different page
+    ) === Seq(
+      "https://example.com/x",
+      "https://example.com/x",
+      "https://example.com/x",
+      "https://example.com/x?b=1"))
+    // an interior newline must not collapse distinct URLs to 'scheme:///'
+    assert(canon("http://a.com/x\nb", "http://c.com/y\nd").distinct.size === 2)
+    assert(!canon("http://a.com/x\nb").head.equals("http:///"))
+  }
+
   test("scheme-distinct URLs never merge; non-URLs pass through unchanged") {
     assert(canon("http://example.com/x", "https://example.com/x")
       === Seq("http://example.com/x", "https://example.com/x"))
