@@ -37,6 +37,32 @@ object Dedup {
         min(col("doc_id")).as("keep_id"), max(col("doc_id")).as("dup_id"))
       .filter(col("n_docs") > 1)
 
+  /** D20 — SOFT dedup: duplication-aware sampling weights instead of row
+    * removal. Modern data-mixing pipelines often keep every copy and
+    * DOWNWEIGHT duplicated content at sampling time (each content group
+    * contributes total weight ≈ 1 regardless of copy count) — removal
+    * loses the duplication signal and forces a keep-choice upstream of
+    * mixing. Every doc gets `(n_copies, weight_ppm, canonical)` over its
+    * canonical-text fingerprint group: `weight_ppm = 1000000 div
+    * n_copies` is an INTEGER per-million weight (positive integer
+    * division — engine-portable, no ratio doubles), and `canonical`
+    * marks the min-doc_id member so a hard-dedup consumer can still
+    * filter to it. Unique docs pass through at weight 1000000.
+    *
+    * Scale shape: ONE exchange on the fingerprint (a window over `fp` —
+    * no self-join; count and min need no ordering, so no sort beyond the
+    * hash partitioning). The weights are then a pure projection.
+    */
+  def softDedupWeights(corpus: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    corpus
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("weight_ppm", expr("1000000L div n_copies"))
+      .withColumn("canonical", col("doc_id") === min(col("doc_id")).over(w))
+      .select("doc_id", "n_copies", "weight_ppm", "canonical")
+  }
+
   /** Per-doc distinct word-3-shingle HASH array (the minhash/jaccard
     * unit), as sorted int64 md5-prefixes via the fused codegen expression
     * [[graft.functions.WordShingleHashes]] — one native pass over the

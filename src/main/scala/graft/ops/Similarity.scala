@@ -232,6 +232,37 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** N11 — exact maximum-inner-product top-k via the norm-augmentation
+    * reduction (Bachrach et al., RecSys 2014; Neyshabur & Srebro 2015):
+    * MIPS does not fit cosine indexes directly (inner product is not a
+    * metric — a vector can be its own worst neighbor), but appending one
+    * coordinate makes it one. With `M = max ||v||` over the corpus, each
+    * corpus vector becomes `[v, sqrt(M² − ||v||²)]` (norm exactly M for
+    * every vector) and each probe `[q, 0]`; then
+    * `cos(q', v') = (q·v)/(||q||·M)` — a per-probe POSITIVE rescale of
+    * the inner product, so cosine order IS inner-product order and every
+    * cosine index in this file (IVF, PQ, sign-LSH banding) serves MIPS
+    * unchanged on the augmented vectors. Here the reduction feeds
+    * [[bruteForceTopK]] — the exact-oracle baseline, same bounded-heap
+    * partial top-k — and the DuckDB oracle ranks by the RAW inner
+    * product, grading the order-equivalence itself.
+    *
+    * Scale shape: `M` is a 1-row aggregate (a scalar on the driver); the
+    * augmentation is a per-row map; everything after is the existing
+    * top-k machinery — nothing pair-shaped shuffles.
+    */
+  def mipsTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val d = col("embedding").cast("array<double>")
+    val m2 = corpus.agg(max(dot(d, d))).collect()(0).getDouble(0)
+    // greatest(0, ·) guards the sqrt against -epsilon on the max-norm
+    // vector itself (m2 - dot computed in double)
+    val aug = corpus.select(col("vec_id"),
+      concat(d, array(sqrt(greatest(lit(0.0), lit(m2) - dot(d, d)))))
+        .as("embedding"))
+    val p = probes.select(col("vec_id"), concat(d, array(lit(0.0))).as("embedding"))
+    bruteForceTopK(aug, p, k)
+  }
+
   /** N4 — symmetric int8 scalar quantization of the UNIT-normalized
     * vector: `q_i = floor(u_i · 127) ∈ [-127, 127]`. Normalize-first
     * matters: codes of the raw values under an affine (min/max) map score

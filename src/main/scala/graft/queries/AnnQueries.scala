@@ -472,6 +472,31 @@ object AnnQueries {
     * predicate from the same staged floats, so the pair set hash-matches
     * without any float ever crossing the boundary.
     */
+  /** N11 — maximum-inner-product top-5 ([[Similarity.mipsTopK]]): the
+    * recommender/retrieval scoring mode where magnitude matters (user ×
+    * item factors, unnormalized two-tower embeddings — a long vector IS
+    * a stronger match). The Spark side searches in the norm-AUGMENTED
+    * cosine space; the oracle ranks by the raw `list_inner_product` —
+    * the hash match grades the reduction's order-equivalence itself, the
+    * property that lets every cosine index here serve MIPS unchanged.
+    * Probes are every 50th vector, as in n1.
+    */
+  def annMips(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Similarity.mipsTopK(emb, emb.filter(col("vec_id") % 50 === 0), k = 5)
+  }
+
+  val annMipsSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |p AS (SELECT vec_id AS p_id, e AS pe FROM c WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT p_id, vec_id, list_inner_product(pe, e) AS ip
+      |  FROM p JOIN c ON vec_id != p_id)
+      |SELECT p_id AS probe_id, vec_id AS neighbor_id, CAST(rnk AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY ip DESC, vec_id ASC) AS rnk
+      |      FROM scored)
+      |WHERE rnk <= 5""".stripMargin
+
   def annRadius(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     // fixed path (the oracle SQL names it literally), retrained on every
@@ -1148,6 +1173,7 @@ object AnnQueries {
     "h3_boolean_retrieval" -> booleanRetrieval,
     "h4_phrase_search" -> phraseSearch,
     "n10_ann_radius" -> annRadius,
+    "n11_mips" -> annMips,
     "n6_ann_ivfpq" -> annIvfPq,
     "n7_ann_ivfpq_update" -> annIvfPqUpdate,
     "n8_ann_filtered" -> annFiltered,
@@ -1168,6 +1194,7 @@ object AnnQueries {
     "h3_boolean_retrieval" -> booleanRetrievalSql,
     "h4_phrase_search" -> phraseSearchSql,
     "n10_ann_radius" -> annRadiusSql,
+    "n11_mips" -> annMipsSql,
     "n5_ann_pq" -> annPqSql,
     "n6_ann_ivfpq" -> annIvfPqSql,
     "n7_ann_ivfpq_update" -> annIvfPqUpdateSql,

@@ -711,6 +711,26 @@ object DedupQueries {
       |  FROM documents)
       |GROUP BY canon_url""".stripMargin
 
+  /** D20 — soft dedup over the planted-dup corpus
+    * ([[Dedup.softDedupWeights]]): duplication-aware integer sampling
+    * weights instead of removal. Graded on the same corpus as d1 so the
+    * group arithmetic is non-vacuous (planted exact copies produce
+    * n_copies ≥ 2 groups with split weights; the near-dup plants stay
+    * weight-1000000 — soft dedup is an EXACT-content tier).
+    */
+  def softDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.softDedupWeights(corpus(spark, sfDir))
+
+  val softDedupSql: String =
+    s"""WITH $corpusSql,
+       |f AS (SELECT doc_id,
+       |             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |      FROM corpus)
+       |SELECT doc_id, COUNT(*) OVER w AS n_copies,
+       |       1000000 // COUNT(*) OVER w AS weight_ppm,
+       |       doc_id = MIN(doc_id) OVER w AS canonical
+       |FROM f WINDOW w AS (PARTITION BY fp)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d17_embed_decontaminate" -> embedDecontaminate,
     "d16_line_dedup" -> lineDedupQ,
@@ -728,6 +748,7 @@ object DedupQueries {
     "d18_substring_dedup" -> substringDedupQ,
     "d13_bloom_decontaminate" -> bloomDecontaminate,
     "d19_url_dedup" -> urlDedup,
+    "d20_soft_dedup" -> softDedup,
     "st3_stream_dedup" -> streamDedup
   )
 
@@ -748,6 +769,7 @@ object DedupQueries {
     "d18_substring_dedup" -> substringDedupSql,
     "d13_bloom_decontaminate" -> decontaminateSql,
     "d19_url_dedup" -> urlDedupSql,
+    "d20_soft_dedup" -> softDedupSql,
     "st3_stream_dedup" -> streamDedupSql
   )
 }

@@ -640,6 +640,62 @@ object TimeJoinQueries {
       |FROM c JOIN p ON c.user_id = p.user_id
       |  AND p.pus >= c.cus AND p.pus < c.cus + 1800000000""".stripMargin
 
+  /** W8 — OHLC time-bucket resample, the canonical downsampling shape of
+    * every metrics/market pipeline (and of telemetry compaction at lake
+    * scale): events collapse to 15-minute bars per event_type carrying
+    * open/high/low/close/volume. Open/close are `min_by`/`max_by` over
+    * the TOTAL order `(us, event_id)` — event_id is unique, so "first"
+    * and "last" are deterministic under any execution order and the
+    * oracle's `arg_min`/`arg_max` over the same key list agrees exactly
+    * (both engines pass `value` through untouched — no arithmetic, so
+    * the hash compare is exact; the volume sum rides the usual
+    * DECIMAL(18,2) basis).
+    *
+    * Scale shape: ONE map-side-combining groupBy exchange on
+    * (win_us, event_type) — min_by/max_by/min/max/sum all carry
+    * constant-size partial state, so 100 TB of events reduces to one
+    * narrow row per bar before the shuffle. No window functions, no
+    * sort: the per-bar extremes need no global order.
+    */
+  def ohlcResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val BarUs = 900000000L // 15 min
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("win_us", expr(s"(us div $BarUs) * $BarUs"))
+    ev.groupBy("win_us", "event_type")
+      .agg(
+        min_by(col("value"), struct(col("us"), col("event_id"))).as("open_value"),
+        max(col("value")).as("high_value"),
+        min(col("value")).as("low_value"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("close_value"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  // DuckDB's arg_min/arg_max reject composite ordering keys, so the
+  // oracle states the same (us, event_id) total order through two
+  // row_number passes instead
+  val ohlcResampleSql: String =
+    """WITH e AS (
+      |  SELECT (epoch_us(ts) // 900000000) * 900000000 AS win_us, event_type,
+      |         value, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY win_us, event_type
+      |                           ORDER BY us ASC, event_id ASC) AS rn_a,
+      |        row_number() OVER (PARTITION BY win_us, event_type
+      |                           ORDER BY us DESC, event_id DESC) AS rn_d
+      |      FROM e)
+      |SELECT win_us, event_type,
+      |       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+      |       MAX(value) AS high_value,
+      |       MIN(value) AS low_value,
+      |       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j5_asof_join" -> asofJoin,
     "j6_range_join" -> rangeJoin,
@@ -652,6 +708,7 @@ object TimeJoinQueries {
     "w4_gap_fill" -> gapFill,
     "w5_rolling_anomaly" -> rollingAnomaly,
     "w7_period_compare" -> periodCompare,
+    "w8_ohlc_resample" -> ohlcResample,
     "st5_stream_join" -> streamJoin
   )
 
@@ -667,6 +724,7 @@ object TimeJoinQueries {
     "w4_gap_fill" -> gapFillSql,
     "w5_rolling_anomaly" -> rollingAnomalySql,
     "w7_period_compare" -> periodCompareSql,
+    "w8_ohlc_resample" -> ohlcResampleSql,
     "st5_stream_join" -> streamJoinSql
   )
 }

@@ -14,6 +14,25 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("D20: soft dedup splits weight across exact-copy groups and marks the canonical member") {
+    val w = Dedup.softDedupWeights(docs(
+      1L -> "the same text",
+      2L -> "The  same   TEXT", // canon-identical — same group as 1/3
+      3L -> "the same text",
+      10L -> "another doc",
+      11L -> "another doc",
+      20L -> "unique snowflake"
+    )).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(w(1L) === ((3L, 333333L, true)))   // min id is canonical
+    assert(w(2L) === ((3L, 333333L, false)))
+    assert(w(3L) === ((3L, 333333L, false)))
+    assert(w(10L) === ((2L, 500000L, true)))
+    assert(w(11L) === ((2L, 500000L, false)))
+    assert(w(20L) === ((1L, 1000000L, true))) // uniques keep full weight
+  }
+
   test("D1: exact duplicates group by canonical fingerprint") {
     val d = Dedup.exactDuplicates(docs(
       1L -> "the quick brown fox",

@@ -22,6 +22,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("N11: MIPS ranks by inner product — magnitude wins where cosine would not") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> Array(1f, 0f),   // cosine-nearest to the probe (cos = 1, dot = 1)
+      2L -> Array(10f, 10f), // the MIPS winner (cos ≈ 0.707, dot = 10)
+      3L -> Array(0f, 2f)    // dot = 0
+    ).toDF("vec_id", "embedding")
+    val probes = Seq(100L -> Array(1f, 0f)).toDF("vec_id", "embedding")
+    val byRank = Similarity.mipsTopK(corpus, probes, k = 3).collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("neighbor_id")).toMap
+    // inner-product order, NOT cosine order
+    assert(byRank === Map(1L -> 2L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("N5: PQ codes separate well-separated clusters and ADC recovers the true neighbor") {
     import spark.implicits._
     // two tight clusters in orthogonal quadrants of an 8-dim space (m=2

@@ -11,6 +11,29 @@ import graft.ops.TimeJoins
   */
 class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
 
+  test("W8: OHLC open/close follow the (us, event_id) total order under same-us ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("w8spec").toString
+    val t0 = 1888889L * 900000000L // µs, bar-ALIGNED; all four events land in one 15-min bar
+    Seq(
+      (2L, t0, 7L, "click", 5.0, "{}"), // same us as event 1 — id breaks the tie
+      (1L, t0, 7L, "click", 3.0, "{}"),
+      (3L, t0 + 60000000L, 7L, "click", 9.0, "{}"),
+      (4L, t0 + 120000000L, 7L, "click", 1.0, "{}")
+    ).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val bars = graft.queries.TimeJoinQueries.ohlcResample(spark, dir).collect()
+    assert(bars.length === 1)
+    val b = bars.head
+    assert(b.getAs[Double]("open_value") === 3.0) // event_id 1 wins the us tie
+    assert(b.getAs[Double]("close_value") === 1.0)
+    assert(b.getAs[Double]("high_value") === 9.0)
+    assert(b.getAs[Double]("low_value") === 1.0)
+    assert(b.getAs[Long]("n_events") === 4L)
+  }
+
   private def probes = {
     import spark.implicits._
     Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 250L), (4L, 99L, 500L))
