@@ -115,6 +115,30 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("Window"), s"t9 lost its window:\n$p")
   }
 
+  test("OHLC resample is one aggregation exchange, no window sort (w8)") {
+    val p = plan("w8_ohlc_resample")
+    assert("Exchange".r.findAllIn(p).size === 1, s"extra exchange in w8:\n$p")
+    assert(!p.contains("Window"), s"w8 grew a window sort:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("HashAggregate"),
+      s"w8 lost map-side combine:\n$p")
+  }
+
+  test("soft dedup is one fingerprint-keyed window exchange (d20)") {
+    val p = plan("d20_soft_dedup")
+    assert("Exchange".r.findAllIn(p).size === 1, s"extra exchange in d20:\n$p")
+    assert(p.contains("Window"), s"d20 lost its window:\n$p")
+    assert(!p.contains("Join"), s"d20 grew a join:\n$p")
+  }
+
+  test("MIPS search keeps the brute-force posture: probes broadcast, bounded heap (n11)") {
+    val p = plan("n11_mips")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"n11 must broadcast the probe side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"n11 plans a cartesian product:\n$p")
+    assert(p.contains("partial_topk") || p.contains("HashAggregate"),
+      s"n11 lost the partial top-k cut:\n$p")
+  }
+
   test("stratified sampling is filter + one aggregation exchange (t6)") {
     // the hash-bucket predicate must stay a scan-side filter; the only
     // shuffle is the per-language count
