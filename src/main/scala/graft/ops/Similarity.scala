@@ -232,6 +232,33 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** N12 — contrastive hard-negative mining, the training-data op behind
+    * every two-tower/DPR-style embedding model: for each anchor (probe),
+    * the top-k most-similar corpus items with a DIFFERENT label — the
+    * negatives that actually move the loss (random negatives are
+    * trivially separable; the hard ones sit just across the decision
+    * boundary). Same bounded-heap posture as [[bruteForceTopK]] with the
+    * label-mismatch predicate fused into the map-side scoring filter, so
+    * same-label rows never even reach the heap.
+    *
+    * Scale shape: probes (with labels) broadcast; the corpus is scored
+    * map-side and reduced through [[TopK]] — ≤ k candidates per probe
+    * per partition shuffle, nothing pair-shaped ever exchanges.
+    */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val p = withUnit(probes, "embedding", "pu")
+      .select(col("vec_id").as("p_id"), col("label").as("p_label"), col("pu"))
+    val topk = udaf(new TopK(k), Encoders.product[Scored])
+    withUnit(corpus, "embedding", "u").crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("p_id") && col("label") =!= col("p_label"))
+      .withColumn("cos", dot(col("pu"), col("u")))
+      .groupBy("p_id")
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("p_id").as("probe_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("probe_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** N11 — exact maximum-inner-product top-k via the norm-augmentation
     * reduction (Bachrach et al., RecSys 2014; Neyshabur & Srebro 2015):
     * MIPS does not fit cosine indexes directly (inner product is not a

@@ -497,6 +497,29 @@ object AnnQueries {
       |      FROM scored)
       |WHERE rnk <= 5""".stripMargin
 
+  /** N12 — contrastive hard-negative mining
+    * ([[Similarity.hardNegatives]]): for every 50th vector as anchor,
+    * the top-5 most-similar embeddings whose `label` differs — the
+    * pair-construction pass of two-tower/DPR training. Exact oracle:
+    * the same label-mismatch ranking, exhaustively.
+    */
+  def annHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 50 === 0), k = 5)
+  }
+
+  val annHardNegativesSql: String =
+    """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |p AS (SELECT vec_id AS p_id, label AS p_label, e AS pe FROM c WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT p_id, vec_id, list_cosine_similarity(pe, e) AS cos
+      |  FROM p JOIN c ON vec_id != p_id AND label != p_label)
+      |SELECT p_id AS probe_id, vec_id AS neighbor_id, CAST(rnk AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, vec_id ASC) AS rnk
+      |      FROM scored)
+      |WHERE rnk <= 5""".stripMargin
+
   def annRadius(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     // fixed path (the oracle SQL names it literally), retrained on every
@@ -1174,6 +1197,7 @@ object AnnQueries {
     "h4_phrase_search" -> phraseSearch,
     "n10_ann_radius" -> annRadius,
     "n11_mips" -> annMips,
+    "n12_hard_negatives" -> annHardNegatives,
     "n6_ann_ivfpq" -> annIvfPq,
     "n7_ann_ivfpq_update" -> annIvfPqUpdate,
     "n8_ann_filtered" -> annFiltered,
@@ -1195,6 +1219,7 @@ object AnnQueries {
     "h4_phrase_search" -> phraseSearchSql,
     "n10_ann_radius" -> annRadiusSql,
     "n11_mips" -> annMipsSql,
+    "n12_hard_negatives" -> annHardNegativesSql,
     "n5_ann_pq" -> annPqSql,
     "n6_ann_ivfpq" -> annIvfPqSql,
     "n7_ann_ivfpq_update" -> annIvfPqUpdateSql,

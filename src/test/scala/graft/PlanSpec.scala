@@ -139,6 +139,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"n11 lost the partial top-k cut:\n$p")
   }
 
+  test("hard-negative mining broadcasts anchors, cuts with the bounded heap (n12)") {
+    val p = plan("n12_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"n12 must broadcast the anchor side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"n12 plans a cartesian product:\n$p")
+  }
+
   test("stratified sampling is filter + one aggregation exchange (t6)") {
     // the hash-bucket predicate must stay a scan-side filter; the only
     // shuffle is the per-language count

@@ -36,6 +36,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(byRank === Map(1L -> 2L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("N12: hard negatives exclude same-label rows however similar") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f), 7),     // anchor's own class, nearly identical
+      (2L, Array(0.99f, 0.1f, 0f), 7),// same label — must NEVER appear
+      (3L, Array(0.9f, 0.4f, 0f), 8), // the hard negative (closest other-label)
+      (4L, Array(0f, 1f, 0f), 8),
+      (5L, Array(0f, 0f, 1f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val probes = corpus.filter($"vec_id" === 1L)
+    val got = Similarity.hardNegatives(corpus, probes, k = 2).collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(got === Map(1L -> 3L, 2L -> 4L)) // 2 excluded despite cos ≈ 1
+  }
+
   test("N5: PQ codes separate well-separated clusters and ADC recovers the true neighbor") {
     import spark.implicits._
     // two tight clusters in orthogonal quadrants of an 8-dim space (m=2
