@@ -499,6 +499,65 @@ object TimeJoinQueries {
     })
   }
 
+  /** sfDirs whose st14 source files are already staged in this JVM. */
+  private val st14Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** st4's chronological staging with `event_id` carried (the OHLC
+    * tie-break key st4's source doesn't need): two halves + the
+    * far-future sentinel, one file per micro-batch.
+    */
+  private def ensureSt14Src(spark: SparkSession, sfDir: String): String = {
+    val src = TarQueries.stagePath("st14_src", sfDir)
+    st14Staged.computeIfAbsent(sfDir, _ => {
+      graft.io.FsOps.deletePrefix(spark, src)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("ts"), col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid = lo + (hi - lo) / 2
+      val tmp = s"${TarQueries.StageDir}/st14_tmp"
+      val base = java.nio.file.Paths.get(src)
+      val t0 = System.currentTimeMillis()
+      stageOneFile(ev.filter(col("us") <= mid).drop("us"),
+        tmp, base.resolve("0001.parquet"), t0)
+      stageOneFile(ev.filter(col("us") > mid).drop("us"),
+        tmp, base.resolve("0002.parquet"), t0 + 2000)
+      import spark.implicits._
+      stageOneFile(
+        Seq((new java.sql.Timestamp((hi + 30L * 86400000000L) / 1000),
+          0L, "__sentinel", 0.0)).toDF("ts", "event_id", "event_type", "value"),
+        tmp, base.resolve("0003.parquet"), t0 + 4000)
+      src
+    })
+  }
+
+  /** ST14 — streaming OHLC resample
+    * ([[graft.streaming.WindowedAgg.drainTumblingOhlc]]): w8's 15-minute
+    * bars maintained incrementally at the ingest door — open/close as
+    * constant-state `min_by`/`max_by` extremes per open (window, type)
+    * group, finalized exactly once by the append-mode watermark. The
+    * oracle is the BATCH w8 definition over the same events, so a hash
+    * match proves stream ≡ batch for the whole bar — including that
+    * open/close extremes maintained across the chronological batch
+    * boundary agree with the global (us, event_id) order.
+    */
+  def streamOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = ensureSt14Src(spark, sfDir)
+    val out = s"${TarQueries.StageDir}/st14_ohlc.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st14")
+      .resolve("ckpt").toString
+    val stream = chronStream(spark, src)
+    graft.streaming.WindowedAgg.drainTumblingOhlc(stream, "15 minutes",
+      "1 minute", out, ckpt,
+      statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
+        Tables.rowCount(spark, sfDir, "events"),
+        spark.sparkContext.defaultParallelism)))
+    spark.read.parquet(out).filter(col("event_type") =!= "__sentinel")
+  }
+
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val src = ensureSt4Src(spark, sfDir)
     val out = s"${TarQueries.StageDir}/st4_win.parquet"
@@ -709,6 +768,7 @@ object TimeJoinQueries {
     "w5_rolling_anomaly" -> rollingAnomaly,
     "w7_period_compare" -> periodCompare,
     "w8_ohlc_resample" -> ohlcResample,
+    "st14_stream_ohlc" -> streamOhlc,
     "st5_stream_join" -> streamJoin
   )
 
@@ -725,6 +785,7 @@ object TimeJoinQueries {
     "w5_rolling_anomaly" -> rollingAnomalySql,
     "w7_period_compare" -> periodCompareSql,
     "w8_ohlc_resample" -> ohlcResampleSql,
+    "st14_stream_ohlc" -> ohlcResampleSql,
     "st5_stream_join" -> streamJoinSql
   )
 }

@@ -93,6 +93,43 @@ object WindowedAgg {
     drainAppend(tumblingCounts(stream, window, delay), outDir, checkpointDir,
       statePartitions)(_.format("parquet").option("path", outDir))
 
+  /** ST14 — streaming OHLC resample (w8's bars maintained at the ingest
+    * door): `min_by`/`max_by` over the `(us, event_id)` total order are
+    * DECLARATIVE aggregates with constant per-group state, so the
+    * open/close extremes maintain incrementally per open (window, type)
+    * group — no per-event buffering, the property that makes OHLC a
+    * streaming-safe rollup — and finalize exactly once on window close
+    * under the append-mode watermark contract. Output schema matches the
+    * batch `w8_ohlc_resample` exactly, so stream ≡ batch is gradable
+    * against the same oracle.
+    */
+  /** The ST14 aggregation — public so the spec drives it through a
+    * MemoryStream like [[tumblingCounts]]; works for batch frames too.
+    */
+  def tumblingOhlc(events: DataFrame, window: String, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("us"), col("event_id"))).as("open_value"),
+        max(col("value")).as("high_value"),
+        min(col("value")).as("low_value"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("close_value"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
+        col("open_value"), col("high_value"), col("low_value"),
+        col("close_value"), col("n_events"), col("sum_value"))
+
+  def drainTumblingOhlc(stream: DataFrame, window: String, delay: String,
+                        outDir: String, checkpointDir: String,
+                        statePartitions: Option[Int] = None): Unit =
+    drainAppend(tumblingOhlc(stream, window, delay),
+      outDir, checkpointDir, statePartitions)(
+      _.format("parquet").option("path", outDir))
+
   /** ST12 — streaming per-window approximate distinct: HLL++
     * (`approx_count_distinct`) inside the watermarked windowed
     * aggregation. Exact `COUNT(DISTINCT)` is UNSUPPORTED in streaming

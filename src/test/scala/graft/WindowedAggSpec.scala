@@ -55,6 +55,38 @@ class WindowedAggSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("ST14: OHLC extremes maintain across batches; open/close follow (us, event_id)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val windowed = WindowedAgg.tumblingOhlc(
+      in.toDF().toDF("ts", "event_id", "event_type", "value"),
+      "15 minutes", "1 minute")
+    val q = windowed.writeStream
+      .format("memory").queryName("st14_spec")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: two same-us rows (ids 2 then 1 — id must break the tie)
+      // and a high; bar [10:00, 10:15) stays OPEN (wm = 10:05 - 1m)
+      in.addData((t("10:00"), 2L, "a", 5.0), (t("10:00"), 1L, "a", 3.0),
+        (t("10:05"), 3L, "a", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("st14_spec").count() === 0) // nothing finalized yet
+      // batch 2: the eventual close arrives AFTER the batch boundary, then
+      // a far-future row finalizes the bar — extremes must have merged
+      // across batches and close must be the latest (us, event_id) row
+      in.addData((t("10:10"), 4L, "a", 1.0), (t("23:00"), 9L, "a", 0.0))
+      q.processAllAvailable()
+      val bars = spark.table("st14_spec").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6))).toList
+      val barUs = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+      assert(bars === List((barUs, "a", 3.0, 9.0, 1.0, 1.0, 4L)))
+    } finally q.stop()
+  }
+
   test("ST10: trending rank sees complete windows even when rows span batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("st10spec")
