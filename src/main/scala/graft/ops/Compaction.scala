@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** S19 — small-file compaction, the lake-maintenance op every long-lived
@@ -57,6 +57,71 @@ object Compaction {
     spark.read.parquet(inDir)
       .repartitionByRange(n, col(sortCol))
       .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(outDir)
+    graft.io.FsOps.list(spark, outDir, suffix = ".parquet")
+      .count().toInt
+  }
+
+  /** Spread the low 16 bits of `x` to even bit positions (Morton
+    * expansion) — the standard shift-and-mask cascade, pure codegen
+    * bitwise ops on longs.
+    */
+  private def spread16(x: Column): Column = {
+    val s1 = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton/Z-order interleave of two 16-bit values (`a` in even bits,
+    * `b` in odd): nearby (a, b) points share long z-key prefixes, so
+    * RANGE-partitioning the z-key yards rows into files whose min/max
+    * stats bound BOTH columns — the property multi-column file pruning
+    * needs and single-key clustering cannot provide (the second column's
+    * per-file range stays the full domain). Inputs must already be
+    * scaled to 0..65535.
+    */
+  def zOrderKey(a16: Column, b16: Column): Column =
+    spread16(a16).bitwiseOR(shiftleft(spread16(b16), 1))
+
+  /** [[compact]]'s multi-column form — OPTIMIZE ... ZORDER BY (a, b) for
+    * bare-directory parquet: rewrite `inDir` into size-targeted files
+    * range-clustered on the Morton interleave of the two INTEGER key
+    * columns (each scaled to 16 bits by integer arithmetic from its
+    * min/max — one bounds aggregate, exact on longs). Same one-shuffle
+    * cost as single-key compaction; what changes is only WHICH key the
+    * range partitioner sees. Point/range queries on EITHER column (or
+    * both) then prune files by parquet min/max stats instead of reading
+    * everything — at lake scale the difference between scanning ~√F of F
+    * files and scanning all of them on the second key.
+    */
+  def compactZOrder(spark: SparkSession, inDir: String, outDir: String,
+                    targetBytes: Long, colA: String, colB: String): Int = {
+    require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toUri.normalize().toString
+    }
+    val inN = qualified(inDir).stripSuffix("/") + "/"
+    val outN = qualified(outDir).stripSuffix("/") + "/"
+    require(!inN.startsWith(outN) && !outN.startsWith(inN),
+      s"inDir ($inDir) and outDir ($outDir) overlap")
+    val df = spark.read.parquet(inDir)
+    val b = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
+    def rank(cname: String, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      // positive-only integer scaling to 0..65535 — `div`, never `/`
+      else expr(s"((CAST($cname AS BIGINT) - ${lo}L) * 65535L) div ${hi - lo}L")
+    val totalBytes = graft.io.FsOps.parquetBytes(spark, inDir)
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    df.withColumn("__z",
+        zOrderKey(rank(colA, b.getLong(0), b.getLong(1)),
+          rank(colB, b.getLong(2), b.getLong(3))))
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode("overwrite").parquet(outDir)
     graft.io.FsOps.list(spark, outDir, suffix = ".parquet")
       .count().toInt

@@ -734,6 +734,40 @@ object CoreQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** S23 — Z-order compaction ([[graft.ops.Compaction.compactZOrder]]):
+    * s19's rewrite with the Morton (user_id, event_id) interleave as the
+    * range key, so every output file's parquet min/max stats bound BOTH
+    * columns — the two-key pruning layout (OPTIMIZE ... ZORDER) that
+    * single-key clustering cannot give. Graded like s19 by aggregate
+    * equality against the ORIGINAL table (row loss/duplication in the
+    * rewrite breaks the hash; min/max of both keys ride the output);
+    * the layout property itself — per-file bounding boxes tight in both
+    * dimensions, v. single-key's full-range second column — is pinned in
+    * `ScaleSpec`.
+    */
+  def zorderCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = s"${TarQueries.StageDir}/s23"
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$stage/small")
+    graft.ops.Compaction.compactZOrder(spark, s"$stage/small", s"$stage/z",
+      targetBytes = 4L << 20, colA = "user_id", colB = "event_id")
+    spark.read.parquet(s"$stage/z")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  val zorderCompactionSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |       MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+      |       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** W6 — cumulative unique users per day (the DAU/cumulative-uniques
     * dashboard query): naive running COUNT(DISTINCT) over an expanding
     * window re-deduplicates the whole prefix at every step — quadratic
@@ -1116,6 +1150,7 @@ object CoreQueries {
     "s17_orc_scan" -> orcScan,
     "s18_schema_evolution" -> schemaEvolution,
     "s19_compaction" -> compaction,
+    "s23_zorder_compaction" -> zorderCompaction,
     "j8_fuzzy_match" -> fuzzyMatch,
     "j9_scd2" -> scd2,
     "w6_cumulative_uniques" -> cumulativeUniques,
@@ -1158,6 +1193,7 @@ object CoreQueries {
     "s17_orc_scan" -> orcScanSql,
     "s18_schema_evolution" -> schemaEvolutionSql,
     "s19_compaction" -> compactionSql,
+    "s23_zorder_compaction" -> zorderCompactionSql,
     "j8_fuzzy_match" -> fuzzyMatchSql,
     "j9_scd2" -> scd2Sql,
     "w6_cumulative_uniques" -> cumulativeUniquesSql,

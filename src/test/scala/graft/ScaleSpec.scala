@@ -382,6 +382,46 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("S23: z-order bounds BOTH key columns per file; single-key leaves the second at full range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-s23").toString
+    // two independent uniform keys — the shape where single-key clustering
+    // provably cannot help the second column
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 20000L)
+      .map(i => (i, rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+      .toDF("row_id", "a", "b")
+    df.repartition(32).write.mode("overwrite").parquet(s"$root/small")
+    graft.ops.Compaction.compact(spark, s"$root/small", s"$root/single",
+      targetBytes = 24L << 10, sortCol = "a")
+    graft.ops.Compaction.compactZOrder(spark, s"$root/small", s"$root/z",
+      targetBytes = 24L << 10, colA = "a", colB = "b")
+    // pure key math first: interleave is exact
+    val z = spark.range(1)
+      .select(graft.ops.Compaction.zOrderKey(lit(0xFFFFL), lit(0L)).as("za"),
+        graft.ops.Compaction.zOrderKey(lit(0L), lit(0xFFFFL)).as("zb"))
+      .collect()(0)
+    assert(z.getLong(0) === 0x55555555L && z.getLong(1) === 0xAAAAAAAAL)
+    def meanExtents(dir: String): (Double, Double) = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("a") - min("a")).as("ea"), (max("b") - min("b")).as("eb"))
+        .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+      (spans.map(_._1).sum / spans.length / 65535.0,
+        spans.map(_._2).sum / spans.length / 65535.0)
+    }
+    val (sa, sb) = meanExtents(s"$root/single")
+    val (za2, zb2) = meanExtents(s"$root/z")
+    assert(sa < 0.5, s"single-key files are not clustered on a (mean extent $sa)")
+    assert(sb > 0.9, s"single-key second column should be full-range (got $sb)")
+    // z-order: BOTH columns bounded well below the full domain per file
+    assert(za2 < 0.6 && zb2 < 0.6,
+      s"z-order did not bound both columns (a=$za2, b=$zb2)")
+    // and the rewrite is lossless
+    assert(spark.read.parquet(s"$root/z").count() === 20000L)
+  }
+
   test("stableIds after a range sort equals the global sort rank (t14's shape)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
