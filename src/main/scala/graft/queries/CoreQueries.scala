@@ -768,6 +768,51 @@ object CoreQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** J10 — snapshot diff (CDC derivation): given two versions of a keyed
+    * table, emit the insert/update/delete change set — the feed every
+    * incremental downstream (q11's refresh, a replication stream, an
+    * audit log) consumes when the source system offers only full
+    * snapshots. Two deterministic snapshots derive from events
+    * (v1 drops `event_id % 7 = 0`; v2 drops `% 3 = 0` and bumps value by
+    * 1 where `% 5 = 0`), so all three change kinds are non-vacuously
+    * present and BOTH engines can derive the versions without staging.
+    * Unchanged rows are EXCLUDED (the point of a diff: output scales
+    * with the change volume, not the table). Shape: one full-outer hash
+    * equi-join on the key — the classify step is a projection; at lake
+    * scale both sides bucket on the key and the join is co-located.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    val v1 = ev.filter(col("event_id") % 7 =!= 0)
+      .select(col("event_id"), col("value").as("old_value"))
+    val v2 = ev.filter(col("event_id") % 3 =!= 0)
+      .select(col("event_id"),
+        when(col("event_id") % 5 === 0, col("value") + 1.0)
+          .otherwise(col("value")).as("new_value"))
+    v1.join(v2, Seq("event_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_value").isNull, lit("I"))
+          .when(col("new_value").isNull, lit("D"))
+          .when(col("old_value") =!= col("new_value"), lit("U")))
+      .filter(col("change").isNotNull)
+      .select("event_id", "change", "old_value", "new_value")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH v1 AS (SELECT event_id, value AS old_value FROM events
+      |            WHERE event_id % 7 != 0),
+      |v2 AS (SELECT event_id,
+      |              CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS new_value
+      |       FROM events WHERE event_id % 3 != 0)
+      |SELECT COALESCE(v1.event_id, v2.event_id) AS event_id,
+      |       CASE WHEN v1.event_id IS NULL THEN 'I'
+      |            WHEN v2.event_id IS NULL THEN 'D'
+      |            WHEN old_value != new_value THEN 'U' END AS change,
+      |       old_value, new_value
+      |FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
+      |WHERE (v1.event_id IS NULL OR v2.event_id IS NULL
+      |       OR old_value != new_value)""".stripMargin
+
   /** W6 — cumulative unique users per day (the DAU/cumulative-uniques
     * dashboard query): naive running COUNT(DISTINCT) over an expanding
     * window re-deduplicates the whole prefix at every step — quadratic
@@ -1153,6 +1198,7 @@ object CoreQueries {
     "s23_zorder_compaction" -> zorderCompaction,
     "j8_fuzzy_match" -> fuzzyMatch,
     "j9_scd2" -> scd2,
+    "j10_snapshot_diff" -> snapshotDiff,
     "w6_cumulative_uniques" -> cumulativeUniques,
     "s15_malformed_json" -> malformedJson,
     "w3_sliding_window" -> slidingCounts
@@ -1196,6 +1242,7 @@ object CoreQueries {
     "s23_zorder_compaction" -> zorderCompactionSql,
     "j8_fuzzy_match" -> fuzzyMatchSql,
     "j9_scd2" -> scd2Sql,
+    "j10_snapshot_diff" -> snapshotDiffSql,
     "w6_cumulative_uniques" -> cumulativeUniquesSql,
     "s15_malformed_json" -> malformedJsonSql,
     "w3_sliding_window" -> slidingCountsSql

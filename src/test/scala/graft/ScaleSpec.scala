@@ -422,6 +422,22 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(s"$root/z").count() === 20000L)
   }
 
+  test("J10: snapshot diff emits exactly the modular construction's I/U/D classes") {
+    val d = graft.queries.CoreQueries.snapshotDiff(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(d.map(_._2).toSet === Set("I", "D", "U")) // all three kinds fire
+    d.foreach { case (id, c) =>
+      c match {
+        case "I" => assert(id % 7 == 0 && id % 3 != 0, s"bad insert $id")
+        case "D" => assert(id % 3 == 0 && id % 7 != 0, s"bad delete $id")
+        case "U" => assert(id % 5 == 0 && id % 3 != 0 && id % 7 != 0, s"bad update $id")
+      }
+    }
+    // diff output scales with the CHANGE volume: unchanged rows are absent
+    val n = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert(d.length < n, "diff emitted unchanged rows")
+  }
+
   test("stableIds after a range sort equals the global sort rank (t14's shape)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
