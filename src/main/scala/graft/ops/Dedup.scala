@@ -101,56 +101,67 @@ object Dedup {
     * then dedup across bands. The self-join form shuffled the band rows
     * TWICE and sort-merged 7.5M rows into 3k pairs; this shuffles them
     * once (map-side partial collect) and the pair dedup exchange carries
-    * only the pairs. In-row expansion is safe because bucket occupancy
-    * is BOUNDED by construction — identical sets collapse to one
-    * representative before banding ([[setGroups]]), band-key depth
-    * self-sizes with the corpus ([[LshSizing.bandShape]]), and dense
-    * gram corpora run band-side df-pruning — the measured maxima are
-    * 15 (d2) / 78 (d6 pruned) members, i.e. ≤ ~3k structs per bucket
-    * row. A corpus that defeats all three bounds should lower
-    * `targetPerBucket`, not re-widen this into a join.
+    * only the pairs. Bucket occupancy is BOUNDED by construction —
+    * identical sets collapse to one representative before banding
+    * ([[setGroups]]), band-key depth self-sizes with the corpus
+    * ([[LshSizing.bandShape]]), and dense gram corpora run band-side
+    * df-pruning — the measured maxima are 15 (d2) / 78 (d6 pruned)
+    * members.
+    *
+    * Hard memory guard (review r16, reworked): those bounds are SOFT — a
+    * caller pinning bands with pruning off on a skewed corpus can defeat
+    * all three, and an m-member bucket expanded naively builds m(m−1)/2
+    * structs inside ONE row (multi-GB at m ≳ 10⁵ — an executor OOM). The
+    * expansion therefore goes through a CHUNK-PAIR explode: each sorted
+    * bucket splits into √maxExpand-sized consecutive chunks, every
+    * ordered chunk pair (a ≤ b) becomes its own row, and the pair
+    * expansion runs per chunk pair — triangular on the diagonal, full
+    * cross off it (consecutive slices of a sorted array, so every
+    * element of chunk a < every element of chunk b: the cross product IS
+    * the ordered pairs). Exact for any bucket size, ≤ `maxExpand`
+    * structs per row, and the plan stays ONE narrow pipeline —
+    * aggregate → explode → explode. Chosen over the earlier two-arm
+    * join fallback on STRUCTURE, not wall-clock: the stage-profiled sf1
+    * candidate stage is equivalent across unguarded / two-arm / chunked
+    * (4.0 / 4.2 / 4.5 s, within the box's noise band — SCALING.md r16),
+    * but the two-arm shape consumed the bucket aggregate twice, which
+    * forced a lazy localCheckpoint whose truncated lineage made an
+    * executor loss fatal and whose blocks outlived the query; this form
+    * needs no materialization, no join, and no second consumer. Typical
+    * buckets (m ≤ c) take the k=1 fast path: one chunk-pair row
+    * carrying the bucket once, the same triangular expansion as the
+    * unguarded shape.
     */
   def candidatePairs(bands: DataFrame, maxExpand: Int = 4096): DataFrame = {
-    // ONE aggregation, shared by both arms: the post-filter bucket set
-    // (multi-occupancy only) is orders smaller than the band-row input,
-    // so a lazy localCheckpoint materializes it once and the small/big
-    // arms below read blocks instead of re-running the object aggregate
-    // (a count-prefilter + semi-join alternative measured SLOWER at sf1 —
-    // tools/CandProf, r16: the extra band-row exchange outweighs the
-    // singleton-group savings; dropping the checkpoint for a pure
-    // ReuseExchange plan also measured slower — sf1 A/B r16: d2 4.2→4.9,
-    // d6 4.1→4.7 s — the reduce-side aggregate re-runs per arm).
-    // Lifecycle: the checkpointed blocks are ContextCleaner-cleaned once
-    // the returned plan is dereferenced (unlike CacheManager-pinned
-    // persist()); the trade is truncated lineage — on a real cluster an
-    // executor lost between materialization and the arms' reads fails
-    // the JOB (recovered by resubmission), it cannot recompute blocks.
-    val buckets = bands.groupBy(col("band"), col("key"))
+    val c = math.max(2, math.sqrt(maxExpand.toDouble).toInt)
+    // last chunk index = ceil(m / c) - 1, integer arithmetic
+    val kM1 = expr(s"cast((size(ids) + ${c - 1}) div $c as int) - 1")
+    val emptyChunk = array().cast("array<bigint>")
+    // an empty cb marks a DIAGONAL chunk pair (triangular expansion over
+    // ca); the m <= c fast path emits exactly one such element carrying
+    // the whole bucket, so typical buckets pay one struct wrap over the
+    // unguarded shape and never copy the array twice
+    val chunks = when(size(col("ids")) <= c,
+        array(struct(col("ids").as("ca"), emptyChunk.as("cb"))))
+      .otherwise(flatten(transform(sequence(lit(0), kM1), a =>
+        transform(sequence(a, kM1), b =>
+          struct(slice(col("ids"), a * c + 1, lit(c)).as("ca"),
+            when(a === b, emptyChunk)
+              .otherwise(slice(col("ids"), b * c + 1, lit(c))).as("cb"))))))
+    bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .localCheckpoint(false)
-    val small = buckets.filter(size(col("ids")) <= maxExpand)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(explode(chunks).as("cp"))
+      .select(explode(when(size(col("cp.cb")) === 0,
+          flatten(transform(col("cp.ca"), (x, i) =>
+            transform(slice(col("cp.ca"), i + 2, size(col("cp.ca"))),
+              y => struct(x.as("id_a"), y.as("id_b"))))))
+        .otherwise(
+          flatten(transform(col("cp.ca"), x =>
+            transform(col("cp.cb"), y =>
+              struct(x.as("id_a"), y.as("id_b"))))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-    // Hard guard (review r16): the occupancy bounds above are SOFT — a
-    // caller pinning bands with pruning off on a skewed corpus can
-    // defeat all three. A bucket past `maxExpand` must not build its
-    // O(m²) struct array inside one row (a multi-GB row OOMs the
-    // executor); it falls back to the distributed self-join shape, which
-    // spreads the same pairs across the (band, key) shuffle. Exact
-    // either way — no truncation — and the graded corpora (measured
-    // bucket maxima ≤ 78) never reach the join arm; identical
-    // aggregates on both arms share one exchange (ReuseExchange).
-    val bigIds = buckets.filter(size(col("ids")) > maxExpand)
-      .select(col("band"), col("key"), explode(col("ids")).as("id"))
-    val big = bigIds.alias("a")
-      .join(bigIds.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    small.unionByName(big).distinct()
+      .distinct()
   }
 
   /** Identical-set collapse for LSH candidate generation: tag every doc

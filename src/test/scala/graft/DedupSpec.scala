@@ -33,6 +33,26 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(w(20L) === ((1L, 1000000L, true))) // uniques keep full weight
   }
 
+  test("candidatePairs: a bucket far past the chunk size expands to the exact pair set") {
+    import spark.implicits._
+    // 150 members in one bucket: with chunk size sqrt(4096)=64 this takes
+    // the k=3 multi-chunk path (diagonal triangles + off-diagonal crosses)
+    // and must still produce exactly the m(m-1)/2 ordered pairs
+    val m = 150
+    val bands = (0 until m).map(i => (0, 0L, i.toLong)).toDF("band", "key", "doc_id")
+    val got = Dedup.candidatePairs(bands).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      a <- 0 until m; b <- a + 1 until m
+    } yield (a.toLong, b.toLong)).toSet
+    assert(got === expect)
+    // row-size guard: no single output row of the chunk-pair explode may
+    // carry more than maxExpand structs — checked via a tiny maxExpand
+    val small = Dedup.candidatePairs(bands, maxExpand = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small === expect) // exact at ANY chunking
+  }
+
   test("D1: exact duplicates group by canonical fingerprint") {
     val d = Dedup.exactDuplicates(docs(
       1L -> "the quick brown fox",
