@@ -21,27 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** Rewrite parquet `inDir` into `outDir` as size-targeted, range-
-    * clustered files; returns the file count actually written — at most
-    * `ceil(totalBytes/targetBytes)`, fewer when range sampling leaves
-    * empty partitions (heavy skew / few distinct keys emit no file).
+  /** Refuse overlapping in/out dirs (an overwrite-mode write into — or
+    * OVER, an ancestor outDir recursively deletes the input before the
+    * lazy scan reads it — the directory being read truncates the input
+    * mid-scan; the in-place variant is FsOps.compactParquet). Compares
+    * FULLY QUALIFIED forms (review r16): makeQualified resolves
+    * scheme/authority and relative paths against the FS default, and
+    * URI.normalize collapses '.'/'..' segments, so the same directory
+    * spelled two ways cannot slip past a raw string-prefix test.
+    * (Symlinked aliases on a local FS remain the caller's
+    * responsibility — no portable resolution exists across Hadoop
+    * filesystems.)
     */
-  def compact(spark: SparkSession, inDir: String, outDir: String,
-              targetBytes: Long, sortCol: String): Int = {
-    require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
-    // overwrite-mode write into (or OVER — an ancestor outDir recursively
-    // deletes the input before the lazy scan reads it) the directory
-    // being read would truncate the input mid-scan; the in-place variant
-    // is FsOps.compactParquet (same ceil(bytes/target) sizing via the
-    // shared parquetBytes listing, hash/coalesce instead of range
-    // clustering, staged through a tmp dir + rename). The containment
-    // check compares FULLY QUALIFIED forms (review r16): makeQualified
-    // resolves scheme/authority and relative paths against the FS
-    // default, and URI.normalize collapses '.'/'..' segments, so the
-    // same directory spelled two ways can no longer slip past a raw
-    // string-prefix test. (Symlinked aliases on a local FS remain the
-    // caller's responsibility — no portable resolution exists across
-    // Hadoop filesystems.)
+  private def requireDisjoint(spark: SparkSession, inDir: String,
+                              outDir: String): Unit = {
     def qualified(p: String): String = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -52,8 +45,25 @@ object Compaction {
     require(!inN.startsWith(outN) && !outN.startsWith(inN),
       s"inDir ($inDir) and outDir ($outDir) overlap — " +
         "use FsOps.compactParquet for in-place")
+  }
+
+  /** ceil(totalBytes / targetBytes), the shared output-file-count rule. */
+  private def targetFileCount(spark: SparkSession, inDir: String,
+                              targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
     val totalBytes = graft.io.FsOps.parquetBytes(spark, inDir)
-    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+  }
+
+  /** Rewrite parquet `inDir` into `outDir` as size-targeted, range-
+    * clustered files; returns the file count actually written — at most
+    * `ceil(totalBytes/targetBytes)`, fewer when range sampling leaves
+    * empty partitions (heavy skew / few distinct keys emit no file).
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long, sortCol: String): Int = {
+    requireDisjoint(spark, inDir, outDir)
+    val n = targetFileCount(spark, inDir, targetBytes)
     spark.read.parquet(inDir)
       .repartitionByRange(n, col(sortCol))
       .sortWithinPartitions(sortCol)
@@ -97,25 +107,26 @@ object Compaction {
     */
   def compactZOrder(spark: SparkSession, inDir: String, outDir: String,
                     targetBytes: Long, colA: String, colB: String): Int = {
-    require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
-    def qualified(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(hp).toUri.normalize().toString
-    }
-    val inN = qualified(inDir).stripSuffix("/") + "/"
-    val outN = qualified(outDir).stripSuffix("/") + "/"
-    require(!inN.startsWith(outN) && !outN.startsWith(inN),
-      s"inDir ($inDir) and outDir ($outDir) overlap")
+    requireDisjoint(spark, inDir, outDir)
     val df = spark.read.parquet(inDir)
     val b = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
+    // overflow-free 16-bit scaling (review r16: `(x - lo) * 65535` wraps
+    // for ranges past ~1.4e14 — hash ids, epoch nanos): divide by the
+    // BUCKET WIDTH instead, w = range div 65536 + 1, so rank =
+    // (x - lo) div w ∈ [0, 65535] with no multiplication anywhere
     def rank(cname: String, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      // positive-only integer scaling to 0..65535 — `div`, never `/`
-      else expr(s"((CAST($cname AS BIGINT) - ${lo}L) * 65535L) div ${hi - lo}L")
-    val totalBytes = graft.io.FsOps.parquetBytes(spark, inDir)
-    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      else if (hi - lo < 0L)
+        // range itself overflows Long (near-full-domain keys — 64-bit
+        // hashes): rank by the top 16 bits, i.e. (x − Long.MinValue) >>> 48,
+        // monotone and in [0, 65535]
+        expr(s"(CAST($cname AS BIGINT) >> 48) + 32768L")
+      else {
+        val w = ((hi - lo) >>> 16) + 1L // positive-only; range div 65536 + 1
+        expr(s"(CAST($cname AS BIGINT) - ${lo}L) div ${w}L")
+      }
+    val n = targetFileCount(spark, inDir, targetBytes)
     df.withColumn("__z",
         zOrderKey(rank(colA, b.getLong(0), b.getLong(1)),
           rank(colB, b.getLong(2), b.getLong(3))))

@@ -108,57 +108,63 @@ object Dedup {
     * df-pruning — the measured maxima are 15 (d2) / 78 (d6 pruned)
     * members.
     *
-    * Hard memory guard (review r16, reworked): those bounds are SOFT — a
-    * caller pinning bands with pruning off on a skewed corpus can defeat
-    * all three, and an m-member bucket expanded naively builds m(m−1)/2
-    * structs inside ONE row (multi-GB at m ≳ 10⁵ — an executor OOM). The
-    * expansion therefore goes through a CHUNK-PAIR explode: each sorted
-    * bucket splits into √maxExpand-sized consecutive chunks, every
-    * ordered chunk pair (a ≤ b) becomes its own row, and the pair
-    * expansion runs per chunk pair — triangular on the diagonal, full
-    * cross off it (consecutive slices of a sorted array, so every
-    * element of chunk a < every element of chunk b: the cross product IS
-    * the ordered pairs). Exact for any bucket size, ≤ `maxExpand`
-    * structs per row, and the plan stays ONE narrow pipeline —
-    * aggregate → explode → explode. Chosen over the earlier two-arm
-    * join fallback on STRUCTURE, not wall-clock: the stage-profiled sf1
-    * candidate stage is equivalent across unguarded / two-arm / chunked
-    * (4.0 / 4.2 / 4.5 s, within the box's noise band — SCALING.md r16),
-    * but the two-arm shape consumed the bucket aggregate twice, which
-    * forced a lazy localCheckpoint whose truncated lineage made an
-    * executor loss fatal and whose blocks outlived the query; this form
-    * needs no materialization, no join, and no second consumer. Typical
-    * buckets (m ≤ c) take the k=1 fast path: one chunk-pair row
-    * carrying the bucket once, the same triangular expansion as the
-    * unguarded shape.
+    * Hard memory guard (review r16, reworked twice): those bounds are
+    * SOFT — a caller pinning bands with pruning off on a skewed corpus
+    * can defeat all three, and an m-member bucket expanded naively
+    * builds m(m−1)/2 structs inside ONE row (multi-GB at m ≳ 10⁵ — an
+    * executor OOM). The expansion therefore goes through a CHUNK-PAIR
+    * explode: each sorted bucket splits into consecutive chunks of size
+    * `c = max(√maxExpand, ceil(m/1024))`, every ordered chunk INDEX
+    * pair (a ≤ b) becomes its own row (two ints each — the index array
+    * is ≤ ~4 MB however large the bucket, the first review cut carried
+    * the SLICES in the structs and was still O(m²/c) in one row), and
+    * the pair expansion slices + runs per chunk pair — triangular on
+    * the diagonal, full cross off it (consecutive slices of a sorted
+    * array, so every element of chunk a < every element of chunk b: the
+    * cross product IS the ordered pairs). Exact for any bucket size;
+    * per-row memory is ~max(maxExpand, (m/1024)²) structs — bounded to
+    * tens of MB up to m ≈ 2·10⁶, past which the m²/2 PAIR VOLUME itself
+    * (≥ 10¹² pairs, terabytes of output) is the wall no expansion shape
+    * survives: lower `targetPerBucket`. The plan stays ONE narrow
+    * pipeline — aggregate → explode → explode. Chosen over the earlier
+    * two-arm join fallback on STRUCTURE, not wall-clock: the
+    * stage-profiled sf1 candidate stage is equivalent across unguarded
+    * / two-arm / chunked (4.0 / 4.2 / 4.5 s, within the box's noise
+    * band — SCALING.md r16), but the two-arm shape consumed the bucket
+    * aggregate twice, which forced a lazy localCheckpoint whose
+    * truncated lineage made an executor loss fatal and whose blocks
+    * outlived the query; this form needs no materialization, no join,
+    * and no second consumer. Typical buckets (m ≤ 64; graded maxima
+    * 15/78) take the k=1 fast path: one chunk-pair row carrying the
+    * bucket once, the same triangular expansion as the unguarded shape.
     */
   def candidatePairs(bands: DataFrame, maxExpand: Int = 4096): DataFrame = {
-    val c = math.max(2, math.sqrt(maxExpand.toDouble).toInt)
-    // last chunk index = ceil(m / c) - 1, integer arithmetic
-    val kM1 = expr(s"cast((size(ids) + ${c - 1}) div $c as int) - 1")
-    val emptyChunk = array().cast("array<bigint>")
-    // an empty cb marks a DIAGONAL chunk pair (triangular expansion over
-    // ca); the m <= c fast path emits exactly one such element carrying
-    // the whole bucket, so typical buckets pay one struct wrap over the
-    // unguarded shape and never copy the array twice
-    val chunks = when(size(col("ids")) <= c,
-        array(struct(col("ids").as("ca"), emptyChunk.as("cb"))))
-      .otherwise(flatten(transform(sequence(lit(0), kM1), a =>
-        transform(sequence(a, kM1), b =>
-          struct(slice(col("ids"), a * c + 1, lit(c)).as("ca"),
-            when(a === b, emptyChunk)
-              .otherwise(slice(col("ids"), b * c + 1, lit(c))).as("cb"))))))
-    bands.groupBy(col("band"), col("key"))
+    val cMin = math.max(2, math.sqrt(maxExpand.toDouble).toInt)
+    val kMax = 1024L
+    val buckets = bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(chunks).as("cp"))
-      .select(explode(when(size(col("cp.cb")) === 0,
-          flatten(transform(col("cp.ca"), (x, i) =>
-            transform(slice(col("cp.ca"), i + 2, size(col("cp.ca"))),
+      // per-bucket chunk size: sqrt(maxExpand) normally, growing past
+      // kMax chunks so the index-pair array stays O(kMax^2) regardless
+      .withColumn("c",
+        greatest(lit(cMin.toLong), expr(s"(size(ids) + ${kMax - 1}) div $kMax")))
+      .withColumn("k1", expr("cast((size(ids) + c - 1) div c as int) - 1"))
+    val chunkPairs = buckets.select(col("ids"), col("c"),
+      explode(flatten(transform(sequence(lit(0), col("k1")), a =>
+        transform(sequence(a, col("k1")), b =>
+          struct(a.as("a"), b.as("b")))))).as("cp"))
+    val ca = slice(col("ids"),
+      (col("cp.a").cast("long") * col("c") + 1L).cast("int"), col("c").cast("int"))
+    val cb = slice(col("ids"),
+      (col("cp.b").cast("long") * col("c") + 1L).cast("int"), col("c").cast("int"))
+    chunkPairs
+      .select(explode(when(col("cp.a") === col("cp.b"),
+          flatten(transform(ca, (x, i) =>
+            transform(slice(ca, i + 2, size(ca)),
               y => struct(x.as("id_a"), y.as("id_b"))))))
         .otherwise(
-          flatten(transform(col("cp.ca"), x =>
-            transform(col("cp.cb"), y =>
+          flatten(transform(ca, x =>
+            transform(cb, y =>
               struct(x.as("id_a"), y.as("id_b"))))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()

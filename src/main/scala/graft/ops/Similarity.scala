@@ -219,11 +219,21 @@ object Similarity {
     * corpus map-side, reduce with [[TopK]]. Output (probe_id, neighbor_id,
     * rank), rank 1-based by (cos desc, vec_id asc).
     */
-  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val p = withUnit(probes, "embedding", "pu").select(col("vec_id").as("p_id"), col("pu"))
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    rankTopK(corpus,
+      withUnit(probes, "embedding", "pu").select(col("vec_id").as("p_id"), col("pu")),
+      k, keep = lit(true))
+
+  /** The shared broadcast-probes / map-side-score / bounded-heap / rank
+    * pipeline behind [[bruteForceTopK]] and [[hardNegatives]]: `probes`
+    * carries (p_id, pu[, extra probe columns]); `keep` is an additional
+    * scan-side predicate fused ahead of the heap (n12's label mismatch).
+    */
+  private def rankTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                       keep: Column): DataFrame = {
     val topk = udaf(new TopK(k), Encoders.product[Scored])
-    withUnit(corpus, "embedding", "u").crossJoin(broadcast(p))
-      .filter(col("vec_id") =!= col("p_id"))
+    withUnit(corpus, "embedding", "u").crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("p_id") && keep)
       .withColumn("cos", dot(col("pu"), col("u")))
       .groupBy("p_id")
       .agg(topk(col("cos"), col("vec_id")).as("top"))
@@ -245,19 +255,11 @@ object Similarity {
     * map-side and reduced through [[TopK]] — ≤ k candidates per probe
     * per partition shuffle, nothing pair-shaped ever exchanges.
     */
-  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val p = withUnit(probes, "embedding", "pu")
-      .select(col("vec_id").as("p_id"), col("label").as("p_label"), col("pu"))
-    val topk = udaf(new TopK(k), Encoders.product[Scored])
-    withUnit(corpus, "embedding", "u").crossJoin(broadcast(p))
-      .filter(col("vec_id") =!= col("p_id") && col("label") =!= col("p_label"))
-      .withColumn("cos", dot(col("pu"), col("u")))
-      .groupBy("p_id")
-      .agg(topk(col("cos"), col("vec_id")).as("top"))
-      .select(col("p_id").as("probe_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("probe_id"), col("s.id").as("neighbor_id"),
-        (col("pos") + 1).cast("long").as("rank"))
-  }
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    rankTopK(corpus,
+      withUnit(probes, "embedding", "pu")
+        .select(col("vec_id").as("p_id"), col("label").as("p_label"), col("pu")),
+      k, keep = col("label") =!= col("p_label"))
 
   /** N11 — exact maximum-inner-product top-k via the norm-augmentation
     * reduction (Bachrach et al., RecSys 2014; Neyshabur & Srebro 2015):
@@ -280,7 +282,10 @@ object Similarity {
     */
   def mipsTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val d = col("embedding").cast("array<double>")
-    val m2 = corpus.agg(max(dot(d, d))).collect()(0).getDouble(0)
+    val m2Row = corpus.agg(max(dot(d, d))).collect()(0)
+    // max over zero rows is NULL — an empty corpus must yield an empty
+    // result (as bruteForceTopK would), not a driver NPE (review r16)
+    val m2 = if (m2Row.isNullAt(0)) 0.0 else m2Row.getDouble(0)
     // greatest(0, ·) guards the sqrt against -epsilon on the max-norm
     // vector itself (m2 - dot computed in double)
     val aug = corpus.select(col("vec_id"),

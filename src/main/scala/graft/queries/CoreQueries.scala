@@ -783,16 +783,21 @@ object CoreQueries {
     */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    // presence flags, NOT value nullness, decide I/D (review r16: a
+    // NULL-valued row present in both snapshots must not classify as an
+    // insert — the oracle keys presence on the join side's key column)
     val v1 = ev.filter(col("event_id") % 7 =!= 0)
-      .select(col("event_id"), col("value").as("old_value"))
+      .select(col("event_id"), col("value").as("old_value"),
+        lit(true).as("in_v1"))
     val v2 = ev.filter(col("event_id") % 3 =!= 0)
       .select(col("event_id"),
         when(col("event_id") % 5 === 0, col("value") + 1.0)
-          .otherwise(col("value")).as("new_value"))
+          .otherwise(col("value")).as("new_value"),
+        lit(true).as("in_v2"))
     v1.join(v2, Seq("event_id"), "full_outer")
       .withColumn("change",
-        when(col("old_value").isNull, lit("I"))
-          .when(col("new_value").isNull, lit("D"))
+        when(col("in_v1").isNull, lit("I"))
+          .when(col("in_v2").isNull, lit("D"))
           .when(col("old_value") =!= col("new_value"), lit("U")))
       .filter(col("change").isNotNull)
       .select("event_id", "change", "old_value", "new_value")

@@ -473,65 +473,66 @@ object TimeJoinQueries {
   /** Stage the st4/st10 chronological event files (halves + far-future
     * sentinel) once per (JVM, sfDir); returns the source dir.
     */
-  private def ensureSt4Src(spark: SparkSession, sfDir: String): String = {
-    val src = TarQueries.stagePath("st4_src", sfDir)
-    st4Staged.computeIfAbsent(sfDir, _ => {
-      graft.io.FsOps.deletePrefix(spark, src)
-      val ev = Tables.events(spark, sfDir)
-        .select(col("ts"), col("event_type"), col("value"), col("user_id"),
-          unix_micros(col("ts")).as("us"))
-      val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
-        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-      val mid = lo + (hi - lo) / 2
-      val tmp = s"${TarQueries.StageDir}/st4_tmp"
-      val base = java.nio.file.Paths.get(src)
-      val t0 = System.currentTimeMillis()
-      stageOneFile(ev.filter(col("us") <= mid).drop("us"),
-        tmp, base.resolve("0001.parquet"), t0)
-      stageOneFile(ev.filter(col("us") > mid).drop("us"),
-        tmp, base.resolve("0002.parquet"), t0 + 2000)
-      import spark.implicits._
-      stageOneFile(
-        Seq((new java.sql.Timestamp((hi + 30L * 86400000000L) / 1000),
-          "__sentinel", 0.0, 0L)).toDF("ts", "event_type", "value", "user_id"),
-        tmp, base.resolve("0003.parquet"), t0 + 4000)
-      src
-    })
+  /** Shared halves-plus-sentinel chronological staging (st4/st14): split
+    * `ev` (which must carry a `us` epoch-µs column, dropped on write) at
+    * its temporal midpoint into two one-file micro-batches, then a
+    * far-future sentinel (30 days past max — `mkSentinel` receives the
+    * max and must return one schema-matching row) that pushes the
+    * watermark past every real window; mtimes spaced 2 s apart so
+    * FileStreamSource's arrival order is deterministic. A drain-contract
+    * change (sentinel offset, mtime rule) now lands once for every
+    * chronological stager.
+    */
+  private def stageChronHalves(spark: SparkSession, src: String, tag: String,
+                               ev: DataFrame,
+                               mkSentinel: Long => DataFrame): String = {
+    graft.io.FsOps.deletePrefix(spark, src)
+    val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    val tmp = s"${TarQueries.StageDir}/${tag}_tmp"
+    val base = java.nio.file.Paths.get(src)
+    val t0 = System.currentTimeMillis()
+    stageOneFile(ev.filter(col("us") <= mid).drop("us"),
+      tmp, base.resolve("0001.parquet"), t0)
+    stageOneFile(ev.filter(col("us") > mid).drop("us"),
+      tmp, base.resolve("0002.parquet"), t0 + 2000)
+    stageOneFile(mkSentinel(hi), tmp, base.resolve("0003.parquet"), t0 + 4000)
+    src
   }
+
+  /** The sentinel timestamp: 30 days past the stream's max event time. */
+  private def sentinelTs(hi: Long) =
+    new java.sql.Timestamp((hi + 30L * 86400000000L) / 1000)
+
+  private def ensureSt4Src(spark: SparkSession, sfDir: String): String =
+    st4Staged.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      stageChronHalves(spark, TarQueries.stagePath("st4_src", sfDir), "st4",
+        Tables.events(spark, sfDir)
+          .select(col("ts"), col("event_type"), col("value"), col("user_id"),
+            unix_micros(col("ts")).as("us")),
+        hi => Seq((sentinelTs(hi), "__sentinel", 0.0, 0L))
+          .toDF("ts", "event_type", "value", "user_id"))
+    })
 
   /** sfDirs whose st14 source files are already staged in this JVM. */
   private val st14Staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** st4's chronological staging with `event_id` carried (the OHLC
-    * tie-break key st4's source doesn't need): two halves + the
-    * far-future sentinel, one file per micro-batch.
+    * tie-break key st4's source doesn't need).
     */
-  private def ensureSt14Src(spark: SparkSession, sfDir: String): String = {
-    val src = TarQueries.stagePath("st14_src", sfDir)
+  private def ensureSt14Src(spark: SparkSession, sfDir: String): String =
     st14Staged.computeIfAbsent(sfDir, _ => {
-      graft.io.FsOps.deletePrefix(spark, src)
-      val ev = Tables.events(spark, sfDir)
-        .select(col("ts"), col("event_id"), col("event_type"), col("value"),
-          unix_micros(col("ts")).as("us"))
-      val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
-        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-      val mid = lo + (hi - lo) / 2
-      val tmp = s"${TarQueries.StageDir}/st14_tmp"
-      val base = java.nio.file.Paths.get(src)
-      val t0 = System.currentTimeMillis()
-      stageOneFile(ev.filter(col("us") <= mid).drop("us"),
-        tmp, base.resolve("0001.parquet"), t0)
-      stageOneFile(ev.filter(col("us") > mid).drop("us"),
-        tmp, base.resolve("0002.parquet"), t0 + 2000)
       import spark.implicits._
-      stageOneFile(
-        Seq((new java.sql.Timestamp((hi + 30L * 86400000000L) / 1000),
-          0L, "__sentinel", 0.0)).toDF("ts", "event_id", "event_type", "value"),
-        tmp, base.resolve("0003.parquet"), t0 + 4000)
-      src
+      stageChronHalves(spark, TarQueries.stagePath("st14_src", sfDir), "st14",
+        Tables.events(spark, sfDir)
+          .select(col("ts"), col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("us")),
+        hi => Seq((sentinelTs(hi), 0L, "__sentinel", 0.0))
+          .toDF("ts", "event_id", "event_type", "value"))
     })
-  }
 
   /** ST14 — streaming OHLC resample
     * ([[graft.streaming.WindowedAgg.drainTumblingOhlc]]): w8's 15-minute

@@ -119,8 +119,9 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val p = plan("w8_ohlc_resample")
     assert("Exchange".r.findAllIn(p).size === 1, s"extra exchange in w8:\n$p")
     assert(!p.contains("Window"), s"w8 grew a window sort:\n$p")
-    assert(p.contains("partial_min_by") || p.contains("HashAggregate"),
-      s"w8 lost map-side combine:\n$p")
+    // the falsifiable marker: the extremes must combine MAP-SIDE
+    // (partial_min_by below the exchange), not only in the final agg
+    assert(p.contains("partial_min_by"), s"w8 lost map-side combine:\n$p")
   }
 
   test("soft dedup is one fingerprint-keyed window exchange (d20)") {
@@ -135,8 +136,8 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"n11 must broadcast the probe side:\n$p")
     assert(!p.contains("CartesianProduct"), s"n11 plans a cartesian product:\n$p")
-    assert(p.contains("partial_topk") || p.contains("HashAggregate"),
-      s"n11 lost the partial top-k cut:\n$p")
+    // the bounded heap must cut MAP-SIDE: partial_topk below the exchange
+    assert(p.contains("partial_topk"), s"n11 lost the partial top-k cut:\n$p")
   }
 
   test("hard-negative mining broadcasts anchors, cuts with the bounded heap (n12)") {
