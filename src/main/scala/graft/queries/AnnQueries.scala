@@ -138,6 +138,46 @@ object AnnQueries {
       |      FROM cand)
       |WHERE rnk <= 3""".stripMargin
 
+  /** H6 — retrieval evaluation: recall@k and MRR of the n2 IVF run
+    * against the n1 exact ranking as ground truth — the measurement loop
+    * every retrieval/ANN deployment runs before trading recall for
+    * speed. Metrics stay INTEGER (hit counts; MRR as `1000000 div
+    * first_relevant_rank`, 0 when no hit) so the grade is exact.
+    * Non-vacuous by construction: 8 coarse cells probed at nprobe=1
+    * lose cross-cell neighbors, so recall3_hits < 3 for some probes.
+    * Shape: both rankings are the existing bounded pipelines; the
+    * metric join/rollup touches ≤ k rows per probe.
+    */
+  def evalMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annTopK(spark, sfDir).filter(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    val run = annIvf(spark, sfDir)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+    val hits = run.join(truth, Seq("probe_id", "neighbor_id"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_found"), min(col("rank")).as("first_rank"))
+    truth.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_found"), lit(0L)).as("recall3_hits"),
+        coalesce(expr("1000000L div first_rank"), lit(0L)).as("mrr_ppm"))
+  }
+
+  val evalMetricsSql: String =
+    s"""WITH truth AS (
+       |  SELECT probe_id, neighbor_id FROM ($annTopKSql) WHERE rank <= 3),
+       |run AS ($annIvfSql),
+       |hits AS (
+       |  SELECT r.probe_id, COUNT(*) AS n_found, MIN(r.rank) AS first_rank
+       |  FROM run r JOIN truth t
+       |    ON r.probe_id = t.probe_id AND r.neighbor_id = t.neighbor_id
+       |  GROUP BY 1)
+       |SELECT p.probe_id,
+       |       CAST(COALESCE(n_found, 0) AS BIGINT) AS recall3_hits,
+       |       CAST(COALESCE(1000000 // first_rank, 0) AS BIGINT) AS mrr_ppm
+       |FROM (SELECT DISTINCT probe_id FROM truth) p
+       |LEFT JOIN hits USING (probe_id)""".stripMargin
+
   /** N4 — scalar-quantized (int8) search with exact rerank
     * ([[graft.ops.Similarity.quantizedTopK]]): candidates ranked by the
     * integer dot product of symmetric int8 codes of the UNIT vectors
@@ -1198,6 +1238,7 @@ object AnnQueries {
     "n10_ann_radius" -> annRadius,
     "n11_mips" -> annMips,
     "n12_hard_negatives" -> annHardNegatives,
+    "h6_eval_metrics" -> evalMetrics,
     "n6_ann_ivfpq" -> annIvfPq,
     "n7_ann_ivfpq_update" -> annIvfPqUpdate,
     "n8_ann_filtered" -> annFiltered,
@@ -1220,6 +1261,7 @@ object AnnQueries {
     "n10_ann_radius" -> annRadiusSql,
     "n11_mips" -> annMipsSql,
     "n12_hard_negatives" -> annHardNegativesSql,
+    "h6_eval_metrics" -> evalMetricsSql,
     "n5_ann_pq" -> annPqSql,
     "n6_ann_ivfpq" -> annIvfPqSql,
     "n7_ann_ivfpq_update" -> annIvfPqUpdateSql,

@@ -768,6 +768,53 @@ object CoreQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** S24 — dynamic partition overwrite, the lake write semantic every
+    * partitioned backfill depends on: `INSERT OVERWRITE` in dynamic mode
+    * replaces ONLY the partitions present in the incoming frame and
+    * leaves every other partition untouched (static mode truncates the
+    * whole table first — the classic lost-data backfill accident). The
+    * events table stages partitioned by day, then the MINIMUM day is
+    * overwritten with value+100 rows through a dynamic-mode write; the
+    * graded per-day rollup proves both halves — the patched day carries
+    * the new values AND the untouched days survived (a static-mode
+    * truncation empties them, breaking the hash on row counts).
+    * Shape: two partitioned writes + one partition-pruned read; the
+    * patch write's cost is the patch's size, not the table's.
+    */
+  def dynamicPartitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = s"${TarQueries.StageDir}/s24/tbl"
+    val DayUs = 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr(s"unix_micros(ts) div $DayUs").as("day"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(stage)
+    val d0 = ev.agg(min(col("day"))).collect()(0).getLong(0)
+    val patch = ev.filter(col("day") === d0)
+      .withColumn("value", col("value") + 100.0)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      patch.write.mode("overwrite").partitionBy("day").parquet(stage)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.read.parquet(stage)
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  val dynamicPartitionOverwriteSql: String =
+    """WITH e AS (
+      |  SELECT event_id, value, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |d0 AS (SELECT MIN(day) AS d0 FROM e)
+      |SELECT day, COUNT(*) AS n_events,
+      |       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+      |       CAST(SUM(CAST(CASE WHEN day = (SELECT d0 FROM d0)
+      |                          THEN value + 100.0 ELSE value END
+      |                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM e GROUP BY 1""".stripMargin
+
   /** J10 — snapshot diff (CDC derivation): given two versions of a keyed
     * table, emit the insert/update/delete change set — the feed every
     * incremental downstream (q11's refresh, a replication stream, an
@@ -1201,6 +1248,7 @@ object CoreQueries {
     "s18_schema_evolution" -> schemaEvolution,
     "s19_compaction" -> compaction,
     "s23_zorder_compaction" -> zorderCompaction,
+    "s24_dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
     "j8_fuzzy_match" -> fuzzyMatch,
     "j9_scd2" -> scd2,
     "j10_snapshot_diff" -> snapshotDiff,
@@ -1245,6 +1293,7 @@ object CoreQueries {
     "s18_schema_evolution" -> schemaEvolutionSql,
     "s19_compaction" -> compactionSql,
     "s23_zorder_compaction" -> zorderCompactionSql,
+    "s24_dynamic_partition_overwrite" -> dynamicPartitionOverwriteSql,
     "j8_fuzzy_match" -> fuzzyMatchSql,
     "j9_scd2" -> scd2Sql,
     "j10_snapshot_diff" -> snapshotDiffSql,

@@ -422,6 +422,30 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(s"$root/z").count() === 20000L)
   }
 
+  test("S24: dynamic overwrite patches one partition; static mode would truncate the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-s24").toString
+    val df = Seq((1L, 0L, 1.0), (2L, 0L, 2.0), (3L, 1L, 3.0), (4L, 2L, 4.0))
+      .toDF("id", "day", "v")
+    df.write.mode("overwrite").partitionBy("day").parquet(root)
+    val patch = Seq((9L, 0L, 9.0)).toDF("id", "day", "v")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      patch.write.mode("overwrite").partitionBy("day").parquet(root)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val back = spark.read.parquet(root)
+      .select(col("id"), col("day").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // day 0 replaced wholesale, days 1 and 2 untouched
+    assert(back === Set((9L, 0L, 9.0), (3L, 1L, 3.0), (4L, 2L, 4.0)))
+    // the contrast that makes the mode matter: STATIC overwrite truncates
+    // the whole table down to the patch's partitions
+    patch.write.mode("overwrite").partitionBy("day").parquet(root)
+    assert(spark.read.parquet(root).count() === 1L)
+  }
+
   test("J10: snapshot diff emits exactly the modular construction's I/U/D classes") {
     val d = graft.queries.CoreQueries.snapshotDiff(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1)))

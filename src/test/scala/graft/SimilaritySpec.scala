@@ -51,6 +51,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(got === Map(1L -> 3L, 2L -> 4L)) // 2 excluded despite cos ≈ 1
   }
 
+  test("H6: metric invariants — full recall forces MRR 1.0, zero recall forces MRR 0") {
+    val m = graft.queries.AnnQueries.evalMetrics(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(m.nonEmpty)
+    m.foreach { case (hits, mrr) =>
+      // run is k=3 rows: 3 hits means EVERY run row is relevant → first
+      // relevant rank is 1; no hits means no reciprocal rank at all
+      if (hits == 3L) assert(mrr === 1000000L, s"full recall but mrr $mrr")
+      if (hits == 0L) assert(mrr === 0L, s"zero recall but mrr $mrr")
+      if (hits > 0L) assert(mrr >= 333333L && mrr <= 1000000L, s"mrr $mrr out of range")
+    }
+  }
+
   test("N5: PQ codes separate well-separated clusters and ADC recovers the true neighbor") {
     import spark.implicits._
     // two tight clusters in orthogonal quadrants of an 8-dim space (m=2
