@@ -559,6 +559,68 @@ object TimeJoinQueries {
     spark.read.parquet(out).filter(col("event_type") =!= "__sentinel")
   }
 
+  /** ST15 — streaming CDC apply, the consumer half of j10's change-feed
+    * derivation: the diff (I/U/D rows keyed by event_id) arrives in two
+    * micro-batches over the v1 snapshot, and each batch merges into a
+    * VERSIONED state table (read v_n → anti-join the batch's keys →
+    * union the upserts → write v_{n+1}, the table-format snapshot
+    * pattern — never an in-place overwrite of the directory being
+    * read). The graded output is the FINAL state, which must equal the
+    * v2 snapshot exactly: a dropped delete, a lost unchanged row, or a
+    * double-applied update each breaks the hash. Merge order across
+    * batches is immaterial by construction (each key appears once in
+    * the whole feed), so the drain is deterministic without mtime
+    * discipline. Shape: per batch, one key-exchange anti-join sized by
+    * state × batch — the incremental-materialization cost model (q11)
+    * applied to row-level changes.
+    */
+  def streamCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = TarQueries.stagePath("st15_src", sfDir)
+    val stateDir = s"${TarQueries.StageDir}/st15_state"
+    graft.io.FsOps.deletePrefix(spark, src)
+    graft.io.FsOps.deletePrefix(spark, stateDir)
+    val diff = CoreQueries.snapshotDiff(spark, sfDir)
+    val tmp = s"${TarQueries.StageDir}/st15_tmp"
+    val base = java.nio.file.Paths.get(src)
+    val t0 = System.currentTimeMillis()
+    stageOneFile(diff.filter(col("event_id") % 2 === 0),
+      tmp, base.resolve("0001.parquet"), t0)
+    stageOneFile(diff.filter(col("event_id") % 2 =!= 0),
+      tmp, base.resolve("0002.parquet"), t0 + 2000)
+    // v0 = the v1 snapshot (same derivation as j10's base version)
+    Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+      .filter(col("event_id") % 7 =!= 0)
+      .write.parquet(s"$stateDir/v0")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st15")
+      .resolve("ckpt").toString
+    var v = 0
+    val q = chronStream(spark, src).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val cur = spark.read.parquet(s"$stateDir/v$v")
+          val ups = batch.filter(col("change").isin("I", "U"))
+            .select(col("event_id"), col("new_value").as("value"))
+          val next = cur
+            .join(batch.select("event_id"), Seq("event_id"), "left_anti")
+            .unionByName(ups)
+          next.write.parquet(s"$stateDir/v${v + 1}")
+          v += 1
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateDir/v$v")
+  }
+
+  // the final state must equal the v2 snapshot (j10's target version)
+  val streamCdcApplySql: String =
+    """SELECT event_id,
+      |       CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
+      |FROM events WHERE event_id % 3 != 0""".stripMargin
+
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val src = ensureSt4Src(spark, sfDir)
     val out = s"${TarQueries.StageDir}/st4_win.parquet"
@@ -770,6 +832,7 @@ object TimeJoinQueries {
     "w7_period_compare" -> periodCompare,
     "w8_ohlc_resample" -> ohlcResample,
     "st14_stream_ohlc" -> streamOhlc,
+    "st15_stream_cdc_apply" -> streamCdcApply,
     "st5_stream_join" -> streamJoin
   )
 
@@ -787,6 +850,7 @@ object TimeJoinQueries {
     "w7_period_compare" -> periodCompareSql,
     "w8_ohlc_resample" -> ohlcResampleSql,
     "st14_stream_ohlc" -> ohlcResampleSql,
+    "st15_stream_cdc_apply" -> streamCdcApplySql,
     "st5_stream_join" -> streamJoinSql
   )
 }

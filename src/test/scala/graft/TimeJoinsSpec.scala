@@ -34,6 +34,23 @@ class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
     assert(b.getAs[Long]("n_events") === 4L)
   }
 
+  test("ST15: CDC apply versions the state and lands exactly on the v2 snapshot") {
+    val out = graft.queries.TimeJoinQueries
+      .streamCdcApply(spark, "/root/testdata/sf0.001")
+    val got = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = ev.filter(_._1 % 3 != 0)
+      .map { case (id, v) => id -> (if (id % 5 == 0) v + 1.0 else v) }.toMap
+    assert(got === expect)
+    // versioned snapshots, never an in-place overwrite of the dir being read
+    val vs = new java.io.File(
+      s"${graft.queries.TarQueries.StageDir}/st15_state")
+      .listFiles().map(_.getName).toSet
+    assert(vs === Set("v0", "v1", "v2"))
+  }
+
   private def probes = {
     import spark.implicits._
     Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 250L), (4L, 99L, 500L))
