@@ -784,9 +784,13 @@ object CoreQueries {
   def dynamicPartitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
     val stage = s"${TarQueries.StageDir}/s24/tbl"
     val DayUs = 86400000000L
+    // one source scan: the projection materializes once and feeds the
+    // stage write, the min-day probe and the patch (review r16: uncached
+    // it re-scanned events three times)
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value"),
         expr(s"unix_micros(ts) div $DayUs").as("day"))
+      .localCheckpoint()
     ev.write.mode("overwrite").partitionBy("day").parquet(stage)
     val d0 = ev.agg(min(col("day"))).collect()(0).getLong(0)
     val patch = ev.filter(col("day") === d0)

@@ -579,7 +579,9 @@ object TimeJoinQueries {
     val stateDir = s"${TarQueries.StageDir}/st15_state"
     graft.io.FsOps.deletePrefix(spark, src)
     graft.io.FsOps.deletePrefix(spark, stateDir)
-    val diff = CoreQueries.snapshotDiff(spark, sfDir)
+    // one compute of the full-outer diff feeds both staged halves
+    // (review r16: uncached, the join ran once per stageOneFile call)
+    val diff = CoreQueries.snapshotDiff(spark, sfDir).localCheckpoint()
     val tmp = s"${TarQueries.StageDir}/st15_tmp"
     val base = java.nio.file.Paths.get(src)
     val t0 = System.currentTimeMillis()
@@ -605,7 +607,10 @@ object TimeJoinQueries {
           val next = cur
             .join(batch.select("event_id"), Seq("event_id"), "left_anti")
             .unionByName(ups)
-          next.write.parquet(s"$stateDir/v${v + 1}")
+          // overwrite, not ErrorIfExists: foreachBatch is at-least-once,
+          // and a retried batch re-produces the SAME v_{n+1} — the write
+          // must be idempotent or the retry kills the query (review r16)
+          next.write.mode("overwrite").parquet(s"$stateDir/v${v + 1}")
           v += 1
         }
         ()
