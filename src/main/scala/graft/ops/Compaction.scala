@@ -115,16 +115,24 @@ object Compaction {
     // for ranges past ~1.4e14 — hash ids, epoch nanos): divide by the
     // BUCKET WIDTH instead, w = range div 65536 + 1, so rank =
     // (x - lo) div w ∈ [0, 65535] with no multiplication anywhere
+    // typed Column arithmetic throughout (ADVICE r16): an expr() string
+    // rendering of lo == Long.MinValue produces `- -9223372036854775808L`,
+    // whose bare positive literal overflows the parser; lit(lo) cannot,
+    // and col(cname) sidesteps identifier quoting
     def rank(cname: String, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
       else if (hi - lo < 0L)
         // range itself overflows Long (near-full-domain keys — 64-bit
         // hashes): rank by the top 16 bits, i.e. (x − Long.MinValue) >>> 48,
         // monotone and in [0, 65535]
-        expr(s"(CAST($cname AS BIGINT) >> 48) + 32768L")
+        shiftright(col(cname).cast("long"), 48) + lit(32768L)
       else {
         val w = ((hi - lo) >>> 16) + 1L // positive-only; range div 65536 + 1
-        expr(s"(CAST($cname AS BIGINT) - ${lo}L) div ${w}L")
+        // IntegralDivide (`div`): true 64-bit division — Column./ would go
+        // through Double and can round across a bucket boundary past 2^53
+        import org.apache.spark.sql.graft.bridge.{column, expression}
+        column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          expression(col(cname).cast("long") - lit(lo)), expression(lit(w))))
       }
     val n = targetFileCount(spark, inDir, targetBytes)
     df.withColumn("__z",

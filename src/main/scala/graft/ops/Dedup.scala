@@ -1008,7 +1008,6 @@ object Dedup {
   private def dupTextCandidates(rows: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.graft.bridge.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val h = xxhash64(col(textCol))
     val dupH = rows.select(h.as("h"))
       .groupBy("h").agg(count(lit(1)).as("cnt"))
@@ -1019,34 +1018,22 @@ object Dedup {
       if (nDup == 0) rows.filter(lit(false))
       else {
         val numBits = math.max(64L, nDup * 10L)
-        // BloomFilterAggregate SILENTLY clamps to
-        // spark.sql.optimizer.runtime.bloomFilter.maxNumBits/maxNumItems
-        // (defaults 64M bits / 4M items — sized for injected runtime
-        // filters, not for this sketch). Past ~6.7M duplicated hashes a
-        // clamped filter degrades toward FPP≈1 and the restriction stops
-        // restricting — at exactly the scale it exists for. Raise both
-        // caps to our requested size for the duration of the build and
-        // restore after (review r16).
-        val conf = rows.sparkSession.conf
-        val savedBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
-        val savedItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
-        val bloomBytes =
-          try {
-            conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-              math.max(savedBits.toLong, numBits))
-            conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-              math.max(savedItems.toLong, nDup))
-            dupH
-              .agg(column(new BloomFilterAggregate(expression(col("h")),
-                  Literal(nDup), Literal(numBits))
-                .toAggregateExpression()).as("bf"))
-              .collect()(0).getAs[Array[Byte]](0)
-          } finally {
-            conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", savedBits)
-            conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", savedItems)
-          }
+        // build via stat.bloomFilter — same sketch class
+        // (`org.apache.spark.util.sketch.BloomFilter`, putLong hashing)
+        // that `BloomFilterMightContain` deserializes, but sized by the
+        // explicit numBits argument alone. The previous
+        // BloomFilterAggregate route silently clamped to the session's
+        // runtime.bloomFilter.maxNumBits/maxNumItems confs (64M/4M
+        // defaults — FPP→1 past ~6.7M duplicated hashes), and raising
+        // those confs around the build mutated SESSION-GLOBAL state: a
+        // concurrent query could observe the raised caps, and a
+        // concurrent conf write was clobbered by the restore (ADVICE
+        // r16). This build touches no conf, so it is concurrency-safe.
+        val bf = dupH.stat.bloomFilter("h", nDup, numBits)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
         rows.filter(column(new BloomFilterMightContain(
-          Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+          Literal.create(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
           expression(h))))
       }
     } finally dupH.unpersist()

@@ -70,14 +70,19 @@ object QualityModel {
     val k = featCols.length
     // index 0 is the row count; moments follow
     def moments(df: DataFrame): Row = {
+      // cast each FACTOR to decimal(38,0) before multiplying — an integer
+      // product past Long range would wrap BEFORE a post-hoc cast could
+      // save it, silently breaking the exact-at-any-size guarantee
+      // (ADVICE r16); a decimal×decimal product cannot wrap below 10^38
+      def dec(c: String) = col(c).cast("decimal(38,0)")
       val aggs = count(lit(1)).as("n_rows") +:
         ((for {
           i <- 0 until k
           j <- i until k
-        } yield sum((col(featCols(i)) * col(featCols(j))).cast("decimal(38,0)"))
+        } yield sum(dec(featCols(i)) * dec(featCols(j)))
           .as(s"xx_${i}_$j")) ++
           (0 until k).map(i =>
-            sum((col(featCols(i)) * col(labelCol)).cast("decimal(38,0)"))
+            sum(dec(featCols(i)) * dec(labelCol))
               .as(s"xy_$i")))
       df.agg(aggs.head, aggs.tail: _*).collect()(0)
     }

@@ -220,19 +220,21 @@ object Similarity {
     * rank), rank 1-based by (cos desc, vec_id asc).
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
-    rankTopK(corpus,
+    rankTopK(withUnit(corpus, "embedding", "u"),
       withUnit(probes, "embedding", "pu").select(col("vec_id").as("p_id"), col("pu")),
       k, keep = lit(true))
 
   /** The shared broadcast-probes / map-side-score / bounded-heap / rank
-    * pipeline behind [[bruteForceTopK]] and [[hardNegatives]]: `probes`
+    * pipeline behind [[bruteForceTopK]], [[hardNegatives]] and
+    * [[mipsTopK]]: `corpusU` carries the scoring vector as `u` (unit for
+    * cosine callers, raw for the MIPS inner-product ranking); `probes`
     * carries (p_id, pu[, extra probe columns]); `keep` is an additional
     * scan-side predicate fused ahead of the heap (n12's label mismatch).
     */
-  private def rankTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+  private def rankTopK(corpusU: DataFrame, probes: DataFrame, k: Int,
                        keep: Column): DataFrame = {
     val topk = udaf(new TopK(k), Encoders.product[Scored])
-    withUnit(corpus, "embedding", "u").crossJoin(broadcast(probes))
+    corpusU.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("p_id") && keep)
       .withColumn("cos", dot(col("pu"), col("u")))
       .groupBy("p_id")
@@ -256,7 +258,7 @@ object Similarity {
     * per partition shuffle, nothing pair-shaped ever exchanges.
     */
   def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
-    rankTopK(corpus,
+    rankTopK(withUnit(corpus, "embedding", "u"),
       withUnit(probes, "embedding", "pu")
         .select(col("vec_id").as("p_id"), col("label").as("p_label"), col("pu")),
       k, keep = col("label") =!= col("p_label"))
@@ -271,10 +273,20 @@ object Similarity {
     * `cos(q', v') = (q·v)/(||q||·M)` — a per-probe POSITIVE rescale of
     * the inner product, so cosine order IS inner-product order and every
     * cosine index in this file (IVF, PQ, sign-LSH banding) serves MIPS
-    * unchanged on the augmented vectors. Here the reduction feeds
-    * [[bruteForceTopK]] — the exact-oracle baseline, same bounded-heap
-    * partial top-k — and the DuckDB oracle ranks by the RAW inner
-    * product, grading the order-equivalence itself.
+    * unchanged on the augmented vectors. Here the reduction feeds the
+    * same bounded-heap partial top-k as [[bruteForceTopK]], and the
+    * DuckDB oracle ranks by the RAW inner product, grading the
+    * order-equivalence itself.
+    *
+    * Ranking score: the augmented-space inner product ⟨[q,0],[v,s]⟩ —
+    * which is BIT-EXACTLY q·v (the appended coordinate contributes
+    * `+ 0.0·s = +0.0` as the final fold term), with no normalization on
+    * either side. Ranking by the normalized augmented cosine instead
+    * (ADVICE r16) is equal only in exact arithmetic: the sqrt/normalize
+    * round-trip can rank-swap inner products tied within ~1 ulp between
+    * engines and flake the hash grade. Skipping `withUnit` makes the
+    * per-probe score the identical left-to-right double sum both engines
+    * compute, so ties resolve identically via the vec_id tiebreak.
     *
     * Scale shape: `M` is a 1-row aggregate (a scalar on the driver); the
     * augmentation is a per-row map; everything after is the existing
@@ -290,9 +302,10 @@ object Similarity {
     // vector itself (m2 - dot computed in double)
     val aug = corpus.select(col("vec_id"),
       concat(d, array(sqrt(greatest(lit(0.0), lit(m2) - dot(d, d)))))
-        .as("embedding"))
-    val p = probes.select(col("vec_id"), concat(d, array(lit(0.0))).as("embedding"))
-    bruteForceTopK(aug, p, k)
+        .as("u"))
+    val p = probes.select(col("vec_id").as("p_id"),
+      concat(d, array(lit(0.0))).as("pu"))
+    rankTopK(aug, p, k, keep = lit(true))
   }
 
   /** N4 — symmetric int8 scalar quantization of the UNIT-normalized

@@ -731,6 +731,27 @@ object DedupQueries {
        |       doc_id = MIN(doc_id) OVER w AS canonical
        |FROM f WINDOW w AS (PARTITION BY fp)""".stripMargin
 
+  /** D12h / D18h — the `hashedKeys = true` scale variants of d12/d18
+    * ([[graft.ops.Dedup.spanDedup]] `hashedKeys` doc): the corpus-wide
+    * exchanges carry 64-bit hashes instead of span/window text — the
+    * network-bound 100 TB shape. The RESULT is identical by construction
+    * (the hash only routes candidate selection; marking still compares
+    * exact text), so both grade against the same oracle SQL as their
+    * text-keyed twins — a hash-proven equality, not just the spec-pinned
+    * one in `DedupSpec`.
+    */
+  def spanDedupHashedQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.spanDedup(corpus(spark, sfDir), spanWords = 10, hashedKeys = true)
+
+  def substringDedupHashedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val shifted = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(lit("offgrid preamble quote "), col("text")).as("text"))
+    Dedup.substringDedup(corpus(spark, sfDir).unionAll(shifted), k = 8,
+      hashedKeys = true)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d17_embed_decontaminate" -> embedDecontaminate,
     "d16_line_dedup" -> lineDedupQ,
@@ -745,7 +766,9 @@ object DedupQueries {
     "d10_incremental_neardup" -> incrementalNearDup,
     "d11_containment" -> containmentQ,
     "d12_span_dedup" -> spanDedupQ,
+    "d12h_span_dedup_hashed" -> spanDedupHashedQ,
     "d18_substring_dedup" -> substringDedupQ,
+    "d18h_substring_dedup_hashed" -> substringDedupHashedQ,
     "d13_bloom_decontaminate" -> bloomDecontaminate,
     "d19_url_dedup" -> urlDedup,
     "d20_soft_dedup" -> softDedup,
@@ -766,7 +789,9 @@ object DedupQueries {
     "d10_incremental_neardup" -> incrementalNearDupSql,
     "d11_containment" -> containmentSql,
     "d12_span_dedup" -> spanDedupSql,
+    "d12h_span_dedup_hashed" -> spanDedupSql,
     "d18_substring_dedup" -> substringDedupSql,
+    "d18h_substring_dedup_hashed" -> substringDedupSql,
     "d13_bloom_decontaminate" -> decontaminateSql,
     "d19_url_dedup" -> urlDedupSql,
     "d20_soft_dedup" -> softDedupSql,

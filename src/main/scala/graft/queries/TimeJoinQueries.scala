@@ -575,8 +575,33 @@ object TimeJoinQueries {
     * applied to row-level changes.
     */
   def streamCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val (stateDir, v) = buildSt15Chain(spark, sfDir)
+    // registered OUTSIDE buildSt15Chain: a put from inside q12's
+    // computeIfAbsent mapping function would be a recursive update
+    st15Built.put(sfDir, stateDir)
+    spark.read.parquet(s"$stateDir/v$v")
+  }
+
+  /** sfDirs whose st15 version chain was built by THIS JVM (so q12 never
+    * reads a chain staged by an older code version from a previous run).
+    */
+  private val st15Built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q12's staging guard: reuse the chain st15 built in this JVM, else
+    * build it. [[streamCdcApply]] itself always rebuilds — it IS the
+    * graded streaming op — and registers the result here, so whichever
+    * of st15/q12 runs first pays the one drain.
+    */
+  private def ensureSt15Chain(spark: SparkSession, sfDir: String): String =
+    st15Built.computeIfAbsent(sfDir, _ => buildSt15Chain(spark, sfDir)._1)
+
+  /** Stages the st15 CDC feed and drains it into the versioned state
+    * chain `stateDir/v0 … v_n`; returns (stateDir, final version).
+    */
+  private def buildSt15Chain(spark: SparkSession, sfDir: String): (String, Int) = {
     val src = TarQueries.stagePath("st15_src", sfDir)
-    val stateDir = s"${TarQueries.StageDir}/st15_state"
+    val stateDir = TarQueries.stagePath("st15_state", sfDir)
     graft.io.FsOps.deletePrefix(spark, src)
     graft.io.FsOps.deletePrefix(spark, stateDir)
     // one compute of the full-outer diff feeds both staged halves
@@ -617,8 +642,63 @@ object TimeJoinQueries {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$stateDir/v$v")
+    (stateDir, v)
   }
+
+  /** Q12 — time travel over the st15 version chain: the table-format
+    * `AS OF v_n` read completing the j10 → st15 lake story. One rollup
+    * (row count, id bounds, decimal-exact value sum) per staged version
+    * v0/v1/v2, graded against the oracle's independent DERIVATION of
+    * each version from `events` — v0 is the j10 base snapshot, v1 is v0
+    * with the even-keyed half of the change feed merged, v2 the full
+    * target snapshot. A chain write that dropped a delete, double-applied
+    * an update, or mixed rows across versions breaks the corresponding
+    * version's rollup hash. Shape: each version read is one pruned scan +
+    * 1-row aggregate — time travel costs one snapshot scan per version
+    * read, never a replay of the feed.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val stateDir = ensureSt15Chain(spark, sfDir)
+    (0 to 2).map { n =>
+      spark.read.parquet(s"$stateDir/v$n")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(lit(n.toLong).as("version"), col("n_rows"),
+          col("min_id"), col("max_id"), col("sum_value"))
+    }.reduce(_ unionByName _)
+  }
+
+  val timeTravelSql: String =
+    """WITH v1s AS (SELECT event_id, value AS old_value FROM events
+      |             WHERE event_id % 7 != 0),
+      |v2s AS (SELECT event_id,
+      |               CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS new_value
+      |        FROM events WHERE event_id % 3 != 0),
+      |diff AS (
+      |  SELECT COALESCE(v1s.event_id, v2s.event_id) AS event_id,
+      |         CASE WHEN v1s.event_id IS NULL THEN 'I'
+      |              WHEN v2s.event_id IS NULL THEN 'D'
+      |              WHEN old_value != new_value THEN 'U' END AS change,
+      |         new_value
+      |  FROM v1s FULL OUTER JOIN v2s ON v1s.event_id = v2s.event_id
+      |  WHERE (v1s.event_id IS NULL OR v2s.event_id IS NULL
+      |         OR old_value != new_value)),
+      |b1 AS (SELECT * FROM diff WHERE event_id % 2 = 0),
+      |ver0 AS (SELECT event_id, old_value AS value FROM v1s),
+      |ver1 AS (SELECT event_id, value FROM ver0
+      |         WHERE event_id NOT IN (SELECT event_id FROM b1)
+      |         UNION ALL
+      |         SELECT event_id, new_value FROM b1 WHERE change IN ('I', 'U')),
+      |ver2 AS (SELECT event_id, new_value AS value FROM v2s),
+      |allv AS (
+      |  SELECT 0 AS version, event_id, value FROM ver0
+      |  UNION ALL SELECT 1, event_id, value FROM ver1
+      |  UNION ALL SELECT 2, event_id, value FROM ver2)
+      |SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n_rows,
+      |       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM allv GROUP BY 1""".stripMargin
 
   // the final state must equal the v2 snapshot (j10's target version)
   val streamCdcApplySql: String =
@@ -838,6 +918,7 @@ object TimeJoinQueries {
     "w8_ohlc_resample" -> ohlcResample,
     "st14_stream_ohlc" -> streamOhlc,
     "st15_stream_cdc_apply" -> streamCdcApply,
+    "q12_time_travel" -> timeTravel,
     "st5_stream_join" -> streamJoin
   )
 
@@ -856,6 +937,7 @@ object TimeJoinQueries {
     "w8_ohlc_resample" -> ohlcResampleSql,
     "st14_stream_ohlc" -> ohlcResampleSql,
     "st15_stream_cdc_apply" -> streamCdcApplySql,
+    "q12_time_travel" -> timeTravelSql,
     "st5_stream_join" -> streamJoinSql
   )
 }
