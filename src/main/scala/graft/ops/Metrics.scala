@@ -133,4 +133,50 @@ object Metrics {
         s"""dataset="$ds",status="private"""" -> v("bytes_private")))
     sb.toString
   }
+
+  /** The Prometheus exposition-format content type promhttp serves
+    * (text format 0.0.4).
+    */
+  val ExpositionContentType = "text/plain; version=0.0.4; charset=utf-8"
+
+  /** The actual scrape surface: a driver-side `/metrics` HTTP endpoint
+    * (JDK built-in `HttpServer`, no extra dependency) rendering the
+    * listener's latest observed row via [[prometheusText]] — end-to-end
+    * the reference's `http.Handle("/metrics", promhttp.Handler())`
+    * (`/root/reference/metrics/metrics.go:79-102`). Loopback-only and
+    * port 0 (ephemeral) by default: a metrics port must never be an
+    * accidental public listener. Before the first observation completes
+    * the scrape returns 200 with zero families — exactly promhttp's
+    * empty-registry behavior, so a scraper sees "up, nothing counted
+    * yet", not an error.
+    */
+  final class MetricsEndpoint(listener: ObservedMetricsListener,
+                              observationName: String,
+                              dataset: String) extends AutoCloseable {
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/metrics", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val body = listener.get(observationName, timeoutMs = 0)
+          .fold("")(prometheusText(_, dataset))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", ExpositionContentType)
+        ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)
+        if (body.nonEmpty) ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    server.start()
+
+    /** The bound ephemeral port — scrape `http://127.0.0.1:$port/metrics`. */
+    def port: Int = server.getAddress.getPort
+
+    override def close(): Unit = server.stop(0)
+  }
+
+  /** Serve `listener`'s latest `observationName` row at `/metrics`. */
+  def serveMetrics(listener: ObservedMetricsListener,
+                   observationName: String = "embargo_metrics",
+                   dataset: String = "sidestream"): MetricsEndpoint =
+    new MetricsEndpoint(listener, observationName, dataset)
 }

@@ -1090,15 +1090,15 @@ object AnnQueries {
     * update-equals-rebuild guarantee. At 100 TB this is the difference
     * between a delta-sized nightly job and re-coding the whole corpus.
     */
-  def annIvfPqUpdate(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val base = emb.filter(col("vec_id") % 10 =!= 7)
-    val delta = emb.filter(col("vec_id") % 10 === 7)
-    val (cents, cb, baseIdx) = n7StagedFor.synchronized {
+  /** n7's train-once staging, shared with n13: quantizers train on the
+    * deterministic 1-in-4 sample of the BASE corpus (delta vectors
+    * excluded — the grade covers vectors the quantizers never saw) and
+    * stage with the base index; returns readers over the staged files.
+    */
+  private def ensureN7Staged(spark: SparkSession, sfDir: String,
+                             base: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    n7StagedFor.synchronized {
       if (n7StagedFor.get != sfDir) {
-        // delta vectors are EXCLUDED from training: n7 grades that vectors
-        // the quantizers never saw still land in the exact cells/codes a
-        // rebuild would give them
         val sample = base.filter(col("vec_id") % 4 === 0)
         Similarity.trainCentroids(sample, k = 8, iters = 2)
           .write.mode("overwrite").parquet(s"${TarQueries.StageDir}/n7_centroids.parquet")
@@ -1117,6 +1117,12 @@ object AnnQueries {
         spark.read.parquet(s"${TarQueries.StageDir}/n7_pq.parquet"),
         spark.read.parquet(s"${TarQueries.StageDir}/n7_base_index.parquet"))
     }
+
+  def annIvfPqUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 10 =!= 7)
+    val delta = emb.filter(col("vec_id") % 10 === 7)
+    val (cents, cb, baseIdx) = ensureN7Staged(spark, sfDir, base)
     // THE update: code the arriving vectors with the staged quantizers and
     // append. Checkpoint only the delta slice — the search reads the index
     // on two branches, and the base side is already parquet-backed.
@@ -1127,6 +1133,48 @@ object AnnQueries {
       probeSet = emb.filter(col("vec_id") % 50 === 0),
       k = 3, pool = 10, nprobe = 2, m = 4, subDim = 16)
   }
+
+  /** N13 — IVF-PQ index DELETE, the other half of production index
+    * upkeep (n7 owns appends): 10% of vectors tombstone by the
+    * deterministic rule `vec_id % 10 = 3`, and search serves
+    * base ∪ delta ∖ tombstones — the FAISS `remove_ids`/tombstone-mask
+    * pattern, delete-sized work with zero retraining. Index rows are
+    * per-vector pure functions of the STAGED quantizers (n7's argument),
+    * so masking the index IS the from-scratch rebuild without those
+    * vectors; the oracle replays that rebuild (same staged floats, the
+    * tombstone set removed ahead of the ADC candidate stage), so the
+    * hash match grades both that no deleted vector is ever returned and
+    * that survivors' ranks shift exactly as a rebuild would shift them.
+    * `SimilaritySpec` additionally pins delete-then-compact ≡ rebuild at
+    * the index-row level.
+    */
+  def annDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 10 =!= 7)
+    val delta = emb.filter(col("vec_id") % 10 === 7)
+    val (cents, cb, baseIdx) = ensureN7Staged(spark, sfDir, base)
+    val deltaIdx = Similarity.ivfPqBuildIndex(delta, cents, cb, m = 4, subDim = 16)
+      .localCheckpoint()
+    // THE delete: mask the tombstone set out of the servable index — a
+    // pruned scan-side filter, never a rewrite of surviving rows
+    val masked = baseIdx.unionByName(deltaIdx)
+      .filter(col("vec_id") % 10 =!= 3)
+    Similarity.ivfPqTopKIndexed(masked, emb, cents, cb,
+      probeSet = emb.filter(col("vec_id") % 50 === 0),
+      k = 3, pool = 10, nprobe = 2, m = 4, subDim = 16)
+  }
+
+  val annDeleteSql: String =
+    s"""${ivfPqOracleCtes(s"${TarQueries.StageDir}/n7_centroids.parquet",
+          s"${TarQueries.StageDir}/n7_pq.parquet",
+          candJoin =
+            "JOIN (SELECT vec_id FROM c WHERE vec_id % 10 != 3) keep ON keep.vec_id = resid.vec_id")}
+       |SELECT p_id AS probe_id, vec_id AS neighbor_id, CAST(rnk AS BIGINT) AS rank
+       |FROM (SELECT p_id, vec_id,
+       |             row_number() OVER (PARTITION BY p_id
+       |                                ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM rr)
+       |WHERE rnk <= 3""".stripMargin
 
   val annIvfPqUpdateSql: String =
     s"""${ivfPqOracleCtes(s"${TarQueries.StageDir}/n7_centroids.parquet",
@@ -1241,6 +1289,7 @@ object AnnQueries {
     "h6_eval_metrics" -> evalMetrics,
     "n6_ann_ivfpq" -> annIvfPq,
     "n7_ann_ivfpq_update" -> annIvfPqUpdate,
+    "n13_ann_delete" -> annDelete,
     "n8_ann_filtered" -> annFiltered,
     "n9_balanced_shards" -> balancedShards,
     "n5_ann_pq" -> annPq,
@@ -1265,6 +1314,7 @@ object AnnQueries {
     "n5_ann_pq" -> annPqSql,
     "n6_ann_ivfpq" -> annIvfPqSql,
     "n7_ann_ivfpq_update" -> annIvfPqUpdateSql,
+    "n13_ann_delete" -> annDeleteSql,
     "n8_ann_filtered" -> annFilteredSql,
     "n9_balanced_shards" -> balancedShardsSql,
     "st8_stream_ann_serve" -> annServeSql,

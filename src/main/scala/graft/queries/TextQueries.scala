@@ -610,6 +610,59 @@ object TextQueries {
        |FROM s""".stripMargin
   }
 
+  /** T25 — batch eval harness for the filter tiers: the confusion matrix
+    * of t24's trained LPM against t21's Gopher verdicts, swept across
+    * seven operating thresholds (0.2 … 0.8 of the probability scale) —
+    * the precision/recall curve a real filter deployment reads before
+    * picking its operating point (the h6 treatment applied to the
+    * quality stack). All counts integer; precision/recall as ppm via
+    * positive integer division, 0 when the denominator is empty, so the
+    * grade is exact. Off-diagonals are non-vacuous across the sweep:
+    * loose thresholds admit Gopher-rejected docs (fp), tight ones drop
+    * Gopher-kept docs (fn) — measured 136 fp @0.2 / 82 fn @0.6 at
+    * sf0.01. Shape: one classifier scan broadcast-crossed with the
+    * 7-row threshold table, one hash aggregation — no new exchange
+    * beyond t24's own.
+    */
+  def filterEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val thr = broadcast((2 to 8).map(i => i * 100000L).toDF("thr"))
+    def cell(p: Column) = sum(when(p, 1L).otherwise(0L))
+    qualityClassifier(spark, sfDir).select(col("z"), col("gopher_label"))
+      .crossJoin(thr)
+      .groupBy("thr")
+      .agg(
+        cell(col("z") >= col("thr") && col("gopher_label") === 1).as("tp"),
+        cell(col("z") >= col("thr") && col("gopher_label") === 0).as("fp"),
+        cell(col("z") < col("thr") && col("gopher_label") === 1).as("fn"),
+        cell(col("z") < col("thr") && col("gopher_label") === 0).as("tn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        // explicit zero-denominator guards: ANSI `div` throws on 0
+        when(col("tp") + col("fp") === 0, lit(0L))
+          .otherwise(expr("1000000L * tp div (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") === 0, lit(0L))
+          .otherwise(expr("1000000L * tp div (tp + fn)")).as("recall_ppm"))
+  }
+
+  def filterEvalSql: String =
+    s"""WITH s AS (SELECT z, gopher_label FROM ($qualityClassifierSql)),
+       |t AS (SELECT unnest([200000, 300000, 400000, 500000, 600000,
+       |                     700000, 800000]) AS thr),
+       |m AS (SELECT thr,
+       |        SUM(CASE WHEN z >= thr AND gopher_label = 1 THEN 1 ELSE 0 END) AS tp,
+       |        SUM(CASE WHEN z >= thr AND gopher_label = 0 THEN 1 ELSE 0 END) AS fp,
+       |        SUM(CASE WHEN z <  thr AND gopher_label = 1 THEN 1 ELSE 0 END) AS fn,
+       |        SUM(CASE WHEN z <  thr AND gopher_label = 0 THEN 1 ELSE 0 END) AS tn
+       |      FROM s CROSS JOIN t GROUP BY 1)
+       |SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
+       |       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       |       CAST(tn AS BIGINT) AS tn,
+       |       CAST(COALESCE(1000000 * tp // NULLIF(tp + fp, 0), 0) AS BIGINT)
+       |         AS precision_ppm,
+       |       CAST(COALESCE(1000000 * tp // NULLIF(tp + fn, 0), 0) AS BIGINT)
+       |         AS recall_ppm
+       |FROM m""".stripMargin
+
   val gopherGateSql: String = {
     val stop = Stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH g AS (
@@ -1799,6 +1852,7 @@ object TextQueries {
     "t9_source_cap" -> sourceCap,
     "t21_gopher_gate" -> gopherGate,
     "t24_quality_classifier" -> qualityClassifier,
+    "t25_filter_eval" -> filterEval,
     "t22_token_budget_mix" -> tokenBudgetMix,
     "t23_doc_chunks" -> docChunks
   )
@@ -1836,6 +1890,7 @@ object TextQueries {
     "t9_source_cap" -> sourceCapSql,
     "t21_gopher_gate" -> gopherGateSql,
     "t24_quality_classifier" -> qualityClassifierSql,
+    "t25_filter_eval" -> filterEvalSql,
     "t22_token_budget_mix" -> tokenBudgetMixSql,
     "t23_doc_chunks" -> docChunksSql
   )

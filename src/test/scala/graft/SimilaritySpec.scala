@@ -185,6 +185,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(updated === rebuilt)
   }
 
+  test("N13: masking tombstones out of the index equals a rebuild without them, and serves none") {
+    // the delete contract (FAISS remove_ids as a tombstone mask): index
+    // rows are per-vector pure functions of the staged quantizers, so
+    // delete-then-compact — filter the tombstone set, keep every other
+    // row — must equal the from-scratch index over the survivors row for
+    // row; and no search over the masked index may ever return a
+    // tombstoned id
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val tomb = col("vec_id") % 10 === 3
+    assert(emb.filter(tomb).count() > 0, "tombstone slice empty — vacuous")
+    val cents = Similarity.trainCentroids(emb.filter(col("vec_id") % 4 === 0),
+      k = 8, iters = 2)
+    val cb = Similarity.ivfPqTrainResiduals(emb.filter(col("vec_id") % 4 === 0),
+      cents, m = 4, subDim = 16, k = 16, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "subspace", "code")
+        .collect().map(_.toSeq.map(String.valueOf).toList).toSet
+    val full = Similarity.ivfPqBuildIndex(emb, cents, cb, m = 4, subDim = 16)
+      .localCheckpoint()
+    val compacted = rows(full.filter(!tomb))
+    val rebuilt = rows(Similarity.ivfPqBuildIndex(emb.filter(!tomb), cents, cb,
+      m = 4, subDim = 16))
+    assert(compacted === rebuilt)
+    val served = Similarity.ivfPqTopKIndexed(full.filter(!tomb), emb, cents, cb,
+      probeSet = emb.filter(col("vec_id") % 50 === 0),
+      k = 3, pool = 10, nprobe = 2, m = 4, subDim = 16)
+    assert(served.filter(col("neighbor_id") % 10 === 3).count() === 0L)
+    assert(served.count() > 0)
+  }
+
   test("N5: exact rerank over the ADC pool recovers recall ADC alone loses") {
     // real embeddings: codebook quantization error makes pure ADC top-3
     // miss exact neighbors that DO sit inside its top-10 pool — the

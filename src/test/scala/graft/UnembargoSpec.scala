@@ -107,4 +107,45 @@ class UnembargoSpec extends AnyFunSuite with SparkSuite {
         s"non-exposition line in:\n$text")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("A1 scrape: the /metrics HTTP endpoint serves the exposition document end-to-end") {
+    import graft.ops.EmbargoSplit
+    val listener = Metrics.registerListener(spark)
+    val ep = Metrics.serveMetrics(listener)
+    try {
+      def scrape(): (Int, String, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${ep.port}/metrics")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val ct = conn.getContentType
+        val body = if (conn.getInputStream == null) "" else
+          new String(conn.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+        conn.disconnect()
+        (code, ct, body)
+      }
+      // before any observation: up, empty registry (promhttp behavior)
+      val (c0, ct0, b0) = scrape()
+      assert(c0 === 200 && b0.isEmpty)
+      assert(ct0 === Metrics.ExpositionContentType)
+      // run the routed pass, wait for the async listener, scrape again
+      val entries = TgzSource.entries(spark, TarQueries.FixtureTgz)
+      val wl = TgzSource.whitelist(spark, TarQueries.FixtureWhitelist)
+      Metrics.observeRouted(EmbargoSplit.route(entries, wl, TarQueries.FixtureCutoff))
+        .collect()
+      assert(listener.get("embargo_metrics").isDefined)
+      val (c1, ct1, b1) = scrape()
+      assert(c1 === 200)
+      assert(ct1 === Metrics.ExpositionContentType)
+      assert(b1.contains("embargo_file_total{dataset=\"sidestream\",status=\"public\"} 121"))
+      assert(b1.contains("embargo_file_total{dataset=\"sidestream\",status=\"private\"} 59"))
+      assert(b1.contains("# TYPE embargo_ipv6_errors_total counter"))
+      // the scraped document IS prometheusText of the observed row
+      assert(b1 === Metrics.prometheusText(
+        listener.get("embargo_metrics").get))
+    } finally {
+      ep.close()
+      spark.listenerManager.unregister(listener)
+    }
+  }
 }
