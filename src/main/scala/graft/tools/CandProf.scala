@@ -69,6 +69,18 @@ object CandProf {
       t("v3 semi broadcast")(println("pairs=" + v3().count()))
       t("v4 raised fallback")(println("pairs=" + v4().count()))
     }
+    // r17 verdict A/B: the pair-dedup exchange — two-long distinct (the
+    // graded shape) vs int64-packed pair key vs no distinct at all (the
+    // lower bound isolating what the dedup exchange can possibly cost)
+    for (round <- 1 to 2) {
+      println(s"CANDPROF pair-dedup -- round $round")
+      t("p0 graded chunk-pair (two-long distinct)")(
+        println("pairs=" + Dedup.candidatePairs(bands).count()))
+      t("p1 packed int64 distinct")(
+        println("pairs=" + Dedup.candidatePairs(bands, packedPairs = true).count()))
+      t("p2 no distinct (raw expansion)")(
+        println("rows=" + Dedup.candidatePairsRaw(bands).count()))
+    }
     spark.stop()
   }
 }

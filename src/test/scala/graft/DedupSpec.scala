@@ -51,6 +51,16 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val small = Dedup.candidatePairs(bands, maxExpand = 16).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(small === expect) // exact at ANY chunking
+    // the packed int64 pair-dedup exchange (the documented lever for
+    // pair-exchange-bound regimes; measured a no-op at graded scale —
+    // SCALING.md r17) must be output-identical, including across the
+    // multi-chunk path and cross-band duplicates
+    val multiBand = ((0 until m).map(i => (0, 0L, i.toLong)) ++
+      (0 until m).map(i => (1, 7L, i.toLong)))
+      .toDF("band", "key", "doc_id")
+    val packed = Dedup.candidatePairs(multiBand, packedPairs = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(packed === expect)
   }
 
   test("D1: exact duplicates group by canonical fingerprint") {
