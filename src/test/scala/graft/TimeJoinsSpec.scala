@@ -44,11 +44,19 @@ class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
     val expect = ev.filter(_._1 % 3 != 0)
       .map { case (id, v) => id -> (if (id % 5 == 0) v + 1.0 else v) }.toMap
     assert(got === expect)
-    // versioned snapshots, never an in-place overwrite of the dir being read
+    // versioned snapshots, never an in-place overwrite of the dir being
+    // read — at the per-sfDir state path (review r17: the assertion had
+    // kept the pre-change fixed path and was checking a stale artifact)
     val vs = new java.io.File(
-      s"${graft.queries.TarQueries.StageDir}/st15_state")
+      graft.queries.TarQueries.stagePath("st15_state", "/root/testdata/sf0.001"))
       .listFiles().map(_.getName).toSet
     assert(vs === Set("v0", "v1", "v2"))
+    // and q12's ensure must reuse THIS build, not restage
+    val rollup = graft.queries.TimeJoinQueries
+      .timeTravel(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rollup(2L) === expect.size.toLong) // v2 rollup counts the v2 snapshot
+    assert(rollup.keySet === Set(0L, 1L, 2L))
   }
 
   private def probes = {
