@@ -161,9 +161,14 @@ object Dedup {
       // pack, collapsing unrelated pairs — fail loudly instead. id_a <
       // id_b by bucket sort order, so checking the extremes covers both.
       val u32 = lit(0xFFFFFFFFL)
+      // cast BEFORE shifting (review r17): on an IntegerType id column
+      // shiftleft(x, 32) is a 32-bit shift whose count masks to 0 — a
+      // silent no-op pack the range guard cannot catch
+      val ida = col("id_a").cast("long")
+      val idb = col("id_b").cast("long")
       raw
-        .select(when(col("id_a") >= 0 && col("id_b") <= u32,
-            shiftleft(col("id_a"), 32).bitwiseOR(col("id_b")))
+        .select(when(ida >= 0 && idb <= u32,
+            shiftleft(ida, 32).bitwiseOR(idb))
           .otherwise(raise_error(concat(
             lit("candidatePairs(packedPairs=true) requires ids in [0, 2^32): got ("),
             col("id_a").cast("string"), lit(", "),

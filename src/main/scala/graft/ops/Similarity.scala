@@ -263,49 +263,62 @@ object Similarity {
         .select(col("vec_id").as("p_id"), col("label").as("p_label"), col("pu")),
       k, keep = col("label") =!= col("p_label"))
 
-  /** N11 — exact maximum-inner-product top-k via the norm-augmentation
-    * reduction (Bachrach et al., RecSys 2014; Neyshabur & Srebro 2015):
-    * MIPS does not fit cosine indexes directly (inner product is not a
-    * metric — a vector can be its own worst neighbor), but appending one
-    * coordinate makes it one. With `M = max ||v||` over the corpus, each
-    * corpus vector becomes `[v, sqrt(M² − ||v||²)]` (norm exactly M for
-    * every vector) and each probe `[q, 0]`; then
-    * `cos(q', v') = (q·v)/(||q||·M)` — a per-probe POSITIVE rescale of
-    * the inner product, so cosine order IS inner-product order and every
-    * cosine index in this file (IVF, PQ, sign-LSH banding) serves MIPS
-    * unchanged on the augmented vectors. Here the reduction feeds the
-    * same bounded-heap partial top-k as [[bruteForceTopK]], and the
-    * DuckDB oracle ranks by the RAW inner product, grading the
-    * order-equivalence itself.
+  /** N11 — exact maximum-inner-product top-k, the recommender/retrieval
+    * scoring mode where magnitude matters: the same bounded-heap serve
+    * as [[bruteForceTopK]], ranking by the RAW inner product q·v — the
+    * exact MIPS baseline, and the identical left-to-right double sum the
+    * DuckDB oracle computes, so ties resolve identically via the vec_id
+    * tiebreak (ranking by a normalized augmented cosine instead is equal
+    * only in exact arithmetic and can rank-swap ~1-ulp ties between
+    * engines — ADVICE r16).
     *
-    * Ranking score: the augmented-space inner product ⟨[q,0],[v,s]⟩ —
-    * which is BIT-EXACTLY q·v (the appended coordinate contributes
-    * `+ 0.0·s = +0.0` as the final fold term), with no normalization on
-    * either side. Ranking by the normalized augmented cosine instead
-    * (ADVICE r16) is equal only in exact arithmetic: the sqrt/normalize
-    * round-trip can rank-swap inner products tied within ~1 ulp between
-    * engines and flake the hash grade. Skipping `withUnit` makes the
-    * per-probe score the identical left-to-right double sum both engines
-    * compute, so ties resolve identically via the vec_id tiebreak.
+    * The reduction that lets cosine INDEXES serve MIPS lives in
+    * [[mipsAugment]]; it is deliberately NOT computed here — in a
+    * brute-force raw-dot serve the augmentation is provably inert
+    * (⟨[q,0],[v,s]⟩ ≡ q·v bit-for-bit: the appended probe coordinate is
+    * 0), so running it would be dead work and any grade over the result
+    * vacuous for the reduction (review r17). `SimilaritySpec` pins the
+    * reduction where it is load-bearing: the cosine machinery over
+    * [[mipsAugment]]'s vectors must reproduce THIS serve's ranking.
     *
-    * Scale shape: `M` is a 1-row aggregate (a scalar on the driver); the
-    * augmentation is a per-row map; everything after is the existing
-    * top-k machinery — nothing pair-shaped shuffles.
+    * Scale shape: broadcast probes, map-side scoring, ≤ k candidates per
+    * probe per partition — nothing pair-shaped shuffles.
     */
-  def mipsTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+  def mipsTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("u")),
+      probes.select(col("vec_id").as("p_id"),
+        col("embedding").cast("array<double>").as("pu")),
+      k, keep = lit(true))
+
+  /** The norm-augmentation MIPS→cosine reduction (Bachrach et al.,
+    * RecSys 2014; Neyshabur & Srebro 2015): MIPS does not fit cosine
+    * indexes directly (inner product is not a metric — a vector can be
+    * its own worst neighbor), but appending one coordinate makes it
+    * one. With `M = max ||v||` over the corpus, each corpus vector
+    * becomes `[v, sqrt(M² − ||v||²)]` (norm exactly M for every vector)
+    * and each probe `[q, 0]`; then `cos(q', v') = (q·v)/(||q||·M)` — a
+    * per-probe POSITIVE rescale of the inner product, so cosine order
+    * IS inner-product order and every cosine index in this file (IVF,
+    * PQ, sign-LSH banding) serves MIPS unchanged on the returned
+    * (corpus, probes). `M` is a 1-row aggregate; the augmentation is a
+    * per-row map.
+    */
+  def mipsAugment(corpus: DataFrame, probes: DataFrame): (DataFrame, DataFrame) = {
     val d = col("embedding").cast("array<double>")
     val m2Row = corpus.agg(max(dot(d, d))).collect()(0)
-    // max over zero rows is NULL — an empty corpus must yield an empty
-    // result (as bruteForceTopK would), not a driver NPE (review r16)
+    // max over zero rows is NULL — an empty corpus must yield empty
+    // augmented frames, not a driver NPE (review r16)
     val m2 = if (m2Row.isNullAt(0)) 0.0 else m2Row.getDouble(0)
     // greatest(0, ·) guards the sqrt against -epsilon on the max-norm
     // vector itself (m2 - dot computed in double)
     val aug = corpus.select(col("vec_id"),
       concat(d, array(sqrt(greatest(lit(0.0), lit(m2) - dot(d, d)))))
-        .as("u"))
-    val p = probes.select(col("vec_id").as("p_id"),
-      concat(d, array(lit(0.0))).as("pu"))
-    rankTopK(aug, p, k, keep = lit(true))
+        .as("embedding"))
+    val p = probes.select(col("vec_id"),
+      concat(d, array(lit(0.0))).as("embedding"))
+    (aug, p)
   }
 
   /** N4 — symmetric int8 scalar quantization of the UNIT-normalized

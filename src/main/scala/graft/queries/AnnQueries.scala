@@ -515,11 +515,14 @@ object AnnQueries {
   /** N11 — maximum-inner-product top-5 ([[Similarity.mipsTopK]]): the
     * recommender/retrieval scoring mode where magnitude matters (user ×
     * item factors, unnormalized two-tower embeddings — a long vector IS
-    * a stronger match). The Spark side searches in the norm-AUGMENTED
-    * cosine space; the oracle ranks by the raw `list_inner_product` —
-    * the hash match grades the reduction's order-equivalence itself, the
-    * property that lets every cosine index here serve MIPS unchanged.
-    * Probes are every 50th vector, as in n1.
+    * a stronger match). Both engines rank by the raw inner product (the
+    * exact MIPS baseline, identical left-to-right double sums — no
+    * normalization anywhere, so no cross-engine ulp flake); the
+    * MIPS→cosine reduction that lets the index family serve MIPS is
+    * [[Similarity.mipsAugment]], pinned by `SimilaritySpec` against this
+    * serve (review r17: in a raw-dot serve the augmentation is inert, so
+    * grading it HERE would be vacuous). Probes are every 50th vector, as
+    * in n1.
     */
   def annMips(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -1077,19 +1080,6 @@ object AnnQueries {
   private val n7StagedFor =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
-  /** N7 — IVF-PQ index UPDATE, the daily-ingest analogue of d10: the
-    * quantizers (coarse centroids + residual codebook) train ONCE on the
-    * base corpus (`vec_id % 10 != 7`) and stage to parquet with the base
-    * index; the "daily" delta (`vec_id % 10 == 7`) is then appended by
-    * replaying assignment from the STAGED quantizers — cell argmax +
-    * residual PQ codes are pure functions of (centroids, codebook), so
-    * append ≡ full rebuild, bit-for-bit, with zero retraining and
-    * delta-sized work. Search serves the updated (base ∪ delta) index
-    * over the full probe set; the oracle replays the from-scratch rebuild
-    * from the same staged floats, so the hash match IS the
-    * update-equals-rebuild guarantee. At 100 TB this is the difference
-    * between a delta-sized nightly job and re-coding the whole corpus.
-    */
   /** n7's train-once staging, shared with n13: quantizers train on the
     * deterministic 1-in-4 sample of the BASE corpus (delta vectors
     * excluded — the grade covers vectors the quantizers never saw) and
@@ -1140,6 +1130,19 @@ object AnnQueries {
       k = 3, pool = 10, nprobe = 2, m = 4, subDim = 16)
   }
 
+  /** N7 — IVF-PQ index UPDATE, the daily-ingest analogue of d10: the
+    * quantizers (coarse centroids + residual codebook) train ONCE on the
+    * base corpus (`vec_id % 10 != 7`) and stage to parquet with the base
+    * index; the "daily" delta (`vec_id % 10 == 7`) is then appended by
+    * replaying assignment from the STAGED quantizers — cell argmax +
+    * residual PQ codes are pure functions of (centroids, codebook), so
+    * append ≡ full rebuild, bit-for-bit, with zero retraining and
+    * delta-sized work. Search serves the updated (base ∪ delta) index
+    * over the full probe set; the oracle replays the from-scratch rebuild
+    * from the same staged floats, so the hash match IS the
+    * update-equals-rebuild guarantee. At 100 TB this is the difference
+    * between a delta-sized nightly job and re-coding the whole corpus.
+    */
   def annIvfPqUpdate(spark: SparkSession, sfDir: String): DataFrame =
     n7Serve(spark, sfDir, mask = lit(true))
 

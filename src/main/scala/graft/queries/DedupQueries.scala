@@ -509,13 +509,20 @@ object DedupQueries {
     * still collapse to empty. The oracle replays windows, keep-first
     * marking, coverage, and reassembly in SQL.
     */
-  def substringDedupQ(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The d18/d18h planted off-grid family (every 30th doc re-appears
+    * with a 3-word preamble, id +3000000): ONE definition so the two
+    * twins grading against the same oracle cannot drift (review r17).
+    */
+  private def substringCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val shifted = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 30 === 0)
       .select((col("doc_id") + 3000000).as("doc_id"),
         concat(lit("offgrid preamble quote "), col("text")).as("text"))
-    Dedup.substringDedup(corpus(spark, sfDir).unionAll(shifted), k = 8)
+    corpus(spark, sfDir).unionAll(shifted)
   }
+
+  def substringDedupQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.substringDedup(substringCorpus(spark, sfDir), k = 8)
 
   val substringDedupSql: String =
     s"""WITH $corpusSql,
@@ -743,14 +750,9 @@ object DedupQueries {
   def spanDedupHashedQ(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.spanDedup(corpus(spark, sfDir), spanWords = 10, hashedKeys = true)
 
-  def substringDedupHashedQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val shifted = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 30 === 0)
-      .select((col("doc_id") + 3000000).as("doc_id"),
-        concat(lit("offgrid preamble quote "), col("text")).as("text"))
-    Dedup.substringDedup(corpus(spark, sfDir).unionAll(shifted), k = 8,
+  def substringDedupHashedQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.substringDedup(substringCorpus(spark, sfDir), k = 8,
       hashedKeys = true)
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d17_embed_decontaminate" -> embedDecontaminate,

@@ -578,23 +578,25 @@ object TimeJoinQueries {
     val (stateDir, v) = buildSt15Chain(spark, sfDir)
     // registered OUTSIDE buildSt15Chain: a put from inside q12's
     // computeIfAbsent mapping function would be a recursive update
-    st15Built.put(sfDir, stateDir)
+    st15Built.put(sfDir, (stateDir, v))
     spark.read.parquet(s"$stateDir/v$v")
   }
 
   /** sfDirs whose st15 version chain was built by THIS JVM (so q12 never
-    * reads a chain staged by an older code version from a previous run).
+    * reads a chain staged by an older code version from a previous run),
+    * with the chain's final version index.
     */
   private val st15Built =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
 
   /** q12's staging guard: reuse the chain st15 built in this JVM, else
     * build it. [[streamCdcApply]] itself always rebuilds — it IS the
     * graded streaming op — and registers the result here, so whichever
-    * of st15/q12 runs first pays the one drain.
+    * of st15/q12 runs first pays the one drain. Returns (stateDir,
+    * final version).
     */
-  private def ensureSt15Chain(spark: SparkSession, sfDir: String): String =
-    st15Built.computeIfAbsent(sfDir, _ => buildSt15Chain(spark, sfDir)._1)
+  private def ensureSt15Chain(spark: SparkSession, sfDir: String): (String, Int) =
+    st15Built.computeIfAbsent(sfDir, _ => buildSt15Chain(spark, sfDir))
 
   /** Serializes st15-chain builds: without it, streamCdcApply's
     * unconditional delete+rebuild could raze a chain another thread's
@@ -670,7 +672,14 @@ object TimeJoinQueries {
     * read, never a replay of the feed.
     */
   def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
-    val stateDir = ensureSt15Chain(spark, sfDir)
+    val (stateDir, finalV) = ensureSt15Chain(spark, sfDir)
+    // fail with the cause, not a path-not-found (review r17): a corpus
+    // whose change feed leaves one staged half empty drains to a shorter
+    // chain, and the graded derivation below is specifically three
+    // versions deep
+    require(finalV == 2,
+      s"st15 chain for $sfDir ended at v$finalV — q12 grades v0/v1/v2 and " +
+        "needs both halves of the change feed non-empty")
     (0 to 2).map { n =>
       spark.read.parquet(s"$stateDir/v$n")
         .agg(count(lit(1)).as("n_rows"),

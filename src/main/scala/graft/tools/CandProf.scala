@@ -73,6 +73,10 @@ object CandProf {
     // graded shape) vs int64-packed pair key vs no distinct at all (the
     // lower bound isolating what the dedup exchange can possibly cost)
     for (round <- 1 to 2) {
+      // reset per round (review r17): v4 above leaves the raised
+      // object-hash fallback in the session — without this the p-arms
+      // would time a non-graded aggregate configuration
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
       println(s"CANDPROF pair-dedup -- round $round")
       t("p0 graded chunk-pair (two-long distinct)")(
         println("pairs=" + Dedup.candidatePairs(bands).count()))

@@ -36,6 +36,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(byRank === Map(1L -> 2L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("N11: the norm-augmentation reduction — cosine machinery over augmented vectors reproduces the raw-IP serve") {
+    // the property that lets every cosine index serve MIPS, pinned where
+    // it is load-bearing (the graded n11 row serves raw dots directly —
+    // an augmentation bug there would be inert; here it would misrank):
+    // bruteForceTopK = unit-normalize + cosine-rank, so feeding it
+    // mipsAugment's vectors exercises M, the sqrt coordinate, and the
+    // per-probe rescale end-to-end against the direct raw-IP ranking
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val direct = Similarity.mipsTopK(emb, probes, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (augC, augP) = Similarity.mipsAugment(emb, probes)
+    val viaCosine = Similarity.bruteForceTopK(augC, augP, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(direct.nonEmpty)
+    assert(viaCosine === direct)
+  }
+
   test("N12: hard negatives exclude same-label rows however similar") {
     import spark.implicits._
     val corpus = Seq(
