@@ -527,4 +527,32 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"t11 grew a wide shuffle:\n$p")
   }
+
+  test("filter eval broadcasts the 7-row threshold table over one classifier scan (t25)") {
+    val p = plan("t25_filter_eval")
+    // classifier rows × thresholds must be corpus x broadcast(7 rows) —
+    // a shuffled join here would exchange the whole scored corpus to
+    // meet a constant table
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"t25 threshold join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"t25 shuffles the corpus to meet the threshold table:\n$p")
+    // confusion cells reduce with map-side combine: a partial
+    // HashAggregate must appear below the thr-keyed exchange
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"t25 aggregation is not partial before the exchange:\n$p")
+  }
+
+  test("ANN delete is the n7 serve plus a scan-side tombstone filter (n13)") {
+    val p = plan("n13_ann_delete")
+    assert(!p.contains("CartesianProduct"),
+      s"n13 plans a cartesian product:\n$p")
+    // the delete must surface as a FILTER on the index rows (% 10 = 3
+    // masked out), never as a rewrite join of the surviving rows; the
+    // index-key equi-joins inside the serve are n7's own shapes (the
+    // shared n7Serve — pinned equal by construction)
+    assert(p.contains("% 10) = 3"),
+      s"n13's tombstone mask is not a plan-visible filter:\n$p")
+  }
 }
