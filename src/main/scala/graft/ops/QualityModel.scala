@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   *
   * The fit is CLOSED-FORM ridge least squares (a linear probability
   * model): `w = (XᵀX + λI)⁻¹ Xᵀy`. Every entry of XᵀX/Xᵀy is a sum of
-  * products of integer-valued features, accumulated in DECIMAL(38,0) —
-  * exact at ANY corpus size (headroom: per-row products ≤ 1e16, so the
-  * sums stay under 1e38 to ~1e22 rows) and therefore deterministic
+  * products of integer-valued features, with each FACTOR cast to
+  * DECIMAL(38,0) before multiplying (ADVICE r16: an integer product
+  * past Long range would wrap before any post-hoc cast) and the
+  * products accumulated in DECIMAL(38,0) — exact at ANY corpus size
+  * (headroom: per-row products ≤ 1e16·1e16 < 1e38 cannot wrap the
+  * decimal, and sums stay under 1e38 to ~1e22 rows at the graded
+  * feature scale) and therefore deterministic
   * across runs and partitionings regardless of aggregation order (the
   * reason the features are integers all the way down; the one double
   * rounding happens ONCE, converting each exact total on the driver).
