@@ -63,6 +63,37 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(packed === expect)
   }
 
+  test("packedPairs: pack/unpack is lossless across the unsigned-32-bit domain (seeded)") {
+    import spark.implicits._
+    val u32max = 0xFFFFFFFFL
+    val rnd = new scala.util.Random(17)
+    // boundary-heavy ids: 0, 1, the int sign boundary, the domain edge,
+    // plus seeded draws — the sign bit of both the packed high and low
+    // words must survive the unsigned unpack
+    val ids = (Seq(0L, 1L, Int.MaxValue.toLong, Int.MaxValue.toLong + 1, u32max) ++
+      Seq.fill(50)(math.abs(rnd.nextLong()) % (u32max + 1))).distinct.sorted
+    val pairs = ids.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    // each pair in its own bucket, so the expected pair set IS the input
+    val bands = pairs.zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((i, 0L, a), (i, 0L, b)) }
+      .toDF("band", "key", "doc_id")
+    val got = Dedup.candidatePairs(bands, packedPairs = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === pairs.toSet)
+  }
+
+  test("packedPairs: an id outside [0, 2^32) fails loudly, never a silent merge") {
+    import spark.implicits._
+    val bands = Seq((0, 0L, 1L), (0, 0L, 0xFFFFFFFFL + 1L))
+      .toDF("band", "key", "doc_id")
+    val e = intercept[Exception] {
+      Dedup.candidatePairs(bands, packedPairs = true).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + msgs(t.getCause)
+    assert(msgs(e).contains("requires ids in [0, 2^32)"), msgs(e))
+  }
+
   test("D1: exact duplicates group by canonical fingerprint") {
     val d = Dedup.exactDuplicates(docs(
       1L -> "the quick brown fox",

@@ -56,6 +56,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(viaCosine === direct)
   }
 
+  test("N11: mipsAugment gives every corpus vector norm M and zero-extends probes") {
+    // the reduction's defining invariants: augmented corpus norms all
+    // equal the max corpus norm (what makes cosine order = IP order),
+    // and probes gain exactly one 0.0 coordinate (what makes the
+    // augmented IP equal the raw IP)
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val (augC, augP) = Similarity.mipsAugment(emb, probes)
+    val d = col("embedding").cast("array<double>")
+    val m = math.sqrt(emb.agg(max(Similarity.dot(d, d))).collect()(0).getDouble(0))
+    val norms = augC.select(sqrt(Similarity.dot(d, d)).as("n")).collect().map(_.getDouble(0))
+    assert(norms.nonEmpty)
+    norms.foreach(n => assert(math.abs(n - m) <= 1e-9 * m, s"norm $n != M $m"))
+    val pRows = augP.select(element_at(d, -1).as("last"), size(d).as("len")).collect()
+    val origLen = emb.select(size(col("embedding"))).collect()(0).getInt(0)
+    pRows.foreach { r =>
+      assert(r.getDouble(0) === 0.0)
+      assert(r.getInt(1) === origLen + 1)
+    }
+  }
+
   test("N12: hard negatives exclude same-label rows however similar") {
     import spark.implicits._
     val corpus = Seq(
