@@ -156,30 +156,39 @@ object Metrics {
     private val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/metrics", new com.sun.net.httpserver.HttpHandler {
-      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit =
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
         // guard the render (review r17): HttpServer swallows handler
         // exceptions and drops the connection — a scraper would see
         // EOF/timeout instead of an error. promhttp answers 500 with the
         // error text; do the same (e.g. an observation recorded under
         // this name with a different aggregate schema).
+        // the 500 fallback is only legal while the 200 status line is
+        // unsent — a failure mid-body-write (client disconnect) must not
+        // attempt a second sendResponseHeaders, which would throw
+        // IllegalStateException out of the handler and drop the connection
+        var headersSent = false
         try {
           val body = listener.get(observationName, timeoutMs = 0)
             .fold("")(prometheusText(_, dataset))
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           ex.getResponseHeaders.set("Content-Type", ExpositionContentType)
           ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)
+          headersSent = true
           if (body.nonEmpty) ex.getResponseBody.write(body)
           ex.close()
         } catch {
           case e: Exception =>
             try {
-              val msg = ("error rendering metrics: " + e)
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
-              ex.sendResponseHeaders(500, msg.length.toLong)
-              ex.getResponseBody.write(msg)
+              if (!headersSent) {
+                val msg = ("error rendering metrics: " + e)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+                ex.sendResponseHeaders(500, msg.length.toLong)
+                ex.getResponseBody.write(msg)
+              }
             } finally ex.close()
         }
+      }
     })
     server.start()
 

@@ -14,6 +14,11 @@ object CandProf {
       .master("local[32]").config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // capture the session default BEFORE any arm mutates it, so resets
+    // restore the configuration the graded queries actually run under
+    // (hardcoding "128" would silently pin a stale Spark default)
+    val fallbackDefault =
+      spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
@@ -62,7 +67,7 @@ object CandProf {
       out
     }
     for (round <- 1 to 2) {
-      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", fallbackDefault)
       println(s"CANDPROF -- round $round")
       t("v1 one-shot agg")(println("pairs=" + v1().count()))
       t("v2 semi unhinted")(println("pairs=" + v2().count()))
@@ -76,7 +81,7 @@ object CandProf {
       // reset per round (review r17): v4 above leaves the raised
       // object-hash fallback in the session — without this the p-arms
       // would time a non-graded aggregate configuration
-      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", fallbackDefault)
       println(s"CANDPROF pair-dedup -- round $round")
       t("p0 graded chunk-pair (two-long distinct)")(
         println("pairs=" + Dedup.candidatePairs(bands).count()))

@@ -71,7 +71,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     // plus seeded draws — the sign bit of both the packed high and low
     // words must survive the unsigned unpack
     val ids = (Seq(0L, 1L, Int.MaxValue.toLong, Int.MaxValue.toLong + 1, u32max) ++
-      Seq.fill(50)(math.abs(rnd.nextLong()) % (u32max + 1))).distinct.sorted
+      Seq.fill(50)(rnd.nextLong() & u32max)).distinct.sorted
     val pairs = ids.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
     // each pair in its own bucket, so the expected pair set IS the input
     val bands = pairs.zipWithIndex
