@@ -1216,8 +1216,125 @@ object CoreQueries {
   val streamWmDedupSql: String =
     """SELECT event_id, user_id, epoch_us(ts) AS us FROM events""".stripMargin
 
+  /** J11 — MERGE INTO ([[graft.ops.Merge]]): the 1995 order rollup merged
+    * into the customer balance table. Matched customers with ≥4 orders in
+    * the year churn out (DELETE); other matched customers get their
+    * balance incremented by the year's spend (UPDATE); rollup keys absent
+    * from the target (the +10M offset synthesizes a late-registered
+    * cohort) INSERT as segment 'NEW'; untouched customers pass through.
+    * All arithmetic is exact decimal presented as double (the dsum
+    * treatment), all four MERGE branches are non-vacuous at sf0.01
+    * (105 deleted / 1069 updated / 31 inserted / 326 kept).
+    */
+  def mergeIntoQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("custkey"),
+      col("c_acctbal").cast("decimal(18,2)").as("acctbal"),
+      col("c_mktsegment").as("segment"))
+    val roll = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
+    val source = roll.unionAll(
+      roll.filter(col("custkey") % 37 === 0)
+        .withColumn("custkey", col("custkey") + lit(10000000L)))
+    graft.ops.Merge.mergeInto(target, source, Seq("custkey"),
+      deleteWhen = col("cnt") >= 4,
+      updateSet = Map("acctbal" -> (col("acctbal") + col("tot")).cast("decimal(18,2)")),
+      insertSet = Map("acctbal" -> col("tot").cast("decimal(18,2)"),
+        "segment" -> lit("NEW")))
+      .select(col("custkey"), col("acctbal").cast("double").as("acctbal"),
+        col("segment"))
+  }
+
+  val mergeIntoSql: String =
+    """WITH roll AS (
+      |  SELECT o_custkey AS k, COUNT(*) AS cnt,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY 1),
+      |src AS (SELECT k, cnt, tot FROM roll
+      |        UNION ALL
+      |        SELECT k + 10000000, cnt, tot FROM roll WHERE k % 37 = 0),
+      |t AS (SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+      |             c_mktsegment AS seg, 1 AS tf FROM customer),
+      |s AS (SELECT k, cnt, tot, 1 AS sf FROM src)
+      |SELECT COALESCE(t.k, s.k) AS custkey,
+      |  CAST(CASE WHEN t.tf IS NULL THEN CAST(s.tot AS DECIMAL(18,2))
+      |            WHEN s.sf IS NOT NULL THEN CAST(t.bal + s.tot AS DECIMAL(18,2))
+      |            ELSE t.bal END AS DOUBLE) AS acctbal,
+      |  CASE WHEN t.tf IS NULL THEN 'NEW' ELSE t.seg END AS segment
+      |FROM t FULL OUTER JOIN s ON t.k = s.k
+      |WHERE NOT (t.tf IS NOT NULL AND s.sf IS NOT NULL AND s.cnt >= 4)""".stripMargin
+
+  /** A7 — one-pass exact column profiling (the ANALYZE-TABLE role a
+    * curation pipeline runs before planning a training mix): per column of
+    * `documents`, row count, non-null count, exact distinct count, and a
+    * numeric min/max (the value itself for numeric columns, the byte
+    * length for strings — byte length because character semantics differ
+    * across engines for non-ASCII text, bytes do not).
+    *
+    * ONE aggregate over ONE scan: Spark plans the multi-`count_distinct`
+    * agg as a single Expand + partial/final aggregate pair — one shuffle,
+    * no per-column re-scan (the naive ANALYZE loop would read the table
+    * once per column). Everything is integer-exact; at 100 TB the same
+    * shape holds (Expand multiplies rows ×5 map-side but each branch
+    * carries one column, and the partial aggregate collapses before the
+    * exchange). The approximate twin for interactive use is `a5`.
+    */
+  def dataProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val blen = (c: Column) => octet_length(c).cast("long")
+    val a = d.agg(
+      count(lit(1)).as("n"),
+      count(col("doc_id")).as("id_nn"), countDistinct(col("doc_id")).as("id_nd"),
+      min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"),
+      count(col("lang")).as("lang_nn"), countDistinct(col("lang")).as("lang_nd"),
+      min(blen(col("lang"))).as("lang_min"), max(blen(col("lang"))).as("lang_max"),
+      count(col("source")).as("src_nn"), countDistinct(col("source")).as("src_nd"),
+      min(blen(col("source"))).as("src_min"), max(blen(col("source"))).as("src_max"),
+      count(col("n_chars")).as("nc_nn"), countDistinct(col("n_chars")).as("nc_nd"),
+      min(col("n_chars")).as("nc_min"), max(col("n_chars")).as("nc_max"),
+      count(col("text")).as("txt_nn"), countDistinct(col("text")).as("txt_nd"),
+      min(blen(col("text"))).as("txt_min"), max(blen(col("text"))).as("txt_max"))
+    a.selectExpr(
+      """stack(5,
+        |'doc_id',  n, id_nn,   id_nd,   id_min,   id_max,
+        |'lang',    n, lang_nn, lang_nd, lang_min, lang_max,
+        |'source',  n, src_nn,  src_nd,  src_min,  src_max,
+        |'n_chars', n, nc_nn,   nc_nd,   nc_min,   nc_max,
+        |'text',    n, txt_nn,  txt_nd,  txt_min,  txt_max)
+        |AS (col_name, n_rows, non_null, n_distinct, min_val, max_val)
+        |""".stripMargin)
+  }
+
+  val dataProfileSql: String =
+    """WITH s AS (SELECT COUNT(*) AS n,
+      |  COUNT(doc_id) AS id_nn, COUNT(DISTINCT doc_id) AS id_nd,
+      |  MIN(doc_id) AS id_min, MAX(doc_id) AS id_max,
+      |  COUNT(lang) AS lang_nn, COUNT(DISTINCT lang) AS lang_nd,
+      |  MIN(strlen(lang)) AS lang_min, MAX(strlen(lang)) AS lang_max,
+      |  COUNT(source) AS src_nn, COUNT(DISTINCT source) AS src_nd,
+      |  MIN(strlen(source)) AS src_min, MAX(strlen(source)) AS src_max,
+      |  COUNT(n_chars) AS nc_nn, COUNT(DISTINCT n_chars) AS nc_nd,
+      |  MIN(n_chars) AS nc_min, MAX(n_chars) AS nc_max,
+      |  COUNT(text) AS txt_nn, COUNT(DISTINCT text) AS txt_nd,
+      |  MIN(strlen(text)) AS txt_min, MAX(strlen(text)) AS txt_max
+      |FROM documents)
+      |SELECT 'doc_id' AS col_name, n AS n_rows, id_nn AS non_null, id_nd AS n_distinct, id_min AS min_val, id_max AS max_val FROM s
+      |UNION ALL SELECT 'lang', n, lang_nn, lang_nd, lang_min, lang_max FROM s
+      |UNION ALL SELECT 'source', n, src_nn, src_nd, src_min, src_max FROM s
+      |UNION ALL SELECT 'n_chars', n, nc_nn, nc_nd, nc_min, nc_max FROM s
+      |UNION ALL SELECT 'text', n, txt_nn, txt_nd, txt_min, txt_max FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_counters" -> counters,
+    "a7_data_profile" -> dataProfile,
+    "j11_merge_into" -> mergeIntoQ,
     "st7_stream_wm_dedup" -> streamWmDedup,
     "a2_distinct" -> distinctPairs,
     "a3_table_counts" -> tableCounts,
@@ -1263,6 +1380,8 @@ object CoreQueries {
 
   def oracleSql: Map[String, String] = Map(
     "a1_counters" -> countersSql,
+    "a7_data_profile" -> dataProfileSql,
+    "j11_merge_into" -> mergeIntoSql,
     "a2_distinct" -> distinctPairsSql,
     "a3_table_counts" -> tableCountsSql,
     "j1_semi_join" -> semiJoinSql,
