@@ -1216,6 +1216,50 @@ object CoreQueries {
   val streamWmDedupSql: String =
     """SELECT event_id, user_id, epoch_us(ts) AS us FROM events""".stripMargin
 
+  /** G1 — PageRank centrality ([[graft.ops.Graph]]) over the
+    * customer–supplier interaction graph (distinct trade pairs via
+    * lineitem⋈orders, symmetrized), 3 damped rounds in fixed-point
+    * integer arithmetic — bit-exact on any partitioning, so the DuckDB
+    * twin (the same three rounds unrolled as CTEs) hashes identically.
+    * Node ids are namespaced (customer 2k, supplier 2k+1) and decoded
+    * back to (node_type, key) on output.
+    */
+  def pageRankQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.ops.Graph.pageRank(edges, iters = 3)
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").as("key"), col("r").as("pr"))
+  }
+
+  val pageRankSql: String =
+    """WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+      |               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION ALL SELECT b, a FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+      |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+      |r1 AS (SELECT e.dst AS node,
+      |              CAST(150000000 + (85 * SUM(r0.r // g.d)) // 100 AS BIGINT) AS r
+      |       FROM edges e JOIN deg g ON e.src = g.src
+      |       JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r2 AS (SELECT e.dst AS node,
+      |              CAST(150000000 + (85 * SUM(r1.r // g.d)) // 100 AS BIGINT) AS r
+      |       FROM edges e JOIN deg g ON e.src = g.src
+      |       JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r3 AS (SELECT e.dst AS node,
+      |              CAST(150000000 + (85 * SUM(r2.r // g.d)) // 100 AS BIGINT) AS r
+      |       FROM edges e JOIN deg g ON e.src = g.src
+      |       JOIN r2 ON r2.node = e.src GROUP BY 1)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+      |       node // 2 AS key, r AS pr FROM r3""".stripMargin
+
   /** J11 — MERGE INTO ([[graft.ops.Merge]]): the 1995 order rollup merged
     * into the customer balance table. Matched customers with ≥4 orders in
     * the year churn out (DELETE); other matched customers get their
@@ -1335,6 +1379,7 @@ object CoreQueries {
     "a1_counters" -> counters,
     "a7_data_profile" -> dataProfile,
     "j11_merge_into" -> mergeIntoQ,
+    "g1_pagerank" -> pageRankQ,
     "st7_stream_wm_dedup" -> streamWmDedup,
     "a2_distinct" -> distinctPairs,
     "a3_table_counts" -> tableCounts,
@@ -1382,6 +1427,7 @@ object CoreQueries {
     "a1_counters" -> countersSql,
     "a7_data_profile" -> dataProfileSql,
     "j11_merge_into" -> mergeIntoSql,
+    "g1_pagerank" -> pageRankSql,
     "a2_distinct" -> distinctPairsSql,
     "a3_table_counts" -> tableCountsSql,
     "j1_semi_join" -> semiJoinSql,

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Graph
+
+/** G1 PageRank properties the oracle grade cannot isolate: exact
+  * fixed-point values on hand-computed graphs, invariance under
+  * repartitioning (the reason the arithmetic is integer), and the
+  * hub-outranks-leaf ordering the centrality exists to produce.
+  */
+class GraphSpec extends AnyFunSuite with SparkSuite {
+  private val FP = Graph.FixedPoint
+  private def tele = FP / 100L * 15L
+
+  private def edgesOf(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    // symmetrize, matching the documented contract
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+  }
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two-node symmetric graph is a fixed point at FP exactly") {
+    val r = ranksOf(Graph.pageRank(edgesOf((1L, 2L)), iters = 3))
+    assert(r === Map(1L -> FP, 2L -> FP))
+  }
+
+  test("star graph matches the hand-unrolled integer recurrence") {
+    // center 0 <-> leaves 1..4: deg(0)=4, deg(leaf)=1
+    val star = edgesOf((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    // r1(center) = tele + 85*(4*(FP div 1)) div 100
+    // r1(leaf)   = tele + 85*(FP div 4) div 100
+    val c1 = tele + 85L * (4L * FP) / 100L
+    val l1 = tele + 85L * (FP / 4L) / 100L
+    val got1 = ranksOf(Graph.pageRank(star, iters = 1))
+    assert(got1 === Map(0L -> c1, 1L -> l1, 2L -> l1, 3L -> l1, 4L -> l1))
+    // second round from (c1, l1), still exact integer arithmetic
+    val c2 = tele + 85L * (4L * (l1 / 1L)) / 100L
+    val l2 = tele + 85L * (c1 / 4L) / 100L
+    val got2 = ranksOf(Graph.pageRank(star, iters = 2))
+    assert(got2 === Map(0L -> c2, 1L -> l2, 2L -> l2, 3L -> l2, 4L -> l2))
+    // the hub outranks every leaf in both rounds
+    assert(c1 > l1 && c2 > l2)
+  }
+
+  test("fixed-point ranks are invariant under input partitioning") {
+    val pairs = (0L until 40L).map(i => (i % 7, 100L + i % 13))
+    val base = edgesOf(pairs: _*)
+    val a = ranksOf(Graph.pageRank(base.repartition(1), iters = 3))
+    val b = ranksOf(Graph.pageRank(base.repartition(16, col("dst")), iters = 3))
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+}
