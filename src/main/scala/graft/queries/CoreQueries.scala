@@ -1216,6 +1216,59 @@ object CoreQueries {
   val streamWmDedupSql: String =
     """SELECT event_id, user_id, epoch_us(ts) AS us FROM events""".stripMargin
 
+  /** W9 — strict-order funnel (view → click within 24h → purchase within
+    * 24h of the click), the product-analytics sequence query. ONE
+    * exchange on `user_id` then three stacked window aggregates compute
+    * the per-user step timestamps (each step's conditional MIN references
+    * the previous step's — constant per user, so the windows compose
+    * without re-shuffling); a user-level collapse + stack emits the
+    * step counts. The oracle states the same funnel as three dependent
+    * rollups. At 100 TB this is the shape you want: no self-joins of the
+    * event table against itself, one shuffle total, drop-off computed in
+    * the window operator chain.
+    */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val winUs = 86400000000L // 24h in µs
+    val w = Window.partitionBy("user_id")
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("fc",
+        min(when(col("event_type") === "click" &&
+          col("us") > col("fv") && col("us") <= col("fv") + winUs, col("us"))).over(w))
+      .withColumn("fp",
+        min(when(col("event_type") === "purchase" &&
+          col("us") > col("fc") && col("us") <= col("fc") + winUs, col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("fv")).as("fv"), max(col("fc")).as("fc"), max(col("fp")).as("fp"))
+    perUser.agg(
+      count(col("fv")).as("n_view"),
+      count(col("fc")).as("n_click"),
+      count(col("fp")).as("n_purchase"))
+      .selectExpr(
+        """stack(3,
+          |'1_view', n_view,
+          |'2_click', n_click,
+          |'3_purchase', n_purchase) AS (step, users)""".stripMargin)
+  }
+
+  val funnelStepsSql: String =
+    """WITH f AS (SELECT user_id,
+      |    MIN(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS fv
+      |  FROM events GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fc
+      |  FROM events e JOIN f ON e.user_id = f.user_id
+      |  WHERE e.event_type='click' AND epoch_us(e.ts) > f.fv
+      |    AND epoch_us(e.ts) <= f.fv + 86400000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fp
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type='purchase' AND epoch_us(e.ts) > c.fc
+      |    AND epoch_us(e.ts) <= c.fc + 86400000000 GROUP BY 1)
+      |SELECT '1_view' AS step, COUNT(*) AS users FROM f WHERE fv IS NOT NULL
+      |UNION ALL SELECT '2_click', COUNT(*) FROM c
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM p""".stripMargin
+
   /** G1 — PageRank centrality ([[graft.ops.Graph]]) over the
     * customer–supplier interaction graph (distinct trade pairs via
     * lineitem⋈orders, symmetrized), 3 damped rounds in fixed-point
@@ -1380,6 +1433,7 @@ object CoreQueries {
     "a7_data_profile" -> dataProfile,
     "j11_merge_into" -> mergeIntoQ,
     "g1_pagerank" -> pageRankQ,
+    "w9_funnel_steps" -> funnelSteps,
     "st7_stream_wm_dedup" -> streamWmDedup,
     "a2_distinct" -> distinctPairs,
     "a3_table_counts" -> tableCounts,
@@ -1428,6 +1482,7 @@ object CoreQueries {
     "a7_data_profile" -> dataProfileSql,
     "j11_merge_into" -> mergeIntoSql,
     "g1_pagerank" -> pageRankSql,
+    "w9_funnel_steps" -> funnelStepsSql,
     "a2_distinct" -> distinctPairsSql,
     "a3_table_counts" -> tableCountsSql,
     "j1_semi_join" -> semiJoinSql,
