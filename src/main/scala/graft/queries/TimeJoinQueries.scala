@@ -516,6 +516,51 @@ object TimeJoinQueries {
           .toDF("ts", "event_type", "value", "user_id"))
     })
 
+  /** sfDirs whose st16 source files are already staged in this JVM. */
+  private val st16Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureSt16Src(spark: SparkSession, sfDir: String): String =
+    st16Staged.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      stageChronHalves(spark, TarQueries.stagePath("st16_src", sfDir), "st16",
+        Tables.events(spark, sfDir)
+          .select(col("ts"), col("user_id"), col("value"),
+            unix_micros(col("ts")).as("us")),
+        hi => Seq((sentinelTs(hi), -1L, 0.0)).toDF("ts", "user_id", "value"))
+    })
+
+  /** ST16 — STREAMING gap sessions
+    * ([[graft.streaming.EventSessions.drainSessions]]): st2's exact
+    * 6-hour `session_window` aggregation maintained incrementally.
+    * Session-window state must MERGE across micro-batches — a user's
+    * session spanning the chronological file boundary arrives as two
+    * fragments the state store has to fuse into one row — and append
+    * mode must emit each closed session exactly once when the watermark
+    * passes its close. The oracle is st2's BATCH gaps-and-islands SQL
+    * over the same events, so a hash match proves stream ≡ batch for the
+    * whole session set (bounds, event counts, exact-decimal totals). The
+    * far-future sentinel (user −1) advances the watermark past every
+    * real session's close; its own session stays open and is never
+    * emitted by append mode.
+    */
+  def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = ensureSt16Src(spark, sfDir)
+    val out = s"${TarQueries.StageDir}/st16_sessions.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st16")
+      .resolve("ckpt").toString
+    graft.streaming.EventSessions.drainSessions(
+      chronStream(spark, src), gap = "6 hours", delay = "1 minute",
+      outDir = out, checkpointDir = ckpt,
+      statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
+        Tables.rowCount(spark, sfDir, "events"),
+        spark.sparkContext.defaultParallelism)))
+    spark.read.parquet(out).filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n_events"), col("total_value"))
+  }
+
   /** sfDirs whose st14 source files are already staged in this JVM. */
   private val st14Staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -938,6 +983,7 @@ object TimeJoinQueries {
     "w7_period_compare" -> periodCompare,
     "w8_ohlc_resample" -> ohlcResample,
     "st14_stream_ohlc" -> streamOhlc,
+    "st16_stream_sessions" -> streamSessions,
     "st15_stream_cdc_apply" -> streamCdcApply,
     "q12_time_travel" -> timeTravel,
     "st5_stream_join" -> streamJoin
@@ -957,6 +1003,7 @@ object TimeJoinQueries {
     "w7_period_compare" -> periodCompareSql,
     "w8_ohlc_resample" -> ohlcResampleSql,
     "st14_stream_ohlc" -> ohlcResampleSql,
+    "st16_stream_sessions" -> graft.queries.CoreQueries.sessionsSql,
     "st15_stream_cdc_apply" -> streamCdcApplySql,
     "q12_time_travel" -> timeTravelSql,
     "st5_stream_join" -> streamJoinSql

@@ -70,6 +70,35 @@ object EventSessions {
     } finally conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** ST16 — drain [[sessionize]] as a STREAM: the same gap-session
+    * aggregation maintained incrementally with session-window state
+    * (merging an arriving event into its user's open session, fusing
+    * sessions the event bridges), finalized exactly once by the
+    * append-mode watermark when it passes a session's close (last event
+    * + gap). Blocks until the AvailableNow drain finishes. RocksDB state
+    * + keyspace-sized partitions as in [[drainDedup]]; state here is
+    * USER-sized (one open session per quiet user), so any static-table
+    * proxy passed via `statePartitions` is an upper octave.
+    */
+  def drainSessions(events: DataFrame, gap: String, delay: String,
+                    outDir: String, checkpointDir: String,
+                    statePartitions: Option[Int] = None): Unit = {
+    val conf = events.sparkSession.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
+    try StateStores.withRocksDb(events.sparkSession) {
+      val q = sessionize(withLateDataBound(events, delay), gap)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Custom keyed state: per-user running totals maintained across
     * micro-batches with `mapGroupsWithState` — the `KeyValueGroupedDataset`
     * state-store path (what the reference's in-memory singleton state would

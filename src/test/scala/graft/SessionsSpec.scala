@@ -91,4 +91,31 @@ class SessionsSpec extends AnyFunSuite with SparkSuite {
       assert(u2 === UserRunning(2L, 1L, 7.0, 1500L))
     } finally q.stop()
   }
+
+  test("st16: session fragments arriving in different micro-batches fuse into ONE row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventSessions.sessionize(
+      EventSessions.withLateDataBound(
+        in.toDS().toDF("user_id", "ts", "value"), delay = "1 minute"),
+      gap = "10 minutes")
+      .writeStream.format("memory").queryName("st16sess").outputMode("append").start()
+    try {
+      // batch 1: first fragment of user 1's session
+      in.addData((1L, ts(0), 10.0), (1L, ts(5), 20.0))
+      q.processAllAvailable()
+      // batch 2: second fragment 6 min later — INSIDE the gap, so the
+      // state store must merge it into the open session, not open a new one
+      in.addData((1L, ts(11), 5.0))
+      q.processAllAvailable()
+      // batch 3: watermark push far past session close -> append emits it
+      in.addData((9L, ts(59), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("st16sess")
+        .select("user_id", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSet === Set((1L, 3L, 35.0))) // ONE fused session row
+    } finally q.stop()
+  }
 }
