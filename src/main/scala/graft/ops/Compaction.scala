@@ -145,4 +145,39 @@ object Compaction {
     graft.io.FsOps.list(spark, outDir, suffix = ".parquet")
       .count().toInt
   }
+
+  /** S25 — snapshot retention (the Delta `VACUUM` / Iceberg
+    * `expire_snapshots` role over the st15-style version chain
+    * `chainDir/v0 … vN`): keep the newest `keep` version directories,
+    * delete every older one AND any root-level entry that belongs to no
+    * version (the leftover of a failed write — exactly what a lake
+    * vacuum exists to reclaim). Time travel (q12) works up to the
+    * retention horizon and not past it, by construction.
+    *
+    * Pure driver-side filesystem metadata work — version count entries,
+    * never data rows, so it costs the same at 100 TB as at test scale
+    * (the data deletion is the store's bulk delete). Returns the
+    * surviving version numbers, ascending.
+    */
+  def expireSnapshots(spark: SparkSession, chainDir: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"expireSnapshots: keep ($keep) must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(chainDir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vPat = "^v(\\d+)$".r
+    val entries = f.listStatus(root)
+    val versions = entries.flatMap(e => e.getPath.getName match {
+      case vPat(n) if e.isDirectory => Some(n.toInt)
+      case _ => None
+    }).sorted.toSeq
+    require(versions.nonEmpty, s"expireSnapshots: no v* dirs under $chainDir")
+    val live = versions.takeRight(keep).toSet
+    entries.foreach { e =>
+      val keepIt = e.getPath.getName match {
+        case vPat(n) => e.isDirectory && live(n.toInt)
+        case _ => false // orphan: no version owns it
+      }
+      if (!keepIt) f.delete(e.getPath, true)
+    }
+    versions.filter(live)
+  }
 }

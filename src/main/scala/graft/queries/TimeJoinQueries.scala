@@ -735,6 +735,87 @@ object TimeJoinQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** S25 — snapshot retention ([[graft.ops.Compaction.expireSnapshots]]):
+    * the st15 version chain is copied to a PRIVATE dir (q12/st15 keep
+    * grading the original), a failed-write orphan file is planted at the
+    * chain root, and `expireSnapshots(keep = 2)` runs — v0 and the orphan
+    * must vanish, v1/v2 must survive byte-intact. Graded on CONTENT, not
+    * listings: per surviving phase/version the row count and exact-
+    * decimal value sum, plus a version −1 marker row for the orphan
+    * (present before, gone after); the oracle derives every expected row
+    * from the same events-table version derivations q12 grades against.
+    */
+  def snapshotExpire(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (stateDir, finalV) = ensureSt15Chain(spark, sfDir)
+    require(finalV == 2,
+      s"st15 chain for $sfDir ended at v$finalV — s25 expires a 3-version chain")
+    val chain = TarQueries.stagePath("s25_chain", sfDir)
+    graft.io.FsOps.deletePrefix(spark, chain)
+    (0 to 2).foreach { n =>
+      spark.read.parquet(s"$stateDir/v$n").write.parquet(s"$chain/v$n")
+    }
+    val orphan = java.nio.file.Paths.get(s"$chain/orphan-incomplete.parquet.inprogress")
+    java.nio.file.Files.write(orphan, "partial write leftover".getBytes("UTF-8"))
+
+    // bounded materialization: one 1-row aggregate per live version per
+    // phase (≤ 6 single-row collects), never data-sized
+    def phaseRows(phase: String): Seq[(String, Long, Long, Double)] = {
+      val vDirs = (0 to 2).filter(n =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$chain/v$n")))
+      val versionRows = vDirs.map { n =>
+        val r = spark.read.parquet(s"$chain/v$n")
+          .agg(count(lit(1)),
+            sum(col("value").cast("decimal(18,2)")).cast("double"))
+          .collect()(0)
+        (phase, n.toLong, r.getLong(0), r.getDouble(1))
+      }
+      val orphanRow =
+        if (java.nio.file.Files.exists(orphan)) Seq((phase, -1L, 0L, 0.0))
+        else Seq.empty
+      versionRows ++ orphanRow
+    }
+    val before = phaseRows("before")
+    graft.ops.Compaction.expireSnapshots(spark, chain, keep = 2)
+    val after = phaseRows("after")
+    (before ++ after).toDF("phase", "version", "n_rows", "sum_value")
+  }
+
+  val snapshotExpireSql: String =
+    """WITH v1s AS (SELECT event_id, value AS old_value FROM events
+      |             WHERE event_id % 7 != 0),
+      |v2s AS (SELECT event_id,
+      |               CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS new_value
+      |        FROM events WHERE event_id % 3 != 0),
+      |diff AS (
+      |  SELECT COALESCE(v1s.event_id, v2s.event_id) AS event_id,
+      |         CASE WHEN v1s.event_id IS NULL THEN 'I'
+      |              WHEN v2s.event_id IS NULL THEN 'D'
+      |              WHEN old_value != new_value THEN 'U' END AS change,
+      |         new_value
+      |  FROM v1s FULL OUTER JOIN v2s ON v1s.event_id = v2s.event_id
+      |  WHERE (v1s.event_id IS NULL OR v2s.event_id IS NULL
+      |         OR old_value != new_value)),
+      |b1 AS (SELECT * FROM diff WHERE event_id % 2 = 0),
+      |ver0 AS (SELECT event_id, old_value AS value FROM v1s),
+      |ver1 AS (SELECT event_id, value FROM ver0
+      |         WHERE event_id NOT IN (SELECT event_id FROM b1)
+      |         UNION ALL
+      |         SELECT event_id, new_value FROM b1 WHERE change IN ('I', 'U')),
+      |ver2 AS (SELECT event_id, new_value AS value FROM v2s),
+      |allv AS (
+      |  SELECT 0 AS version, event_id, value FROM ver0
+      |  UNION ALL SELECT 1, event_id, value FROM ver1
+      |  UNION ALL SELECT 2, event_id, value FROM ver2),
+      |roll AS (SELECT CAST(version AS BIGINT) AS version,
+      |                COUNT(*) AS n_rows,
+      |                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |         FROM allv GROUP BY 1)
+      |SELECT 'before' AS phase, version, n_rows, sum_value FROM roll
+      |UNION ALL SELECT 'before', CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 0.0
+      |UNION ALL SELECT 'after', version, n_rows, sum_value FROM roll
+      |WHERE version >= 1""".stripMargin
+
   val timeTravelSql: String =
     """WITH v1s AS (SELECT event_id, value AS old_value FROM events
       |             WHERE event_id % 7 != 0),
@@ -986,6 +1067,7 @@ object TimeJoinQueries {
     "st16_stream_sessions" -> streamSessions,
     "st15_stream_cdc_apply" -> streamCdcApply,
     "q12_time_travel" -> timeTravel,
+    "s25_snapshot_expire" -> snapshotExpire,
     "st5_stream_join" -> streamJoin
   )
 
@@ -1006,6 +1088,7 @@ object TimeJoinQueries {
     "st16_stream_sessions" -> graft.queries.CoreQueries.sessionsSql,
     "st15_stream_cdc_apply" -> streamCdcApplySql,
     "q12_time_travel" -> timeTravelSql,
+    "s25_snapshot_expire" -> snapshotExpireSql,
     "st5_stream_join" -> streamJoinSql
   )
 }

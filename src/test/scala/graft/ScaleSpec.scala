@@ -477,4 +477,30 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
       .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
     assert(got === expect)
   }
+
+  test("s25: expireSnapshots removes expired versions + orphans, keeps the live tail byte-intact") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-expire").toString
+    (0 to 3).foreach { n =>
+      Seq((n.toLong, s"v$n")).toDF("id", "tag").write.parquet(s"$root/v$n")
+    }
+    Files.write(Paths.get(s"$root/orphan.parquet.inprogress"), "x".getBytes)
+    Files.write(Paths.get(s"$root/stray.tmp"), "y".getBytes)
+    val kept = graft.ops.Compaction.expireSnapshots(spark, root, keep = 2)
+    assert(kept === Seq(2, 3))
+    assert(!Files.exists(Paths.get(s"$root/v0")) && !Files.exists(Paths.get(s"$root/v1")))
+    assert(!Files.exists(Paths.get(s"$root/orphan.parquet.inprogress")))
+    assert(!Files.exists(Paths.get(s"$root/stray.tmp")))
+    // survivors stay readable with their content intact
+    assert(spark.read.parquet(s"$root/v2").as[(Long, String)].collect().toSet
+      === Set((2L, "v2")))
+    assert(spark.read.parquet(s"$root/v3").count() === 1L)
+    // keep beyond the chain length is a no-op, not an error
+    assert(graft.ops.Compaction.expireSnapshots(spark, root, keep = 10) === Seq(2, 3))
+    assert(Files.exists(Paths.get(s"$root/v2")))
+    // keep < 1 fails loudly
+    intercept[IllegalArgumentException](
+      graft.ops.Compaction.expireSnapshots(spark, root, keep = 0))
+  }
 }
