@@ -99,6 +99,34 @@ object TimeJoins {
         (col("asof_ts") +: payload.map(c => col(s"asof_$c"))): _*)
   }
 
+  /** FORWARD as-of join: for every probe row, the single quote row with
+    * the SMALLEST `quoteTs >= probeTs` (or `>` when `strict`) within the
+    * same `keys` group — the label-join of a training pipeline ("the next
+    * outcome event after this exposure"), where [[asOfJoin]] is its state
+    * join ("the config in force when this example arrived").
+    *
+    * Implemented by time reflection: negate both timestamp axes and run
+    * the backward join — "greatest ≤" on the mirrored axis IS
+    * "smallest ≥" on the real one, so the single-shuffle O(n+m) running-
+    * last plan (and its tolerance handling, now meaning "a quote at most
+    * `tolerance` AFTER the probe") carries over unchanged. Tie rule among
+    * equal-`quoteTs` quotes stays "greatest `quoteTie` wins". `probeTs`/
+    * `quoteTs` must be signed integral values (epoch µs — the repo-wide
+    * basis), not raw timestamps.
+    */
+  def asOfJoinForward(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
+                      probeTs: String, quoteTs: String, payload: Seq[String],
+                      probeTie: String, quoteTie: String,
+                      strict: Boolean = false,
+                      tolerance: Option[Long] = None): DataFrame =
+    asOfJoin(
+      probes.withColumn("__fwd_ts", -col(probeTs).cast("long")),
+      quotes.withColumn("__fwd_ts", -col(quoteTs).cast("long")),
+      keys, "__fwd_ts", "__fwd_ts", payload, probeTie, quoteTie,
+      strict, tolerance)
+      .withColumn("asof_ts", -col("asof_ts"))
+      .drop("__fwd_ts")
+
   /** Interval-point range join: every (interval, point) pair with
     * `start <= pt < end` (half-open; `start`/`end`/`pointTs` are long
     * values on one axis, e.g. epoch µs). Returns all interval columns

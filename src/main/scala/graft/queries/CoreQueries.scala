@@ -1216,6 +1216,30 @@ object CoreQueries {
   val streamWmDedupSql: String =
     """SELECT event_id, user_id, epoch_us(ts) AS us FROM events""".stripMargin
 
+  /** Q13 — GROUPING SETS (the general form o2's rollup and o4's cube are
+    * shorthands of): exactly the three requested granularities — (flag,
+    * status), (flag), () — computed in ONE pass via Expand, with
+    * `grouping_id` disambiguating a grouped-out NULL from a data NULL.
+    * Same engine treatment as rollup/cube: no per-set re-scan, one
+    * shuffle.
+    */
+  def groupingSetsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty"))
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())""".stripMargin
+
   /** W9 — strict-order funnel (view → click within 24h → purchase within
     * 24h of the click), the product-analytics sequence query. ONE
     * exchange on `user_id` then three stacked window aggregates compute
@@ -1434,6 +1458,7 @@ object CoreQueries {
     "j11_merge_into" -> mergeIntoQ,
     "g1_pagerank" -> pageRankQ,
     "w9_funnel_steps" -> funnelSteps,
+    "q13_grouping_sets" -> groupingSetsQ,
     "st7_stream_wm_dedup" -> streamWmDedup,
     "a2_distinct" -> distinctPairs,
     "a3_table_counts" -> tableCounts,
@@ -1483,6 +1508,7 @@ object CoreQueries {
     "j11_merge_into" -> mergeIntoSql,
     "g1_pagerank" -> pageRankSql,
     "w9_funnel_steps" -> funnelStepsSql,
+    "q13_grouping_sets" -> groupingSetsSql,
     "a2_distinct" -> distinctPairsSql,
     "a3_table_counts" -> tableCountsSql,
     "j1_semi_join" -> semiJoinSql,

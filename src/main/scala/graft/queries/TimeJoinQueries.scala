@@ -54,6 +54,43 @@ object TimeJoinQueries {
       |SELECT event_id, user_id, us AS click_us, purchase_us, purchase_value
       |FROM f WHERE side = 1""".stripMargin
 
+  /** J12 — FORWARD as-of join ([[TimeJoins.asOfJoinForward]]): each click
+    * matched to the user's NEXT purchase at-or-after it — the outcome/
+    * label join (j5 is the mirrored state join). Same single-shuffle
+    * union-scan plan via time reflection; the oracle is j5's tagged-union
+    * running `last_value IGNORE NULLS`, ordered DESCENDING.
+    */
+  def asofForwardJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "us")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us", "value")
+    TimeJoins.asOfJoinForward(clicks, purchases, Seq("user_id"),
+        probeTs = "us", quoteTs = "us", payload = Seq("value"),
+        probeTie = "event_id", quoteTie = "event_id")
+      .select(col("event_id"), col("user_id"), col("us").as("click_us"),
+        col("asof_ts").as("purchase_us"), col("asof_value").as("purchase_value"))
+  }
+
+  val asofForwardJoinSql: String =
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(ts) AS us, 1 AS side, event_id,
+      |         CAST(NULL AS BIGINT) AS q_us, CAST(NULL AS DOUBLE) AS q_val
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), 0, event_id, epoch_us(ts), value
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (
+      |  SELECT user_id, us, side, event_id,
+      |         last_value(q_us IGNORE NULLS) OVER w AS purchase_us,
+      |         last_value(q_val IGNORE NULLS) OVER w AS purchase_value
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us DESC, side, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, us AS click_us, purchase_us, purchase_value
+      |FROM f WHERE side = 1""".stripMargin
+
   /** Window length for [[rangeJoin]]: 10 minutes in µs. */
   private val IncidentWindowUs = 600000000L
 
@@ -1052,6 +1089,7 @@ object TimeJoinQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j5_asof_join" -> asofJoin,
+    "j12_asof_forward" -> asofForwardJoin,
     "j6_range_join" -> rangeJoin,
     "st4_windowed_agg" -> windowedAgg,
     "st10_stream_trending" -> streamTrending,
@@ -1073,6 +1111,7 @@ object TimeJoinQueries {
 
   def oracleSql: Map[String, String] = Map(
     "j5_asof_join" -> asofJoinSql,
+    "j12_asof_forward" -> asofForwardJoinSql,
     "j6_range_join" -> rangeJoinSql,
     "st4_windowed_agg" -> windowedAggSql,
     "st10_stream_trending" -> streamTrendingSql,

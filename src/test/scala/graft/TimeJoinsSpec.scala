@@ -108,6 +108,27 @@ class TimeJoinsSpec extends AnyFunSuite with SparkSuite {
     assert(out.contains((2L, null, null)))
   }
 
+  test("asOfJoinForward: earliest at-or-after match, strict, tolerance, nulls when none ahead") {
+    def fwd(strict: Boolean, tol: Option[Long] = None) =
+      TimeJoins.asOfJoinForward(probes, quotes, Seq("user_id"), "us", "us",
+        Seq("value"), "event_id", "event_id", strict = strict, tolerance = tol)
+        .select("event_id", "asof_ts", "asof_value").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(fwd(strict = false) === Set(
+      (1L, 100L, 2.0), // equal-ts quote visible; greatest event_id still wins
+      (2L, 240L, 3.0), // the NEXT quote after us=200
+      (3L, null, null), // nothing at-or-after us=250
+      (4L, null, null) // user 99 has no quotes at all
+    ))
+    assert(fwd(strict = true).contains((1L, 240L, 3.0))) // equal-ts excluded
+    // tolerance now bounds how far AHEAD the quote may be: probe 2 at 200
+    // has its next quote at 240 (40 ahead > 20) — nulled, no fallback
+    assert(fwd(strict = false, tol = Some(20L)).contains((2L, null, null)))
+    assert(fwd(strict = false, tol = Some(50L)).contains((2L, 240L, 3.0)))
+  }
+
   test("asOfJoin: probes keep all their columns and row count") {
     val out = TimeJoins.asOfJoin(probes, quotes, Seq("user_id"), "us", "us",
       Seq("value"), "event_id", "event_id")
