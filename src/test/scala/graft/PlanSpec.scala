@@ -555,4 +555,33 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("% 10) = 3"),
       s"n13's tombstone mask is not a plan-visible filter:\n$p")
   }
+
+  test("column profile is ONE Expand aggregate pass, never per-column scans (a7)") {
+    val p = plan("a7_data_profile")
+    // multi-count_distinct compiles to a single Expand + one partial/
+    // final aggregate pair over ONE scan of documents
+    assert(p.contains("Expand"), s"a7 lost the Expand multi-distinct shape:\n$p")
+    assert("(?s)Scan parquet".r.findAllIn(p).size == 1,
+      s"a7 re-scans documents per column:\n$p")
+  }
+
+  test("funnel is one user exchange + stacked windows, no event self-join (w9)") {
+    val p = plan("w9_funnel_steps")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"w9 self-joins the events table:\n$p")
+    assert("(?s)Scan parquet".r.findAllIn(p).size == 1,
+      s"w9 re-scans events per step:\n$p")
+    // exactly one pre-aggregate exchange: the user_id hash partitioning
+    // the three windows and the per-user collapse all reuse
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1 &&
+      "(?s)Window".r.findAllIn(p).size >= 3,
+      s"w9 window stack missing:\n$p")
+  }
+
+  test("merge-into is one full-outer key join with a delta-sized guard agg (j11)") {
+    val p = plan("j11_merge_into")
+    assert(p.contains("FullOuter"), s"j11 lost full-outer classification:\n$p")
+    assert(!p.contains("CartesianProduct"), s"j11 cartesians:\n$p")
+  }
 }
