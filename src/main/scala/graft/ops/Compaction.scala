@@ -176,7 +176,11 @@ object Compaction {
         case vPat(n) => e.isDirectory && live(n.toInt)
         case _ => false // orphan: no version owns it
       }
-      if (!keepIt) f.delete(e.getPath, true)
+      // FileSystem.delete reports failure by RETURNING false on some
+      // filesystems (permissions, concurrent access) — an unenforced
+      // retention horizon must fail loudly, not report the version gone
+      if (!keepIt) require(f.delete(e.getPath, true),
+        s"expireSnapshots: could not delete ${e.getPath}")
     }
     versions.filter(live)
   }

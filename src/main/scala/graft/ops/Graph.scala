@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** One unit of rank mass. 1e9 keeps `damp * sum(contrib)` at least
-    * ~650× inside Long for graphs up to ~10M nodes (worst case: one node
-    * receives the whole graph's mass) while leaving ~9 significant
-    * digits — truncation noise is identical on both engines by
-    * construction, so it never costs grading exactness.
+  /** One unit of rank mass. The aggregate's worst case is one node
+    * receiving the whole graph's mass: `85 · n · FP` must stay inside
+    * Long, so at FP = 1e9 the hard bound is n ≲ 1.08e8 nodes (~10×
+    * headroom at 10M nodes — raise node count and FP together only with
+    * this bound in hand). 1e9 leaves ~9 significant digits; truncation
+    * noise is identical on both engines by construction, so it never
+    * costs grading exactness.
     */
   val FixedPoint: Long = 1000000000L
 

@@ -35,10 +35,12 @@ object Merge {
     * Contract: non-key column names of `target` and `source` must be
     * disjoint (so `updateSet`/`deleteWhen` expressions can name both
     * sides unambiguously), and `source` must carry at most one row per
-    * key — several matched source rows per target row is non-
+    * MATCHED key — several source rows matching one target row is non-
     * deterministic MERGE and fails loudly at execution (the Delta
-    * "multiple source rows matched" error), enforced by a delta-sized
-    * count aggregate, never a silent pick.
+    * "multiple source rows matched" error, raised whether the duplicate
+    * pair updates OR deletes), enforced by a delta-sized count aggregate,
+    * never a silent pick. NULL-key source rows never match (SQL equality)
+    * and each inserts as its own not-matched row.
     */
   def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
                 deleteWhen: Column,
@@ -51,22 +53,34 @@ object Merge {
       insertSet.keySet.subsetOf(target.columns.toSet -- keys),
       "mergeInto: updateSet/insertSet may only assign non-key target columns")
 
-    // duplicate-source-key guard: delta-sized agg joined back on the key;
-    // the raise_error fires lazily inside the merge projection so the
-    // guard costs one small hash aggregate, no extra action
+    // duplicate-source-key guard: delta-sized agg joined back on the key.
+    // The join back is NULL-SAFE (<=>): a NULL-key source row is a legal
+    // not-matched insert under SQL MERGE (NULL never equals a target key)
+    // and must not vanish through a null-unsafe self-join (review r18)
     val srcCnt = source.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__nsrc"))
-    val s = source.join(srcCnt, keys).withColumn("__in_s", lit(1))
+      // rename the count side's keys: groupBy preserves attribute ids, so
+      // an unaliased self-join condition would resolve both sides to the
+      // SAME attribute (Spark's trivially-true self-join trap)
+      .select(keys.map(k => col(k).as(s"__cnt_$k")) :+ col("__nsrc"): _*)
+    val s = source.join(srcCnt,
+      keys.map(k => col(k) <=> col(s"__cnt_$k")).reduce(_ && _))
+      .drop(keys.map(k => s"__cnt_$k"): _*)
+      .withColumn("__in_s", lit(1))
     val t = target.withColumn("__in_t", lit(1))
 
     val j = t.join(s, keys, "full_outer")
     val matched = col("__in_t").isNotNull && col("__in_s").isNotNull
     val sourceOnly = col("__in_t").isNull
+    // the dup error fires only for MATCHED rows (Delta's "multiple source
+    // rows matched"): several NULL-key source rows, or several rows for a
+    // key absent from the target, are each their own legal insert
+    val dupError = raise_error(concat(
+      lit("mergeInto: multiple source rows matched key "),
+      concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
     // the guard rides INSIDE the first key's projection (a standalone
     // guard column would be pruned by Catalyst before it could fire)
-    val guardedHead = when(col("__nsrc") > 1,
-      raise_error(concat(lit("mergeInto: multiple source rows matched key "),
-        concat_ws(",", keys.map(k => col(k).cast("string")): _*))))
+    val guardedHead = when(matched && col("__nsrc") > 1, dupError)
       .otherwise(col(keys.head)).as(keys.head)
 
     val nonKey = target.columns.filterNot(keys.contains)
@@ -77,8 +91,14 @@ object Merge {
     }
 
     // NULL deleteWhen on a matched row must mean "not deleted", not a
-    // three-valued filter drop of the row
-    j.filter(!(matched && coalesce(deleteWhen, lit(false))))
+    // three-valued filter drop of the row. The dup guard ALSO rides the
+    // delete predicate (review r18): a duplicate pair whose copies all
+    // satisfy deleteWhen would otherwise be filtered away before the
+    // projection guard could ever evaluate — a silent delete where the
+    // contract promises a loud error
+    val guardedDelete = when(matched && col("__nsrc") > 1, dupError.isNotNull)
+      .otherwise(coalesce(deleteWhen, lit(false)))
+    j.filter(!(matched && guardedDelete))
       .select(projected: _*)
   }
 }

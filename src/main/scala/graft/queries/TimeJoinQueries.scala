@@ -818,8 +818,13 @@ object TimeJoinQueries {
     (before ++ after).toDF("phase", "version", "n_rows", "sum_value")
   }
 
-  val snapshotExpireSql: String =
-    """WITH v1s AS (SELECT event_id, value AS old_value FROM events
+  /** The st15 version-chain derivation (v0/v1/v2 from the events table),
+    * shared VERBATIM by the q12 and s25 oracles — one definition so the
+    * two grades can never drift onto divergent expected chains
+    * (review r18). Mirrors `buildSt15Chain`'s %7/%3/%5/%2 constants.
+    */
+  private val st15ChainCtes: String =
+    """v1s AS (SELECT event_id, value AS old_value FROM events
       |             WHERE event_id % 7 != 0),
       |v2s AS (SELECT event_id,
       |               CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS new_value
@@ -843,7 +848,10 @@ object TimeJoinQueries {
       |allv AS (
       |  SELECT 0 AS version, event_id, value FROM ver0
       |  UNION ALL SELECT 1, event_id, value FROM ver1
-      |  UNION ALL SELECT 2, event_id, value FROM ver2),
+      |  UNION ALL SELECT 2, event_id, value FROM ver2)""".stripMargin
+
+  val snapshotExpireSql: String =
+    s"""WITH $st15ChainCtes,
       |roll AS (SELECT CAST(version AS BIGINT) AS version,
       |                COUNT(*) AS n_rows,
       |                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -854,31 +862,7 @@ object TimeJoinQueries {
       |WHERE version >= 1""".stripMargin
 
   val timeTravelSql: String =
-    """WITH v1s AS (SELECT event_id, value AS old_value FROM events
-      |             WHERE event_id % 7 != 0),
-      |v2s AS (SELECT event_id,
-      |               CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS new_value
-      |        FROM events WHERE event_id % 3 != 0),
-      |diff AS (
-      |  SELECT COALESCE(v1s.event_id, v2s.event_id) AS event_id,
-      |         CASE WHEN v1s.event_id IS NULL THEN 'I'
-      |              WHEN v2s.event_id IS NULL THEN 'D'
-      |              WHEN old_value != new_value THEN 'U' END AS change,
-      |         new_value
-      |  FROM v1s FULL OUTER JOIN v2s ON v1s.event_id = v2s.event_id
-      |  WHERE (v1s.event_id IS NULL OR v2s.event_id IS NULL
-      |         OR old_value != new_value)),
-      |b1 AS (SELECT * FROM diff WHERE event_id % 2 = 0),
-      |ver0 AS (SELECT event_id, old_value AS value FROM v1s),
-      |ver1 AS (SELECT event_id, value FROM ver0
-      |         WHERE event_id NOT IN (SELECT event_id FROM b1)
-      |         UNION ALL
-      |         SELECT event_id, new_value FROM b1 WHERE change IN ('I', 'U')),
-      |ver2 AS (SELECT event_id, new_value AS value FROM v2s),
-      |allv AS (
-      |  SELECT 0 AS version, event_id, value FROM ver0
-      |  UNION ALL SELECT 1, event_id, value FROM ver1
-      |  UNION ALL SELECT 2, event_id, value FROM ver2)
+    s"""WITH $st15ChainCtes
       |SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n_rows,
       |       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -63,6 +63,34 @@ class MergeSpec extends AnyFunSuite with SparkSuite {
     assert(e.getMessage.contains("multiple source rows matched"))
   }
 
+  test("duplicate matched keys fail loudly even when every copy would DELETE") {
+    import spark.implicits._
+    // review r18: the delete filter must not discard the duplicate pair
+    // before the guard can evaluate — a silent delete where the contract
+    // promises the 'multiple source rows matched' error
+    val src = Seq((2L, 1.0, true), (2L, 2.0, true)).toDF("k", "delta", "churn")
+    val out = Merge.mergeInto(target, src, Seq("k"),
+      deleteWhen = col("churn"),
+      updateSet = Map("bal" -> col("delta")), insertSet = Map.empty)
+    val e = intercept[Exception](out.collect())
+    assert(e.getMessage.contains("multiple source rows matched"))
+  }
+
+  test("NULL-key source rows insert as their own not-matched rows, never dropped or dup-flagged") {
+    import spark.implicits._
+    val src = Seq((Option(9L), 7.0, false), (Option.empty[Long], 1.0, false),
+      (Option.empty[Long], 2.0, false)).toDF("k", "delta", "churn")
+    val out = Merge.mergeInto(target, src, Seq("k"),
+      deleteWhen = col("churn"),
+      updateSet = Map("bal" -> col("delta")),
+      insertSet = Map("bal" -> col("delta")))
+    // 4 target rows + k=9 insert + TWO independent NULL-key inserts
+    assert(out.count() === 7L)
+    val nulls = out.filter(col("k").isNull).collect()
+      .map(_.getDouble(1)).sorted
+    assert(nulls.toSeq === Seq(1.0, 2.0))
+  }
+
   test("overlapping non-key column names are rejected up front") {
     import spark.implicits._
     val src = Seq((2L, 1.0)).toDF("k", "bal")

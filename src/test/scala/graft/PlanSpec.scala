@@ -572,10 +572,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"w9 self-joins the events table:\n$p")
     assert("(?s)Scan parquet".r.findAllIn(p).size == 1,
       s"w9 re-scans events per step:\n$p")
-    // exactly one pre-aggregate exchange: the user_id hash partitioning
-    // the three windows and the per-user collapse all reuse
-    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1 &&
-      "(?s)Window".r.findAllIn(p).size >= 3,
+    // EXACTLY one user_id exchange: the three windows and the per-user
+    // collapse all reuse the same hash partitioning — a second one means
+    // window-exchange reuse broke and the one-shuffle contract with it
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"w9 must have exactly one user_id exchange:\n$p")
+    assert("(?s)Window".r.findAllIn(p).size >= 3,
       s"w9 window stack missing:\n$p")
   }
 
