@@ -51,14 +51,19 @@ object Graph {
     val ed = edges.join(deg, "src")
       .repartition(col("src")).localCheckpoint()
     var ranks = deg.select(col("src").as("node"), lit(FixedPoint).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst"))
         .agg((lit(tele) + expr("(85 * sum(c)) div 100")).as("r"))
         .select(col("dst").as("node"), col("r"))
-        // cut lineage so the plan stays iteration-sized, not history-sized
-        .localCheckpoint()
+      // cut lineage every 3rd INTERMEDIATE round: a per-iteration
+      // localCheckpoint materializes a node-sized job each round (the r18
+      // A/B measured it as pure overhead at low iteration counts —
+      // results bit-identical either way), while never checkpointing
+      // grows the plan linearly in `iters`; every-3rd keeps the analyzed
+      // plan bounded at long horizons and costs nothing at short ones
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -46,6 +46,21 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(c1 > l1 && c2 > l2)
   }
 
+  test("long horizon (7 iters, crossing the every-3rd checkpoint) matches a sequential reference") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var ref = deg.keys.map(_ -> FP).toMap
+    for (_ <- 1 to 7) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => ref(src) / deg(src) }.sum
+      }
+      ref = contrib.map { case (n, s) => n -> (tele + 85L * s / 100L) }
+    }
+    val got = ranksOf(Graph.pageRank(edgesOf(pairs: _*), iters = 7))
+    assert(got === ref)
+  }
+
   test("fixed-point ranks are invariant under input partitioning") {
     val pairs = (0L until 40L).map(i => (i % 7, 100L + i % 13))
     val base = edgesOf(pairs: _*)
