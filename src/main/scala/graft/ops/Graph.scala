@@ -44,13 +44,21 @@ object Graph {
     * r' = 0.15·FP + 0.85·Σ_{u→node} (r(u) div deg(u)), all integer.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1,
+      s"pageRank: iters ($iters) must be >= 1 — 0 rounds would return " +
+        "uniform seeds labeled as ranks")
     val tele = FixedPoint / 100L * 15L // exact: FixedPoint is a multiple of 100
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     // loop-invariant join input: (src, dst, d), pre-partitioned by the
     // iteration join key and pinned so 'iters' rounds pay for it once
     val ed = edges.join(deg, "src")
       .repartition(col("src")).localCheckpoint()
-    var ranks = deg.select(col("src").as("node"), lit(FixedPoint).as("r"))
+    // seed FROM the checkpointed table (review r18): seeding from `deg`
+    // would re-execute the whole edge-build lineage a second time in the
+    // rank job — the exact cost the ed checkpoint exists to pay once.
+    // distinct() on src reuses ed's hash partitioning, no extra exchange.
+    var ranks = ed.select("src").distinct()
+      .select(col("src").as("node"), lit(FixedPoint).as("r"))
     for (i <- 1 to iters) {
       ranks = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("r div d").as("c"))
