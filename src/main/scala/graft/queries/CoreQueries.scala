@@ -1216,6 +1216,37 @@ object CoreQueries {
   val streamWmDedupSql: String =
     """SELECT event_id, user_id, epoch_us(ts) AS us FROM events""".stripMargin
 
+  /** W10 — retention cohorts (the product-analytics matrix): users
+    * cohorted by their FIRST purchase day, then for each (cohort,
+    * day-offset) cell the count of cohort members active on that day.
+    * Two aggregations + one join, all on `user_id`/`day` keys — the
+    * distinct-activity aggregate and the cohort table partition the same
+    * way, and the final cell count needs no count-distinct (activity is
+    * already (user, day)-unique and cohort is functional on user). All
+    * integer day arithmetic, both engines anchored to 2024-01-01.
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val purch = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day"))
+    val cohort = purch.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    val activity = purch.distinct()
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH p AS (SELECT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (SELECT user_id, MIN(day) AS cohort FROM p GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, day FROM p)
+      |SELECT f.cohort, act.day - f.cohort AS day_offset, COUNT(*) AS users
+      |FROM act JOIN f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Q13 — GROUPING SETS (the general form o2's rollup and o4's cube are
     * shorthands of): exactly the three requested granularities — (flag,
     * status), (flag), () — computed in ONE pass via Expand, with
@@ -1459,6 +1490,7 @@ object CoreQueries {
     "g1_pagerank" -> pageRankQ,
     "w9_funnel_steps" -> funnelSteps,
     "q13_grouping_sets" -> groupingSetsQ,
+    "w10_retention_cohorts" -> retentionCohorts,
     "st7_stream_wm_dedup" -> streamWmDedup,
     "a2_distinct" -> distinctPairs,
     "a3_table_counts" -> tableCounts,
@@ -1509,6 +1541,7 @@ object CoreQueries {
     "g1_pagerank" -> pageRankSql,
     "w9_funnel_steps" -> funnelStepsSql,
     "q13_grouping_sets" -> groupingSetsSql,
+    "w10_retention_cohorts" -> retentionCohortsSql,
     "a2_distinct" -> distinctPairsSql,
     "a3_table_counts" -> tableCountsSql,
     "j1_semi_join" -> semiJoinSql,

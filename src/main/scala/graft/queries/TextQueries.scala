@@ -325,6 +325,50 @@ object TextQueries {
     * ([[graft.ops.Similarity.TopK]]); the ranked-window form is kept here
     * because it is the oracle-expressible shape.
     */
+  /** T26 — TF-IDF keyword extraction per source (the corpus-exploration
+    * report a curation run prints before deciding source weights): for
+    * each source, the top-3 tokens by `tf × idf_ppm`, where
+    * `idf_ppm = (1e6 · N_docs) div df` — INTEGER idf, so the ranking is
+    * deterministic cross-engine with no `ln()` ulp hazard; ties break on
+    * the token. One token explode feeds both aggregates (per-doc-distinct
+    * → df, per-source counts → tf); the tf⋈df join is a plain token-keyed
+    * hash join and the top-3 window keeps 3 rows per source — the t7
+    * inverted-index posture with a weighting on top.
+    */
+  def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val nDocs = Tables.rowCount(spark, sfDir, "documents")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(wsTokens(lower(col("text")))).as("token"))
+    val df = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(df, "token")
+      .withColumn("score", col("tf") * expr(s"(1000000 * ${nDocs}L) div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("source", "token", "tf", "df", "score", "rank")
+  }
+
+  val tfidfKeywordsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |d AS (SELECT token, COUNT(*) AS df
+      |      FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+      |t AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |s AS (SELECT t.source, t.token, t.tf, d.df,
+      |             t.tf * ((1000000 * (SELECT COUNT(*) FROM documents)) // d.df) AS score
+      |      FROM t JOIN d USING (token))
+      |SELECT source, token, tf, df, score, CAST(rnk AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |                                   ORDER BY score DESC, token ASC) AS rnk
+      |      FROM s)
+      |WHERE rnk <= 3""".stripMargin
+
   def docFrequency(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("lang"), explode(array_distinct(wsTokens(lower(col("text"))))).as("token"))
@@ -1848,6 +1892,7 @@ object TextQueries {
     "t5_pii_redact" -> piiRedact,
     "t6_stratified_sample" -> stratifiedSample,
     "t7_doc_frequency" -> docFrequency,
+    "t26_tfidf_keywords" -> tfidfKeywords,
     "t8_repetition" -> repetitionStats,
     "t9_source_cap" -> sourceCap,
     "t21_gopher_gate" -> gopherGate,
@@ -1886,6 +1931,7 @@ object TextQueries {
     "t5_pii_redact" -> piiRedactSql,
     "t6_stratified_sample" -> stratifiedSampleSql,
     "t7_doc_frequency" -> docFrequencySql,
+    "t26_tfidf_keywords" -> tfidfKeywordsSql,
     "t8_repetition" -> repetitionStatsSql,
     "t9_source_cap" -> sourceCapSql,
     "t21_gopher_gate" -> gopherGateSql,
