@@ -1226,13 +1226,17 @@ object CoreQueries {
     * integer day arithmetic, both engines anchored to 2024-01-01.
     */
   def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
-    val purch = Tables.events(spark, sfDir)
+    val activity = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
         datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day"))
-    val cohort = purch.groupBy("user_id").agg(min(col("day")).as("cohort"))
-    val activity = purch.distinct()
-    activity.join(cohort, "user_id")
+      .distinct()
+    // cohort as a per-user window MIN over the distinct activity, not a
+    // separate aggregate + join: ONE scan of events instead of two, and
+    // the join disappears (the window rides the same user partitioning)
+    activity
+      .withColumn("cohort",
+        min(col("day")).over(Window.partitionBy("user_id")))
       .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
       .agg(count(lit(1)).as("users"))
   }

