@@ -586,4 +586,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("FullOuter"), s"j11 lost full-outer classification:\n$p")
     assert(!p.contains("CartesianProduct"), s"j11 cartesians:\n$p")
   }
+
+  test("tf-idf top-3 rides WindowGroupLimit, never a full per-source sort (t26)") {
+    val p = plan("t26_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"),
+      s"t26's rank<=3 did not push below the sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t26 cartesians:\n$p")
+  }
+
+  test("retention cohorts scan events ONCE, no cohort self-join (w10)") {
+    val p = plan("w10_retention_cohorts")
+    assert("(?s)Scan parquet".r.findAllIn(p).size == 1,
+      s"w10 re-scans events for the cohort table:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"w10 reintroduced the cohort join:\n$p")
+  }
 }
