@@ -1216,6 +1216,43 @@ object CoreQueries {
   val streamWmDedupSql: String =
     """SELECT event_id, user_id, epoch_us(ts) AS us FROM events""".stripMargin
 
+  /** A8 — distribution-drift report (the train/serve-skew check an ML
+    * deployment runs between a reference window and a serving window):
+    * fixed-width value histogram (`floor(value/10)` — floor of the same
+    * IEEE division is bit-identical cross-engine; never cast/round, whose
+    * tie rules differ) with per-bucket counts and integer-ppm shares for
+    * the first-half vs second-half event windows. The downstream PSI/KS
+    * statistic is a trivial fold over these integer cells — the report
+    * keeps everything exact so the grade can hash it. ONE scan, one
+    * bucket-keyed aggregate; the ppm denominators ride a global window
+    * over the bucket-sized aggregate, never a second pass over events.
+    */
+  def histogramDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables.events(spark, sfDir)
+      .select(floor(col("value") / 10).cast("long").as("bucket"),
+        (to_date(col("ts")) < lit("2024-01-16").cast("date")).as("ref"))
+      .groupBy("bucket")
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("cnt_cur"))
+      .withColumn("tot_ref", sum(col("cnt_ref")).over(w))
+      .withColumn("tot_cur", sum(col("cnt_cur")).over(w))
+      .withColumn("ppm_ref", expr("(1000000 * cnt_ref) div tot_ref"))
+      .withColumn("ppm_cur", expr("(1000000 * cnt_cur) div tot_cur"))
+      .drop("tot_ref", "tot_cur")
+  }
+
+  val histogramDriftSql: String =
+    """WITH h AS (
+      |  SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+      |    COUNT(*) FILTER (WHERE CAST(ts AS DATE) < DATE '2024-01-16') AS cnt_ref,
+      |    COUNT(*) FILTER (WHERE CAST(ts AS DATE) >= DATE '2024-01-16') AS cnt_cur
+      |  FROM events GROUP BY 1)
+      |SELECT bucket, cnt_ref, cnt_cur,
+      |  CAST((1000000 * cnt_ref) // (SELECT SUM(cnt_ref) FROM h) AS BIGINT) AS ppm_ref,
+      |  CAST((1000000 * cnt_cur) // (SELECT SUM(cnt_cur) FROM h) AS BIGINT) AS ppm_cur
+      |FROM h""".stripMargin
+
   /** W10 — retention cohorts (the product-analytics matrix): users
     * cohorted by their FIRST purchase day, then for each (cohort,
     * day-offset) cell the count of cohort members active on that day.
@@ -1495,6 +1532,7 @@ object CoreQueries {
     "w9_funnel_steps" -> funnelSteps,
     "q13_grouping_sets" -> groupingSetsQ,
     "w10_retention_cohorts" -> retentionCohorts,
+    "a8_histogram_drift" -> histogramDrift,
     "st7_stream_wm_dedup" -> streamWmDedup,
     "a2_distinct" -> distinctPairs,
     "a3_table_counts" -> tableCounts,
@@ -1546,6 +1584,7 @@ object CoreQueries {
     "w9_funnel_steps" -> funnelStepsSql,
     "q13_grouping_sets" -> groupingSetsSql,
     "w10_retention_cohorts" -> retentionCohortsSql,
+    "a8_histogram_drift" -> histogramDriftSql,
     "a2_distinct" -> distinctPairsSql,
     "a3_table_counts" -> tableCountsSql,
     "j1_semi_join" -> semiJoinSql,
