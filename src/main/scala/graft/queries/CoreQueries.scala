@@ -1230,6 +1230,10 @@ object CoreQueries {
   def histogramDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy()
     Tables.events(spark, sfDir)
+      // NaN is excluded EXPLICITLY: Spark's long cast folds floor(NaN) to
+      // 0 (silently polluting bucket 0) while DuckDB errors the cast —
+      // neither is a drift report (review r18)
+      .filter(!isnan(col("value")))
       .select(floor(col("value") / 10).cast("long").as("bucket"),
         (to_date(col("ts")) < lit("2024-01-16").cast("date")).as("ref"))
       .groupBy("bucket")
@@ -1237,8 +1241,10 @@ object CoreQueries {
         sum(when(!col("ref"), 1L).otherwise(0L)).as("cnt_cur"))
       .withColumn("tot_ref", sum(col("cnt_ref")).over(w))
       .withColumn("tot_cur", sum(col("cnt_cur")).over(w))
-      .withColumn("ppm_ref", expr("(1000000 * cnt_ref) div tot_ref"))
-      .withColumn("ppm_cur", expr("(1000000 * cnt_cur) div tot_cur"))
+      // nullif: an empty window must yield NULL ppm in BOTH engines, not
+      // a DuckDB division-by-zero abort vs a Spark NULL (review r18)
+      .withColumn("ppm_ref", expr("(1000000 * cnt_ref) div nullif(tot_ref, 0L)"))
+      .withColumn("ppm_cur", expr("(1000000 * cnt_cur) div nullif(tot_cur, 0L)"))
       .drop("tot_ref", "tot_cur")
   }
 
@@ -1247,10 +1253,10 @@ object CoreQueries {
       |  SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
       |    COUNT(*) FILTER (WHERE CAST(ts AS DATE) < DATE '2024-01-16') AS cnt_ref,
       |    COUNT(*) FILTER (WHERE CAST(ts AS DATE) >= DATE '2024-01-16') AS cnt_cur
-      |  FROM events GROUP BY 1)
+      |  FROM events WHERE NOT isnan(value) GROUP BY 1)
       |SELECT bucket, cnt_ref, cnt_cur,
-      |  CAST((1000000 * cnt_ref) // (SELECT SUM(cnt_ref) FROM h) AS BIGINT) AS ppm_ref,
-      |  CAST((1000000 * cnt_cur) // (SELECT SUM(cnt_cur) FROM h) AS BIGINT) AS ppm_cur
+      |  CAST((1000000 * cnt_ref) // NULLIF((SELECT SUM(cnt_ref) FROM h), 0) AS BIGINT) AS ppm_ref,
+      |  CAST((1000000 * cnt_cur) // NULLIF((SELECT SUM(cnt_cur) FROM h), 0) AS BIGINT) AS ppm_cur
       |FROM h""".stripMargin
 
   /** W10 — retention cohorts (the product-analytics matrix): users
@@ -1263,14 +1269,20 @@ object CoreQueries {
     * integer day arithmetic, both engines anchored to 2024-01-01.
     */
   def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    // NULL user_id is excluded EXPLICITLY on both sides: the Spark window
+    // would pool all null users into one pseudo-user while a SQL join
+    // oracle drops them (NULL never equals NULL) — the same null-key
+    // divergence class the j11 review caught (review r18)
     val activity = Tables.events(spark, sfDir)
-      .filter(col("event_type") === "purchase")
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
       .select(col("user_id"),
         datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day"))
       .distinct()
     // cohort as a per-user window MIN over the distinct activity, not a
-    // separate aggregate + join: ONE scan of events instead of two, and
-    // the join disappears (the window rides the same user partitioning)
+    // separate aggregate + join: ONE scan of events instead of two and no
+    // join (the window does add its own user_id exchange after the
+    // distinct's (user_id, day) one — two exchanges total, still cheaper
+    // than the two-scan + aggregate + join shape)
     activity
       .withColumn("cohort",
         min(col("day")).over(Window.partitionBy("user_id")))
@@ -1281,7 +1293,7 @@ object CoreQueries {
   val retentionCohortsSql: String =
     """WITH p AS (SELECT user_id,
       |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
-      |  FROM events WHERE event_type = 'purchase'),
+      |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
       |f AS (SELECT user_id, MIN(day) AS cohort FROM p GROUP BY 1),
       |act AS (SELECT DISTINCT user_id, day FROM p)
       |SELECT f.cohort, act.day - f.cohort AS day_offset, COUNT(*) AS users

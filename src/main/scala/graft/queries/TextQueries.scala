@@ -330,19 +330,29 @@ object TextQueries {
     * each source, the top-3 tokens by `tf × idf_ppm`, where
     * `idf_ppm = (1e6 · N_docs) div df` — INTEGER idf, so the ranking is
     * deterministic cross-engine with no `ln()` ulp hazard; ties break on
-    * the token. One token explode feeds both aggregates (per-doc-distinct
-    * → df, per-source counts → tf); the tf⋈df join is a plain token-keyed
-    * hash join and the top-3 window keeps 3 rows per source — the t7
-    * inverted-index posture with a weighting on top.
+    * the token. Two pruned scans, each exchanging only vocab-sized partial
+    * counts (df dedups tokens row-locally first — t7's posture); the
+    * tf⋈df join is a plain token-keyed hash join and the top-3 window
+    * keeps 3 rows per source via WindowGroupLimit.
     */
   def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
     val nDocs = Tables.rowCount(spark, sfDir, "documents")
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        explode(wsTokens(lower(col("text")))).as("token"))
-    val df = toks.select("doc_id", "token").distinct()
+    // Two pushdown-pruned scans on purpose, each with ROW-LOCAL
+    // preprocessing so its exchange is vocab-sized: the df branch dedups
+    // tokens inside each row (t7's array_distinct treatment — no
+    // corpus-wide (doc, token) distinct exchange ever exists) and both
+    // branches partial-aggregate map-side. A shared (token, doc, source)
+    // aggregate was tried and rejected: Catalyst rewrites the df consumer
+    // to a distinct-only aggregate, the exchanges stop being identical,
+    // ReuseExchange can't fire, and the "shared" stage runs twice while
+    // shuffling MORE than either branch here (r18 review follow-up).
+    val docs = Tables.documents(spark, sfDir)
+    val df = docs
+      .select(explode(array_distinct(wsTokens(lower(col("text"))))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
-    val tf = toks.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val tf = docs
+      .select(col("source"), explode(wsTokens(lower(col("text")))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("tf"))
     // domain: worst-case score is tf · 1e6 · N (df = 1), so tf · N must
     // stay ≤ ~9.2e12 — comfortable here and at any graded scale; a
     // web-scale corpus would floor df (rare-token noise) which also
