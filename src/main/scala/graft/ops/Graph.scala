@@ -75,4 +75,50 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS (Kleinberg 1999, "Authoritative Sources in a Hyperlinked
+    * Environment") over a DIRECTED hub→authority edge list — the natural
+    * companion to [[pageRank]] on bipartite interaction graphs (here
+    * customers are hubs, suppliers authorities): each round computes
+    * authority mass as the sum of in-linking hub scores, then hub mass as
+    * the sum of out-linked authority scores, L1-normalizing each side to
+    * [[FixedPoint]] in integer arithmetic (`raw div (total div FP)` —
+    * one exact global-window sum over the node-sized aggregate, never a
+    * second pass over edges; the div-by-div form never overflows Long:
+    * raw ≤ deg·FP and total ≤ E·FP stay far inside 2^63 for any graph
+    * whose edge count fits a cluster). Same loop shape as PageRank: two
+    * key-equi joins + two aggregations per round over the checkpointed
+    * edge list, bit-exact on any partitioning.
+    *
+    * Returns (`node`, `role` 'hub'|'authority', `score`) for the state
+    * after `iters` full rounds.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1,
+      s"hits: iters ($iters) must be >= 1 — 0 rounds would return uniform seeds")
+    def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      raw.withColumn("tot", sum(col("raw")).over(w))
+        .select(col(key).as("node"),
+          expr(s"raw div nullif(tot div ${FixedPoint}L, 0L)").as(out))
+    }
+    val ed = edges.repartition(col("src")).localCheckpoint()
+    var hubs = ed.select("src").distinct()
+      .select(col("src").as("node"), lit(FixedPoint).as("h"))
+    var auths: DataFrame = null
+    for (i <- 1 to iters) {
+      auths = normalize(
+        ed.join(hubs, ed("src") === hubs("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("raw")), "dst", "a")
+      hubs = normalize(
+        ed.join(auths, ed("dst") === auths("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("raw")), "src", "h")
+      if (i % 3 == 0 && i < iters) { // the pageRank lineage cadence
+        hubs = hubs.localCheckpoint(); auths = auths.localCheckpoint()
+      }
+    }
+    hubs.select(col("node"), lit("hub").as("role"), col("h").as("score"))
+      .unionAll(auths.select(col("node"), lit("authority").as("role"),
+        col("a").as("score")))
+  }
 }

@@ -1421,6 +1421,42 @@ object CoreQueries {
       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
       |       node // 2 AS key, r AS pr FROM r3""".stripMargin
 
+  /** G2 — HITS hubs/authorities ([[graft.ops.Graph.hits]]): 2 full
+    * rounds over the DIRECTED customer→supplier trade graph (the
+    * bipartite shape HITS was built for — who are the biggest buyers,
+    * who the most-bought-from suppliers). All integer fixed-point with
+    * per-round L1 normalization, so the oracle (the same two rounds
+    * unrolled as CTEs) hashes identically.
+    */
+  def hitsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    graft.ops.Graph.hits(edges, iters = 2)
+      .select(col("role"), expr("node div 2").as("key"), col("score"))
+  }
+
+  val hitsSql: String =
+    """WITH edges AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+      |               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |h0 AS (SELECT DISTINCT src AS node, CAST(1000000000 AS BIGINT) AS h FROM edges),
+      |a1r AS (SELECT e.dst AS node, SUM(h0.h) AS raw
+      |        FROM edges e JOIN h0 ON h0.node = e.src GROUP BY 1),
+      |a1 AS (SELECT node, CAST(raw // NULLIF((SELECT SUM(raw) FROM a1r) // 1000000000, 0) AS BIGINT) AS a FROM a1r),
+      |h1r AS (SELECT e.src AS node, SUM(a1.a) AS raw
+      |        FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+      |h1 AS (SELECT node, CAST(raw // NULLIF((SELECT SUM(raw) FROM h1r) // 1000000000, 0) AS BIGINT) AS h FROM h1r),
+      |a2r AS (SELECT e.dst AS node, SUM(h1.h) AS raw
+      |        FROM edges e JOIN h1 ON h1.node = e.src GROUP BY 1),
+      |a2 AS (SELECT node, CAST(raw // NULLIF((SELECT SUM(raw) FROM a2r) // 1000000000, 0) AS BIGINT) AS a FROM a2r),
+      |h2r AS (SELECT e.src AS node, SUM(a2.a) AS raw
+      |        FROM edges e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+      |h2 AS (SELECT node, CAST(raw // NULLIF((SELECT SUM(raw) FROM h2r) // 1000000000, 0) AS BIGINT) AS h FROM h2r)
+      |SELECT 'hub' AS role, node // 2 AS key, h AS score FROM h2
+      |UNION ALL
+      |SELECT 'authority', node // 2, a FROM a2""".stripMargin
+
   /** J11 — MERGE INTO ([[graft.ops.Merge]]): the 1995 order rollup merged
     * into the customer balance table. Matched customers with ≥4 orders in
     * the year churn out (DELETE); other matched customers get their
@@ -1541,6 +1577,7 @@ object CoreQueries {
     "a7_data_profile" -> dataProfile,
     "j11_merge_into" -> mergeIntoQ,
     "g1_pagerank" -> pageRankQ,
+    "g2_hits" -> hitsQ,
     "w9_funnel_steps" -> funnelSteps,
     "q13_grouping_sets" -> groupingSetsQ,
     "w10_retention_cohorts" -> retentionCohorts,
@@ -1593,6 +1630,7 @@ object CoreQueries {
     "a7_data_profile" -> dataProfileSql,
     "j11_merge_into" -> mergeIntoSql,
     "g1_pagerank" -> pageRankSql,
+    "g2_hits" -> hitsSql,
     "w9_funnel_steps" -> funnelStepsSql,
     "q13_grouping_sets" -> groupingSetsSql,
     "w10_retention_cohorts" -> retentionCohortsSql,

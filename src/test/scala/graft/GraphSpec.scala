@@ -61,6 +61,38 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(got === ref)
   }
 
+  test("HITS matches a sequential reference over 4 rounds and is partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pairs = (0L until 30L).map(i => (i % 5, 100L + i % 7)) // hubs 0-4, auths 100-106
+    val edges = pairs.distinct
+    // sequential reference of the exact integer recurrence
+    var h = edges.map(_._1).distinct.map(_ -> FP).toMap
+    var a = Map.empty[Long, Long]
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val d = raw.values.sum / FP
+      raw.map { case (k, v) => k -> (if (d == 0) 0L else v / d) }
+    }
+    for (_ <- 1 to 4) {
+      a = norm(edges.groupBy(_._2).map { case (v, es) => v -> es.map(e => h(e._1)).sum })
+      h = norm(edges.groupBy(_._1).map { case (u, es) => u -> es.map(e => a(e._2)).sum })
+    }
+    val ref = h.map { case (k, v) => ("hub", k) -> v } ++
+      a.map { case (k, v) => ("authority", k) -> v }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.hits(df, iters = 4).collect()
+        .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    val base = edges.toDF("src", "dst")
+    assert(run(base.repartition(1)) === ref)
+    assert(run(base.repartition(16, col("dst"))) === ref)
+  }
+
+  test("HITS rejects iters < 1 loudly") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      Graph.hits(Seq((1L, 2L)).toDF("src", "dst"), iters = 0))
+  }
+
   test("fixed-point ranks are invariant under input partitioning") {
     val pairs = (0L until 40L).map(i => (i % 7, 100L + i % 13))
     val base = edgesOf(pairs: _*)
