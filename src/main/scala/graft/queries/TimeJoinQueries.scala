@@ -91,6 +91,50 @@ object TimeJoinQueries {
       |SELECT event_id, user_id, us AS click_us, purchase_us, purchase_value
       |FROM f WHERE side = 1""".stripMargin
 
+  /** W11 — last-touch attribution ([[TimeJoins.asOfJoin]] with BOTH the
+    * strict and tolerance arms load-bearing in a graded query): every
+    * purchase attributed to the user's most recent click-or-view STRICTLY
+    * before it and at most 7 days old; stale or absent touches attribute
+    * to 'none'. The marketing-attribution shape — and the one-shuffle
+    * as-of plan means the touch table is never self-joined against
+    * purchases.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val sevenDaysUs = 604800000000L
+    val ev = Tables.events(spark, sfDir).withColumn("us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us")
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("event_type").as("touch"))
+    TimeJoins.asOfJoin(purchases, touches, Seq("user_id"),
+        probeTs = "us", quoteTs = "us", payload = Seq("touch"),
+        probeTie = "event_id", quoteTie = "event_id",
+        strict = true, tolerance = Some(sevenDaysUs))
+      .groupBy(coalesce(col("asof_touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("purchases"))
+  }
+
+  val attributionSql: String =
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(ts) AS us, 0 AS side, event_id,
+      |         CAST(NULL AS VARCHAR) AS q_type, CAST(NULL AS BIGINT) AS q_us
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), 1, event_id, event_type, epoch_us(ts)
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |f AS (
+      |  SELECT user_id, us, side, event_id,
+      |         last_value(q_type IGNORE NULLS) OVER w AS t_type,
+      |         last_value(q_us IGNORE NULLS) OVER w AS t_us
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, side, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT CASE WHEN t_us IS NULL OR us - t_us > 604800000000
+      |            THEN 'none' ELSE t_type END AS touch_type,
+      |       COUNT(*) AS purchases
+      |FROM f WHERE side = 0 GROUP BY 1""".stripMargin
+
   /** Window length for [[rangeJoin]]: 10 minutes in µs. */
   private val IncidentWindowUs = 600000000L
 
@@ -1074,6 +1118,7 @@ object TimeJoinQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j5_asof_join" -> asofJoin,
     "j12_asof_forward" -> asofForwardJoin,
+    "w11_attribution" -> attribution,
     "j6_range_join" -> rangeJoin,
     "st4_windowed_agg" -> windowedAgg,
     "st10_stream_trending" -> streamTrending,
@@ -1096,6 +1141,7 @@ object TimeJoinQueries {
   def oracleSql: Map[String, String] = Map(
     "j5_asof_join" -> asofJoinSql,
     "j12_asof_forward" -> asofForwardJoinSql,
+    "w11_attribution" -> attributionSql,
     "j6_range_join" -> rangeJoinSql,
     "st4_windowed_agg" -> windowedAggSql,
     "st10_stream_trending" -> streamTrendingSql,
