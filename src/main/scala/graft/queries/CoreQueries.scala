@@ -202,6 +202,38 @@ object CoreQueries {
       |EXCEPT
       |SELECT user_id FROM events WHERE event_type = 'error' AND value > 90""".stripMargin
 
+  /** U2 — MULTISET set ops (`INTERSECT ALL` / `EXCEPT ALL`, u1's bag
+    * siblings): per user, the click and view event BAGS intersected
+    * (min multiplicity survives) and subtracted (excess clicks survive),
+    * then counted — multiplicities distinct ops would collapse to 0/1.
+    * Spark plans both as a single aggregate computing per-key
+    * multiplicities + a generate replaying min/difference copies — no
+    * join of the two bags.
+    */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def bag(t: String) =
+      ev.filter(col("event_type") === t).select("user_id")
+    val inter = bag("click").intersectAll(bag("view"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("user_id"), col("n"))
+    val exc = bag("click").exceptAll(bag("view"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("user_id"), col("n"))
+    inter.unionAll(exc)
+  }
+
+  val setOpsAllSql: String =
+    """SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'view') GROUP BY 2
+      |UNION ALL
+      |SELECT 'except_all', user_id, COUNT(*) FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'view') GROUP BY 2""".stripMargin
+
   /** Headline aggregation (TPC-H Q1 shape) — partial/final hash agg over the
     * fact table; the monetary sums use exact decimal arithmetic.
     */
@@ -1592,6 +1624,7 @@ object CoreQueries {
     "w1_latest_per_user" -> latestPerUser,
     "o1_topk" -> topK,
     "u1_setops" -> setOps,
+    "u2_setops_all" -> setOpsAll,
     "q1_agg" -> q1Agg,
     "q3_join_agg" -> q3JoinAgg,
     "s1_prefix_scan" -> prefixScan,
@@ -1644,6 +1677,7 @@ object CoreQueries {
     "w1_latest_per_user" -> latestPerUserSql,
     "o1_topk" -> topKSql,
     "u1_setops" -> setOpsSql,
+    "u2_setops_all" -> setOpsAllSql,
     "q1_agg" -> q1AggSql,
     "q3_join_agg" -> q3JoinAggSql,
     "s1_prefix_scan" -> prefixScanSql,
