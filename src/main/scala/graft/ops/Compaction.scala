@@ -154,6 +154,12 @@ object Compaction {
     * vacuum exists to reclaim). Time travel (q12) works up to the
     * retention horizon and not past it, by construction.
     *
+    * Orphan deletion is restricted to the transient write-artifact
+    * suffixes a chain write can actually leave behind (`.inprogress`,
+    * `.tmp`, `_temporary`, `.crc`) — a vacuum pointed one directory too
+    * high must NOT wipe unrelated assets that merely share the root
+    * (review r19). Unknown non-version entries fail loudly instead.
+    *
     * Pure driver-side filesystem metadata work — version count entries,
     * never data rows, so it costs the same at 100 TB as at test scale
     * (the data deletion is the store's bulk delete). Returns the
@@ -171,16 +177,31 @@ object Compaction {
     }).sorted.toSeq
     require(versions.nonEmpty, s"expireSnapshots: no v* dirs under $chainDir")
     val live = versions.takeRight(keep).toSet
-    entries.foreach { e =>
-      val keepIt = e.getPath.getName match {
-        case vPat(n) => e.isDirectory && live(n.toInt)
-        case _ => false // orphan: no version owns it
+    val transient = Seq(".inprogress", ".tmp", ".crc")
+    val classified = entries.map { e =>
+      val name = e.getPath.getName
+      val (keepIt, deletable) = name match {
+        case vPat(n) => (e.isDirectory && live(n.toInt), true)
+        case _ => // orphan: only known transient write artifacts are ours
+          (false, name == "_temporary" || transient.exists(name.endsWith))
       }
+      (e.getPath, keepIt, deletable)
+    }
+    // A non-version, non-transient entry means the caller pointed the
+    // vacuum at a directory that is not (only) a version chain —
+    // refusing BEFORE the first delete is recoverable, an irreversible
+    // wipe is not (review r19). Validate everything, then delete.
+    classified.foreach { case (p, keepIt, deletable) =>
+      require(keepIt || deletable,
+        s"expireSnapshots: refusing to delete non-chain entry $p" +
+          " — chainDir must contain only v<N> dirs and transient artifacts")
+    }
+    classified.foreach { case (p, keepIt, _) =>
       // FileSystem.delete reports failure by RETURNING false on some
       // filesystems (permissions, concurrent access) — an unenforced
       // retention horizon must fail loudly, not report the version gone
-      if (!keepIt) require(f.delete(e.getPath, true),
-        s"expireSnapshots: could not delete ${e.getPath}")
+      if (!keepIt) require(f.delete(p, true),
+        s"expireSnapshots: could not delete $p")
     }
     versions.filter(live)
   }

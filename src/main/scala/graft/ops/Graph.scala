@@ -36,35 +36,66 @@ object Graph {
     */
   val FixedPoint: Long = 1000000000L
 
+  /** Builds the loop-invariant edge table (src, dst, d) — pre-partitioned
+    * by the iteration join key and checkpointed so every round pays for it
+    * once — and ENFORCES the dangling-node precondition loudly (review
+    * r19): a node appearing as only-src or only-dst would silently leak
+    * rank mass (only-dst: receives but never redistributes) or drop out of
+    * the dst-keyed aggregate after round 1 (only-src). One node-sized
+    * aggregate over the already-materialized edge table; the presence
+    * check is a single max/max fold, not two set differences.
+    */
+  private def checkedEdges(edges: DataFrame, op: String): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val ed = edges.join(deg, "src")
+      .repartition(col("src")).localCheckpoint()
+    val bad = ed.select(col("src").as("n"), lit(1L).as("s"), lit(0L).as("t"))
+      .unionAll(ed.select(col("dst"), lit(0L), lit(1L)))
+      .groupBy("n").agg(max(col("s")).as("s"), max(col("t")).as("t"))
+      .filter(col("s") =!= col("t"))
+      .select("n").limit(5).collect().map(_.getLong(0))
+    require(bad.isEmpty,
+      s"$op: dangling nodes — every node must appear as BOTH src and dst " +
+        s"(feed symmetric edges for an undirected graph); offenders e.g. " +
+        bad.mkString("[", ", ", "]"))
+    ed
+  }
+
+  /** One damped PageRank round: key-equi join + dst-keyed sum. */
+  private def prStep(ed: DataFrame, ranks: DataFrame): DataFrame = {
+    val tele = FixedPoint / 100L * 15L // exact: FixedPoint is a multiple of 100
+    ed.join(ranks, ed("src") === ranks("node"))
+      .select(col("dst"), expr("r div d").as("c"))
+      .groupBy(col("dst"))
+      .agg((lit(tele) + expr("(85 * sum(c)) div 100")).as("r"))
+      .select(col("dst").as("node"), col("r"))
+  }
+
+  /** Uniform [[FixedPoint]] seed ranks FROM the checkpointed table (review
+    * r18): seeding from `deg` would re-execute the whole edge-build
+    * lineage a second time in the rank job — the exact cost the ed
+    * checkpoint exists to pay once. distinct() on src reuses ed's hash
+    * partitioning, no extra exchange.
+    */
+  private def seedRanks(ed: DataFrame): DataFrame =
+    ed.select("src").distinct()
+      .select(col("src").as("node"), lit(FixedPoint).as("r"))
+
   /** `iters` damped PageRank rounds over a directed edge list
     * (`src: Long`, `dst: Long`). Every node must appear as BOTH a src and
-    * a dst (feed symmetric edges for an undirected graph) — dangling
-    * nodes would leak mass and drop out of the aggregate. Returns
-    * (`node`, `r`) with r in [[FixedPoint]] units:
-    * r' = 0.15·FP + 0.85·Σ_{u→node} (r(u) div deg(u)), all integer.
+    * a dst (feed symmetric edges for an undirected graph) — ENFORCED
+    * loudly by [[checkedEdges]]; dangling nodes would leak mass and drop
+    * out of the aggregate. Returns (`node`, `r`) with r in [[FixedPoint]]
+    * units: r' = 0.15·FP + 0.85·Σ_{u→node} (r(u) div deg(u)), all integer.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1,
       s"pageRank: iters ($iters) must be >= 1 — 0 rounds would return " +
         "uniform seeds labeled as ranks")
-    val tele = FixedPoint / 100L * 15L // exact: FixedPoint is a multiple of 100
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    // loop-invariant join input: (src, dst, d), pre-partitioned by the
-    // iteration join key and pinned so 'iters' rounds pay for it once
-    val ed = edges.join(deg, "src")
-      .repartition(col("src")).localCheckpoint()
-    // seed FROM the checkpointed table (review r18): seeding from `deg`
-    // would re-execute the whole edge-build lineage a second time in the
-    // rank job — the exact cost the ed checkpoint exists to pay once.
-    // distinct() on src reuses ed's hash partitioning, no extra exchange.
-    var ranks = ed.select("src").distinct()
-      .select(col("src").as("node"), lit(FixedPoint).as("r"))
+    val ed = checkedEdges(edges, "pageRank")
+    var ranks = seedRanks(ed)
     for (i <- 1 to iters) {
-      ranks = ed.join(ranks, ed("src") === ranks("node"))
-        .select(col("dst"), expr("r div d").as("c"))
-        .groupBy(col("dst"))
-        .agg((lit(tele) + expr("(85 * sum(c)) div 100")).as("r"))
-        .select(col("dst").as("node"), col("r"))
+      ranks = prStep(ed, ranks)
       // cut lineage every 3rd INTERMEDIATE round: a per-iteration
       // localCheckpoint materializes a node-sized job each round (the r18
       // A/B measured it as pure overhead at low iteration counts —
@@ -74,6 +105,41 @@ object Graph {
       if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
+  }
+
+  /** Convergence-stopped PageRank: iterate until the L1 rank delta
+    * Σ|r_i − r_{i−1}| (in [[FixedPoint]] units) is ≤ `tol`, or `maxIters`
+    * rounds, whichever first. Because ranks are integers, the delta is
+    * itself exact — the stopping decision is bit-deterministic on any
+    * partitioning, unlike a float-residual stop. Returns (ranks, rounds
+    * run); the ranks after k rounds are bit-identical to
+    * `pageRank(edges, k)` (spec-pinned in GraphSpec).
+    *
+    * Each round checkpoints the node-sized rank table (the delta is a
+    * driver action over it — without pinning, the comparison would
+    * recompute the round) and joins new-vs-old on `node`; the
+    * dangling-node precondition makes the keyset loop-invariant, so an
+    * inner join is exact. The delta join adds one node-sized exchange per
+    * round — the price of convergence mode over fixed-iters.
+    */
+  def pageRankConverged(edges: DataFrame, tol: Long, maxIters: Int): (DataFrame, Int) = {
+    require(maxIters >= 1, s"pageRankConverged: maxIters ($maxIters) must be >= 1")
+    require(tol >= 0L, s"pageRankConverged: tol ($tol) must be >= 0")
+    val ed = checkedEdges(edges, "pageRankConverged")
+    var ranks = seedRanks(ed).localCheckpoint()
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      val next = prStep(ed, ranks).localCheckpoint()
+      val delta = next
+        .join(ranks.select(col("node"), col("r").as("rp")), "node")
+        .agg(sum(abs(col("r") - col("rp"))).as("d"))
+        .first().getLong(0)
+      done = delta <= tol
+      ranks = next
+      i += 1
+    }
+    (ranks, i)
   }
 
   /** HITS (Kleinberg 1999, "Authoritative Sources in a Hyperlinked
@@ -96,11 +162,17 @@ object Graph {
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1,
       s"hits: iters ($iters) must be >= 1 — 0 rounds would return uniform seeds")
+    // zero-mass normalize is a LOUD error, not a silent NULL-out (review
+    // r19): a side's total truncating below FixedPoint means a degenerate
+    // graph whose scores would all be NULL — the contract elsewhere
+    // (packedPairs, iters guards) is raise_error, so match it
     def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window.partitionBy()
       raw.withColumn("tot", sum(col("raw")).over(w))
         .select(col(key).as("node"),
-          expr(s"raw div nullif(tot div ${FixedPoint}L, 0L)").as(out))
+          expr(s"""CASE WHEN tot div ${FixedPoint}L = 0L
+                  |THEN CAST(raise_error('hits: zero total $out-mass — degenerate graph side, cannot L1-normalize') AS LONG)
+                  |ELSE raw div (tot div ${FixedPoint}L) END""".stripMargin).as(out))
     }
     val ed = edges.repartition(col("src")).localCheckpoint()
     var hubs = ed.select("src").distinct()

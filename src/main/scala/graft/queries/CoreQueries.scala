@@ -1262,10 +1262,12 @@ object CoreQueries {
   def histogramDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy()
     Tables.events(spark, sfDir)
-      // NaN is excluded EXPLICITLY: Spark's long cast folds floor(NaN) to
-      // 0 (silently polluting bucket 0) while DuckDB errors the cast —
-      // neither is a drift report (review r18)
-      .filter(!isnan(col("value")))
+      // NaN and ±Infinity are excluded EXPLICITLY: Spark's long cast folds
+      // floor(NaN) to 0 (silently polluting bucket 0) and saturates
+      // Infinity to Long.MaxValue, while DuckDB errors both casts —
+      // neither is a drift report (reviews r18/r19)
+      .filter(!isnan(col("value")) &&
+        abs(col("value")) =!= lit(Double.PositiveInfinity))
       .select(floor(col("value") / 10).cast("long").as("bucket"),
         (to_date(col("ts")) < lit("2024-01-16").cast("date")).as("ref"))
       .groupBy("bucket")
@@ -1285,7 +1287,7 @@ object CoreQueries {
       |  SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
       |    COUNT(*) FILTER (WHERE CAST(ts AS DATE) < DATE '2024-01-16') AS cnt_ref,
       |    COUNT(*) FILTER (WHERE CAST(ts AS DATE) >= DATE '2024-01-16') AS cnt_cur
-      |  FROM events WHERE NOT isnan(value) GROUP BY 1)
+      |  FROM events WHERE isfinite(value) GROUP BY 1)
       |SELECT bucket, cnt_ref, cnt_cur,
       |  CAST((1000000 * cnt_ref) // NULLIF((SELECT SUM(cnt_ref) FROM h), 0) AS BIGINT) AS ppm_ref,
       |  CAST((1000000 * cnt_cur) // NULLIF((SELECT SUM(cnt_cur) FROM h), 0) AS BIGINT) AS ppm_cur
@@ -1370,7 +1372,10 @@ object CoreQueries {
   def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
     val winUs = 86400000000L // 24h in µs
     val w = Window.partitionBy("user_id")
+    // NULL user_ids are excluded on BOTH sides: the window would pool them
+    // into one pseudo-user while the oracle's equi-join drops them.
     val perUser = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       .withColumn("fv",
         min(when(col("event_type") === "view", col("us"))).over(w))
@@ -1396,7 +1401,7 @@ object CoreQueries {
   val funnelStepsSql: String =
     """WITH f AS (SELECT user_id,
       |    MIN(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS fv
-      |  FROM events GROUP BY 1),
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
       |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fc
       |  FROM events e JOIN f ON e.user_id = f.user_id
       |  WHERE e.event_type='click' AND epoch_us(e.ts) > f.fv

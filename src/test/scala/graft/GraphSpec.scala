@@ -93,6 +93,51 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       Graph.hits(Seq((1L, 2L)).toDF("src", "dst"), iters = 0))
   }
 
+  test("pageRank rejects dangling nodes loudly (r19 hardening)") {
+    import spark.implicits._
+    // a directed, non-symmetrized edge: 1 is only-src, 2 is only-dst —
+    // silently leaking rank mass is the failure mode the guard exists for
+    val ex = intercept[IllegalArgumentException](
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iters = 1))
+    assert(ex.getMessage.contains("dangling"))
+    intercept[IllegalArgumentException](
+      Graph.pageRankConverged(Seq((1L, 2L)).toDF("src", "dst"), tol = 0L, maxIters = 1))
+  }
+
+  test("HITS raises loudly on a zero-mass normalize instead of NULL-ing scores (r19 hardening)") {
+    import spark.implicits._
+    // one hub fanning to 3 authorities: round-1 authority scores truncate
+    // to FP/3 each, so the hub-side total is 3*(FP div 3) = FP-1 < FP and
+    // `tot div FP` is 0 — the degenerate case that used to NULL out
+    val oneSidedStar = Seq((1L, 101L), (1L, 102L), (1L, 103L)).toDF("src", "dst")
+    val ex = intercept[Exception](Graph.hits(oneSidedStar, iters = 1).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("zero total")))
+  }
+
+  test("pageRankConverged stops at the exact fixed point and matches fixed-iters (r19)") {
+    // two-node symmetric graph: round 1 lands exactly on FP (tele +
+    // 0.85*FP), so the L1 delta is 0 and tol=0 stops after one round
+    val two = edgesOf((1L, 2L))
+    val (r1, n1) = Graph.pageRankConverged(two, tol = 0L, maxIters = 10)
+    assert(n1 === 1)
+    assert(ranksOf(r1) === Map(1L -> FP, 2L -> FP))
+    // on a non-trivial graph, whatever round it stops at must be
+    // bit-identical to the fixed-iters run of that length
+    val star = edgesOf((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val (rs, k) = Graph.pageRankConverged(star, tol = 0L, maxIters = 4)
+    assert(k >= 1 && k <= 4)
+    assert(ranksOf(rs) === ranksOf(Graph.pageRank(star, iters = k)))
+    // a generous tolerance genuinely stops early (crossing the
+    // checkpointed-seed path and the per-round delta action)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L))
+    val (rg, kg) = Graph.pageRankConverged(edgesOf(pairs: _*),
+      tol = FP / 10L, maxIters = 20)
+    assert(kg < 20)
+    assert(ranksOf(rg) === ranksOf(Graph.pageRank(edgesOf(pairs: _*), iters = kg)))
+  }
+
   test("fixed-point ranks are invariant under input partitioning") {
     val pairs = (0L until 40L).map(i => (i % 7, 100L + i % 13))
     val base = edgesOf(pairs: _*)

@@ -502,5 +502,14 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     // keep < 1 fails loudly
     intercept[IllegalArgumentException](
       graft.ops.Compaction.expireSnapshots(spark, root, keep = 0))
+    // a non-transient foreign entry makes the vacuum REFUSE (and leave
+    // the asset intact) rather than wipe it — the r19 safety contract
+    Files.write(Paths.get(s"$root/unrelated-asset.csv"), "precious".getBytes)
+    intercept[IllegalArgumentException](
+      graft.ops.Compaction.expireSnapshots(spark, root, keep = 1))
+    assert(Files.exists(Paths.get(s"$root/unrelated-asset.csv")))
+    // the refusal is validate-first: NOTHING was deleted, v2 survives
+    // even though keep=1 would have expired it
+    assert(Files.exists(Paths.get(s"$root/v2")))
   }
 }
