@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means (Lloyd 1982, "Least squares quantization in
+  * PCM") in FIXED-POINT INTEGER arithmetic — the corpus-curation operator
+  * (topic bucketing / cluster balancing a la the cluster-then-sample
+  * treatments in web-corpus pipelines) run AS Lloyd iterations on the
+  * cluster, unlike quantizer training ([[Similarity]]) where a bounded
+  * driver-side sample is the published FAISS practice.
+  *
+  * Same design charter as [[Graph]]: float k-means sums in shuffle order,
+  * so two runs (or two engines) disagree in the last ulps and ties flip;
+  * quantizing every coordinate to an integer (`floor((x + 1) * Q)`, the
+  * +1 offset keeps values positive so truncating integer division agrees
+  * across engines) makes the assignment argmin, the tie-break, and the
+  * centroid mean all bit-exact on ANY partitioning — the property the
+  * DuckDB oracle grade rests on.
+  *
+  * Spark-first shape, per Lloyd round:
+  *   1. ASSIGN — a pure projection over the (localCheckpoint'd) point
+  *      table: the k centroids are a driver-held k×dim integer array
+  *      (bounded, exactly like [[Graph]] keeps node-sized state) folded
+  *      into the plan as array literals, so the argmin is `least` over k
+  *      packed `zip_with`/`aggregate` distance expressions — broadcast by
+  *      construction, no join, no shuffle.
+  *   2. UPDATE — ONE k-row aggregate: `groupBy(cluster)` with a count and
+  *      `dim` per-coordinate sums (partial map-side aggregation does the
+  *      heavy lifting; only k×(dim+1) longs cross the wire), means taken
+  *      on the driver with truncating division.
+  * Per round that is a single job with a single k-sized exchange —
+  * `iters` rounds at 100 TB scan the corpus `iters` times and shuffle
+  * almost nothing, which is the optimal distributed Lloyd shape short of
+  * mini-batching.
+  *
+  * Ties go to the LOWEST cluster id via the packed key `d2·64 + c`
+  * (the g1/packedPairs trick); empty clusters keep their previous
+  * centroid — both rules chosen because they are expressible identically
+  * in ANSI SQL, so the oracle can unroll rounds as CTEs.
+  */
+object KMeans {
+
+  /** Quantization scale: 6 fractional digits. With the +1 offset and the
+    * |x| < 1 domain, coordinates land in [0, 2Q); a squared distance is
+    * ≤ dim·(2Q)² = 64·4e12 ≈ 2.6e14, and the packed argmin key ≤ 1.7e16 —
+    * both far inside Long. Per-cluster coordinate sums stay exact up to
+    * ~4.6e12 member points per cluster; raise Q only with that bound in
+    * hand.
+    */
+  val Q: Long = 1000000L
+
+  /** Max clusters: the packed argmin key reserves 6 bits for the id. */
+  val MaxK: Int = 64
+
+  /** array<float|double> → array<long>, `floor((x + 1) * Q)`. The |x| < 1
+    * domain is ENFORCED with raise_error (NaN fails the predicate and is
+    * rejected too) — a silently saturated coordinate would corrupt every
+    * downstream mean.
+    */
+  def quantize(emb: Column): Column =
+    transform(emb, x =>
+      when(abs(x) < lit(1.0),
+        floor((x.cast("double") + lit(1.0)) * lit(Q.toDouble)).cast("long"))
+        .otherwise(raise_error(lit(
+          "kmeans.quantize: coordinate out of documented domain |x| < 1"))
+          .cast("long")))
+
+  /** Exact integer squared L2 distance between a quantized vector column
+    * and one driver-held centroid, as a single fold expression.
+    */
+  private def dist2(q: Column, cent: Array[Long]): Column =
+    aggregate(
+      zip_with(q, typedLit(cent.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Packed argmin `min(d2·64 + c)` over the k centroids — minimizes d2,
+    * then cluster id (deterministic ties), in one `least`.
+    */
+  private def packedAssign(q: Column, cents: Seq[Array[Long]]): Column =
+    least(cents.zipWithIndex.map { case (c, i) =>
+      dist2(q, c) * lit(MaxK.toLong) + lit(i.toLong)
+    }: _*)
+
+  /** `iters` full Lloyd rounds (assign → update) over `points`
+    * (`id: Long`, `q: array<long>` — see [[quantize]]), seeded with the
+    * quantized vectors of the k LOWEST ids. Returns the final driver-held
+    * centroids (cluster → coordinates) and the point table pinned for the
+    * caller's final-assignment projection.
+    */
+  def lloyd(points: DataFrame, k: Int, iters: Int): (Seq[Array[Long]], DataFrame) = {
+    require(k >= 1 && k <= MaxK, s"kmeans: k ($k) must be in [1, $MaxK]")
+    require(iters >= 1, s"kmeans: iters ($iters) must be >= 1")
+    // the loop scans the points once per round — pin them once
+    val pts = points.select(col("id"), col("q")).localCheckpoint()
+    val seedRows = pts.orderBy(col("id")).limit(k).collect()
+    require(seedRows.length == k,
+      s"kmeans: need at least k ($k) points, got ${seedRows.length}")
+    var cents: Seq[Array[Long]] =
+      seedRows.map(_.getSeq[Long](1).toArray).toSeq
+    val dim = cents.head.length
+    for (_ <- 1 to iters) {
+      val sums = pts
+        .withColumn("c", packedAssign(col("q"), cents) % lit(MaxK.toLong))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i => sum(col("q")(i)).as(s"s$i")): _*)
+        .collect() // ≤ k rows of dim+2 longs — bounded driver state
+      val updated = sums.map { r =>
+        val n = r.getLong(1)
+        r.getLong(0) -> Array.tabulate(dim)(i => r.getLong(i + 2) / n)
+      }.toMap
+      // empty cluster: keep the previous centroid (oracle-expressible)
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        updated.getOrElse(i.toLong, old)
+      }
+    }
+    (cents, pts)
+  }
+
+  /** Lloyd + final assignment under the final centroids: (`id`,
+    * `cluster`, `d2`) for every point, all exact integers.
+    */
+  def fit(points: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (cents, pts) = lloyd(points, k, iters)
+    pts.withColumn("p", packedAssign(col("q"), cents))
+      .select(col("id"),
+        (col("p") % lit(MaxK.toLong)).as("cluster"),
+        expr(s"p div ${MaxK}L").as("d2"))
+  }
+}

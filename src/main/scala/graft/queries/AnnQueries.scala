@@ -1277,7 +1277,55 @@ object AnnQueries {
        |      FROM rr)
        |WHERE rnk <= 3""".stripMargin
 
+  /** N14 — distributed fixed-point Lloyd k-means
+    * ([[graft.ops.KMeans]]): k=4 clusters over the 64-dim corpus, 3 full
+    * assign→update rounds on the cluster (one k-sized aggregate per
+    * round, centroids broadcast as plan literals), then every point's
+    * final (cluster, exact integer d²). The classic corpus-curation
+    * operator (topic bucketing / cluster-balanced sampling); integer
+    * arithmetic makes all three rounds bit-exact cross-engine, so the
+    * DuckDB twin unrolls them as CTE triples (the g1 pattern) over the
+    * dim-exploded point table and hashes identically.
+    */
+  def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        graft.ops.KMeans.quantize(col("embedding")).as("q"))
+    graft.ops.KMeans.fit(pts, k = 4, iters = 3)
+      .select(col("id").as("vec_id"), col("cluster"), col("d2"))
+  }
+
+  val kmeansClustersSql: String = {
+    // one CTE triple per Lloyd round: distances, packed argmin
+    // assignment, centroid update (empty cluster keeps the old centroid)
+    val rounds = (1 to 3).map { r =>
+      s"""d$r AS (SELECT p.id, c.c, CAST(SUM((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS d2
+         |  FROM pts p JOIN c${r - 1} c USING (dim) GROUP BY 1, 2),
+         |a$r AS (SELECT id, MIN(d2 * 64 + c) % 64 AS c FROM d$r GROUP BY id),
+         |u$r AS (SELECT a.c, p.dim, CAST(SUM(p.q) AS BIGINT) // COUNT(*) AS q
+         |  FROM pts p JOIN a$r a USING (id) GROUP BY 1, 2),
+         |c$r AS (SELECT c${r - 1}.c, c${r - 1}.dim, COALESCE(u.q, c${r - 1}.q) AS q
+         |  FROM c${r - 1} LEFT JOIN u$r u ON u.c = c${r - 1}.c AND u.dim = c${r - 1}.dim)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, u.i - 1 AS dim,
+       |         CAST(FLOOR((CAST(embedding[u.i] AS DOUBLE) + 1.0) * 1000000) AS BIGINT) AS q
+       |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+       |c0 AS (
+       |  SELECT DENSE_RANK() OVER (ORDER BY id) - 1 AS c, dim, q
+       |  FROM pts
+       |  WHERE id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |$rounds,
+       |fin AS (SELECT p.id, c.c, CAST(SUM((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS d2
+       |  FROM pts p JOIN c3 c USING (dim) GROUP BY 1, 2)
+       |SELECT id AS vec_id, MIN(d2 * 64 + c) % 64 AS cluster,
+       |       MIN(d2 * 64 + c) // 64 AS d2
+       |FROM fin GROUP BY id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n14_kmeans" -> kmeansClusters,
     "st8_stream_ann_serve" -> annServe,
     "h1_hybrid_retrieval" -> hybridRetrieval,
     "h2_rrf_fusion" -> rrfFusion,
@@ -1303,6 +1351,7 @@ object AnnQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "n14_kmeans" -> kmeansClustersSql,
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "h2_rrf_fusion" -> rrfFusionSql,
     "h5_chunk_retrieval" -> chunkRetrievalSql,

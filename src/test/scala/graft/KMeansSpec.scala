@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.KMeans
+
+/** N14 k-means properties the oracle grade cannot isolate: exact
+  * fixed-point agreement with a sequential Lloyd reference, invariance
+  * under repartitioning (the reason the arithmetic is integer), the
+  * empty-cluster and tie-break rules, and the loud domain guards.
+  */
+class KMeansSpec extends AnyFunSuite with SparkSuite {
+
+  private def ptsOf(vecs: Seq[Array[Double]]) = {
+    import spark.implicits._
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb")
+      .select(col("id"), KMeans.quantize(col("emb")).as("q"))
+  }
+
+  /** The same integer Lloyd recurrence, sequentially. */
+  private def reference(vecs: Seq[Array[Double]], k: Int, iters: Int): Map[Long, (Long, Long)] = {
+    val q = vecs.map(_.map(x => math.floor((x + 1.0) * KMeans.Q).toLong))
+    var cents = (0 until k).map(q(_)).toArray
+    def assign(p: Array[Long]): (Int, Long) =
+      cents.zipWithIndex.map { case (c, i) =>
+        (p.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.min match { case (d, i) => (i, d) }
+    for (_ <- 1 to iters) {
+      val byC = q.indices.groupBy(i => assign(q(i))._1)
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byC.get(ci) match {
+          case Some(members) =>
+            Array.tabulate(old.length)(d => members.map(q(_)(d)).sum / members.size)
+          case None => old // empty cluster keeps its centroid
+        }
+      }
+    }
+    q.indices.map { i =>
+      val (c, d) = assign(q(i)); i.toLong -> (c.toLong, d)
+    }.toMap
+  }
+
+  private def run(vecs: Seq[Array[Double]], k: Int, iters: Int, parts: Int = 1) = {
+    val pts =
+      if (parts == 1) ptsOf(vecs) else ptsOf(vecs).repartition(parts, col("q"))
+    KMeans.fit(pts, k, iters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("matches the sequential integer Lloyd reference over 3 rounds") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(60)(Array.fill(8)(rnd.nextDouble() * 1.8 - 0.9))
+    val want = reference(vecs, k = 4, iters = 3)
+    assert(run(vecs, k = 4, iters = 3) === want)
+    // and is invariant under input partitioning
+    assert(run(vecs, k = 4, iters = 3, parts = 16) === want)
+  }
+
+  test("duplicate seeds: ties go to the lowest cluster and the emptied cluster keeps its centroid") {
+    // ids 0 and 1 are identical, so cluster 1 is empty from round 1 on
+    val vecs = Seq(Array(0.5, 0.5), Array(0.5, 0.5), Array(0.6, 0.4), Array(-0.5, -0.5))
+    val got = run(vecs, k = 2, iters = 2)
+    assert(got === reference(vecs, k = 2, iters = 2))
+    // non-vacuity: round 1 sends EVERY point to cluster 0 (equidistant
+    // ties break low), so cluster 1 survives only via the keep-previous
+    // rule — and in round 2 the duplicates migrate back to it. Both
+    // clusters present in the final output proves the kept centroid
+    // stayed live; the identical duplicates must land identically.
+    assert(got.values.map(_._1).toSet === Set(0L, 1L))
+    assert(got(0L) === got(1L) && got(0L)._1 === 1L)
+  }
+
+  test("assignment distance is the exact integer d2") {
+    // one point per cluster: after any rounds, d2(self) = 0 exactly
+    val vecs = Seq(Array(0.1, 0.2), Array(-0.7, 0.3))
+    val got = run(vecs, k = 2, iters = 3)
+    assert(got === Map(0L -> (0L, 0L), 1L -> (1L, 0L)))
+  }
+
+  test("loud guards: domain, k bounds, iters, not enough points") {
+    import spark.implicits._
+    val bad = Seq((0L, Array(1.5, 0.0)), (1L, Array(0.0, 0.0)))
+      .toDF("id", "emb")
+      .select(col("id"), KMeans.quantize(col("emb")).as("q"))
+    val ex = intercept[Exception](KMeans.fit(bad, k = 2, iters = 1).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("documented domain")))
+    val ok = ptsOf(Seq(Array(0.1), Array(0.2)))
+    intercept[IllegalArgumentException](KMeans.fit(ok, k = 0, iters = 1))
+    intercept[IllegalArgumentException](KMeans.fit(ok, k = 65, iters = 1))
+    intercept[IllegalArgumentException](KMeans.fit(ok, k = 2, iters = 0))
+    intercept[IllegalArgumentException](KMeans.fit(ok, k = 3, iters = 1))
+  }
+}
