@@ -122,4 +122,78 @@ object LmScore {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     (id, nll, if (nll < KeepBelow) 1L else 0L)
   }
+
+  // ---------------------------------------------------------------------
+  // T27 — word-trigram stupid backoff (Brants et al. 2007, "Large
+  // Language Models in Machine Translation"), the web-scale LM gate that
+  // needs NO normalization and NO ln(): score(w3|w1w2) = c123/c12 if the
+  // trigram was seen, else α·c23/c2, else α²·c3/N, with α = 0.4. In
+  // integer ppm every arm is `(1e6·c) div ctx` scaled by an integer α —
+  // the per-document mean is an integer sum of integers, so the score is
+  // bit-exact on any partitioning and any engine (the t26 integer-idf
+  // treatment applied to an LM). t13's char-bigram gate is the
+  // cheap/coarse tier; this is the CCNet-fidelity tier: sensitive to WORD
+  // ORDER, which no bigram-histogram score can see (TrigramLmSpec pins a
+  // pair of permuted documents t13 scores identically).
+  // ---------------------------------------------------------------------
+
+  /** Brants' backoff penalty, in ppm: α = 0.4, α² = 0.16. */
+  val AlphaPpm = 400000L
+  val Alpha2Ppm = 160000L
+
+  /** Per-document mean stupid-backoff trigram score, in ppm.
+    *
+    * `docs` must carry (`doc_id: Long`, `ts: array<string>`) with
+    * `size(ts) >= 3`; rows satisfying `trainPred` form the training
+    * corpus (holding out the rest is what makes the backoff arms
+    * non-vacuous — a model scored on its own training stream has no
+    * unseen trigrams). Fully relational on purpose: the n-gram count
+    * tables are corpus-vocabulary-sized — far too large for the t13
+    * broadcast-model treatment at 100 TB — so scoring is LEFT joins on
+    * the n-gram keys, each a plain key-partitioned hash join, and the
+    * per-doc collapse is one doc_id aggregate. Returns
+    * (`doc_id`, `n_tri`, `score_ppm`).
+    */
+  def stupidBackoffScores(docs: DataFrame, trainPred:
+      org.apache.spark.sql.Column): DataFrame = {
+    val spark = docs.sparkSession
+    // the three n-gram streams: trigrams to score, plus train-side
+    // trigram/bigram/unigram counts. Array-slice expressions, zero
+    // shuffle until the count aggregates.
+    def grams(d: DataFrame, n: Int): DataFrame = {
+      val fields = (0 until n).map(i => s"ts[i + $i] AS w${i + 1}").mkString(", ")
+      d.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ts) - $n), i -> struct($fields))")).as("g"))
+        .select(col("doc_id") +: (1 to n).map(i => col(s"g.w$i")): _*)
+    }
+    val train = docs.filter(trainPred)
+    val c3 = grams(train, 3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val c2 = grams(train, 2).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = grams(train, 1).groupBy("w1").agg(count(lit(1)).as("c1"))
+    // total training tokens: a 1-row aggregate (the t26 nDocs posture);
+    // coalesce(0) because SUM over zero rows is NULL, and the guard must
+    // answer with its own message, not a NullPointerException
+    val nTok = train.agg(coalesce(sum(size(col("ts"))), lit(0L)))
+      .head().getLong(0)
+    require(nTok >= 1L, "stupidBackoffScores: empty training corpus")
+    val tri = grams(docs, 3)
+    tri
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("w1"), col("w2"), col("c2").as("c12")),
+        Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c23")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("w1").as("w2"), col("c1").as("cw2")), Seq("w2"), "left")
+      .join(c1.select(col("w1").as("w3"), col("c1").as("cw3")), Seq("w3"), "left")
+      // seen-ness guards every divisor: c3 seen ⇒ c12 ≥ c3 ≥ 1, c23 seen
+      // ⇒ cw2 ≥ 1 — no zero divisor can reach a taken CASE arm
+      .withColumn("s", expr(
+        s"""CASE WHEN c3 IS NOT NULL THEN (1000000 * c3) div c12
+           |     WHEN c23 IS NOT NULL THEN ($AlphaPpm * ((1000000 * c23) div cw2)) div 1000000
+           |     WHEN cw3 IS NOT NULL THEN ($Alpha2Ppm * ((1000000 * cw3) div ${nTok}L)) div 1000000
+           |     ELSE 0 END""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        expr("sum(s) div count(1)").as("score_ppm"))
+  }
 }

@@ -1039,6 +1039,58 @@ object TextQueries {
       |            < CAST(1.70 AS DOUBLE) AS BIGINT) AS keep
       |FROM arr""".stripMargin
 
+  /** T27 — word-trigram stupid-backoff LM gate
+    * ([[graft.ops.LmScore.stupidBackoffScores]]): the CCNet-fidelity tier
+    * above t13's char-bigram scale shape. Counts train on the EVEN
+    * doc_ids and score every document, so the three backoff arms (seen
+    * trigram → α·bigram → α²·unigram → OOV 0) all fire on the held-out
+    * half; everything is integer ppm, so the grade is exact. Keep
+    * threshold 75000 ppm splits the corpus non-trivially at every graded SF
+    * (262/238 at sf0.01, with both outcomes present in the held-out half).
+    */
+  def lmTrigramFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val toked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("ts"))
+      .filter(size(col("ts")) >= 3)
+    graft.ops.LmScore.stupidBackoffScores(toked, col("doc_id") % 2 === 0)
+      .withColumn("keep", (col("score_ppm") >= 75000L).cast("long"))
+  }
+
+  val lmTrigramFilterSql: String =
+    """WITH toks3 AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+      |tr AS (SELECT doc_id, ts[t.i] AS w1, ts[t.i+1] AS w2, ts[t.i+2] AS w3
+      |       FROM toks3, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)),
+      |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tr
+      |       WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+      |bi AS (SELECT ts[t.i] AS a, ts[t.i+1] AS b, COUNT(*) AS c
+      |       FROM toks3, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+      |       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |un AS (SELECT u.w AS w, COUNT(*) AS c FROM toks3, UNNEST(ts) AS u(w)
+      |       WHERE doc_id % 2 = 0 GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(len(ts)) AS BIGINT) AS n FROM toks3
+      |       WHERE doc_id % 2 = 0),
+      |sc AS (SELECT tr.doc_id,
+      |         CASE WHEN c3.c3 IS NOT NULL THEN (1000000 * c3.c3) // b12.c
+      |              WHEN b23.c IS NOT NULL
+      |                THEN (400000 * ((1000000 * b23.c) // u2.c)) // 1000000
+      |              WHEN u3.c IS NOT NULL
+      |                THEN (160000 * ((1000000 * u3.c) // nt.n)) // 1000000
+      |              ELSE 0 END AS s
+      |       FROM tr
+      |       LEFT JOIN c3 USING (w1, w2, w3)
+      |       LEFT JOIN bi b12 ON tr.w1 = b12.a AND tr.w2 = b12.b
+      |       LEFT JOIN bi b23 ON tr.w2 = b23.a AND tr.w3 = b23.b
+      |       LEFT JOIN un u2 ON tr.w2 = u2.w
+      |       LEFT JOIN un u3 ON tr.w3 = u3.w
+      |       CROSS JOIN nt)
+      |SELECT doc_id, COUNT(*) AS n_tri,
+      |       CAST(SUM(s) AS BIGINT) // COUNT(*) AS score_ppm,
+      |       CAST((CAST(SUM(s) AS BIGINT) // COUNT(*)) >= 75000 AS BIGINT) AS keep
+      |FROM sc GROUP BY doc_id""".stripMargin
+
   /** T19 — CCNet-style perplexity bucketing (Wenzek et al. 2020): split
     * the corpus into head/middle/tail THIRDS by LM score — the standard
     * web-corpus curation step where "head" (lowest perplexity, most
@@ -1886,6 +1938,7 @@ object TextQueries {
     "t12_token_shards" -> tokenShards,
     "t18_sequence_pack" -> sequencePack,
     "t13_lm_filter" -> lmFilter,
+    "t27_lm_trigram_filter" -> lmTrigramFilter,
     "t19_ccnet_buckets" -> ccnetBuckets,
     "t20_unicode_normalize" -> unicodeNormalize,
     "t14_corpus_shuffle" -> corpusShuffle,
@@ -1925,6 +1978,7 @@ object TextQueries {
     "t12_token_shards" -> tokenShardsSql,
     "t18_sequence_pack" -> sequencePackSql,
     "t13_lm_filter" -> lmFilterSql,
+    "t27_lm_trigram_filter" -> lmTrigramFilterSql,
     "t19_ccnet_buckets" -> ccnetBucketsSql,
     "t20_unicode_normalize" -> unicodeNormalizeSql,
     "t14_corpus_shuffle" -> corpusShuffleSql,
