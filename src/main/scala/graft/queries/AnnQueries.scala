@@ -178,6 +178,64 @@ object AnnQueries {
        |FROM (SELECT DISTINCT probe_id FROM truth) p
        |LEFT JOIN hits USING (probe_id)""".stripMargin
 
+  /** H7 — nDCG@3 of the n2 IVF run against graded relevance derived from
+    * the n1 exact ranking (exact rank 1 → rel 3, rank 2 → rel 2, rank 3 →
+    * rel 1) — the standard graded-relevance metric completing h6's
+    * recall/MRR. The discount 1/log2(pos+1) is a FIXED-POINT LOOKUP
+    * LITERAL in ppm (1000000, 630930, 500000 — the t26 integer-idf
+    * trick), so dcg/idcg/ndcg are all integers and the grade is exact; no
+    * `ln()` crosses the engine boundary. Because rel = 4 − exact_rank,
+    * the ideal position of each truth row IS its exact rank, so idcg is
+    * the same weighted sum over the truth table. Metric join touches ≤ k
+    * rows per probe, like h6.
+    */
+  def ndcgEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val wCase =
+      "CASE rank WHEN 1 THEN 1000000L WHEN 2 THEN 630930L ELSE 500000L END"
+    val truth = annTopK(spark, sfDir).filter(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"),
+        (lit(4L) - col("rank")).as("rel"), col("rank"))
+    val run = annIvf(spark, sfDir).filter(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+    val dcg = run
+      .join(truth.select("probe_id", "neighbor_id", "rel"),
+        Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(sum(coalesce(col("rel"), lit(0L)) * expr(wCase)).as("dcg_ppm"))
+    val idcg = truth.groupBy("probe_id")
+      .agg(sum(col("rel") * expr(wCase)).as("idcg_ppm"))
+    idcg.join(dcg, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("dcg_ppm"), lit(0L)).as("dcg_ppm"),
+        col("idcg_ppm"),
+        expr("(1000000 * coalesce(dcg_ppm, 0L)) div idcg_ppm").as("ndcg_ppm"))
+  }
+
+  val ndcgEvalSql: String =
+    s"""WITH truth AS (
+       |  SELECT probe_id, neighbor_id, 4 - rank AS rel, rank
+       |  FROM ($annTopKSql) WHERE rank <= 3),
+       |run AS (SELECT probe_id, neighbor_id, rank FROM ($annIvfSql)
+       |        WHERE rank <= 3),
+       |dcg AS (
+       |  SELECT r.probe_id,
+       |         CAST(SUM(COALESCE(t.rel, 0) *
+       |           CASE r.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+       |                ELSE 500000 END) AS BIGINT) AS dcg_ppm
+       |  FROM run r LEFT JOIN truth t
+       |    ON r.probe_id = t.probe_id AND r.neighbor_id = t.neighbor_id
+       |  GROUP BY 1),
+       |idcg AS (
+       |  SELECT probe_id,
+       |         CAST(SUM(rel * CASE rank WHEN 1 THEN 1000000
+       |              WHEN 2 THEN 630930 ELSE 500000 END) AS BIGINT) AS idcg_ppm
+       |  FROM truth GROUP BY 1)
+       |SELECT i.probe_id,
+       |       CAST(COALESCE(d.dcg_ppm, 0) AS BIGINT) AS dcg_ppm,
+       |       i.idcg_ppm,
+       |       (1000000 * COALESCE(d.dcg_ppm, 0)) // i.idcg_ppm AS ndcg_ppm
+       |FROM idcg i LEFT JOIN dcg d USING (probe_id)""".stripMargin
+
   /** N4 — scalar-quantized (int8) search with exact rerank
     * ([[graft.ops.Similarity.quantizedTopK]]): candidates ranked by the
     * integer dot product of symmetric int8 codes of the UNIT vectors
@@ -1336,6 +1394,7 @@ object AnnQueries {
     "n11_mips" -> annMips,
     "n12_hard_negatives" -> annHardNegatives,
     "h6_eval_metrics" -> evalMetrics,
+    "h7_ndcg" -> ndcgEval,
     "n6_ann_ivfpq" -> annIvfPq,
     "n7_ann_ivfpq_update" -> annIvfPqUpdate,
     "n13_ann_delete" -> annDelete,
@@ -1361,6 +1420,7 @@ object AnnQueries {
     "n11_mips" -> annMipsSql,
     "n12_hard_negatives" -> annHardNegativesSql,
     "h6_eval_metrics" -> evalMetricsSql,
+    "h7_ndcg" -> ndcgEvalSql,
     "n5_ann_pq" -> annPqSql,
     "n6_ann_ivfpq" -> annIvfPqSql,
     "n7_ann_ivfpq_update" -> annIvfPqUpdateSql,
