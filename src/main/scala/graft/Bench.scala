@@ -104,27 +104,45 @@ object Bench {
       case (k, v, _, None) => s"${jq(k)}:${f3(v)}"
       case (k, _, _, Some(e)) => s"${jq(k)}:{${jq("err")}:${jq(e)}}"
     }.mkString("{", ",", "}")
-    // Per-query regression guard (VERDICT r10 §7): compare each min
-    // against its best-ever recorded time (`bench_baseline.json`, min
-    // across all BENCH_r* history) and NAME anything past 1.8x in the run
-    // itself — d7's silent 2x drift cost a round of adjudication. The
-    // guard fails soft (warn lines, never a non-zero exit: a noisy
-    // sandbox run must not kill the round's bench record). The file
-    // self-maintains as the ALL-TIME MIN: new queries are recorded on
-    // sight, and a faster run tightens its entry, so a soft first
-    // recording (cold subset run) self-heals.
+    // Per-query regression guard, AGED (VERDICT r18 §next-round 7): the
+    // old all-time-min floor was immortal — it recorded historically idle
+    // box windows, so every later round burned hours adjudicating 3-15
+    // rotating warns that two rounds of code A/Bs pinned on box weather.
+    // `bench_baseline.json` now keeps per-query HISTORY: a `legacy` entry
+    // (the pre-r19 all-time min, kept as history) plus one entry per
+    // DATE of full canonical-sf passes, each the min of that day's
+    // passes. The guard floor is the min over the LAST 3 date entries —
+    // floors age out as the box drifts — falling back to `legacy` only
+    // until the first dated entry exists. Warn threshold 1.8x unchanged;
+    // the guard still fails soft (warn lines, never a non-zero exit).
+    // Only FULL passes at sf0.1 write the file: a subset probe or an
+    // off-scale run must neither ratchet nor date-stamp the floors.
     val basePath = java.nio.file.Paths.get("bench_baseline.json")
-    val baseline: Map[String, Double] =
+    val history: Map[String, Map[String, Double]] =
       if (java.nio.file.Files.exists(basePath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(basePath), "UTF-8")
-        "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          // scope to real query names: a stray non-query numeric key in the
-          // file must not silently join the baseline map (ADVICE r11)
-          .filter(kv => SparkEntry.queries.contains(kv._1)).toMap
+        val nested = "\"([a-z0-9_]+)\"\\s*:\\s*\\{([^}]*)\\}".r
+          .findAllMatchIn(txt).map { m =>
+            m.group(1) -> "\"([0-9-]+|legacy)\"\\s*:\\s*([0-9.]+)".r
+              .findAllMatchIn(m.group(2))
+              .map(e => e.group(1) -> e.group(2).toDouble).toMap
+          }.filter(kv => SparkEntry.queries.contains(kv._1)).toMap
+        if (nested.nonEmpty) nested
+        else // migrate the pre-r19 flat all-time-min format on first read
+          "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> Map("legacy" -> m.group(2).toDouble))
+            .filter(kv => SparkEntry.queries.contains(kv._1)).toMap
       } else Map.empty
+    def floorOf(hist: Map[String, Double]): Option[Double] = {
+      val dated = hist.removed("legacy")
+      if (dated.nonEmpty)
+        Some(dated.toSeq.sortBy(_._1).takeRight(3).map(_._2).min)
+      else hist.get("legacy")
+    }
+    val baseline: Map[String, Double] =
+      history.flatMap { case (k, h) => floorOf(h).map(k -> _) }
     // Baselines are an sf0.1 contract — at any other sf both the guard
-    // comparison and a tightening write would be cross-scale nonsense
+    // comparison and a dating write would be cross-scale nonsense
     // (a dev run at sf0.001 would ratchet entries ~100x down and every
     // later real run would warn spuriously).
     val canonicalSf = sfDir.stripSuffix("/").endsWith("sf0.1")
@@ -133,16 +151,21 @@ object Bench {
     }.toMap
     val guardWarns = vsFirst.toSeq.sortBy(_._1).collect {
       case (k, Some(r)) if r > 1.8 =>
-        f"$k is $r%.2fx its best recorded time " +
+        f"$k is $r%.2fx its aged floor " +
           f"(${f3(results.find(_._1 == k).get._2)} vs ${f3(baseline(k))} s)"
     }
     guardWarns.foreach(w => println(s"[bench-guard] WARN $w"))
-    val tightened = if (!canonicalSf) Seq.empty else results.collect {
-      case (k, v, _, None) if v < baseline.getOrElse(k, Double.MaxValue) => k -> v
-    }
-    if (tightened.nonEmpty && baseline.nonEmpty) {
-      val merged = (baseline ++ tightened).toSeq.sortBy(_._1)
-        .map { case (k, v) => s" ${jq(k)}: ${f3(v)}" }.mkString("{\n", ",\n", "\n}")
+    if (canonicalSf && only.isEmpty) {
+      val today = java.time.LocalDate.now().toString
+      val updated = results.collect { case (k, v, _, None) =>
+        val h = history.getOrElse(k, Map.empty)
+        k -> (h + (today -> math.min(v, h.getOrElse(today, Double.MaxValue))))
+      }.toMap
+      val merged = (history ++ updated).toSeq.sortBy(_._1).map { case (k, h) =>
+        val inner = h.toSeq.sortBy(_._1)
+          .map { case (d, v) => s"${jq(d)}: ${f3(v)}" }.mkString("{", ", ", "}")
+        s" ${jq(k)}: $inner"
+      }.mkString("{\n", ",\n", "\n}")
       try java.nio.file.Files.write(basePath, (merged + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
