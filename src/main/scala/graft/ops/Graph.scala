@@ -45,10 +45,14 @@ object Graph {
     * aggregate over the already-materialized edge table; the presence
     * check is a single max/max fold, not two set differences.
     */
-  private def checkedEdges(edges: DataFrame, op: String): DataFrame = {
+  private def checkedEdges(edges: DataFrame, op: String,
+                           parts: Int = 0): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val ed = edges.join(deg, "src")
-      .repartition(col("src")).localCheckpoint()
+    val part = edges.join(deg, "src")
+    // parts = 0 → the session's shuffle width; a caller sizing for a
+    // cluster passes the edge-list width explicitly (see tools/GraphAb)
+    val ed = (if (parts > 0) part.repartition(parts, col("src"))
+              else part.repartition(col("src"))).localCheckpoint()
     val bad = ed.select(col("src").as("n"), lit(1L).as("s"), lit(0L).as("t"))
       .unionAll(ed.select(col("dst"), lit(0L), lit(1L)))
       .groupBy("n").agg(max(col("s")).as("s"), max(col("t")).as("t"))
@@ -88,11 +92,11 @@ object Graph {
     * out of the aggregate. Returns (`node`, `r`) with r in [[FixedPoint]]
     * units: r' = 0.15·FP + 0.85·Σ_{u→node} (r(u) div deg(u)), all integer.
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, parts: Int = 0): DataFrame = {
     require(iters >= 1,
       s"pageRank: iters ($iters) must be >= 1 — 0 rounds would return " +
         "uniform seeds labeled as ranks")
-    val ed = checkedEdges(edges, "pageRank")
+    val ed = checkedEdges(edges, "pageRank", parts)
     var ranks = seedRanks(ed)
     for (i <- 1 to iters) {
       ranks = prStep(ed, ranks)
