@@ -38,31 +38,45 @@ object Graph {
 
   /** Builds the loop-invariant edge table (src, dst, d) — pre-partitioned
     * by the iteration join key and checkpointed so every round pays for it
-    * once — and ENFORCES the dangling-node precondition loudly (review
-    * r19): a node appearing as only-src or only-dst would silently leak
-    * rank mass (only-dst: receives but never redistributes) or drop out of
-    * the dst-keyed aggregate after round 1 (only-src). One node-sized
-    * aggregate over the already-materialized edge table; the presence
-    * check is a single max/max fold, not two set differences.
+    * once. The dangling-node precondition is enforced by
+    * [[assertNoDangling]] AFTER round 1 — a node-sized check, not an
+    * edge-sized one.
     */
-  private def checkedEdges(edges: DataFrame, op: String,
-                           parts: Int = 0): DataFrame = {
+  private def edgeTable(edges: DataFrame, parts: Int = 0): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val part = edges.join(deg, "src")
     // parts = 0 → the session's shuffle width; a caller sizing for a
     // cluster passes the edge-list width explicitly (see tools/GraphAb)
-    val ed = (if (parts > 0) part.repartition(parts, col("src"))
-              else part.repartition(col("src"))).localCheckpoint()
-    val bad = ed.select(col("src").as("n"), lit(1L).as("s"), lit(0L).as("t"))
-      .unionAll(ed.select(col("dst"), lit(0L), lit(1L)))
-      .groupBy("n").agg(max(col("s")).as("s"), max(col("t")).as("t"))
-      .filter(col("s") =!= col("t"))
-      .select("n").limit(5).collect().map(_.getLong(0))
+    (if (parts > 0) part.repartition(parts, col("src"))
+     else part.repartition(col("src"))).localCheckpoint()
+  }
+
+  /** ENFORCES the dangling-node precondition loudly (review r19): a node
+    * appearing as only-src silently drops out of the dst-keyed aggregate
+    * after round 1; an only-dst node receives mass it never redistributes.
+    * Both directions reduce to ONE observable fact — every round's keyset
+    * is exactly `distinct dst` (round 1 trivially; later rounds too,
+    * because set(src) ⊆ set(dst) would make every src a receiving dst),
+    * so set(src) == set(dst) ⟺ ANY round's keyset equals the seed keyset.
+    * The check therefore runs ONCE against the (checkpointed) final
+    * ranks: a single NODE-sized union-count job, zero mid-loop barriers.
+    * (Two r19 cuts were A/B-invalidated first: an edge-sized union
+    * aggregate cost ~2.3 s on the 11.7M-edge sf1 graph, and a
+    * guard-after-round-1 variant forced seed + round-1 checkpoints that
+    * cost ~1.5-2 s of barrier jobs — see SCALING.md round-19.)
+    */
+  private def assertNoDangling(seed: DataFrame, fin: DataFrame,
+                               op: String): Unit = {
+    val bad = seed.select(col("node"), lit("only-src").as("side"))
+      .unionAll(fin.select(col("node"), lit("only-dst").as("side")))
+      .groupBy("node").agg(count(lit(1)).as("c"), min(col("side")).as("side"))
+      .filter(col("c") === 1)
+      .limit(5).collect()
+      .map(r => s"${r.getLong(0)} (${r.getString(2)})")
     require(bad.isEmpty,
       s"$op: dangling nodes — every node must appear as BOTH src and dst " +
         s"(feed symmetric edges for an undirected graph); offenders e.g. " +
         bad.mkString("[", ", ", "]"))
-    ed
   }
 
   /** One damped PageRank round: key-equi join + dst-keyed sum. */
@@ -79,7 +93,10 @@ object Graph {
     * r18): seeding from `deg` would re-execute the whole edge-build
     * lineage a second time in the rank job — the exact cost the ed
     * checkpoint exists to pay once. distinct() on src reuses ed's hash
-    * partitioning, no extra exchange.
+    * partitioning, no extra exchange. Left LAZY on purpose: round 1 and
+    * the end-of-run dangling guard each fold it into their own job —
+    * one extra pass over the materialized ed beats an eager checkpoint
+    * barrier (the r19 GraphAb A/B).
     */
   private def seedRanks(ed: DataFrame): DataFrame =
     ed.select("src").distinct()
@@ -96,8 +113,9 @@ object Graph {
     require(iters >= 1,
       s"pageRank: iters ($iters) must be >= 1 — 0 rounds would return " +
         "uniform seeds labeled as ranks")
-    val ed = checkedEdges(edges, "pageRank", parts)
-    var ranks = seedRanks(ed)
+    val ed = edgeTable(edges, parts)
+    val seed = seedRanks(ed)
+    var ranks = seed
     for (i <- 1 to iters) {
       ranks = prStep(ed, ranks)
       // cut lineage every 3rd INTERMEDIATE round: a per-iteration
@@ -108,7 +126,12 @@ object Graph {
       // plan bounded at long horizons and costs nothing at short ones
       if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // pin the final ranks (node-sized; the caller's action reads the pin)
+    // and run the dangling guard against them — one cheap job at the end,
+    // no mid-loop barrier (see assertNoDangling)
+    val fin = ranks.localCheckpoint()
+    assertNoDangling(seed, fin, "pageRank")
+    fin
   }
 
   /** Convergence-stopped PageRank: iterate until the L1 rank delta
@@ -129,12 +152,14 @@ object Graph {
   def pageRankConverged(edges: DataFrame, tol: Long, maxIters: Int): (DataFrame, Int) = {
     require(maxIters >= 1, s"pageRankConverged: maxIters ($maxIters) must be >= 1")
     require(tol >= 0L, s"pageRankConverged: tol ($tol) must be >= 0")
-    val ed = checkedEdges(edges, "pageRankConverged")
-    var ranks = seedRanks(ed).localCheckpoint()
+    val ed = edgeTable(edges)
+    val seed = seedRanks(ed)
+    var ranks = seed
     var i = 0
     var done = false
     while (i < maxIters && !done) {
       val next = prStep(ed, ranks).localCheckpoint()
+      if (i == 0) assertNoDangling(seed, next, "pageRankConverged")
       val delta = next
         .join(ranks.select(col("node"), col("r").as("rp")), "node")
         .agg(sum(abs(col("r") - col("rp"))).as("d"))

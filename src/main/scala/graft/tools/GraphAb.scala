@@ -58,6 +58,22 @@ object GraphAb {
       ranks
     }
 
+    // the r18 production loop shape with NO guard and NO checkpoints —
+    // isolates the aggregate's shape from the r19 hardening overhead
+    def rawPageRank(ed: DataFrame, iters: Int): DataFrame = {
+      val tele = graft.ops.Graph.FixedPoint / 100L * 15L
+      var ranks = ed.select("src").distinct()
+        .select(col("src").as("node"), lit(graft.ops.Graph.FixedPoint).as("r"))
+      for (_ <- 1 to iters) {
+        ranks = ed.join(ranks, ed("src") === ranks("node"))
+          .select(col("dst"), expr("r div d").as("c"))
+          .groupBy(col("dst"))
+          .agg((lit(tele) + expr("(85 * sum(c)) div 100")).as("r"))
+          .select(col("dst").as("node"), col("r"))
+      }
+      ranks
+    }
+
     def reset(): Unit = {
       spark.catalog.clearCache()
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
@@ -81,15 +97,24 @@ object GraphAb {
       .agg(sum(col("r")), count(lit(1))).head()
     println(s"[graph-ab] checksum base: ${baseSum}")
 
-    time("base(defaultW)") { graft.ops.Graph.pageRank(edges(), 3).count() }
-    for (w <- Seq(8, 16, 32, 64, 128))
-      time(s"width=$w") { graft.ops.Graph.pageRank(edges(), 3, parts = w).count() }
-    for (s <- Seq(4, 16)) {
-      time(s"salt=$s") {
-        val deg = edges().groupBy("src").agg(count(lit(1)).as("d"))
-        val ed = edges().join(deg, "src").repartition(col("src")).localCheckpoint()
-        saltedPageRank(ed, 3, s).count()
-      }
+    def buildEd(): DataFrame = {
+      val deg = edges().groupBy("src").agg(count(lit(1)).as("d"))
+      edges().join(deg, "src").repartition(col("src")).localCheckpoint()
+    }
+    // arm ORDER is environment-controlled so position/warmup bias can be
+    // measured by running the tool twice with opposite orders
+    val order = sys.env.getOrElse("GRAPH_AB_ORDER", "base,raw,salt4,salt16,base2,w8,w64")
+    order.split(",").foreach {
+      case "base" => time("base(defaultW)") { graft.ops.Graph.pageRank(edges(), 3).count() }
+      case "base2" => time("base(again)") { graft.ops.Graph.pageRank(edges(), 3).count() }
+      case "raw" => time("raw(no-guard)") { rawPageRank(buildEd(), 3).count() }
+      case s if s.startsWith("salt") =>
+        val k = s.stripPrefix("salt").toInt
+        time(s"salt=$k") { saltedPageRank(buildEd(), 3, k).count() }
+      case w if w.startsWith("w") =>
+        val k = w.stripPrefix("w").toInt
+        time(s"width=$k") { graft.ops.Graph.pageRank(edges(), 3, parts = k).count() }
+      case other => println(s"[graph-ab] unknown arm $other")
     }
     // bit-exactness of the salted arm vs base
     val deg = edges().groupBy("src").agg(count(lit(1)).as("d"))
