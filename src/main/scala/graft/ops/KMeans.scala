@@ -75,12 +75,16 @@ object KMeans {
       lit(0L), (acc, d) => acc + d)
 
   /** Packed argmin `min(d2·64 + c)` over the k centroids — minimizes d2,
-    * then cluster id (deterministic ties), in one `least`.
+    * then cluster id (deterministic ties), in one `least`. Spark's
+    * `least` requires ≥ 2 children, so the (legal) k = 1 case is the
+    * single packed expression directly (review r19).
     */
-  private def packedAssign(q: Column, cents: Seq[Array[Long]]): Column =
-    least(cents.zipWithIndex.map { case (c, i) =>
+  private def packedAssign(q: Column, cents: Seq[Array[Long]]): Column = {
+    val packed = cents.zipWithIndex.map { case (c, i) =>
       dist2(q, c) * lit(MaxK.toLong) + lit(i.toLong)
-    }: _*)
+    }
+    if (packed.size == 1) packed.head else least(packed: _*)
+  }
 
   /** `iters` full Lloyd rounds (assign → update) over `points`
     * (`id: Long`, `q: array<long>` — see [[quantize]]), seeded with the

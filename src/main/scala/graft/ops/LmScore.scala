@@ -162,8 +162,15 @@ object LmScore {
     // shuffle until the count aggregates.
     def grams(d: DataFrame, n: Int): DataFrame = {
       val fields = (0 until n).map(i => s"ts[i + $i] AS w${i + 1}").mkString(", ")
+      // size(ts) >= 3 is ENFORCED, not assumed (review r19): Spark's
+      // sequence(0, size-n) DESCENDS when size < n, which would emit
+      // null-word pseudo-n-grams scored 0 into the mean — silent wrong
+      // output where the charter is raise_error
       d.select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(ts) - $n), i -> struct($fields))")).as("g"))
+        s"""CASE WHEN size(ts) >= $n
+           |THEN transform(sequence(0, size(ts) - $n), i -> struct($fields))
+           |ELSE raise_error('stupidBackoffScores: document shorter than $n tokens — filter size(ts) >= 3 upstream') END"""
+          .stripMargin)).as("g"))
         .select(col("doc_id") +: (1 to n).map(i => col(s"g.w$i")): _*)
     }
     val train = docs.filter(trainPred)

@@ -20,9 +20,14 @@ import org.apache.spark.sql.SparkSession
   *    `gs://` handling mirrors `storage.GetFilename`)
   *  - a valid submit that cannot be processed (missing source object) →
   *    500 "Fail with embargo single file." (`deploy.go:50-56`)
-  *  - `/cron/unembargo` with a non-integer `date` → 400
-  *    (`deploy.go:95-101` strconv arm); success → 200 "OK"
+  *  - `/cron/unembargo` with a non-integer or int-overflow `date` → 400
+  *    (`deploy.go:95-101` strconv arm); an in-syntax but out-of-range
+  *    date → the validDate 500; success → 200 with body exactly "OK"
+  *    (copy/overwrite counts go to the log, as the reference logs them)
   *  - `/_ah/health` → 200 "ok" (`deploy.go:114-116`)
+  *  - non-exact paths (`/submitfoo`, `/cron/unembargoX`) → 404, matching
+  *    Go's ServeMux exact-match rule for non-slash-terminated patterns —
+  *    the JDK server's prefix dispatch is corrected per-request
   *
   * The HTTP layer is driver-side routing only — every accepted request
   * fans out to the same distributed jobs the graded queries run; nothing
@@ -56,6 +61,8 @@ object Service {
       extends AutoCloseable {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
+    private val log = org.slf4j.LoggerFactory.getLogger(classOf[EmbargoService])
+
     private val server =
       HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
 
@@ -74,8 +81,14 @@ object Service {
       server.createContext(path, new HttpHandler {
         override def handle(ex: HttpExchange): Unit = {
           val (code, body) =
-            try f(ex)
-            catch { case e: Exception => (500, s"error: ${e.getMessage}") }
+            // JDK HttpServer dispatches by longest PREFIX; Go's ServeMux
+            // matches non-slash-terminated patterns EXACTLY — so
+            // /submitfoo must 404 without side effects, not run the
+            // /submit pipeline (review r19)
+            if (ex.getRequestURI.getPath != path) (404, "404 page not found\n")
+            else
+              try f(ex)
+              catch { case e: Exception => (500, s"error: ${e.getMessage}") }
           try respond(ex, code, body)
           catch { case _: Exception => ex.close() }
         }
@@ -176,15 +189,26 @@ object Service {
 
     route("/cron/unembargo") { ex =>
       val dateParam = params(ex).get("date")
-      dateParam.filterNot(_.matches("-?\\d+")) match {
-        case Some(bad) => (400, s"strconv.Atoi: parsing \"$bad\": invalid syntax")
-        case None =>
+      // strconv.Atoi parity (review r19): non-numeric AND int-overflow
+      // values are both Atoi errors → the 400 arm (deploy.go:95-101);
+      // a parseable but out-of-range date reaches UnembargoCron and is
+      // its validDate 500. Parse as Long so 2^31-adjacent values fall in
+      // the right arm (Go's int is 64-bit).
+      val parsed = dateParam.map(s => scala.util.Try(s.toLong))
+      parsed match {
+        case Some(scala.util.Failure(_)) =>
+          (400, s"strconv.Atoi: parsing \"${dateParam.get}\": invalid syntax")
+        case _ =>
           val cutoff = oneYearAgoInt(cfg.today())
-          val undate = dateParam.map(_.toInt).getOrElse(cutoff)
+          val undateL = parsed.map(_.get).getOrElse(cutoff.toLong)
           try {
+            require(undateL >= Int.MinValue && undateL <= Int.MaxValue &&
+              Unembargo.validDate(undateL.toInt, cutoff),
+              s"date $undateL outside (20160000, 21000000] or newer than cutoff $cutoff")
             val (copied, over) = Unembargo.promoteDay(spark, cfg.privateDir,
-              cfg.publicDir, undate, cutoff)
-            (200, s"OK ($copied copied, $over overwritten)")
+              cfg.publicDir, undateL.toInt, cutoff)
+            log.info(s"unembargo $undateL: $copied copied, $over overwritten")
+            (200, "OK") // exact deploy.go body
           } catch { case e: Exception => (500, s"error: ${e.getMessage}") }
       }
     }

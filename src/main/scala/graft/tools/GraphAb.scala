@@ -108,13 +108,15 @@ object GraphAb {
       case "base" => time("base(defaultW)") { graft.ops.Graph.pageRank(edges(), 3).count() }
       case "base2" => time("base(again)") { graft.ops.Graph.pageRank(edges(), 3).count() }
       case "raw" => time("raw(no-guard)") { rawPageRank(buildEd(), 3).count() }
-      case s if s.startsWith("salt") =>
+      case s if s.startsWith("salt") && s.stripPrefix("salt").forall(_.isDigit)
+          && s.length > 4 =>
         val k = s.stripPrefix("salt").toInt
         time(s"salt=$k") { saltedPageRank(buildEd(), 3, k).count() }
-      case w if w.startsWith("w") =>
+      case w if w.startsWith("w") && w.stripPrefix("w").forall(_.isDigit)
+          && w.length > 1 =>
         val k = w.stripPrefix("w").toInt
         time(s"width=$k") { graft.ops.Graph.pageRank(edges(), 3, parts = k).count() }
-      case other => println(s"[graph-ab] unknown arm $other")
+      case other => println(s"[graph-ab] unknown arm $other — skipped")
     }
     // bit-exactness of the salted arm vs base
     val deg = edges().groupBy("src").agg(count(lit(1)).as("d"))

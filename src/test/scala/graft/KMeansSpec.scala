@@ -79,6 +79,13 @@ class KMeansSpec extends AnyFunSuite with SparkSuite {
     assert(got === Map(0L -> (0L, 0L), 1L -> (1L, 0L)))
   }
 
+  test("k = 1 (the degenerate single-cluster case) runs — least() needs >= 2 children (r19 review)") {
+    val vecs = Seq(Array(0.1, 0.2), Array(-0.7, 0.3), Array(0.4, 0.4))
+    val got = run(vecs, k = 1, iters = 2)
+    assert(got === reference(vecs, k = 1, iters = 2))
+    assert(got.values.map(_._1).toSet === Set(0L))
+  }
+
   test("loud guards: domain, k bounds, iters, not enough points") {
     import spark.implicits._
     val bad = Seq((0L, Array(1.5, 0.0)), (1L, Array(0.0, 0.0)))

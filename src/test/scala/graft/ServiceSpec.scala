@@ -71,6 +71,15 @@ class ServiceSpec extends AnyFunSuite with SparkSuite {
     assert(get("/_ah/health") === ((200, "ok")))
   }
 
+  test("non-exact paths 404 without side effects (Go ServeMux exact-match parity, r19 review)") {
+    // the JDK server's longest-prefix dispatch would otherwise RUN the
+    // /submit pipeline for /submitfoo
+    assert(get("/submitfoo?date=20170316")._1 === 404)
+    assert(get("/_ah/healthz")._1 === 404)
+    assert(get("/cron/unembargoX?date=20170315")._1 === 404)
+    assert(get("/cron/update_embargo_whitelistX")._1 === 404)
+  }
+
   test("/submit with neither date nor file is the deploy.go:26-30 404 arm") {
     val (code, body) = get("/submit")
     assert(code === 404)
@@ -135,22 +144,25 @@ class ServiceSpec extends AnyFunSuite with SparkSuite {
 
   test("/cron/unembargo promotes a day's -e archives; bad date is the 400 strconv arm") {
     assert(get("/cron/unembargo?date=2017-03-15")._1 === 400)
+    // int-OVERFLOW is also the strconv.Atoi 400 arm (r19 review), while
+    // an in-syntax but out-of-range date is the validDate 500 arm
+    assert(get("/cron/unembargo?date=99999999999999999999")._1 === 400)
+    assert(get("/cron/unembargo?date=3000000000")._1 === 500)
     // a date NEWER than the one-year cutoff (20170315) fails validDate →
     // the reference's 500 error arm (unembargo.go:145-147)
     assert(get("/cron/unembargo?date=20170316")._1 === 500)
     val fixBase = base(TarQueries.FixtureTgz).replace(".tgz", "-e.tgz")
     val (code, body) = get("/cron/unembargo?date=20170315")
     assert(code === 200, body)
-    assert(body === "OK (1 copied, 0 overwritten)")
+    assert(body === "OK") // exact deploy.go body (r19 review)
     // the promoted object now exists in the PUBLIC store, content intact
     assert(entryNames(s"$pubDir/sidestream/2017/03/15/$fixBase") ===
       entryNames(s"$privDir/sidestream/2017/03/15/$fixBase"))
     // default date (no param) = one year before the pinned today →
-    // 20170315 again: the copy is now an OVERWRITE (unembargo.go's
-    // delete-then-copy case), reported as such
-    val (dcode, dbody) = get("/cron/unembargo")
-    assert(dcode === 200, dbody)
-    assert(dbody === "OK (1 copied, 1 overwritten)")
+    // 20170315 again: the copy is an OVERWRITE (unembargo.go's
+    // delete-then-copy case) and must succeed idempotently
+    assert(get("/cron/unembargo") === ((200, "OK")))
+    assert(entryNames(s"$pubDir/sidestream/2017/03/15/$fixBase").nonEmpty)
   }
 
   test("service shuts down cleanly") {

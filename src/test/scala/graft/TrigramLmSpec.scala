@@ -76,6 +76,20 @@ class TrigramLmSpec extends AnyFunSuite with SparkSuite {
     assert(got(0L) === ((2L, 1000000L)))
   }
 
+  test("a document shorter than 3 tokens fails loudly instead of scoring null pseudo-trigrams (r19 review)") {
+    import spark.implicits._
+    // sequence(0, size-3) DESCENDS for size < 3 — without the guard this
+    // doc would silently contribute two null-word trigrams scored 0
+    val toked = Seq((0L, "a b c d"), (1L, "a b"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("ts"))
+    val ex = intercept[Exception](
+      LmScore.stupidBackoffScores(toked, col("doc_id") === 0).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("shorter than")))
+  }
+
   test("empty training corpus fails loudly") {
     val toked = corpus
       .select(col("doc_id"), wsTokens(lower(col("text"))).as("ts"))
