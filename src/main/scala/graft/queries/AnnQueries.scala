@@ -1382,8 +1382,42 @@ object AnnQueries {
        |FROM fin GROUP BY id""".stripMargin
   }
 
+  /** N15 — cluster-balanced sampling (the topic-balancing resample
+    * cluster-curation runs AFTER k-means — cap each topic's share so no
+    * cluster dominates the mix): per n14 cluster, keep up to 118 vectors
+    * chosen by md5(vec_id) order (deterministic, uniform, and identical
+    * text ordering in both engines — the t6 bucket trick as a ranking).
+    * The per-cluster cap rides `row_number ≤ k` over a cluster-keyed
+    * window — WindowGroupLimit keeps k rows per cluster below the sort,
+    * so at 100 TB only cap·k rows survive the exchange. Non-vacuous at
+    * sf0.01 (cluster sizes 112/120/121/147): three clusters bind at the
+    * cap, one keeps everything.
+    */
+  def clusterSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        graft.ops.KMeans.quantize(col("embedding")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+    graft.ops.KMeans.fit(pts, k = 4, iters = 3)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 118)
+      .select(col("id").as("vec_id"), col("cluster"), col("rk"))
+  }
+
+  val clusterSampleSql: String =
+    s"""WITH n14 AS ($kmeansClustersSql)
+       |SELECT vec_id, cluster, CAST(rk AS BIGINT) AS rk
+       |FROM (SELECT vec_id, cluster,
+       |             row_number() OVER (PARTITION BY cluster
+       |               ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rk
+       |      FROM n14)
+       |WHERE rk <= 118""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n14_kmeans" -> kmeansClusters,
+    "n15_cluster_sample" -> clusterSample,
     "st8_stream_ann_serve" -> annServe,
     "h1_hybrid_retrieval" -> hybridRetrieval,
     "h2_rrf_fusion" -> rrfFusion,
@@ -1411,6 +1445,7 @@ object AnnQueries {
 
   def oracleSql: Map[String, String] = Map(
     "n14_kmeans" -> kmeansClustersSql,
+    "n15_cluster_sample" -> clusterSampleSql,
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "h2_rrf_fusion" -> rrfFusionSql,
     "h5_chunk_retrieval" -> chunkRetrievalSql,
