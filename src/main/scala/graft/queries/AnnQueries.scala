@@ -1415,9 +1415,77 @@ object AnnQueries {
        |      FROM n14)
        |WHERE rk <= 118""".stripMargin
 
+  /** C5 — the curation-pipeline capstone: the four stages a topic-balanced
+    * training-mix build chains, as ONE query over the d-family's
+    * augmented corpus (real docs ∪ planted near/exact dups):
+    *   1. GATE — integer-only quality floor (length ≥ 100 and alpha
+    *      chars ≥ half the text: the t2 ratios as exact comparisons);
+    *      drops 44 of 545 corpus rows at sf0.01.
+    *   2. DEDUP — exact by content fingerprint, keep the lowest doc_id
+    *      and CARRY the copy count (d1/d20's soft-dedup signal): the 20
+    *      planted exact copies collapse onto their originals, n_copies=2.
+    *   3. CLUSTER — the n14 distributed k-means assignment, joined on
+    *      the embedded ids (clustering is definitionally restricted to
+    *      embedded docs).
+    *   4. BALANCE — n15's per-cluster md5-ordered cap (110), with
+    *      whitespace-token counts for mix accounting; pre-cap cluster
+    *      sizes at sf0.01 are 106/111/113/133, so three clusters bind at
+    *      the cap and one keeps everything.
+    * Every stage is a stage the pipeline already grades in isolation
+    * (t1/t2, d1/d20, n14, n15) — the capstone grades their COMPOSITION:
+    * one narrow chain of key-partitioned exchanges, no driver loops.
+    */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.{alphaCount, fingerprint, wsTokens}
+    val gated = DedupQueries.corpus(spark, sfDir)
+      .filter(length(col("text")) >= 100 &&
+        alphaCount(col("text")) * 2 >= length(col("text")))
+    val dd = gated
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        size(wsTokens(col("text"))).cast("long").as("nt"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+        min(col("nt")).as("n_tok"))
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        graft.ops.KMeans.quantize(col("embedding")).as("q"))
+    val assigned = graft.ops.KMeans.fit(pts, k = 4, iters = 3)
+      .select(col("id"), col("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    dd.join(assigned, dd("doc_id") === assigned("id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 110)
+      .select(col("doc_id"), col("cluster"), col("n_copies"), col("n_tok"),
+        col("rk"))
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH ${DedupQueries.corpusSql},
+       |gate AS (
+       |  SELECT doc_id, text FROM corpus
+       |  WHERE length(text) >= 100
+       |    AND 2 * length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+       |        >= length(text)),
+       |dd AS (
+       |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+       |         MIN(len(string_split_regex(trim(text), '\\s+'))) AS n_tok
+       |  FROM gate
+       |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+       |n14 AS ($kmeansClustersSql),
+       |j AS (SELECT dd.doc_id, n14.cluster, dd.n_copies, dd.n_tok
+       |      FROM dd JOIN n14 ON n14.vec_id = dd.doc_id)
+       |SELECT doc_id, cluster, n_copies, n_tok, CAST(rk AS BIGINT) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+       |      FROM j)
+       |WHERE rk <= 110""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n14_kmeans" -> kmeansClusters,
     "n15_cluster_sample" -> clusterSample,
+    "c5_curation_pipeline" -> curationPipeline,
     "st8_stream_ann_serve" -> annServe,
     "h1_hybrid_retrieval" -> hybridRetrieval,
     "h2_rrf_fusion" -> rrfFusion,
@@ -1446,6 +1514,7 @@ object AnnQueries {
   def oracleSql: Map[String, String] = Map(
     "n14_kmeans" -> kmeansClustersSql,
     "n15_cluster_sample" -> clusterSampleSql,
+    "c5_curation_pipeline" -> curationPipelineSql,
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "h2_rrf_fusion" -> rrfFusionSql,
     "h5_chunk_retrieval" -> chunkRetrievalSql,
