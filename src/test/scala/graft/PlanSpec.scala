@@ -594,6 +594,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"t26 cartesians:\n$p")
   }
 
+  test("cluster-balanced sampling caps via WindowGroupLimit; the kmeans argmin never joins (n15)") {
+    val p = plan("n15_cluster_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"n15's rank<=cap did not push below the sort:\n$p")
+    // the centroid argmin is a PROJECTION over broadcast literals — a
+    // join/cartesian here would mean probes x corpus work at 100 TB
+    assert(!p.contains("CartesianProduct"), s"n15 cartesians:\n$p")
+  }
+
   test("retention cohorts scan events ONCE, no cohort self-join (w10)") {
     val p = plan("w10_retention_cohorts")
     assert("(?s)Scan parquet".r.findAllIn(p).size == 1,
