@@ -1394,16 +1394,16 @@ object AnnQueries {
     * cap, one keeps everything.
     */
   def clusterSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val pts = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id").as("id"),
-        graft.ops.KMeans.quantize(col("embedding")).as("q"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster")
-      .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
-    graft.ops.KMeans.fit(pts, k = 4, iters = 3)
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    // ONE clustering definition: n15 is exactly n14 + the capped window
+    // (review r19 — three re-inlined fit(k, iters) copies drifted apart
+    // from the shared oracle CTEs otherwise)
+    kmeansClusters(spark, sfDir)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 118)
-      .select(col("id").as("vec_id"), col("cluster"), col("rk"))
+      .select(col("vec_id"), col("cluster"), col("rk"))
   }
 
   val clusterSampleSql: String =
@@ -1446,11 +1446,9 @@ object AnnQueries {
       .groupBy("fp")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
         min(col("nt")).as("n_tok"))
-    val pts = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id").as("id"),
-        graft.ops.KMeans.quantize(col("embedding")).as("q"))
-    val assigned = graft.ops.KMeans.fit(pts, k = 4, iters = 3)
-      .select(col("id"), col("cluster"))
+    // the same single clustering definition n14/n15 grade (review r19)
+    val assigned = kmeansClusters(spark, sfDir)
+      .select(col("vec_id").as("id"), col("cluster"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster")
       .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)

@@ -594,6 +594,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"t26 cartesians:\n$p")
   }
 
+  test("curation capstone: WindowGroupLimit cap, no cartesian anywhere in the 5-stage chain (c5)") {
+    val p = plan("c5_curation_pipeline")
+    assert(p.contains("WindowGroupLimit"),
+      s"c5's balance cap did not push below the sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"c5 cartesians:\n$p")
+  }
+
   test("cluster-balanced sampling caps via WindowGroupLimit; the kmeans argmin never joins (n15)") {
     val p = plan("n15_cluster_sample")
     assert(p.contains("WindowGroupLimit"),
