@@ -122,14 +122,24 @@ object KMeans {
     (cents, pts)
   }
 
+  /** Assignment of already-quantized rows (`id`, `q`) under driver-held
+    * centroids: (`id`, `cluster`, `d2`), all exact integers. A pure
+    * per-row projection — the SAME expression serves a batch partition
+    * or a micro-batch (the st6/st8 train-offline/serve-online posture),
+    * which is what makes the streaming serve (st17) ≡ the batch fit by
+    * construction.
+    */
+  def assign(points: DataFrame, cents: Seq[Array[Long]]): DataFrame =
+    points.withColumn("p", packedAssign(col("q"), cents))
+      .select(col("id"),
+        (col("p") % lit(MaxK.toLong)).as("cluster"),
+        expr(s"p div ${MaxK}L").as("d2"))
+
   /** Lloyd + final assignment under the final centroids: (`id`,
     * `cluster`, `d2`) for every point, all exact integers.
     */
   def fit(points: DataFrame, k: Int, iters: Int): DataFrame = {
     val (cents, pts) = lloyd(points, k, iters)
-    pts.withColumn("p", packedAssign(col("q"), cents))
-      .select(col("id"),
-        (col("p") % lit(MaxK.toLong)).as("cluster"),
-        expr(s"p div ${MaxK}L").as("d2"))
+    assign(pts, cents)
   }
 }

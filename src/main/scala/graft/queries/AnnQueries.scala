@@ -1415,6 +1415,59 @@ object AnnQueries {
        |      FROM n14)
        |WHERE rk <= 118""".stripMargin
 
+  /** Centroids trained for the CURRENT sfDir (train-once/serve-many,
+    * the st8StagedFor pattern): the k×dim integer array is driver-held
+    * and bounded, so the memo is a value, not a path.
+    */
+  private val st17CentsFor =
+    new java.util.concurrent.atomic.AtomicReference[(String, Seq[Array[Long]])](null)
+
+  /** sfDirs whose st17 probe files are already staged in this JVM. */
+  private val st17Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST17 — streaming k-means assignment serving
+    * ([[graft.streaming.StreamKMeans]]): the n14 centroids train
+    * batch-side (same k=4 / 3 Lloyd rounds — ONE clustering definition),
+    * then the SAME corpus arrives as a stream (two files → two
+    * micro-batches) and each batch runs the pure assignment projection —
+    * the ingest-door topic routing of a curation pipeline, st6/st8's
+    * train-offline/serve-online posture applied to clustering. Per-row
+    * independence makes the union of micro-batches bit-identical to the
+    * batch fit, so the oracle IS n14's — the stream ≡ batch pin.
+    */
+  def kmeansServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val cents = st17CentsFor.synchronized {
+      val cur = st17CentsFor.get
+      if (cur == null || cur._1 != sfDir) {
+        val pts = emb.select(col("vec_id").as("id"),
+          graft.ops.KMeans.quantize(col("embedding")).as("q"))
+        st17CentsFor.set(sfDir -> graft.ops.KMeans.lloyd(pts, k = 4, iters = 3)._1)
+      }
+      st17CentsFor.get._2
+    }
+    val src = TarQueries.stagePath("st17_probes", sfDir)
+    st17Staged.computeIfAbsent(sfDir, _ => {
+      graft.io.FsOps.deletePrefix(spark, src)
+      emb.filter(col("vec_id") % 2 === 0)
+        .repartition(1).write.mode("overwrite").parquet(src)
+      emb.filter(col("vec_id") % 2 === 1)
+        .repartition(1).write.mode("append").parquet(src)
+      src
+    })
+    val out = s"${TarQueries.StageDir}/st17_assign.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st17")
+      .resolve("ckpt").toString
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    graft.streaming.StreamKMeans.serveAssign(stream, cents, out, ckpt)
+    spark.read.parquet(out)
+      .select(col("id").as("vec_id"), col("cluster"), col("d2"))
+  }
+
   /** C5 — the curation-pipeline capstone: the four stages a topic-balanced
     * training-mix build chains, as ONE query over the d-family's
     * augmented corpus (real docs ∪ planted near/exact dups):
@@ -1484,6 +1537,7 @@ object AnnQueries {
     "n14_kmeans" -> kmeansClusters,
     "n15_cluster_sample" -> clusterSample,
     "c5_curation_pipeline" -> curationPipeline,
+    "st17_stream_kmeans_serve" -> kmeansServe,
     "st8_stream_ann_serve" -> annServe,
     "h1_hybrid_retrieval" -> hybridRetrieval,
     "h2_rrf_fusion" -> rrfFusion,
@@ -1513,6 +1567,9 @@ object AnnQueries {
     "n14_kmeans" -> kmeansClustersSql,
     "n15_cluster_sample" -> clusterSampleSql,
     "c5_curation_pipeline" -> curationPipelineSql,
+    // stream ≡ batch: the streamed assignment must hash-match the batch
+    // k-means definition exactly
+    "st17_stream_kmeans_serve" -> kmeansClustersSql,
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "h2_rrf_fusion" -> rrfFusionSql,
     "h5_chunk_retrieval" -> chunkRetrievalSql,

@@ -86,6 +86,21 @@ class KMeansSpec extends AnyFunSuite with SparkSuite {
     assert(got.values.map(_._1).toSet === Set(0L))
   }
 
+  test("assign() is a pure projection: any split of the input unions to the batch fit (the st17 serve contract)") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(40)(Array.fill(6)(rnd.nextDouble() * 1.6 - 0.8))
+    val pts = ptsOf(vecs)
+    val (cents, pinned) = KMeans.lloyd(pts, k = 3, iters = 2)
+    val whole = KMeans.assign(pinned, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // serve the same rows as two disjoint "micro-batches"
+    val parts = Seq(pts.filter(col("id") % 2 === 0), pts.filter(col("id") % 2 === 1))
+    val streamed = parts.flatMap(b => KMeans.assign(b, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))).toSet
+    assert(streamed === whole)
+    assert(whole.size === 40)
+  }
+
   test("loud guards: domain, k bounds, iters, not enough points") {
     import spark.implicits._
     val bad = Seq((0L, Array(1.5, 0.0)), (1L, Array(0.0, 0.0)))
