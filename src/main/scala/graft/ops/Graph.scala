@@ -222,4 +222,55 @@ object Graph {
       .unionAll(auths.select(col("node"), lit("authority").as("role"),
         col("a").as("score")))
   }
+
+  /** Convergence-stopped HITS — [[pageRankConverged]]'s stopping rule
+    * applied to the hub side: iterate full (authority, hub) rounds until
+    * the hub-score L1 delta Σ|h_i − h_{i−1}| ≤ `tol` (both sides are
+    * L1-normalized each round, so the hub delta bounds the authority
+    * drift too), or `maxIters`. Integer scores make the stop decision
+    * bit-deterministic; the state after k rounds is bit-identical to
+    * `hits(edges, k)` (spec-pinned). Per round both node-sized score
+    * tables checkpoint (the delta is a driver action) — the price of
+    * convergence mode, exactly as in pageRankConverged.
+    */
+  def hitsConverged(edges: DataFrame, tol: Long, maxIters: Int): (DataFrame, Int) = {
+    require(maxIters >= 1, s"hitsConverged: maxIters ($maxIters) must be >= 1")
+    require(tol >= 0L, s"hitsConverged: tol ($tol) must be >= 0")
+    def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      raw.withColumn("tot", sum(col("raw")).over(w))
+        .select(col(key).as("node"),
+          expr(s"""CASE WHEN tot div ${FixedPoint}L = 0L
+                  |THEN CAST(raise_error('hits: zero total $out-mass — degenerate graph side, cannot L1-normalize') AS LONG)
+                  |ELSE raw div (tot div ${FixedPoint}L) END""".stripMargin).as(out))
+    }
+    val ed = edges.repartition(col("src")).localCheckpoint()
+    var hubs = ed.select("src").distinct()
+      .select(col("src").as("node"), lit(FixedPoint).as("h"))
+      .localCheckpoint()
+    var auths: DataFrame = null
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      auths = normalize(
+        ed.join(hubs, ed("src") === hubs("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("raw")), "dst", "a")
+        .localCheckpoint()
+      val next = normalize(
+        ed.join(auths, ed("dst") === auths("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("raw")), "src", "h")
+        .localCheckpoint()
+      // hub keyset = distinct src every round — inner join is exact
+      val delta = next
+        .join(hubs.select(col("node"), col("h").as("hp")), "node")
+        .agg(sum(abs(col("h") - col("hp"))).as("d"))
+        .first().getLong(0)
+      done = delta <= tol
+      hubs = next
+      i += 1
+    }
+    (hubs.select(col("node"), lit("hub").as("role"), col("h").as("score"))
+      .unionAll(auths.select(col("node"), lit("authority").as("role"),
+        col("a").as("score"))), i)
+  }
 }

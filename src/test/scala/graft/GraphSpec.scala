@@ -138,6 +138,22 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(ranksOf(rg) === ranksOf(Graph.pageRank(edgesOf(pairs: _*), iters = kg)))
   }
 
+  test("hitsConverged matches fixed-iters at its stop horizon and stops early on a converged graph (r19)") {
+    import spark.implicits._
+    val pairs = (0L until 30L).map(i => (i % 5, 100L + i % 7)).distinct
+    val base = pairs.toDF("src", "dst")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    val (res, k) = Graph.hitsConverged(base, tol = 0L, maxIters = 4)
+    assert(k >= 1 && k <= 4)
+    assert(scores(res) === scores(Graph.hits(base, iters = k)))
+    // a generous tolerance stops before the horizon
+    val (_, kg) = Graph.hitsConverged(base, tol = FP / 10L, maxIters = 20)
+    assert(kg < 20)
+    intercept[IllegalArgumentException](Graph.hitsConverged(base, -1L, 4))
+    intercept[IllegalArgumentException](Graph.hitsConverged(base, 0L, 0))
+  }
+
   test("fixed-point ranks are invariant under input partitioning") {
     val pairs = (0L until 40L).map(i => (i % 7, 100L + i % 13))
     val base = edgesOf(pairs: _*)
