@@ -1468,6 +1468,25 @@ object AnnQueries {
       .select(col("id").as("vec_id"), col("cluster"), col("d2"))
   }
 
+  /** A9 — clustering-quality report (the elbow-method statistic a
+    * curation run reads before picking k): per n14 cluster, the member
+    * count, total INERTIA (Σ d² — exact integers straight off the
+    * assignment), and the integer mean distortion `inertia div n`. A
+    * k-row rollup of the assignment — the clustering-evaluation member
+    * of the eval family (h6 recall/MRR, h7 nDCG, t25 gate eval).
+    */
+  def clusterQuality(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansClusters(spark, sfDir)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+      .withColumn("mean_d2", expr("inertia div n"))
+
+  val clusterQualitySql: String =
+    s"""WITH n14 AS ($kmeansClustersSql)
+       |SELECT cluster, COUNT(*) AS n, CAST(SUM(d2) AS BIGINT) AS inertia,
+       |       CAST(SUM(d2) AS BIGINT) // COUNT(*) AS mean_d2
+       |FROM n14 GROUP BY cluster""".stripMargin
+
   /** C5 — the curation-pipeline capstone: the four stages a topic-balanced
     * training-mix build chains, as ONE query over the d-family's
     * augmented corpus (real docs ∪ planted near/exact dups):
@@ -1538,6 +1557,7 @@ object AnnQueries {
     "n15_cluster_sample" -> clusterSample,
     "c5_curation_pipeline" -> curationPipeline,
     "st17_stream_kmeans_serve" -> kmeansServe,
+    "a9_cluster_quality" -> clusterQuality,
     "st8_stream_ann_serve" -> annServe,
     "h1_hybrid_retrieval" -> hybridRetrieval,
     "h2_rrf_fusion" -> rrfFusion,
@@ -1570,6 +1590,7 @@ object AnnQueries {
     // stream ≡ batch: the streamed assignment must hash-match the batch
     // k-means definition exactly
     "st17_stream_kmeans_serve" -> kmeansClustersSql,
+    "a9_cluster_quality" -> clusterQualitySql,
     "h1_hybrid_retrieval" -> hybridRetrievalSql,
     "h2_rrf_fusion" -> rrfFusionSql,
     "h5_chunk_retrieval" -> chunkRetrievalSql,
