@@ -158,7 +158,10 @@ object Compaction {
     * suffixes a chain write can actually leave behind (`.inprogress`,
     * `.tmp`, `_temporary`, `.crc`) — a vacuum pointed one directory too
     * high must NOT wipe unrelated assets that merely share the root
-    * (review r19). Unknown non-version entries fail loudly instead.
+    * (review r19). Hidden engine markers (`_SUCCESS` and any other
+    * `_`/`.`-prefixed name) are skipped untouched — benign metadata must
+    * not wedge retention (review r20). Unknown VISIBLE non-version
+    * entries still fail loudly before the first delete.
     *
     * Pure driver-side filesystem metadata work — version count entries,
     * never data rows, so it costs the same at 100 TB as at test scale
@@ -182,8 +185,16 @@ object Compaction {
       val name = e.getPath.getName
       val (keepIt, deletable) = name match {
         case vPat(n) => (e.isDirectory && live(n.toInt), true)
-        case _ => // orphan: only known transient write artifacts are ours
-          (false, name == "_temporary" || transient.exists(name.endsWith))
+        case _ if name == "_temporary" || transient.exists(name.endsWith) =>
+          // orphan transient write artifacts: ours to reclaim
+          (false, true)
+        case _ =>
+          // engine markers (`_SUCCESS`, any other `_`/`.`-prefixed name —
+          // the convention Spark itself treats as hidden metadata) are
+          // BENIGN: skip them silently rather than letting a stray
+          // _SUCCESS at the chain root permanently wedge retention
+          // (review r20). Anything visible and unknown still refuses.
+          (name.startsWith("_") || name.startsWith("."), false)
       }
       (e.getPath, keepIt, deletable)
     }

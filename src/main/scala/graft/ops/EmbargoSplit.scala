@@ -92,9 +92,21 @@ object EmbargoSplit {
     * `-p`/`-e` pairs under `outDir` (`/root/reference/embargo.go:228-241`).
     */
   def run(spark: SparkSession, inPath: String, whitelistPath: String,
-          cutoffDateInt: Int, outDir: String): Unit = {
+          cutoffDateInt: Int, outDir: String): Unit =
+    runWith(spark, inPath, TgzSource.whitelist(spark, whitelistPath),
+      cutoffDateInt, outDir)
+
+  /** [[run]] with the whitelist supplied as a DataFrame (one `wip` column)
+    * instead of a text path — the form the service's refreshed whitelist
+    * store feeds ([[Service]] re-reads the store per request, the
+    * reference's in-memory reload made durable,
+    * `/root/reference/embargo.go:94-101`). `inPath` may be a single
+    * archive, a directory, or a glob: a whole day splits as ONE job whose
+    * task parallelism is the per-archive explode.
+    */
+  def runWith(spark: SparkSession, inPath: String, whitelist: DataFrame,
+              cutoffDateInt: Int, outDir: String): Unit = {
     val entries = TgzSource.entries(spark, inPath)
-    val wl = TgzSource.whitelist(spark, whitelistPath)
-    TgzSink.writeSplit(route(entries, wl, cutoffDateInt), outDir)
+    TgzSink.writeSplit(route(entries, whitelist, cutoffDateInt), outDir)
   }
 }

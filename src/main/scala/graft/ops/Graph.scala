@@ -116,6 +116,7 @@ object Graph {
     val ed = edgeTable(edges, parts)
     val seed = seedRanks(ed)
     var ranks = seed
+    var guarded = false
     for (i <- 1 to iters) {
       ranks = prStep(ed, ranks)
       // cut lineage every 3rd INTERMEDIATE round: a per-iteration
@@ -124,13 +125,21 @@ object Graph {
       // results bit-identical either way), while never checkpointing
       // grows the plan linearly in `iters`; every-3rd keeps the analyzed
       // plan bounded at long horizons and costs nothing at short ones
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 && i < iters) {
+        ranks = ranks.localCheckpoint()
+        // fail FAST on a dangling graph (review r20): the cadence
+        // checkpoint is already materialized, so the guard here costs the
+        // same one node-sized job it costs at end-of-run — but an invalid
+        // graph now dies at round 3 instead of paying all `iters` rounds
+        // first. No new barrier: this piggybacks on the existing pin.
+        if (!guarded) { assertNoDangling(seed, ranks, "pageRank"); guarded = true }
+      }
     }
     // pin the final ranks (node-sized; the caller's action reads the pin)
     // and run the dangling guard against them — one cheap job at the end,
     // no mid-loop barrier (see assertNoDangling)
     val fin = ranks.localCheckpoint()
-    assertNoDangling(seed, fin, "pageRank")
+    if (!guarded) assertNoDangling(seed, fin, "pageRank")
     fin
   }
 
@@ -188,39 +197,68 @@ object Graph {
     * Returns (`node`, `role` 'hub'|'authority', `score`) for the state
     * after `iters` full rounds.
     */
+  /** L1-normalize one HITS side to [[FixedPoint]] in integer arithmetic
+    * (`raw div (total div FP)` — one exact global-window sum over the
+    * node-sized aggregate, never a second pass over edges). Zero-mass
+    * normalize is a LOUD error, not a silent NULL-out (review r19): a
+    * side's total truncating below FixedPoint means a degenerate graph
+    * whose scores would all be NULL — the contract elsewhere
+    * (packedPairs, iters guards) is raise_error, so match it. ONE
+    * definition shared by [[hits]] and [[hitsConverged]] (review r19's
+    * duplicate-scaffolding item).
+    */
+  private def hitsNormalize(raw: DataFrame, key: String, out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    raw.withColumn("tot", sum(col("raw")).over(w))
+      .select(col(key).as("node"),
+        expr(s"""CASE WHEN tot div ${FixedPoint}L = 0L
+                |THEN CAST(raise_error('hits: zero total $out-mass — degenerate graph side, cannot L1-normalize') AS LONG)
+                |ELSE raw div (tot div ${FixedPoint}L) END""".stripMargin).as(out))
+  }
+
+  /** One full HITS round: authority mass from in-linking hub scores, then
+    * hub mass from out-linked authority scores, each L1-normalized. `pin`
+    * is applied to each side as it is produced — identity for the
+    * fixed-iters loop (its cadence checkpoint happens outside),
+    * `localCheckpoint` for the converged loop (the delta is a driver
+    * action per round). Returns (auths, hubs).
+    */
+  private def hitsRound(ed: DataFrame, hubs: DataFrame,
+                        pin: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val auths = pin(hitsNormalize(
+      ed.join(hubs, ed("src") === hubs("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("raw")), "dst", "a"))
+    val next = pin(hitsNormalize(
+      ed.join(auths, ed("dst") === auths("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("raw")), "src", "h"))
+    (auths, next)
+  }
+
+  /** Uniform hub seeds over the checkpointed edge table's src keyset. */
+  private def hitsSeed(ed: DataFrame): DataFrame =
+    ed.select("src").distinct()
+      .select(col("src").as("node"), lit(FixedPoint).as("h"))
+
+  /** The (`node`, `role`, `score`) union both HITS variants return. */
+  private def hitsOutput(hubs: DataFrame, auths: DataFrame): DataFrame =
+    hubs.select(col("node"), lit("hub").as("role"), col("h").as("score"))
+      .unionAll(auths.select(col("node"), lit("authority").as("role"),
+        col("a").as("score")))
+
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1,
       s"hits: iters ($iters) must be >= 1 — 0 rounds would return uniform seeds")
-    // zero-mass normalize is a LOUD error, not a silent NULL-out (review
-    // r19): a side's total truncating below FixedPoint means a degenerate
-    // graph whose scores would all be NULL — the contract elsewhere
-    // (packedPairs, iters guards) is raise_error, so match it
-    def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      raw.withColumn("tot", sum(col("raw")).over(w))
-        .select(col(key).as("node"),
-          expr(s"""CASE WHEN tot div ${FixedPoint}L = 0L
-                  |THEN CAST(raise_error('hits: zero total $out-mass — degenerate graph side, cannot L1-normalize') AS LONG)
-                  |ELSE raw div (tot div ${FixedPoint}L) END""".stripMargin).as(out))
-    }
     val ed = edges.repartition(col("src")).localCheckpoint()
-    var hubs = ed.select("src").distinct()
-      .select(col("src").as("node"), lit(FixedPoint).as("h"))
+    var hubs = hitsSeed(ed)
     var auths: DataFrame = null
     for (i <- 1 to iters) {
-      auths = normalize(
-        ed.join(hubs, ed("src") === hubs("node"))
-          .groupBy(col("dst")).agg(sum(col("h")).as("raw")), "dst", "a")
-      hubs = normalize(
-        ed.join(auths, ed("dst") === auths("node"))
-          .groupBy(col("src")).agg(sum(col("a")).as("raw")), "src", "h")
+      val (a, h) = hitsRound(ed, hubs, identity)
+      auths = a; hubs = h
       if (i % 3 == 0 && i < iters) { // the pageRank lineage cadence
         hubs = hubs.localCheckpoint(); auths = auths.localCheckpoint()
       }
     }
-    hubs.select(col("node"), lit("hub").as("role"), col("h").as("score"))
-      .unionAll(auths.select(col("node"), lit("authority").as("role"),
-        col("a").as("score")))
+    hitsOutput(hubs, auths)
   }
 
   /** Convergence-stopped HITS — [[pageRankConverged]]'s stopping rule
@@ -236,30 +274,14 @@ object Graph {
   def hitsConverged(edges: DataFrame, tol: Long, maxIters: Int): (DataFrame, Int) = {
     require(maxIters >= 1, s"hitsConverged: maxIters ($maxIters) must be >= 1")
     require(tol >= 0L, s"hitsConverged: tol ($tol) must be >= 0")
-    def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      raw.withColumn("tot", sum(col("raw")).over(w))
-        .select(col(key).as("node"),
-          expr(s"""CASE WHEN tot div ${FixedPoint}L = 0L
-                  |THEN CAST(raise_error('hits: zero total $out-mass — degenerate graph side, cannot L1-normalize') AS LONG)
-                  |ELSE raw div (tot div ${FixedPoint}L) END""".stripMargin).as(out))
-    }
     val ed = edges.repartition(col("src")).localCheckpoint()
-    var hubs = ed.select("src").distinct()
-      .select(col("src").as("node"), lit(FixedPoint).as("h"))
-      .localCheckpoint()
+    var hubs = hitsSeed(ed).localCheckpoint()
     var auths: DataFrame = null
     var i = 0
     var done = false
     while (i < maxIters && !done) {
-      auths = normalize(
-        ed.join(hubs, ed("src") === hubs("node"))
-          .groupBy(col("dst")).agg(sum(col("h")).as("raw")), "dst", "a")
-        .localCheckpoint()
-      val next = normalize(
-        ed.join(auths, ed("dst") === auths("node"))
-          .groupBy(col("src")).agg(sum(col("a")).as("raw")), "src", "h")
-        .localCheckpoint()
+      val (a, next) = hitsRound(ed, hubs, _.localCheckpoint())
+      auths = a
       // hub keyset = distinct src every round — inner join is exact
       val delta = next
         .join(hubs.select(col("node"), col("h").as("hp")), "node")
@@ -269,8 +291,6 @@ object Graph {
       hubs = next
       i += 1
     }
-    (hubs.select(col("node"), lit("hub").as("role"), col("h").as("score"))
-      .unionAll(auths.select(col("node"), lit("authority").as("role"),
-        col("a").as("score"))), i)
+    (hitsOutput(hubs, auths), i)
   }
 }

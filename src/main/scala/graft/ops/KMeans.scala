@@ -100,8 +100,54 @@ object KMeans {
     val seedRows = pts.orderBy(col("id")).limit(k).collect()
     require(seedRows.length == k,
       s"kmeans: need at least k ($k) points, got ${seedRows.length}")
-    var cents: Seq[Array[Long]] =
+    val cents0: Seq[Array[Long]] =
       seedRows.map(_.getSeq[Long](1).toArray).toSeq
+    (lloydRounds(pts, cents0, iters), pts)
+  }
+
+  /** Deterministic k-means++ seeding (Arthur & Vassilvitskii 2007,
+    * "k-means++: The Advantages of Careful Seeding") in exact integers:
+    * seed 1 is the lowest-id point's vector; each further seed is the
+    * ARGMAX of the exact squared distance to the current seed set — the
+    * D² rule with the sampling replaced by its mode, which keeps the
+    * chain fully deterministic and replayable in ANSI SQL. Ties break by
+    * md5(id) then id (the n15 ordering — uniform, engine-identical).
+    * Lowest-id seeding is quality-blind (k adjacent ids can all land in
+    * one dense region and cost real inertia at corpus scale); the
+    * farthest-point chain spreads seeds across the data's diameter.
+    *
+    * Cost: k − 1 bounded driver rounds, each ONE top-1 aggregate over
+    * the pinned point table (the [[packedAssign]] min-distance
+    * projection + a TakeOrderedAndProject) — no shuffle beyond the
+    * k-row reduce, exactly the [[lloyd]] round shape. `pts` must carry
+    * (`id`, `q`) and be pinned by the caller.
+    */
+  def seedPlusPlus(pts: DataFrame, k: Int): Seq[Array[Long]] = {
+    require(k >= 1 && k <= MaxK, s"kmeans: k ($k) must be in [1, $MaxK]")
+    val first = pts.orderBy(col("id")).limit(1).collect()
+    require(first.nonEmpty, "kmeans: need at least 1 point")
+    var cents: Seq[Array[Long]] = Seq(first(0).getSeq[Long](1).toArray)
+    for (_ <- 2 to k) {
+      val next = pts
+        .withColumn("p", packedAssign(col("q"), cents))
+        .withColumn("d2", expr(s"p div ${MaxK}L"))
+        .orderBy(col("d2").desc, md5(col("id").cast("string")).asc,
+          col("id").asc)
+        .limit(1).select("q").collect()
+      cents = cents :+ next(0).getSeq[Long](0).toArray
+    }
+    cents
+  }
+
+  /** `iters` assign→update rounds from explicit starting centroids —
+    * the shared engine behind [[lloyd]] (lowest-id seeds) and
+    * [[fitPlusPlus]] (D² seeds). Returns the final driver-held
+    * centroids.
+    */
+  private def lloydRounds(pts: DataFrame, cents0: Seq[Array[Long]],
+                          iters: Int): Seq[Array[Long]] = {
+    require(iters >= 1, s"kmeans: iters ($iters) must be >= 1")
+    var cents = cents0
     val dim = cents.head.length
     for (_ <- 1 to iters) {
       val sums = pts
@@ -119,7 +165,7 @@ object KMeans {
         updated.getOrElse(i.toLong, old)
       }
     }
-    (cents, pts)
+    cents
   }
 
   /** Assignment of already-quantized rows (`id`, `q`) under driver-held
@@ -140,6 +186,17 @@ object KMeans {
     */
   def fit(points: DataFrame, k: Int, iters: Int): DataFrame = {
     val (cents, pts) = lloyd(points, k, iters)
+    assign(pts, cents)
+  }
+
+  /** [[fit]] with deterministic k-means++ seeding ([[seedPlusPlus]])
+    * instead of lowest-id seeds: same Lloyd engine, same assignment,
+    * better-spread starting centroids — the form a real corpus run
+    * should use (a9 grades the inertia contrast against [[fit]]).
+    */
+  def fitPlusPlus(points: DataFrame, k: Int, iters: Int): DataFrame = {
+    val pts = points.select(col("id"), col("q")).localCheckpoint()
+    val cents = lloydRounds(pts, seedPlusPlus(pts, k), iters)
     assign(pts, cents)
   }
 }

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** The reference's HTTP service surface
   * (`/root/reference/deploy/deploy.go:118-126`): the four routes it
@@ -8,22 +10,36 @@ import org.apache.spark.sql.SparkSession
   * `/_ah/health`, `/cron/update_embargo_whitelist`, `/cron/unembargo` —
   * served over a real (loopback, ephemeral-port) JDK `HttpServer`, each
   * delegating to the already-graded pipelines: the split
-  * ([[EmbargoSplit.run]] — e1/e2/e4's engine), the whitelist reload
+  * ([[EmbargoSplit.runWith]] — e1/e2/e4's engine), the whitelist reload
   * ([[graft.io.Sites.whitelistFromUrl]] — S6/P7/P8), and the promotion
   * ([[Unembargo.promoteDay]] — e3's engine).
   *
-  * Status/reject parity with `deploy.go`:
-  *  - `/submit` with neither `date` nor `file` → 404
-  *    "Missing date or filename there" (`deploy.go:26-30`)
-  *  - `/submit?file=` that does not decode to a `gs://…sidestream…tgz`
-  *    URL → 500 "Invalid filename: …" (`deploy.go:32-37`; the base64 →
-  *    `gs://` handling mirrors `storage.GetFilename`)
-  *  - a valid submit that cannot be processed (missing source object) →
-  *    500 "Fail with embargo single file." (`deploy.go:50-56`)
-  *  - `/cron/unembargo` with a non-integer or int-overflow `date` → 400
-  *    (`deploy.go:95-101` strconv arm); an in-syntax but out-of-range
-  *    date → the validDate 500; success → 200 with body exactly "OK"
-  *    (copy/overwrite counts go to the log, as the reference logs them)
+  * Statuses follow the reference's INTENT per arm; three wire-level
+  * quirks of the Go binary are deliberately not reproduced (review r19):
+  *  - `/submit` with neither `date` nor `file`: Go calls `fmt.Fprint`
+  *    BEFORE `http.NotFound` (`deploy.go:26-30`), so its wire status is
+  *    actually 200 with the message and a trailing "404 page not found"
+  *    body — the superfluous WriteHeader documents that 404 was MEANT.
+  *    This service answers the intended 404 with the message body.
+  *  - Go's single-file success writes an EMPTY body (the handler just
+  *    returns, `deploy.go:50-58`); this service answers "success" so a
+  *    caller can distinguish the arm without scraping logs.
+  *  - Go's "Invalid filename:" body echoes the DECODED fn — the empty
+  *    string, since GetFilename failed (`deploy.go:32-37`); this service
+  *    echoes the raw parameter, which is the useful diagnostic.
+  * Everything else matches observably:
+  *  - `/submit?file=` that does not base64/raw-decode to a `gs://` URL →
+  *    500 "Invalid filename: …" (`deploy.go:32-37`, `storage.GetFilename`)
+  *  - a decodable submit that cannot be processed — non-sidestream
+  *    object, missing source archive, split failure — → 500 "Fail with
+  *    embargo single file." (`deploy.go:50-56`; the sidestream/tgz guard
+  *    lives in `EmbargoSingleFile`, `embargo.go:296-298`, NOT in the
+  *    filename vetting)
+  *  - `/cron/unembargo` with a non-integer `date` → 400 with Go's
+  *    strconv message, distinguishing "invalid syntax" from
+  *    "value out of range" exactly as `strconv.Atoi` does
+  *    (`deploy.go:95-101`); an in-syntax but out-of-range date → the
+  *    validDate 500; success → 200 with body exactly "OK"
   *  - `/_ah/health` → 200 "ok" (`deploy.go:114-116`)
   *  - non-exact paths (`/submitfoo`, `/cron/unembargoX`) → 404, matching
   *    Go's ServeMux exact-match rule for non-slash-terminated patterns —
@@ -44,9 +60,9 @@ object Service {
       srcDir: String,        // scraper store: srcDir/sidestream/yyyy/mm/dd/*.tgz
       publicDir: String,     // public archive store (split .tgz + promotions)
       privateDir: String,    // embargoed store (split -e.tgz)
-      whitelistPath: String, // whitelist text consumed by the split
+      whitelistPath: String, // SEED whitelist text (until the first refresh)
       sitesUrl: String,      // site feed for the whitelist refresh cron
-      whitelistOut: String,  // parquet the refresh writes
+      whitelistOut: String,  // refreshed whitelist store the cron writes
       today: () => java.time.LocalDate = () => java.time.LocalDate.now())
 
   /** `yyyymmdd` int of the day one year before `today` — the reference's
@@ -56,6 +72,12 @@ object Service {
     val d = today.minusYears(1)
     d.getYear * 10000 + d.getMonthValue * 100 + d.getDayOfMonth
   }
+
+  /** Job-group id the whole-day submit runs under — the spec's hook for
+    * pinning that a day splits as ONE distributed job regardless of how
+    * many archives it holds.
+    */
+  val DayJobGroup = "graft-submit-day"
 
   final class EmbargoService(spark: SparkSession, cfg: ServiceConfig)
       extends AutoCloseable {
@@ -113,19 +135,40 @@ object Service {
           if (s.startsWith("gs://")) Some(s) else None
         } catch { case _: IllegalArgumentException => None }
 
+    /** The split's whitelist source, re-read PER REQUEST (SURVEY §3 E3):
+      * once `/cron/update_embargo_whitelist` has written the refreshed
+      * store, every subsequent split consumes it; until then the seed
+      * text at `cfg.whitelistPath` applies. This is the reference's
+      * in-memory singleton reload (`embargo.go:94-101` replaces
+      * `EmbargoSingleton`'s checker; `embargo.go:174` reads whatever is
+      * current) made durable and restart-safe — the store is a few
+      * thousand rows, a dimension read, never a data-plane cost.
+      */
+    private def currentWhitelist(): DataFrame = {
+      val out = new Path(cfg.whitelistOut)
+      val f = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(out)) spark.read.parquet(cfg.whitelistOut)
+      else graft.io.TgzSource.whitelist(spark, cfg.whitelistPath)
+    }
+
     /** One archive through the split into the two stores — e4's accepted
       * arm: `splitOut/base.tgz` → public, `splitOut/base-e.tgz` → private,
       * both under the archive's own day prefix (`deploy.go:40-42` strips
       * the bucket; the day dir is the object path's parent).
       */
     private def embargoSingleObject(objPath: String): Unit = {
+      // EmbargoSingleFile's own guard (`embargo.go:296-298`): a
+      // non-sidestream / non-tgz object is a PROCESSING failure, not an
+      // invalid filename — GetFilename only vets the gs:// shape
+      require(objPath.contains("tgz") && objPath.contains("sidestream"),
+        "not a proper sidestream file")
       val dayDir = objPath.substring(0, objPath.lastIndexOf('/'))
       val base = objPath.substring(objPath.lastIndexOf('/') + 1)
       val splitOut = s"${cfg.publicDir}/.split_tmp/${java.util.UUID.randomUUID}"
       val cutoff = oneYearAgoInt(cfg.today())
       try {
-        EmbargoSplit.run(spark, s"${cfg.srcDir}/$objPath", cfg.whitelistPath,
-          cutoff, splitOut)
+        EmbargoSplit.runWith(spark, s"${cfg.srcDir}/$objPath",
+          currentWhitelist(), cutoff, splitOut)
         graft.io.FsOps.mkdirs(spark, s"${cfg.publicDir}/$dayDir")
         graft.io.FsOps.mkdirs(spark, s"${cfg.privateDir}/$dayDir")
         graft.io.FsOps.copy(spark, s"$splitOut/$base",
@@ -134,6 +177,45 @@ object Service {
           s"$splitOut/${base.replace(".tgz", "-e.tgz")}",
           s"${cfg.privateDir}/$dayDir/${base.replace(".tgz", "-e.tgz")}")
       } finally graft.io.FsOps.deletePrefix(spark, splitOut)
+    }
+
+    /** A whole day through the split as ONE distributed job
+      * (`embargo.go:243-294` `EmbargoOneDayData`, whose serial
+      * per-archive loop is exactly the unit of task parallelism here —
+      * SURVEY §3 E1): the day glob explodes every archive in parallel,
+      * [[EmbargoSplit.runWith]] writes all `-p`/`-e` pairs in one pass,
+      * and the publication routes them into the two stores with the
+      * distributed [[graft.io.FsOps.copyAll]]. An empty or absent day is
+      * a successful no-op — the reference's bucket listing just comes
+      * back empty.
+      */
+    private def embargoDay(date: String): Unit = {
+      val prefix =
+        s"sidestream/${date.substring(0, 4)}/${date.substring(4, 6)}/${date.substring(6, 8)}"
+      val dayPath = new Path(s"${cfg.srcDir}/$prefix")
+      val dayFs = dayPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!dayFs.exists(dayPath)) return
+      val any = dayFs.globStatus(new Path(dayPath, "*.tgz"))
+      if (any == null || any.isEmpty) return
+      val splitOut = s"${cfg.publicDir}/.split_tmp/${java.util.UUID.randomUUID}"
+      val cutoff = oneYearAgoInt(cfg.today())
+      spark.sparkContext.setJobGroup(DayJobGroup, s"embargo day $date")
+      try {
+        EmbargoSplit.runWith(spark, dayPath.toString, currentWhitelist(),
+          cutoff, splitOut)
+        graft.io.FsOps.mkdirs(spark, s"${cfg.publicDir}/$prefix")
+        graft.io.FsOps.mkdirs(spark, s"${cfg.privateDir}/$prefix")
+        val produced = graft.io.FsOps.list(spark, splitOut, suffix = ".tgz")
+        graft.io.FsOps.copyAll(spark,
+          produced.filter(!col("name").endsWith("-e.tgz")),
+          splitOut, s"${cfg.publicDir}/$prefix")
+        graft.io.FsOps.copyAll(spark,
+          produced.filter(col("name").endsWith("-e.tgz")),
+          splitOut, s"${cfg.privateDir}/$prefix")
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        graft.io.FsOps.deletePrefix(spark, splitOut)
+      }
     }
 
     route("/_ah/health") { _ => (200, "ok") }
@@ -145,8 +227,7 @@ object Service {
           (404, "Missing date or filename there\n")
         case (Some(raw), _) => // file takes precedence, as in EmbargoHandler
           getFilename(raw) match {
-            case Some(url)
-                if url.contains("tgz") && url.contains("sidestream") =>
+            case Some(url) =>
               // deploy.go:40-42: strip "gs://", drop bucket at first '/'
               val noScheme = url.stripPrefix("gs://")
               val objPath = noScheme.substring(noScheme.indexOf('/') + 1)
@@ -154,30 +235,16 @@ object Service {
               catch {
                 case _: Exception => (500, "Fail with embargo single file.")
               }
-            case _ => (500, s"Invalid filename: $raw")
+            case None => (500, s"Invalid filename: $raw")
           }
         case (None, Some(date)) =>
           if (!date.matches("\\d{8}")) (500, s"invalid date: $date")
-          else {
-            val prefix =
-              s"sidestream/${date.substring(0, 4)}/${date.substring(4, 6)}/${date.substring(6, 8)}"
-            // a day with no data is a successful no-op, not a 500 — the
-            // reference's bucket listing just comes back empty
-            val dayPath = new org.apache.hadoop.fs.Path(s"${cfg.srcDir}/$prefix")
-            val dayFs = dayPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val day =
-              if (!dayFs.exists(dayPath)) Array.empty[String]
-              else graft.io.FsOps
-                .list(spark, s"${cfg.srcDir}/$prefix", suffix = ".tgz")
-                .select("name").collect().map(_.getString(0))
-            try {
-              day.foreach(n => embargoSingleObject(s"$prefix/$n"))
-              (200, "success")
-            } catch {
+          else
+            try { embargoDay(date); (200, "success") }
+            catch {
               case _: Exception =>
                 (500, s"Fail with embargo on new coming data for date: $date \n")
             }
-          }
       }
     }
 
@@ -189,15 +256,19 @@ object Service {
 
     route("/cron/unembargo") { ex =>
       val dateParam = params(ex).get("date")
-      // strconv.Atoi parity (review r19): non-numeric AND int-overflow
-      // values are both Atoi errors → the 400 arm (deploy.go:95-101);
-      // a parseable but out-of-range date reaches UnembargoCron and is
-      // its validDate 500. Parse as Long so 2^31-adjacent values fall in
-      // the right arm (Go's int is 64-bit).
+      // strconv.Atoi parity: non-numeric AND int-overflow values are both
+      // Atoi errors → the 400 arm (deploy.go:95-101), with Go's message
+      // split — an in-syntax integer too wide for int64 is "value out of
+      // range", anything else "invalid syntax" (review r19). A parseable
+      // but out-of-range date reaches UnembargoCron and is its validDate
+      // 500. Parse as Long: Go's int is 64-bit.
       val parsed = dateParam.map(s => scala.util.Try(s.toLong))
       parsed match {
         case Some(scala.util.Failure(_)) =>
-          (400, s"strconv.Atoi: parsing \"${dateParam.get}\": invalid syntax")
+          val s = dateParam.get
+          val why =
+            if (s.matches("[+-]?\\d+")) "value out of range" else "invalid syntax"
+          (400, s"strconv.Atoi: parsing \"$s\": $why")
         case _ =>
           val cutoff = oneYearAgoInt(cfg.today())
           val undateL = parsed.map(_.get).getOrElse(cutoff.toLong)

@@ -1353,9 +1353,14 @@ object AnnQueries {
       .select(col("id").as("vec_id"), col("cluster"), col("d2"))
   }
 
-  val kmeansClustersSql: String = {
-    // one CTE triple per Lloyd round: distances, packed argmin
-    // assignment, centroid update (empty cluster keeps the old centroid)
+  /** The shared Lloyd-unroll oracle: 3 CTE triples (distances, packed
+    * argmin assignment, centroid update — empty cluster keeps the old
+    * centroid) over the dim-exploded point table, parameterized by the
+    * `c0` seeding CTE chain (n14 seeds with the k lowest ids; n16 with
+    * the deterministic k-means++ argmax chain). The LAST CTE in `c0Ctes`
+    * must be named `c0` with columns (c, dim, q).
+    */
+  private def lloydOracleSql(c0Ctes: String): String = {
     val rounds = (1 to 3).map { r =>
       s"""d$r AS (SELECT p.id, c.c, CAST(SUM((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS d2
          |  FROM pts p JOIN c${r - 1} c USING (dim) GROUP BY 1, 2),
@@ -1370,10 +1375,7 @@ object AnnQueries {
        |  SELECT vec_id AS id, u.i - 1 AS dim,
        |         CAST(FLOOR((CAST(embedding[u.i] AS DOUBLE) + 1.0) * 1000000) AS BIGINT) AS q
        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
-       |c0 AS (
-       |  SELECT DENSE_RANK() OVER (ORDER BY id) - 1 AS c, dim, q
-       |  FROM pts
-       |  WHERE id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |$c0Ctes,
        |$rounds,
        |fin AS (SELECT p.id, c.c, CAST(SUM((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS d2
        |  FROM pts p JOIN c3 c USING (dim) GROUP BY 1, 2)
@@ -1381,6 +1383,13 @@ object AnnQueries {
        |       MIN(d2 * 64 + c) // 64 AS d2
        |FROM fin GROUP BY id""".stripMargin
   }
+
+  val kmeansClustersSql: String = lloydOracleSql(
+    """c0 AS (
+      |  SELECT DENSE_RANK() OVER (ORDER BY id) - 1 AS c, dim, q
+      |  FROM pts
+      |  WHERE id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4))"""
+      .stripMargin)
 
   /** N15 — cluster-balanced sampling (the topic-balancing resample
     * cluster-curation runs AFTER k-means — cap each topic's share so no
@@ -1468,24 +1477,75 @@ object AnnQueries {
       .select(col("id").as("vec_id"), col("cluster"), col("d2"))
   }
 
+  /** N16 — deterministic k-means++ D² seeding
+    * ([[graft.ops.KMeans.fitPlusPlus]]): the SAME k=4 / 3-round Lloyd
+    * engine as n14, but seeded by the farthest-point argmax chain
+    * (exact integer d² to the current seed set, md5-then-id tie-break)
+    * instead of the quality-blind k lowest ids. Every seeding round is
+    * one top-1 aggregate over the pinned point table, so the chain is
+    * k bounded driver rounds — and fully replayable in ANSI SQL, which
+    * is what the oracle does (the n14 CTE unroll with the seeding chain
+    * swapped in as `c0`). a9 grades the inertia contrast between the
+    * two seedings.
+    */
+  def kmeansPlusPlus(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        graft.ops.KMeans.quantize(col("embedding")).as("q"))
+    graft.ops.KMeans.fitPlusPlus(pts, k = 4, iters = 3)
+      .select(col("id").as("vec_id"), col("cluster"), col("d2"))
+  }
+
+  val kmeansPlusPlusSql: String = {
+    // seed 0 = lowest id; seed j = argmax of MIN d² to seeds 0..j-1,
+    // ties by (md5(id), id) — exactly KMeans.seedPlusPlus's chain
+    val seeding = (1 to 3).map { j =>
+      s"""sd$j AS (SELECT p.id, s.c, CAST(SUM((p.q - s.q) * (p.q - s.q)) AS BIGINT) AS d2
+         |  FROM pts p JOIN seeds${j - 1} s USING (dim) GROUP BY 1, 2),
+         |sm$j AS (SELECT id FROM (SELECT id, MIN(d2) AS d2 FROM sd$j GROUP BY id)
+         |  ORDER BY d2 DESC, md5(CAST(id AS VARCHAR)) ASC, id ASC LIMIT 1),
+         |seeds$j AS (SELECT * FROM seeds${j - 1} UNION ALL
+         |  SELECT $j AS c, dim, q FROM pts WHERE id = (SELECT id FROM sm$j))"""
+        .stripMargin
+    }.mkString(",\n")
+    lloydOracleSql(
+      s"""seeds0 AS (SELECT 0 AS c, dim, q FROM pts WHERE id = (SELECT MIN(id) FROM pts)),
+         |$seeding,
+         |c0 AS (SELECT c, dim, q FROM seeds3)""".stripMargin)
+  }
+
   /** A9 — clustering-quality report (the elbow-method statistic a
-    * curation run reads before picking k): per n14 cluster, the member
+    * curation run reads before picking k): per cluster AND per seeding
+    * strategy (n14's lowest-id vs n16's k-means++ chain), the member
     * count, total INERTIA (Σ d² — exact integers straight off the
     * assignment), and the integer mean distortion `inertia div n`. A
-    * k-row rollup of the assignment — the clustering-evaluation member
-    * of the eval family (h6 recall/MRR, h7 nDCG, t25 gate eval).
+    * 2k-row rollup of the two assignments — the clustering-evaluation
+    * member of the eval family (h6 recall/MRR, h7 nDCG, t25 gate eval),
+    * now also the GRADED seeding contrast the ++ variant exists for.
     */
-  def clusterQuality(spark: SparkSession, sfDir: String): DataFrame =
-    kmeansClusters(spark, sfDir)
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
-      .withColumn("mean_d2", expr("inertia div n"))
+  def clusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    def roll(assigned: DataFrame, tag: String): DataFrame =
+      assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+        .withColumn("mean_d2", expr("inertia div n"))
+        .select(lit(tag).as("seeding"), col("cluster"), col("n"),
+          col("inertia"), col("mean_d2"))
+    roll(kmeansClusters(spark, sfDir), "lowest_id")
+      .unionAll(roll(kmeansPlusPlus(spark, sfDir), "kmeanspp"))
+  }
 
   val clusterQualitySql: String =
-    s"""WITH n14 AS ($kmeansClustersSql)
-       |SELECT cluster, COUNT(*) AS n, CAST(SUM(d2) AS BIGINT) AS inertia,
+    s"""WITH n14 AS ($kmeansClustersSql),
+       |n16 AS ($kmeansPlusPlusSql)
+       |SELECT 'lowest_id' AS seeding, cluster, COUNT(*) AS n,
+       |       CAST(SUM(d2) AS BIGINT) AS inertia,
        |       CAST(SUM(d2) AS BIGINT) // COUNT(*) AS mean_d2
-       |FROM n14 GROUP BY cluster""".stripMargin
+       |FROM n14 GROUP BY cluster
+       |UNION ALL
+       |SELECT 'kmeanspp' AS seeding, cluster, COUNT(*) AS n,
+       |       CAST(SUM(d2) AS BIGINT) AS inertia,
+       |       CAST(SUM(d2) AS BIGINT) // COUNT(*) AS mean_d2
+       |FROM n16 GROUP BY cluster""".stripMargin
 
   /** C5 — the curation-pipeline capstone: the four stages a topic-balanced
     * training-mix build chains, as ONE query over the d-family's
@@ -1554,6 +1614,7 @@ object AnnQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n14_kmeans" -> kmeansClusters,
+    "n16_kmeanspp" -> kmeansPlusPlus,
     "n15_cluster_sample" -> clusterSample,
     "c5_curation_pipeline" -> curationPipeline,
     "st17_stream_kmeans_serve" -> kmeansServe,
@@ -1585,6 +1646,7 @@ object AnnQueries {
 
   def oracleSql: Map[String, String] = Map(
     "n14_kmeans" -> kmeansClustersSql,
+    "n16_kmeanspp" -> kmeansPlusPlusSql,
     "n15_cluster_sample" -> clusterSampleSql,
     "c5_curation_pipeline" -> curationPipelineSql,
     // stream ≡ batch: the streamed assignment must hash-match the batch

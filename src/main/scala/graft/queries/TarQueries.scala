@@ -255,15 +255,8 @@ object TarQueries {
   def singleFileSubmit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.NameFunctions.{decodeBase64Path, isSidestreamArchive}
-    def b64(s: String) =
-      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
     def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
-    val reqRows = Seq(
-      (1L, b64(s"gs://scraper-mlab/sidestream/2017/03/15/${base(FixtureTgz)}")),
-      (2L, b64(s"gs://scraper-mlab/sidestream/2017/03/16/${base(Fixture2Tgz)}")),
-      (3L, b64("gs://scraper-mlab/switch/2017/03/16/speedtest-0001.dat")),
-      (4L, b64("https://example.com/sidestream/not-a-gs-url.tgz")))
-    reqRows.toDF("req_id", "b64")
+    submitRequests.toDF("req_id", "b64")
       .write.mode("overwrite").parquet(s"$StageDir/e4_requests.parquet")
     stageGoldenManifest(spark, s"$StageDir/e4_golden.parquet")
 
@@ -338,10 +331,14 @@ object TarQueries {
     status.unionAll(published)
   }
 
-  val singleFileSubmitSql: String =
+  /** Shared oracle for the submit-batch queries (e4 composes the handler
+    * chain in-process; e5 drives it over real HTTP — same requests, same
+    * staged goldens, so ONE derivation grades both).
+    */
+  private def submitOracleSql(tag: String): String =
     s"""WITH reqs AS (
        |  SELECT req_id, decode(from_base64(b64)) AS url
-       |  FROM read_parquet('$StageDir/e4_requests.parquet/*.parquet')),
+       |  FROM read_parquet('$StageDir/${tag}_requests.parquet/*.parquet')),
        |status AS (
        |  SELECT req_id, 'status' AS kind,
        |         CASE WHEN url IS NULL OR url NOT LIKE 'gs://%'
@@ -353,7 +350,7 @@ object TarQueries {
        |  FROM reqs),
        |ent AS (
        |  SELECT half, name, payload_md5
-       |  FROM read_parquet('$StageDir/e4_golden.parquet/*.parquet')),
+       |  FROM read_parquet('$StageDir/${tag}_golden.parquet/*.parquet')),
        |-- request 1 = fixture 1 (archive date < cutoff: every entry public),
        |-- request 2 = fixture 2 (archive date = cutoff: the golden 4/6 split)
        |published AS (
@@ -368,6 +365,107 @@ object TarQueries {
        |SELECT req_id, kind, name, payload_md5 FROM status
        |UNION ALL
        |SELECT req_id, kind, name, payload_md5 FROM published""".stripMargin
+
+  val singleFileSubmitSql: String = submitOracleSql("e4")
+
+  /** The four submit requests e4/e5 stage — base64 `gs://` URLs firing
+    * the accepted arm twice (both P5 age arms) and both reject reasons.
+    */
+  private def submitRequests: Seq[(Long, String)] = {
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    Seq(
+      (1L, b64(s"gs://scraper-mlab/sidestream/2017/03/15/${base(FixtureTgz)}")),
+      (2L, b64(s"gs://scraper-mlab/sidestream/2017/03/16/${base(Fixture2Tgz)}")),
+      (3L, b64("gs://scraper-mlab/switch/2017/03/16/speedtest-0001.dat")),
+      (4L, b64("https://example.com/sidestream/not-a-gs-url.tgz")))
+  }
+
+  /** E5 — e4's submit batch driven over the REAL HTTP service
+    * ([[graft.ops.Service]], `/root/reference/deploy/deploy.go:118-126`):
+    * the same four staged requests hit a live loopback `/submit?file=`
+    * endpoint, so the ROUTE DISPATCH itself — query parsing, the
+    * GetFilename vetting, the EmbargoSingleFile guard, the per-arm
+    * status/body contract — sits under the oracle instead of only under
+    * `ServiceSpec`. Statuses are derived from the observed (code, body)
+    * pairs: 200 → accepted, the "Invalid filename:" 500 →
+    * rejected_invalid, the "Fail with embargo single file." 500 →
+    * rejected_not_sidestream (the guard lives in EmbargoSingleFile,
+    * `embargo.go:296-298`, so its rejection is the processing-failure
+    * arm). Published payloads read back from the service's two stores
+    * exactly as e4 does; the oracle is e4's own derivation over e5's
+    * staged copies. The service clock pins `today` to one year after
+    * [[E4Cutoff]], so the cutoff both queries split at is identical.
+    */
+  def serviceSubmit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val reqRows = submitRequests
+    reqRows.toDF("req_id", "b64")
+      .write.mode("overwrite").parquet(s"$StageDir/e5_requests.parquet")
+    stageGoldenManifest(spark, s"$StageDir/e5_golden.parquet")
+
+    val root = s"$StageDir/e5"
+    graft.io.FsOps.deletePrefix(spark, root)
+    val src = s"$root/src"
+    val pub = s"$root/public"
+    val priv = s"$root/embargoed"
+    Seq((FixtureTgz, "sidestream/2017/03/15"),
+        (Fixture2Tgz, "sidestream/2017/03/16")).foreach { case (tgz, prefix) =>
+      graft.io.FsOps.mkdirs(spark, s"$src/$prefix")
+      graft.io.FsOps.copy(spark, tgz, s"$src/$prefix/${base(tgz)}")
+    }
+
+    val svc = graft.ops.Service.serve(spark, graft.ops.Service.ServiceConfig(
+      srcDir = src, publicDir = pub, privateDir = priv,
+      whitelistPath = FixtureWhitelist,
+      sitesUrl = "file:///nonexistent.json", // refresh cron never called
+      whitelistOut = s"$root/whitelist.parquet",
+      today = () => java.time.LocalDate.of(
+        E4Cutoff / 10000 + 1, E4Cutoff / 100 % 100, E4Cutoff % 100)))
+    val statusRows =
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        reqRows.map { case (reqId, b) =>
+          val resp = client.send(
+            java.net.http.HttpRequest.newBuilder()
+              .uri(java.net.URI.create(s"http://127.0.0.1:${svc.port}/submit?file=" +
+                java.net.URLEncoder.encode(b, "UTF-8")))
+              .GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          val status = (resp.statusCode(), resp.body()) match {
+            case (200, _) => "accepted"
+            case (500, body) if body.startsWith("Invalid filename:") =>
+              "rejected_invalid"
+            case (500, body) if body == "Fail with embargo single file." =>
+              "rejected_not_sidestream"
+            case (code, _) => s"unexpected_$code"
+          }
+          (reqId, "status", status, "")
+        }
+      } finally svc.close()
+
+    // read back what the service's stores actually serve (the e4 shape)
+    val reqKey = Seq((1L, base(FixtureTgz)), (2L, base(Fixture2Tgz)))
+      .toDF("req_id", "arch_base")
+    def storeEntries(store: String, kind: String): DataFrame =
+      TgzSource.entries(spark, s"$store/sidestream/*/*/*/*.tgz")
+        .filter(col("typeflag") === "0")
+        .select(
+          regexp_replace(regexp_extract(col("archive"), "([^/]+)$", 1),
+            "-e\\.tgz$", ".tgz").as("arch_base"),
+          lit(kind).as("kind"), col("name"),
+          md5(col("content")).as("payload_md5"))
+    val published = storeEntries(pub, "public")
+      .unionAll(storeEntries(priv, "embargoed"))
+      .join(broadcast(reqKey), Seq("arch_base"))
+      .select("req_id", "kind", "name", "payload_md5")
+    statusRows.toDF("req_id", "kind", "name", "payload_md5")
+      .unionAll(published)
+  }
+
+  val serviceSubmitSql: String = submitOracleSql("e5")
 
   /** S2 — full catalog listing of the sf directory. Sizes are real file
     * sizes; names are the stable table set. The lexicographic order the
@@ -628,6 +726,7 @@ object TarQueries {
     "e2_split_payloads" -> splitPayloads,
     "e3_lifecycle" -> lifecycle,
     "e4_single_file_submit" -> singleFileSubmit,
+    "e5_service_submit" -> serviceSubmit,
     "s20_delete_prefix" -> deletePrefixListing,
     "s21_mkdir_idempotent" -> mkdirIdempotent,
     "s22_read_object" -> readObject,
@@ -647,6 +746,7 @@ object TarQueries {
     "e2_split_payloads" -> splitPayloadsSql,
     "e3_lifecycle" -> lifecycleSql,
     "e4_single_file_submit" -> singleFileSubmitSql,
+    "e5_service_submit" -> serviceSubmitSql,
     "s20_delete_prefix" -> deletePrefixListingSql,
     "s21_mkdir_idempotent" -> mkdirIdempotentSql,
     "s22_read_object" -> readObjectSql,

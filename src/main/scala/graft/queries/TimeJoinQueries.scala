@@ -1059,6 +1059,98 @@ object TimeJoinQueries {
       |FROM c JOIN p ON c.user_id = p.user_id
       |  AND p.pus >= c.cus AND p.pus < c.cus + 1800000000""".stripMargin
 
+  /** sfDirs whose st18 source files are already staged in this JVM. */
+  private val st18Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ST18 — stream-stream LEFT-OUTER attribution join
+    * ([[graft.streaming.StreamJoin.attributionJoinOuter]]): st5's clicks
+    * ⋈ purchases, but every click must emit — matched pairs as they
+    * meet, unmatched clicks as null-extended rows only once the
+    * watermark closes their window. The staging is st5's chronological
+    * two-file split per side (the boundary guarantees cross-batch
+    * windows exist) PLUS one far-future sentinel file per side: the
+    * global watermark is the MIN across inputs, so BOTH streams must
+    * advance past every click's `click_ts + window + delay` or the tail
+    * clicks' outer rows would never flush and the batch oracle could
+    * not match. Sentinels carry negative user_ids (never joinable) and
+    * are dropped from the graded output; the oracle is DuckDB's plain
+    * LEFT JOIN over `events` — a hash match proves both the match set
+    * AND that every unmatched click emitted exactly once, exactly
+    * null-extended.
+    */
+  def streamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = TarQueries.stagePath("st18_src", sfDir)
+    val out = s"${TarQueries.StageDir}/st18_attrib.parquet"
+    graft.io.FsOps.deletePrefix(spark, out)
+    st18Staged.computeIfAbsent(sfDir, _ => {
+      graft.io.FsOps.deletePrefix(spark, src)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      // the st5 boundary: earliest click with a strictly-later in-window
+      // purchase, so at least one window straddles the batch boundary
+      val boundary = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("cus"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("pus")), "user_id")
+        .filter(col("pus") > col("cus") &&
+          col("pus") < col("cus") + 1800000000L)
+        .agg(min(col("cus"))).collect().head
+      val mid =
+        if (boundary.isNullAt(0)) {
+          val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
+            .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+          lo + (hi - lo) / 2
+        } else boundary.getLong(0)
+      val maxUs = ev.agg(max(col("us"))).collect().head.getLong(0)
+      val tmp = s"${TarQueries.StageDir}/st18_tmp"
+      val base = java.nio.file.Paths.get(src)
+      val t0 = System.currentTimeMillis()
+      for ((kind, idx) <- Seq("click" -> 0, "purchase" -> 1)) {
+        val side = ev.filter(col("event_type") === kind)
+          .select("event_id", "user_id", "ts")
+        stageOneFile(side.filter(unix_micros(col("ts")) <= mid),
+          tmp, base.resolve(s"$kind/0001.parquet"), t0 + idx * 1000)
+        stageOneFile(side.filter(unix_micros(col("ts")) > mid),
+          tmp, base.resolve(s"$kind/0002.parquet"), t0 + 2000 + idx * 1000)
+        // sentinel: 2 h past the corpus max — beyond every click's
+        // close time (30 min window + 1 min delay), negative ids
+        val sentId = if (kind == "click") -1L else -2L
+        stageOneFile(
+          Seq((sentId, sentId, maxUs + 7200000000L)).toDF("event_id", "user_id", "sus")
+            .select(col("event_id"), col("user_id"),
+              timestamp_micros(col("sus")).as("ts")),
+          tmp, base.resolve(s"$kind/0003.parquet"), t0 + 4000 + idx * 1000)
+      }
+      src
+    })
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st18")
+      .resolve("ckpt").toString
+    def stream(kind: String) = spark.readStream
+      .schema(spark.read.parquet(s"$src/$kind").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/$kind")
+    graft.streaming.StreamJoin.drainAttribution(
+      stream("click"), stream("purchase"), window = "30 minutes",
+      delay = "1 minute", outDir = out, checkpointDir = ckpt,
+      statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
+        Tables.rowCount(spark, sfDir, "events"),
+        spark.sparkContext.defaultParallelism)),
+      outer = true)
+    spark.read.parquet(out).filter(col("user_id") >= 0L)
+  }
+
+  val streamOuterJoinSql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.click_id, p.purchase_id, c.user_id
+      |FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |  AND p.pus >= c.cus AND p.pus < c.cus + 1800000000""".stripMargin
+
   /** W8 — OHLC time-bucket resample, the canonical downsampling shape of
     * every metrics/market pipeline (and of telemetry compaction at lake
     * scale): events collapse to 15-minute bars per event_type carrying
@@ -1135,7 +1227,8 @@ object TimeJoinQueries {
     "st15_stream_cdc_apply" -> streamCdcApply,
     "q12_time_travel" -> timeTravel,
     "s25_snapshot_expire" -> snapshotExpire,
-    "st5_stream_join" -> streamJoin
+    "st5_stream_join" -> streamJoin,
+    "st18_stream_outer_join" -> streamOuterJoin
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1158,6 +1251,7 @@ object TimeJoinQueries {
     "st15_stream_cdc_apply" -> streamCdcApplySql,
     "q12_time_travel" -> timeTravelSql,
     "s25_snapshot_expire" -> snapshotExpireSql,
-    "st5_stream_join" -> streamJoinSql
+    "st5_stream_join" -> streamJoinSql,
+    "st18_stream_outer_join" -> streamOuterJoinSql
   )
 }

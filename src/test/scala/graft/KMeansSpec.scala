@@ -101,6 +101,81 @@ class KMeansSpec extends AnyFunSuite with SparkSuite {
     assert(whole.size === 40)
   }
 
+  /** md5 hex exactly as Spark's `md5(cast(id as string))` computes it. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The sequential D² argmax chain seedPlusPlus must replay: seed 0 is
+    * the lowest id; each next seed maximizes MIN d² to the seed set,
+    * ties by (md5(id), id) ascending.
+    */
+  private def seedRef(vecs: Seq[Array[Double]], k: Int): Seq[Seq[Long]] = {
+    val q = vecs.map(_.map(x => math.floor((x + 1.0) * KMeans.Q).toLong))
+    var seeds = Seq(q.head) // ptsOf ids are 0..n-1, so id 0 is lowest
+    for (_ <- 2 to k) {
+      val byMin = q.indices.map { i =>
+        (i, seeds.map(s => q(i).zip(s).map { case (a, b) => (a - b) * (a - b) }.sum).min)
+      }
+      val pick = byMin.sortBy { case (i, d) => (-d, md5hex(i.toString), i.toLong) }
+        .head._1
+      seeds = seeds :+ q(pick)
+    }
+    seeds.map(_.toSeq)
+  }
+
+  test("n16: seedPlusPlus replays the sequential D² argmax chain (md5-then-id tie-break)") {
+    val rnd = new scala.util.Random(23)
+    val vecs = Seq.fill(50)(Array.fill(6)(rnd.nextDouble() * 1.8 - 0.9))
+    val got = KMeans.seedPlusPlus(ptsOf(vecs), k = 5).map(_.toSeq)
+    assert(got === seedRef(vecs, k = 5))
+    // tie exercise: duplicate farthest candidates — the md5/id order must
+    // decide identically in both implementations
+    val dup = Seq(Array(0.0, 0.0), Array(0.8, 0.8), Array(0.8, 0.8), Array(-0.8, 0.8))
+    assert(KMeans.seedPlusPlus(ptsOf(dup), k = 3).map(_.toSeq) === seedRef(dup, k = 3))
+  }
+
+  test("n16: D² seeding strictly beats lowest-id seeding when the low ids share one blob") {
+    // ids 0..3 all in ONE tight corner blob — lowest-id seeding starts
+    // all four centroids there; D² seeding spreads across the diameter
+    val rnd = new scala.util.Random(5)
+    def blob(cx: Double, cy: Double, n: Int) =
+      Seq.fill(n)(Array(cx + rnd.nextDouble() * 0.05, cy + rnd.nextDouble() * 0.05))
+    val vecs = blob(0.8, 0.8, 4) ++ blob(-0.8, -0.8, 12) ++
+      blob(-0.8, 0.8, 12) ++ blob(0.8, -0.8, 12) ++ blob(0.8, 0.8, 8)
+    val pts = ptsOf(vecs)
+    def inertia(assigned: org.apache.spark.sql.DataFrame): Long =
+      assigned.agg(sum(col("d2"))).collect().head.getLong(0)
+    val lowestId = inertia(KMeans.fit(pts, k = 4, iters = 3))
+    val plusPlus = inertia(KMeans.fitPlusPlus(pts, k = 4, iters = 3))
+    assert(plusPlus < lowestId,
+      s"k-means++ inertia $plusPlus should beat lowest-id $lowestId here")
+  }
+
+  test("a9: the graded cluster-quality rollup equals a sequential recompute over both assignments; every cluster non-vacuous") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rollup = graft.queries.AnnQueries.clusterQuality(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // sequential recompute straight off the two assignments a9 rolls up
+    val assignments = Seq(
+      "lowest_id" -> graft.queries.AnnQueries.kmeansClusters(spark, sfDir),
+      "kmeanspp" -> graft.queries.AnnQueries.kmeansPlusPlus(spark, sfDir))
+    for ((tag, df) <- assignments) {
+      val rows = df.collect().map(r => (r.getLong(1), r.getLong(2)))
+      val byCluster = rows.groupBy(_._1)
+      // per-cluster non-vacuity: all 4 clusters carry members
+      assert(byCluster.keySet === Set(0L, 1L, 2L, 3L), s"$tag clusters vacuous")
+      for ((c, members) <- byCluster) {
+        val n = members.length.toLong
+        val inertia = members.map(_._2).sum
+        assert(rollup((tag, c)) === ((n, inertia, inertia / n)),
+          s"$tag cluster $c rollup mismatch")
+      }
+    }
+  }
+
   test("loud guards: domain, k bounds, iters, not enough points") {
     import spark.implicits._
     val bad = Seq((0L, Array(1.5, 0.0)), (1L, Array(0.0, 0.0)))

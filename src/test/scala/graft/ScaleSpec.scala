@@ -502,6 +502,13 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     // keep < 1 fails loudly
     intercept[IllegalArgumentException](
       graft.ops.Compaction.expireSnapshots(spark, root, keep = 0))
+    // benign engine markers (_SUCCESS, dot-files) neither wedge the
+    // vacuum nor get deleted by it (review r20)
+    Files.write(Paths.get(s"$root/_SUCCESS"), Array.emptyByteArray)
+    Files.write(Paths.get(s"$root/.chain.meta"), "m".getBytes)
+    assert(graft.ops.Compaction.expireSnapshots(spark, root, keep = 2) === Seq(2, 3))
+    assert(Files.exists(Paths.get(s"$root/_SUCCESS")))
+    assert(Files.exists(Paths.get(s"$root/.chain.meta")))
     // a non-transient foreign entry makes the vacuum REFUSE (and leave
     // the asset intact) rather than wipe it — the r19 safety contract
     Files.write(Paths.get(s"$root/unrelated-asset.csv"), "precious".getBytes)

@@ -86,14 +86,23 @@ class ServiceSpec extends AnyFunSuite with SparkSuite {
     assert(body.contains("Missing date or filename there"))
   }
 
-  test("/submit rejects undecodable / non-gs / non-sidestream filenames with 500 (deploy.go:32-37)") {
+  test("/submit rejects undecodable / non-gs filenames with 500 (deploy.go:32-37)") {
     for (raw <- Seq("@@not-base64@@",
-        b64("https://example.com/sidestream/x.tgz"),
-        b64("gs://scraper-mlab/switch/2017/03/16/speedtest-0001.dat"))) {
+        b64("https://example.com/sidestream/x.tgz"))) {
       val (code, body) = get(s"/submit?file=$raw")
       assert(code === 500, s"raw=$raw body=$body")
       assert(body.startsWith("Invalid filename:"), body)
     }
+  }
+
+  test("/submit with a decodable but non-sidestream object is the PROCESSING failure arm (embargo.go:296-298)") {
+    // GetFilename only vets the gs:// shape; the sidestream/tgz guard is
+    // EmbargoSingleFile's, so its rejection surfaces as deploy.go:50-56's
+    // "Fail with embargo single file.", not "Invalid filename" (review r19)
+    val (code, body) =
+      get(s"/submit?file=${b64("gs://scraper-mlab/switch/2017/03/16/speedtest-0001.dat")}")
+    assert(code === 500)
+    assert(body === "Fail with embargo single file.")
   }
 
   test("/submit?file= splits the archive into the two stores exactly like a direct EmbargoSplit.run") {
@@ -143,10 +152,15 @@ class ServiceSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("/cron/unembargo promotes a day's -e archives; bad date is the 400 strconv arm") {
-    assert(get("/cron/unembargo?date=2017-03-15")._1 === 400)
-    // int-OVERFLOW is also the strconv.Atoi 400 arm (r19 review), while
-    // an in-syntax but out-of-range date is the validDate 500 arm
-    assert(get("/cron/unembargo?date=99999999999999999999")._1 === 400)
+    val (synCode, synBody) = get("/cron/unembargo?date=2017-03-15")
+    assert(synCode === 400)
+    assert(synBody.endsWith("invalid syntax"), synBody)
+    // int-OVERFLOW is also the strconv.Atoi 400 arm (r19 review) but with
+    // Go's "value out of range" message; an in-syntax int64-fitting
+    // out-of-range date is the validDate 500 arm
+    val (ovCode, ovBody) = get("/cron/unembargo?date=99999999999999999999")
+    assert(ovCode === 400)
+    assert(ovBody.endsWith("value out of range"), ovBody)
     assert(get("/cron/unembargo?date=3000000000")._1 === 500)
     // a date NEWER than the one-year cutoff (20170315) fails validDate →
     // the reference's 500 error arm (unembargo.go:145-147)
@@ -163,6 +177,118 @@ class ServiceSpec extends AnyFunSuite with SparkSuite {
     // delete-then-copy case) and must succeed idempotently
     assert(get("/cron/unembargo") === ((200, "OK")))
     assert(entryNames(s"$pubDir/sidestream/2017/03/15/$fixBase").nonEmpty)
+  }
+
+  test("whitelist refresh REROUTES subsequent splits (SURVEY §3 E3: the refreshed store is the split's source)") {
+    // fresh service + stores so the shared service's state can't leak in
+    val root2 = Files.createTempDirectory("graft-svc-wl").toString
+    val (src2, pub2, priv2) = (s"$root2/src", s"$root2/public", s"$root2/embargoed")
+    graft.io.FsOps.mkdirs(spark, s"$src2/sidestream/2017/03/15")
+    graft.io.FsOps.copy(spark, TarQueries.FixtureTgz,
+      s"$src2/sidestream/2017/03/15/${base(TarQueries.FixtureTgz)}")
+    // the feed whitelists 173.205.3.43 — absent from the seed text, so its
+    // entries land PRIVATE until the refresh lands
+    val sites2 = Files.createTempFile("graft-svc-sites2", ".json")
+    Files.writeString(sites2,
+      """[{"hostname": "mlab3.sea03.measurement-lab.org", "ipv4": "173.205.3.43", "ipv6": "2001:668:1f:1d::43"}]""")
+    val svc = Service.serve(spark, Service.ServiceConfig(
+      srcDir = src2, publicDir = pub2, privateDir = priv2,
+      whitelistPath = TarQueries.FixtureWhitelist,
+      sitesUrl = sites2.toUri.toString,
+      whitelistOut = s"$root2/whitelist.parquet",
+      today = () => java.time.LocalDate.of(2018, 3, 15)))
+    try {
+      def get2(path: String): Int = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:${svc.port}$path")).GET().build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      val fixBase = base(TarQueries.FixtureTgz)
+      val fileParam = b64(s"gs://scraper-mlab/sidestream/2017/03/15/$fixBase")
+      val pubTgz = s"$pub2/sidestream/2017/03/15/$fixBase"
+      val privTgz =
+        s"$priv2/sidestream/2017/03/15/${fixBase.replace(".tgz", "-e.tgz")}"
+      def has43(tgz: String): Boolean =
+        entryNames(tgz).exists(_.contains("_173.205.3.43_"))
+      // BEFORE the refresh: the seed text governs — .43 entries private
+      assert(get2(s"/submit?file=$fileParam") === 200)
+      assert(!has43(pubTgz) && has43(privTgz),
+        "seed whitelist should leave 173.205.3.43 embargoed")
+      // refresh, then the SAME submit: the split must consume the
+      // refreshed store, so the previously-private entries go public
+      assert(get2("/cron/update_embargo_whitelist") === 200)
+      assert(get2(s"/submit?file=$fileParam") === 200)
+      assert(has43(pubTgz) && !has43(privTgz),
+        "refreshed whitelist did not reach the split path")
+    } finally svc.close()
+  }
+
+  test("/submit?date= runs ONE distributed split job per day (not per archive) with identical store contents") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val root3 = Files.createTempDirectory("graft-svc-day").toString
+    val (src3, pub3, priv3) = (s"$root3/src", s"$root3/public", s"$root3/embargoed")
+    // day 1: BOTH fixtures as one day; day 2: a single archive
+    Seq((TarQueries.FixtureTgz, "sidestream/2017/03/17"),
+        (TarQueries.Fixture2Tgz, "sidestream/2017/03/17"),
+        (TarQueries.FixtureTgz, "sidestream/2017/03/18")).foreach {
+      case (tgz, prefix) =>
+        graft.io.FsOps.mkdirs(spark, s"$src3/$prefix")
+        graft.io.FsOps.copy(spark, tgz, s"$src3/$prefix/${base(tgz)}")
+    }
+    val svc = Service.serve(spark, Service.ServiceConfig(
+      srcDir = src3, publicDir = pub3, privateDir = priv3,
+      whitelistPath = TarQueries.FixtureWhitelist,
+      sitesUrl = "file:///nonexistent.json",
+      whitelistOut = s"$root3/whitelist.parquet",
+      today = () => java.time.LocalDate.of(2018, 3, 15)))
+    val dayJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (Option(js.properties).exists(
+            _.getProperty("spark.jobGroup.id") == Service.DayJobGroup))
+          dayJobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def get3(path: String): Int = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:${svc.port}$path")).GET().build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      // listener events are async — poll until the counter stabilizes
+      def settledCount(): Int = {
+        var prev = -1
+        var cur = dayJobs.get()
+        while (cur != prev) { Thread.sleep(200); prev = cur; cur = dayJobs.get() }
+        cur
+      }
+      assert(get3("/submit?date=20170317") === 200)
+      val jobsTwoArchives = settledCount()
+      dayJobs.set(0)
+      assert(get3("/submit?date=20170318") === 200)
+      val jobsOneArchive = settledCount()
+      // the split is ONE job per day: its job count must not scale with
+      // the archive count (the per-archive driver loop would double it)
+      assert(jobsTwoArchives === jobsOneArchive,
+        s"2-archive day ran $jobsTwoArchives day-group jobs vs $jobsOneArchive for 1 archive")
+      assert(jobsTwoArchives > 0)
+      // contents parity vs the per-archive direct path, all four outputs
+      val direct = s"$root3/direct"
+      for ((tgz, tag) <- Seq((TarQueries.FixtureTgz, "f1"), (TarQueries.Fixture2Tgz, "f2"))) {
+        ops.EmbargoSplit.run(spark, tgz, TarQueries.FixtureWhitelist, 20170315,
+          s"$direct/$tag")
+        val b = base(tgz)
+        assert(entryNames(s"$pub3/sidestream/2017/03/17/$b") ===
+          entryNames(s"$direct/$tag/$b"), s"$tag public half diverged")
+        assert(entryNames(s"$priv3/sidestream/2017/03/17/${b.replace(".tgz", "-e.tgz")}") ===
+          entryNames(s"$direct/$tag/${b.replace(".tgz", "-e.tgz")}"), s"$tag private half diverged")
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      svc.close()
+    }
   }
 
   test("service shuts down cleanly") {
