@@ -65,8 +65,13 @@ case class TokenTermCounts(child: Expression, terms: Seq[String])
       utf8Terms)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // JAVA SOURCE syntax for the reference cast — `classOf[Array[_]].getName`
+    // yields the JVM binary name (`[Lorg...UTF8String;`), which Janino
+    // rejects ("Unexpected token [ in primary") and the WHOLE projection
+    // silently fell back to interpreter mode on every BM25-family query
+    // (review r20; the fallback WARN only surfaces at log level WARN)
     val ref = ctx.addReferenceObj("termList", utf8Terms,
-      classOf[Array[UTF8String]].getName)
+      s"${classOf[UTF8String].getName}[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.TermCounts.data($c, $ref)")
   }
 

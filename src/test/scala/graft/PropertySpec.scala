@@ -117,6 +117,27 @@ class PropertySpec extends AnyFunSuite {
       Seq(1L, 0L, 0L, 0L, 0L))
   }
 
+  test("TokenTermCounts GENERATED code compiles (no interpreter fallback — r20 array-cast regression)") {
+    // drive the codegen path DIRECTLY: CodeGeneratorWithInterpretedFallback
+    // swallows Janino errors into a WARN + interpreter fallback, so a plan
+    // assertion can't catch a broken doGenCode — generate() throws. The
+    // original bug: `classOf[Array[UTF8String]].getName` emits the JVM
+    // binary name `[L...;` into the reference cast, which Janino rejects.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val expr = graft.functions.TokenTermCounts(
+      BoundReference(0, ArrayType(StringType), nullable = true),
+      Seq("table", "scan"))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on bad codegen
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[AnyRef](org.apache.spark.unsafe.types.UTF8String.fromString("table"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("scan"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("table"))))
+    assert(proj(row).getArray(0).toLongArray().toSeq === Seq(2L, 1L))
+  }
+
   test("normalizeIp is idempotent and only ever returns valid or empty") {
     samples(Gen.asciiPrintableStr).foreach { s =>
       val n = IpFunctions.normalizeIp(s)
