@@ -1111,18 +1111,22 @@ object TimeJoinQueries {
       for ((kind, idx) <- Seq("click" -> 0, "purchase" -> 1)) {
         val side = ev.filter(col("event_type") === kind)
           .select("event_id", "user_id", "ts")
+        // sentinel: 2 h past the corpus max — beyond every click's close
+        // time (30 min window + 1 min delay), negative ids. It rides IN
+        // the second file (not a third): the watermark advances at that
+        // batch's end and AvailableNow's no-data batch flushes the outer
+        // rows — one fewer micro-batch per side than a sentinel file
+        // would cost (each RocksDB micro-batch is ~1-2 s of commit floor)
+        val sentId = if (kind == "click") -1L else -2L
+        val sentinel = Seq((sentId, sentId, maxUs + 7200000000L))
+          .toDF("event_id", "user_id", "sus")
+          .select(col("event_id"), col("user_id"),
+            timestamp_micros(col("sus")).as("ts"))
         stageOneFile(side.filter(unix_micros(col("ts")) <= mid),
           tmp, base.resolve(s"$kind/0001.parquet"), t0 + idx * 1000)
-        stageOneFile(side.filter(unix_micros(col("ts")) > mid),
-          tmp, base.resolve(s"$kind/0002.parquet"), t0 + 2000 + idx * 1000)
-        // sentinel: 2 h past the corpus max — beyond every click's
-        // close time (30 min window + 1 min delay), negative ids
-        val sentId = if (kind == "click") -1L else -2L
         stageOneFile(
-          Seq((sentId, sentId, maxUs + 7200000000L)).toDF("event_id", "user_id", "sus")
-            .select(col("event_id"), col("user_id"),
-              timestamp_micros(col("sus")).as("ts")),
-          tmp, base.resolve(s"$kind/0003.parquet"), t0 + 4000 + idx * 1000)
+          side.filter(unix_micros(col("ts")) > mid).unionAll(sentinel),
+          tmp, base.resolve(s"$kind/0002.parquet"), t0 + 2000 + idx * 1000)
       }
       src
     })
