@@ -195,7 +195,13 @@ object KMeans {
     * should use (a9 grades the inertia contrast against [[fit]]).
     */
   def fitPlusPlus(points: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeans: iters ($iters) must be >= 1")
     val pts = points.select(col("id"), col("q")).localCheckpoint()
+    // the same loud n >= k guard fit/lloyd enforce (review r20): with
+    // n < k the argmax chain would re-pick existing points (min-d2 = 0)
+    // and silently return duplicate centroids
+    val n = pts.limit(k).count()
+    require(n >= k, s"kmeans: need at least k ($k) points, got $n")
     val cents = lloydRounds(pts, seedPlusPlus(pts, k), iters)
     assign(pts, cents)
   }

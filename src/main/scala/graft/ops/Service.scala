@@ -145,9 +145,16 @@ object Service {
       * thousand rows, a dimension read, never a data-plane cost.
       */
     private def currentWhitelist(): DataFrame = {
+      // readiness = the COMMITTED store, not a bare directory: Spark's
+      // overwrite is delete-then-write, so a crash mid-refresh leaves a
+      // partial dir whose existence check would wedge every subsequent
+      // split (review r20). _SUCCESS lands at job commit — absent means
+      // no refresh has ever completed (or the last one died): fall back
+      // to the seed text until a refresh succeeds.
       val out = new Path(cfg.whitelistOut)
       val f = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (f.exists(out)) spark.read.parquet(cfg.whitelistOut)
+      if (f.exists(new Path(out, "_SUCCESS")))
+        spark.read.parquet(cfg.whitelistOut)
       else graft.io.TgzSource.whitelist(spark, cfg.whitelistPath)
     }
 
@@ -262,7 +269,14 @@ object Service {
       // range", anything else "invalid syntax" (review r19). A parseable
       // but out-of-range date reaches UnembargoCron and is its validDate
       // 500. Parse as Long: Go's int is 64-bit.
-      val parsed = dateParam.map(s => scala.util.Try(s.toLong))
+      // gate on the ASCII-digit shape BEFORE parsing: Long.parseLong
+      // accepts Unicode digits (Arabic-Indic, full-width) that Go's
+      // Atoi rejects as syntax errors (review r20) — `\d` in Java regex
+      // is ASCII-only, so the regex is the Atoi character set exactly
+      val parsed = dateParam.map { s =>
+        if (s.matches("[+-]?\\d+")) scala.util.Try(s.toLong)
+        else scala.util.Failure[Long](new NumberFormatException(s))
+      }
       parsed match {
         case Some(scala.util.Failure(_)) =>
           val s = dateParam.get

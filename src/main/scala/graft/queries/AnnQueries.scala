@@ -1534,18 +1534,22 @@ object AnnQueries {
       .unionAll(roll(kmeansPlusPlus(spark, sfDir), "kmeanspp"))
   }
 
+  /** One rollup arm of a9's oracle — the SQL mirror of the Scala-side
+    * `roll(assigned, tag)`, so the two seedings' grading logic stays
+    * single-sourced (review r20).
+    */
+  private def rollSql(cte: String, tag: String): String =
+    s"""SELECT '$tag' AS seeding, cluster, COUNT(*) AS n,
+       |       CAST(SUM(d2) AS BIGINT) AS inertia,
+       |       CAST(SUM(d2) AS BIGINT) // COUNT(*) AS mean_d2
+       |FROM $cte GROUP BY cluster""".stripMargin
+
   val clusterQualitySql: String =
     s"""WITH n14 AS ($kmeansClustersSql),
        |n16 AS ($kmeansPlusPlusSql)
-       |SELECT 'lowest_id' AS seeding, cluster, COUNT(*) AS n,
-       |       CAST(SUM(d2) AS BIGINT) AS inertia,
-       |       CAST(SUM(d2) AS BIGINT) // COUNT(*) AS mean_d2
-       |FROM n14 GROUP BY cluster
+       |${rollSql("n14", "lowest_id")}
        |UNION ALL
-       |SELECT 'kmeanspp' AS seeding, cluster, COUNT(*) AS n,
-       |       CAST(SUM(d2) AS BIGINT) AS inertia,
-       |       CAST(SUM(d2) AS BIGINT) // COUNT(*) AS mean_d2
-       |FROM n16 GROUP BY cluster""".stripMargin
+       |${rollSql("n16", "kmeanspp")}""".stripMargin
 
   /** C5 — the curation-pipeline capstone: the four stages a topic-balanced
     * training-mix build chains, as ONE query over the d-family's

@@ -316,19 +316,7 @@ object TarQueries {
     // the archive basename (the -e suffix normalized away)
     val reqKey = accepted.toSeq.map { case (reqId, url) => (reqId, base(url)) }
       .toDF("req_id", "arch_base")
-    def storeEntries(store: String, kind: String): DataFrame =
-      TgzSource.entries(spark, s"$store/sidestream/*/*/*/*.tgz")
-        .filter(col("typeflag") === "0")
-        .select(
-          regexp_replace(regexp_extract(col("archive"), "([^/]+)$", 1),
-            "-e\\.tgz$", ".tgz").as("arch_base"),
-          lit(kind).as("kind"), col("name"),
-          md5(col("content")).as("payload_md5"))
-    val published = storeEntries(pub, "public")
-      .unionAll(storeEntries(priv, "embargoed"))
-      .join(broadcast(reqKey), Seq("arch_base"))
-      .select("req_id", "kind", "name", "payload_md5")
-    status.unionAll(published)
+    status.unionAll(publishedByRequest(spark, pub, priv, reqKey))
   }
 
   /** Shared oracle for the submit-batch queries (e4 composes the handler
@@ -367,6 +355,28 @@ object TarQueries {
        |SELECT req_id, kind, name, payload_md5 FROM published""".stripMargin
 
   val singleFileSubmitSql: String = submitOracleSql("e4")
+
+  /** Both stores' every regular entry as per-entry decompressed payload
+    * md5s, keyed back to the originating request by archive basename
+    * (the `-e` suffix normalized away) — the read-back e4 (in-process)
+    * and e5 (over HTTP) both grade, single-sourced like their requests
+    * and oracle (review r20).
+    */
+  private def publishedByRequest(spark: SparkSession, pub: String,
+                                 priv: String, reqKey: DataFrame): DataFrame = {
+    def storeEntries(store: String, kind: String): DataFrame =
+      TgzSource.entries(spark, s"$store/sidestream/*/*/*/*.tgz")
+        .filter(col("typeflag") === "0")
+        .select(
+          regexp_replace(regexp_extract(col("archive"), "([^/]+)$", 1),
+            "-e\\.tgz$", ".tgz").as("arch_base"),
+          lit(kind).as("kind"), col("name"),
+          md5(col("content")).as("payload_md5"))
+    storeEntries(pub, "public")
+      .unionAll(storeEntries(priv, "embargoed"))
+      .join(broadcast(reqKey), Seq("arch_base"))
+      .select("req_id", "kind", "name", "payload_md5")
+  }
 
   /** The four submit requests e4/e5 stage — base64 `gs://` URLs firing
     * the accepted arm twice (both P5 age arms) and both reject reasons.
@@ -449,20 +459,8 @@ object TarQueries {
     // read back what the service's stores actually serve (the e4 shape)
     val reqKey = Seq((1L, base(FixtureTgz)), (2L, base(Fixture2Tgz)))
       .toDF("req_id", "arch_base")
-    def storeEntries(store: String, kind: String): DataFrame =
-      TgzSource.entries(spark, s"$store/sidestream/*/*/*/*.tgz")
-        .filter(col("typeflag") === "0")
-        .select(
-          regexp_replace(regexp_extract(col("archive"), "([^/]+)$", 1),
-            "-e\\.tgz$", ".tgz").as("arch_base"),
-          lit(kind).as("kind"), col("name"),
-          md5(col("content")).as("payload_md5"))
-    val published = storeEntries(pub, "public")
-      .unionAll(storeEntries(priv, "embargoed"))
-      .join(broadcast(reqKey), Seq("arch_base"))
-      .select("req_id", "kind", "name", "payload_md5")
     statusRows.toDF("req_id", "kind", "name", "payload_md5")
-      .unionAll(published)
+      .unionAll(publishedByRequest(spark, pub, priv, reqKey))
   }
 
   val serviceSubmitSql: String = submitOracleSql("e5")

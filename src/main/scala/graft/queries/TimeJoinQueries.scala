@@ -983,6 +983,69 @@ object TimeJoinQueries {
   private val st5Staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Stage clicks/purchases as chronological two-file sides under `src`
+    * — the shared st5/st18 source (review r20: one definition, not two
+    * drifting copies). File 1 holds everything at or before the straddle
+    * boundary: the earliest click with a strictly-later in-window
+    * purchase, so at least one attribution window CROSSES the
+    * micro-batch edge (a median split was measured to put zero windows
+    * across it at sf0.01 — the hash would then pass without exercising
+    * cross-batch state); file 2 holds the rest. `sentinelGapUs`
+    * (st18's outer form) unions one far-future sentinel row per side
+    * into file 2 — negative never-joinable ids; the min-of-inputs
+    * watermark must pass every click's close time or unmatched rows
+    * would never flush.
+    */
+  private def stageAttributionSides(spark: SparkSession, sfDir: String,
+                                    src: String,
+                                    sentinelGapUs: Option[Long]): Unit = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val boundary = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"))
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("pus")), "user_id")
+      .filter(col("pus") > col("cus") &&
+        col("pus") < col("cus") + 1800000000L)
+      .agg(min(col("cus"))).collect().head
+    val mid =
+      if (boundary.isNullAt(0)) {
+        val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        lo + (hi - lo) / 2 // no ordered pair anywhere — median fallback
+      } else boundary.getLong(0)
+    val maxUs =
+      if (sentinelGapUs.isDefined)
+        ev.agg(max(col("us"))).collect().head.getLong(0)
+      else 0L
+    val tmp = s"${TarQueries.StageDir}/attrib_tmp"
+    val base = java.nio.file.Paths.get(src)
+    val t0 = System.currentTimeMillis()
+    for ((kind, idx) <- Seq("click" -> 0, "purchase" -> 1)) {
+      val side = ev.filter(col("event_type") === kind)
+        .select("event_id", "user_id", "ts")
+      val second = side.filter(unix_micros(col("ts")) > mid)
+      // the sentinel rides IN the second file, not a third: the watermark
+      // advances at that batch's end and AvailableNow's no-data batch
+      // flushes the outer rows — one fewer RocksDB micro-batch per side
+      val withSentinel = sentinelGapUs match {
+        case Some(gap) =>
+          val sentId = if (kind == "click") -1L else -2L
+          second.unionAll(
+            Seq((sentId, sentId, maxUs + gap)).toDF("event_id", "user_id", "sus")
+              .select(col("event_id"), col("user_id"),
+                timestamp_micros(col("sus")).as("ts")))
+        case None => second
+      }
+      stageOneFile(side.filter(unix_micros(col("ts")) <= mid),
+        tmp, base.resolve(s"$kind/0001.parquet"), t0 + idx * 1000)
+      stageOneFile(withSentinel,
+        tmp, base.resolve(s"$kind/0002.parquet"), t0 + 2000 + idx * 1000)
+    }
+  }
+
   /** ST5 — stream-stream attribution join
     * ([[graft.streaming.StreamJoin]]): clicks and purchases arrive as two
     * file streams (each split into chronological halves, one file per
@@ -1001,46 +1064,14 @@ object TimeJoinQueries {
     graft.io.FsOps.deletePrefix(spark, out)
     st5Staged.computeIfAbsent(sfDir, _ => {
       graft.io.FsOps.deletePrefix(spark, src)
-      val ev = Tables.events(spark, sfDir)
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-      // split at the earliest click with a strictly-later in-window
-      // purchase: that pair's click lands in file 1 and its purchase in
-      // file 2, guaranteeing the drain must carry state across batches
-      val boundary = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("us").as("cus"))
-        .join(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("us").as("pus")), "user_id")
-        .filter(col("pus") > col("cus") &&
-          col("pus") < col("cus") + 1800000000L)
-        .agg(min(col("cus"))).collect().head
-      val mid =
-        if (boundary.isNullAt(0)) {
-          val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
-            .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-          lo + (hi - lo) / 2 // no ordered pair anywhere — median fallback
-        } else boundary.getLong(0)
-      val tmp = s"${TarQueries.StageDir}/st5_tmp"
-      val base = java.nio.file.Paths.get(src)
-      val t0 = System.currentTimeMillis()
-      for ((kind, idx) <- Seq("click" -> 0, "purchase" -> 1)) {
-        val side = ev.filter(col("event_type") === kind)
-          .select("event_id", "user_id", "ts")
-        stageOneFile(side.filter(unix_micros(col("ts")) <= mid),
-          tmp, base.resolve(s"$kind/0001.parquet"), t0 + idx * 1000)
-        stageOneFile(side.filter(unix_micros(col("ts")) > mid),
-          tmp, base.resolve(s"$kind/0002.parquet"), t0 + 2000 + idx * 1000)
-      }
+      stageAttributionSides(spark, sfDir, src, sentinelGapUs = None)
       src
     })
     val ckpt = java.nio.file.Files.createTempDirectory("graft-st5")
       .resolve("ckpt").toString
-    def stream(kind: String) = spark.readStream
-      .schema(spark.read.parquet(s"$src/$kind").schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$src/$kind")
     graft.streaming.StreamJoin.drainAttribution(
-      stream("click"), stream("purchase"), window = "30 minutes",
+      chronStream(spark, s"$src/click"), chronStream(spark, s"$src/purchase"),
+      window = "30 minutes",
       delay = "1 minute", outDir = out, checkpointDir = ckpt,
       // keyspace-sized; the event count upper-bounds the buffered-row
       // keyspace on either join side
@@ -1080,64 +1111,22 @@ object TimeJoinQueries {
     * null-extended.
     */
   def streamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val src = TarQueries.stagePath("st18_src", sfDir)
     val out = s"${TarQueries.StageDir}/st18_attrib.parquet"
     graft.io.FsOps.deletePrefix(spark, out)
     st18Staged.computeIfAbsent(sfDir, _ => {
       graft.io.FsOps.deletePrefix(spark, src)
-      val ev = Tables.events(spark, sfDir)
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-      // the st5 boundary: earliest click with a strictly-later in-window
-      // purchase, so at least one window straddles the batch boundary
-      val boundary = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("us").as("cus"))
-        .join(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("us").as("pus")), "user_id")
-        .filter(col("pus") > col("cus") &&
-          col("pus") < col("cus") + 1800000000L)
-        .agg(min(col("cus"))).collect().head
-      val mid =
-        if (boundary.isNullAt(0)) {
-          val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
-            .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-          lo + (hi - lo) / 2
-        } else boundary.getLong(0)
-      val maxUs = ev.agg(max(col("us"))).collect().head.getLong(0)
-      val tmp = s"${TarQueries.StageDir}/st18_tmp"
-      val base = java.nio.file.Paths.get(src)
-      val t0 = System.currentTimeMillis()
-      for ((kind, idx) <- Seq("click" -> 0, "purchase" -> 1)) {
-        val side = ev.filter(col("event_type") === kind)
-          .select("event_id", "user_id", "ts")
-        // sentinel: 2 h past the corpus max — beyond every click's close
-        // time (30 min window + 1 min delay), negative ids. It rides IN
-        // the second file (not a third): the watermark advances at that
-        // batch's end and AvailableNow's no-data batch flushes the outer
-        // rows — one fewer micro-batch per side than a sentinel file
-        // would cost (each RocksDB micro-batch is ~1-2 s of commit floor)
-        val sentId = if (kind == "click") -1L else -2L
-        val sentinel = Seq((sentId, sentId, maxUs + 7200000000L))
-          .toDF("event_id", "user_id", "sus")
-          .select(col("event_id"), col("user_id"),
-            timestamp_micros(col("sus")).as("ts"))
-        stageOneFile(side.filter(unix_micros(col("ts")) <= mid),
-          tmp, base.resolve(s"$kind/0001.parquet"), t0 + idx * 1000)
-        stageOneFile(
-          side.filter(unix_micros(col("ts")) > mid).unionAll(sentinel),
-          tmp, base.resolve(s"$kind/0002.parquet"), t0 + 2000 + idx * 1000)
-      }
+      // sentinel 2 h past the corpus max — beyond every click's close
+      // time (30 min window + 1 min delay)
+      stageAttributionSides(spark, sfDir, src,
+        sentinelGapUs = Some(7200000000L))
       src
     })
     val ckpt = java.nio.file.Files.createTempDirectory("graft-st18")
       .resolve("ckpt").toString
-    def stream(kind: String) = spark.readStream
-      .schema(spark.read.parquet(s"$src/$kind").schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$src/$kind")
     graft.streaming.StreamJoin.drainAttribution(
-      stream("click"), stream("purchase"), window = "30 minutes",
+      chronStream(spark, s"$src/click"), chronStream(spark, s"$src/purchase"),
+      window = "30 minutes",
       delay = "1 minute", outDir = out, checkpointDir = ckpt,
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
         Tables.rowCount(spark, sfDir, "events"),

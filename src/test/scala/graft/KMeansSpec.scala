@@ -190,5 +190,9 @@ class KMeansSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](KMeans.fit(ok, k = 65, iters = 1))
     intercept[IllegalArgumentException](KMeans.fit(ok, k = 2, iters = 0))
     intercept[IllegalArgumentException](KMeans.fit(ok, k = 3, iters = 1))
+    // fitPlusPlus enforces the SAME loud guards (review r20: without the
+    // n >= k check the argmax chain silently returns duplicate centroids)
+    intercept[IllegalArgumentException](KMeans.fitPlusPlus(ok, k = 3, iters = 1))
+    intercept[IllegalArgumentException](KMeans.fitPlusPlus(ok, k = 2, iters = 0))
   }
 }

@@ -161,6 +161,12 @@ class ServiceSpec extends AnyFunSuite with SparkSuite {
     val (ovCode, ovBody) = get("/cron/unembargo?date=99999999999999999999")
     assert(ovCode === 400)
     assert(ovBody.endsWith("value out of range"), ovBody)
+    // Unicode digits (Arabic-Indic ١٢٣): Long.parseLong would accept
+    // them, Go's Atoi does not — the ASCII gate keeps the 400 syntax arm
+    // (review r20)
+    val (uniCode, uniBody) = get("/cron/unembargo?date=%D9%A1%D9%A2%D9%A3")
+    assert(uniCode === 400)
+    assert(uniBody.endsWith("invalid syntax"), uniBody)
     assert(get("/cron/unembargo?date=3000000000")._1 === 500)
     // a date NEWER than the one-year cutoff (20170315) fails validDate →
     // the reference's 500 error arm (unembargo.go:145-147)
@@ -211,6 +217,12 @@ class ServiceSpec extends AnyFunSuite with SparkSuite {
         s"$priv2/sidestream/2017/03/15/${fixBase.replace(".tgz", "-e.tgz")}"
       def has43(tgz: String): Boolean =
         entryNames(tgz).exists(_.contains("_173.205.3.43_"))
+      // a PARTIAL refresh store (crashed overwrite: dir exists, no
+      // _SUCCESS) must NOT wedge the split — the seed text still governs
+      // until a refresh COMMITS (review r20)
+      Files.createDirectories(java.nio.file.Paths.get(s"$root2/whitelist.parquet"))
+      Files.writeString(java.nio.file.Paths.get(
+        s"$root2/whitelist.parquet/part-00000.parquet"), "truncated")
       // BEFORE the refresh: the seed text governs — .43 entries private
       assert(get2(s"/submit?file=$fileParam") === 200)
       assert(!has43(pubTgz) && has43(privTgz),
@@ -257,11 +269,17 @@ class ServiceSpec extends AnyFunSuite with SparkSuite {
           .uri(java.net.URI.create(s"http://127.0.0.1:${svc.port}$path")).GET().build()
         client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
       }
-      // listener events are async — poll until the counter stabilizes
+      // listener events are async — wait for the FIRST event (the bus can
+      // lag the HTTP response by more than one poll interval, review r20),
+      // then poll until the counter stabilizes; bounded so a genuinely
+      // zero-job run still fails the assert instead of hanging
       def settledCount(): Int = {
+        val deadline = System.currentTimeMillis + 30000
+        while (dayJobs.get() == 0 && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
         var prev = -1
         var cur = dayJobs.get()
-        while (cur != prev) { Thread.sleep(200); prev = cur; cur = dayJobs.get() }
+        while (cur != prev) { Thread.sleep(300); prev = cur; cur = dayJobs.get() }
         cur
       }
       assert(get3("/submit?date=20170317") === 200)
