@@ -48,6 +48,32 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
     } catch { case _: Throwable => () }
+    // Calibration probe (VERDICT r20 §next-round 1): a fixed, deterministic
+    // CPU+shuffle microbench timed FIRST and LAST, so every BENCH json
+    // carries a box-speed reference measured the same minute as the
+    // queries. The committed r20 pass sat at 1.98x of the floor sum purely
+    // on box weather; with the probe, a degraded window is visible in the
+    // record itself (probe >> CalRef) and a probe-normalized total rides
+    // next to the raw one. Shape mirrors the query mix: codegen'd hash
+    // CPU (xxhash64) + one keyed exchange + partial aggregation.
+    def calibrationProbe(): Double = {
+      val t0 = System.nanoTime()
+      // sum operands bounded (< 2^20 each, 1.28e9 rows => < 2^51): the sum
+      // can never overflow Long, under ANSI or not — a probe that silently
+      // failed fast would calibrate against planning latency, not the box
+      try spark.range(0, 1280L * 1000 * 1000, 1, 64)
+        .selectExpr("pmod(xxhash64(id), 4096) AS k",
+          "pmod(xxhash64(id + 7), 1000003) AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("v").as("s"))
+        .selectExpr("sum(k * n) + sum(s)").collect()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration probe failed: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // probe runs twice back-to-back at each end; min picks the quiet slice
+    val calBefore = math.min(calibrationProbe(), calibrationProbe())
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -179,8 +205,17 @@ object Bench {
           .map(r => s",${jq("vs_first")}:${f3(r)}").getOrElse("")
         s"${jq(k)}:{${jq("samples")}:${ss.map(f3).mkString("[", ",", "]")}$ratio}"
     }.mkString("{", ",", "}")
+    val calAfter = math.min(calibrationProbe(), calibrationProbe())
+    // CalRef: the probe's quiet-window reference on the graded box —
+    // measured 2026-08-18 (solo runs, min observed 2.42 s). Normalization
+    // is a REPORTING aid for adjudication (value_normalized = raw scaled
+    // by CalRef/measured-probe); the raw total stays the contract
+    // headline, and CalRef re-dates like the floors if the box changes.
+    val CalRef = 2.42
+    val calMin = math.min(calBefore, calAfter)
     val ok = results.collect { case (_, v, _, None) => v }
     val total = ok.sum
+    val totalNorm = if (calMin > 0) total * (CalRef / calMin) else total
     val nerr = results.count(_._4.isDefined)
     // The driver captures only the last ~2000 chars of stdout, so the
     // contract line must stay compact: 3-decimal values, no samples map
@@ -190,7 +225,8 @@ object Bench {
     // guard warns ride the side file too, so a >1.8x drift is visible in
     // the committed record, not just a scrolled-away stdout line
     val warnsJson = guardWarns.map(jq).mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":$samples,"guard_warns":$warnsJson,"n_err":$nerr,"sf":"$sfDir"}"""
+    val calJson = s""""calibration_sec":[${f3(calBefore)},${f3(calAfter)}],"calibration_ref":$CalRef,"value_normalized":${f3(totalNorm)}"""
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calJson,"samples":$samples,"guard_warns":$warnsJson,"n_err":$nerr,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_samples.json"),
@@ -216,7 +252,7 @@ object Bench {
     // build.sbt's raw StdoutOutput + showSuccess=false) is the process's
     // final output line.
     val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_err":$nerr,"sf":"$sfDir"}"""
-    val compactLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_err":$nerr,"n_queries":${results.size},"samples_file":"bench_samples.json","sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calJson,"n_err":$nerr,"n_queries":${results.size},"samples_file":"bench_samples.json","sf":"$sfDir"}"""
     // Emit the full per-query map first (humans + any tail space left),
     // then stop Spark UNDER an ERROR log level so shutdown cannot log
     // over the contract line, and print the compact headline as the very

@@ -191,10 +191,20 @@ object Compaction {
         case _ =>
           // engine markers (`_SUCCESS`, any other `_`/`.`-prefixed name —
           // the convention Spark itself treats as hidden metadata) are
-          // BENIGN: skip them silently rather than letting a stray
-          // _SUCCESS at the chain root permanently wedge retention
-          // (review r20). Anything visible and unknown still refuses.
-          (name.startsWith("_") || name.startsWith("."), false)
+          // BENIGN: skip them rather than letting a stray _SUCCESS at the
+          // chain root permanently wedge retention (review r20). Anything
+          // visible and unknown still refuses. The skip is LOGGED with
+          // the entry's size (ADVICE r20): a hidden directory holding a
+          // crashed writer's leftovers is deliberately left behind, and
+          // operators should be able to see what retention is not
+          // reclaiming instead of it vanishing from every report.
+          val hidden = name.startsWith("_") || name.startsWith(".")
+          if (hidden && !(name == "_SUCCESS" && e.getLen == 0))
+            org.apache.logging.log4j.LogManager.getLogger(getClass)
+              .warn(s"expireSnapshots: leaving hidden entry ${e.getPath} " +
+                s"(${if (e.isDirectory) "dir" else s"${e.getLen} bytes"}) " +
+                "in place — not a version dir, not reclaimed")
+          (hidden, false)
       }
       (e.getPath, keepIt, deletable)
     }

@@ -197,11 +197,13 @@ object KMeans {
   def fitPlusPlus(points: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"kmeans: iters ($iters) must be >= 1")
     val pts = points.select(col("id"), col("q")).localCheckpoint()
-    // the same loud n >= k guard fit/lloyd enforce (review r20): with
-    // n < k the argmax chain would re-pick existing points (min-d2 = 0)
-    // and silently return duplicate centroids
-    val n = pts.limit(k).count()
-    require(n >= k, s"kmeans: need at least k ($k) points, got $n")
+    // the same loud n >= k guard fit/lloyd enforce (review r20), on
+    // DISTINCT vectors (ADVICE r20): with fewer than k distinct points the
+    // D2 argmax chain would re-pick an already-chosen vector (min-d2 = 0)
+    // and silently return duplicate centroids — counting rows alone
+    // missed exactly the duplicate-input case the guard exists for
+    val n = pts.select(col("q")).distinct().limit(k).count()
+    require(n >= k, s"kmeans: need at least k ($k) distinct points, got $n")
     val cents = lloydRounds(pts, seedPlusPlus(pts, k), iters)
     assign(pts, cents)
   }

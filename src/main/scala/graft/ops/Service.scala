@@ -79,6 +79,14 @@ object Service {
     */
   val DayJobGroup = "graft-submit-day"
 
+  /** Service-owned commit marker for the refreshed whitelist store
+    * (ADVICE r20): written by the refresh route itself after the store
+    * write returns, so readiness does not depend on the committer's
+    * optional _SUCCESS (marksuccessfuljobs=false is a common
+    * object-store setting).
+    */
+  val CommittedMarker = "_GRAFT_COMMITTED"
+
   final class EmbargoService(spark: SparkSession, cfg: ServiceConfig)
       extends AutoCloseable {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
@@ -148,12 +156,17 @@ object Service {
       // readiness = the COMMITTED store, not a bare directory: Spark's
       // overwrite is delete-then-write, so a crash mid-refresh leaves a
       // partial dir whose existence check would wedge every subsequent
-      // split (review r20). _SUCCESS lands at job commit — absent means
-      // no refresh has ever completed (or the last one died): fall back
+      // split (review r20). The commit signal is the SERVICE'S OWN
+      // marker, written by the refresh route after its parquet write
+      // returns (ADVICE r20) — the committer's _SUCCESS is accepted too
+      // for stores committed by older builds, but is no longer relied on
+      // (it is optional under marksuccessfuljobs=false). Absent both:
+      // no refresh has ever completed (or the last one died) — fall back
       // to the seed text until a refresh succeeds.
       val out = new Path(cfg.whitelistOut)
       val f = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (f.exists(new Path(out, "_SUCCESS")))
+      if (f.exists(new Path(out, CommittedMarker)) ||
+          f.exists(new Path(out, "_SUCCESS")))
         spark.read.parquet(cfg.whitelistOut)
       else graft.io.TgzSource.whitelist(spark, cfg.whitelistPath)
     }
@@ -213,11 +226,19 @@ object Service {
         graft.io.FsOps.mkdirs(spark, s"${cfg.publicDir}/$prefix")
         graft.io.FsOps.mkdirs(spark, s"${cfg.privateDir}/$prefix")
         val produced = graft.io.FsOps.list(spark, splitOut, suffix = ".tgz")
+        // route by MEMBERSHIP against the day's listed source basenames,
+        // not by the '-e.tgz' suffix (ADVICE r20): the split publishes
+        // each archive's public half under its own basename and the
+        // private half under the renamed one, so public = exactly the
+        // source names — a source whose basename itself ends in '-e.tgz'
+        // then cannot be misrouted to the private store. (The e4/single
+        // -file path routes by exact basename already.)
+        val srcNames = any.map(_.getPath.getName).toSeq
         graft.io.FsOps.copyAll(spark,
-          produced.filter(!col("name").endsWith("-e.tgz")),
+          produced.filter(col("name").isin(srcNames: _*)),
           splitOut, s"${cfg.publicDir}/$prefix")
         graft.io.FsOps.copyAll(spark,
-          produced.filter(col("name").endsWith("-e.tgz")),
+          produced.filter(!col("name").isin(srcNames: _*)),
           splitOut, s"${cfg.privateDir}/$prefix")
       } finally {
         spark.sparkContext.clearJobGroup()
@@ -258,6 +279,15 @@ object Service {
     route("/cron/update_embargo_whitelist") { _ =>
       graft.io.Sites.whitelistFromUrl(spark, cfg.sitesUrl)
         .write.mode("overwrite").parquet(cfg.whitelistOut)
+      // The SERVICE owns the commit signal (ADVICE r20): the committer's
+      // _SUCCESS is optional (mapreduce.fileoutputcommitter.
+      // marksuccessfuljobs=false is a common object-store setting), and
+      // without a marker every later split would silently keep the seed
+      // list forever. Written AFTER the parquet write returns, so its
+      // presence means a complete refresh regardless of committer config.
+      val out = new Path(cfg.whitelistOut)
+      val f = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.create(new Path(out, CommittedMarker), true).close()
       (200, "OK")
     }
 

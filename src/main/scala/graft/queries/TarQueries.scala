@@ -65,6 +65,31 @@ object TarQueries {
     s"$StageDir/${name}_${d.map("%02x".format(_)).mkString}"
   }
 
+  /** Run independent per-archive Spark jobs from a small driver thread
+    * pool (guide §2.6: actions are only sequential because the driver
+    * calls them sequentially — overlapping lets the next job's tasks
+    * back-fill executors freed by the current job's tail). Used by the
+    * e3/e4 submit batches, whose per-archive splits write disjoint
+    * output dirs. Exceptions propagate (first failure rethrown unwrapped
+    * so callers see the same exception type as the serial loop).
+    */
+  private def inParallel[T](items: Seq[T])(f: T => Unit): Unit =
+    if (items.lengthCompare(1) <= 0) items.foreach(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(items.size, 4))
+      try {
+        val futs = items.map(it => pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = f(it)
+        }))
+        futs.foreach { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause }
+        }
+      } finally pool.shutdownNow()
+    }
+
   /** Golden-test cutoff: the fixture day itself, so `moreThanOneYear` is
     * false and routing exercises the web100/whitelist arms
     * (the reference test passes `moreThanOneYear=false` directly,
@@ -189,8 +214,10 @@ object TarQueries {
       f"sidestream/${date / 10000}%04d/${date / 100 % 100}%02d/${date % 100}%02d"
     val fixtures = Seq((FixtureTgz, FixtureCutoff, 20170315),
       (Fixture2Tgz, Fixture2Cutoff, 20170316))
-    // E1: split each day, then the S8 insertion into the two stores
-    fixtures.foreach { case (tgz, cutoff, date) =>
+    // E1: split each day, then the S8 insertion into the two stores —
+    // the two day jobs are independent (disjoint split dirs and day
+    // prefixes), so they overlap (guide §2.6)
+    inParallel(fixtures) { case (tgz, cutoff, date) =>
       val out = s"$root/split_$date"
       EmbargoSplit.run(spark, tgz, FixtureWhitelist, cutoff, out)
       val base = tgz.substring(tgz.lastIndexOf('/') + 1)
@@ -288,13 +315,14 @@ object TarQueries {
 
     // the accepted batch is request-sized (one archive per HTTP submit in
     // the reference; a bounded driver loop here, each archive's split a
-    // distributed job of its own)
+    // distributed job of its own — overlapped, guide §2.6: the requests
+    // write disjoint split_<reqId> dirs and distinct day prefixes)
     val accepted = reqs
       .filter(col("url").isNotNull && col("url").startsWith("gs://") &&
         isSidestreamArchive(col("url")))
       .select("req_id", "url").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    accepted.foreach { case (reqId, url) =>
+    inParallel(accepted.toSeq) { case (reqId, url) =>
       // deploy.go:40-42: strip "gs://", drop the bucket at the first '/'
       val removePrefix = url.stripPrefix("gs://")
       val objPath = removePrefix.substring(removePrefix.indexOf('/') + 1)

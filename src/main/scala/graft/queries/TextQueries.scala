@@ -1803,7 +1803,8 @@ object TextQueries {
     graft.streaming.StreamCorpus.drainGateDedup(stream, model, out, ckpt,
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
         Tables.rowCount(spark, sfDir, "documents"),
-        spark.sparkContext.defaultParallelism)))
+        spark.sparkContext.defaultParallelism)),
+      stateKeys = Some(Tables.rowCount(spark, sfDir, "documents")))
     // drain close → t12 packing over the drained (fp, n_tokens) survivors
     val keyed = spark.read.parquet(out)
       .select(col("fp"), col("n_tokens"), md5(col("fp")).as("k"))

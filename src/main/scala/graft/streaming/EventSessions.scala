@@ -54,11 +54,12 @@ object EventSessions {
     */
   def drainDedup(events: DataFrame, idCols: Seq[String], delay: String,
                  outDir: String, checkpointDir: String,
-                 statePartitions: Option[Int] = None): Unit = {
+                 statePartitions: Option[Int] = None,
+                 stateKeys: Option[Long] = None): Unit = {
     val conf = events.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try StateStores.withRocksDb(events.sparkSession) {
+    try StateStores.withSizedStore(events.sparkSession, stateKeys) {
       val q = dedupStream(events, idCols, delay)
         .writeStream
         .format("parquet")
@@ -82,11 +83,12 @@ object EventSessions {
     */
   def drainSessions(events: DataFrame, gap: String, delay: String,
                     outDir: String, checkpointDir: String,
-                    statePartitions: Option[Int] = None): Unit = {
+                    statePartitions: Option[Int] = None,
+                    stateKeys: Option[Long] = None): Unit = {
     val conf = events.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try StateStores.withRocksDb(events.sparkSession) {
+    try StateStores.withSizedStore(events.sparkSession, stateKeys) {
       val q = sessionize(withLateDataBound(events, delay), gap)
         .writeStream
         .format("parquet")

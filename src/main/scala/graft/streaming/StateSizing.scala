@@ -29,6 +29,17 @@ object StateSizing {
   /** Target keys per state partition (2¹⁸). */
   val KeysPerPartition: Long = 1L << 18
 
+  /** Keyspace bound for the ON-HEAP state store provider
+    * ([[StateStores.withSizedStore]]): 2²⁰ ≈ 1M keys at the same
+    * ~100-200 B/key footprint the partition rule above assumes is
+    * ≲ 200 MB of total state — comfortably heap-resident on any
+    * reasonable executor, two orders below where on-heap state pressure
+    * starts to matter on multi-GB heaps. Above it, state belongs in
+    * RocksDB (bounded block cache, SSD-backed). The same octave-accurate
+    * proxy callers already pass to [[forKeyspace]] drives both rules.
+    */
+  val OnHeapMaxKeys: Long = 1L << 20
+
   /** Partition count for a keyspace of `nKeys` under `parallelism`
     * cores: `clamp(ceil(nKeys / 2^18), 2, 4·parallelism)`.
     */

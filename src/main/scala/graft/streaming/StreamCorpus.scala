@@ -37,7 +37,8 @@ object StreamCorpus {
     */
   def drainGateDedup(stream: DataFrame, model: graft.ops.LmScore.BigramModel,
                      outDir: String, checkpointDir: String,
-                     statePartitions: Option[Int] = None): Unit = {
+                     statePartitions: Option[Int] = None,
+                     stateKeys: Option[Long] = None): Unit = {
     val spark = stream.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
@@ -61,7 +62,7 @@ object StreamCorpus {
     val conf = spark.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try StateStores.withRocksDb(spark) {
+    try StateStores.withSizedStore(spark, stateKeys) {
       val q = gated.writeStream
         .format("parquet")
         .option("path", outDir)

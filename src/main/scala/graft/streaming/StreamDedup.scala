@@ -35,8 +35,10 @@ object StreamDedup {
     */
   def distinctFingerprints(stream: DataFrame, outDir: String,
                            checkpointDir: String,
-                           statePartitions: Option[Int] = None): Unit =
-    distinctRows(stream, Seq("fp"), outDir, checkpointDir, statePartitions)
+                           statePartitions: Option[Int] = None,
+                           stateKeys: Option[Long] = None): Unit =
+    distinctRows(stream, Seq("fp"), outDir, checkpointDir, statePartitions,
+      stateKeys)
 
   /** [[distinctFingerprints]] generalized to any key-column set: drain
     * `stream` through cross-batch `dropDuplicates(cols)` into `outDir`
@@ -44,11 +46,12 @@ object StreamDedup {
     */
   def distinctRows(stream: DataFrame, cols: Seq[String], outDir: String,
                    checkpointDir: String,
-                   statePartitions: Option[Int] = None): Unit = {
+                   statePartitions: Option[Int] = None,
+                   stateKeys: Option[Long] = None): Unit = {
     val conf = stream.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try StateStores.withRocksDb(stream.sparkSession) {
+    try StateStores.withSizedStore(stream.sparkSession, stateKeys) {
       val q = stream
         .dropDuplicates(cols)
         .writeStream

@@ -77,11 +77,12 @@ object StreamJoin {
                        window: String, delay: String,
                        outDir: String, checkpointDir: String,
                        statePartitions: Option[Int] = None,
-                       outer: Boolean = false): Unit = {
+                       outer: Boolean = false,
+                       stateKeys: Option[Long] = None): Unit = {
     val conf = clicks.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try StateStores.withRocksDb(clicks.sparkSession) {
+    try StateStores.withSizedStore(clicks.sparkSession, stateKeys) {
       val joined =
         if (outer) attributionJoinOuter(clicks, purchases, window, delay)
         else attributionJoin(clicks, purchases, window, delay)

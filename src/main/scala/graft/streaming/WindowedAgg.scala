@@ -42,9 +42,10 @@ object WindowedAgg {
     */
   def drainTrendingTopK(stream: DataFrame, window: String, delay: String,
                         k: Int, outDir: String, checkpointDir: String,
-                        statePartitions: Option[Int] = None): Unit =
+                        statePartitions: Option[Int] = None,
+                        stateKeys: Option[Long] = None): Unit =
     drainAppend(tumblingCounts(stream, window, delay), outDir, checkpointDir,
-      statePartitions)(
+      statePartitions, stateKeys)(
       _.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val byWin = org.apache.spark.sql.expressions.Window
@@ -71,13 +72,14 @@ object WindowedAgg {
     * save/restore logic now lands once).
     */
   private def drainAppend(df: DataFrame, outDir: String, checkpointDir: String,
-                          statePartitions: Option[Int])
+                          statePartitions: Option[Int],
+                          stateKeys: Option[Long] = None)
                          (sink: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]
                            => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
     val conf = df.sparkSession.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => conf.set("spark.sql.shuffle.partitions", n))
-    try StateStores.withRocksDb(df.sparkSession) {
+    try StateStores.withSizedStore(df.sparkSession, stateKeys) {
       val q = sink(df.writeStream
           .option("checkpointLocation", checkpointDir)
           .outputMode("append")
@@ -89,9 +91,10 @@ object WindowedAgg {
 
   def drainTumbling(stream: DataFrame, window: String, delay: String,
                     outDir: String, checkpointDir: String,
-                    statePartitions: Option[Int] = None): Unit =
+                    statePartitions: Option[Int] = None,
+                    stateKeys: Option[Long] = None): Unit =
     drainAppend(tumblingCounts(stream, window, delay), outDir, checkpointDir,
-      statePartitions)(_.format("parquet").option("path", outDir))
+      statePartitions, stateKeys)(_.format("parquet").option("path", outDir))
 
   /** ST14 — streaming OHLC resample (w8's bars maintained at the ingest
     * door): `min_by`/`max_by` over the `(us, event_id)` total order are
@@ -125,9 +128,10 @@ object WindowedAgg {
 
   def drainTumblingOhlc(stream: DataFrame, window: String, delay: String,
                         outDir: String, checkpointDir: String,
-                        statePartitions: Option[Int] = None): Unit =
+                        statePartitions: Option[Int] = None,
+                        stateKeys: Option[Long] = None): Unit =
     drainAppend(tumblingOhlc(stream, window, delay),
-      outDir, checkpointDir, statePartitions)(
+      outDir, checkpointDir, statePartitions, stateKeys)(
       _.format("parquet").option("path", outDir))
 
   /** ST12 — streaming per-window approximate distinct: HLL++
@@ -143,12 +147,13 @@ object WindowedAgg {
   def drainTumblingDistinct(stream: DataFrame, keyCol: String, window: String,
                             delay: String, rsd: Double, outDir: String,
                             checkpointDir: String,
-                            statePartitions: Option[Int] = None): Unit =
+                            statePartitions: Option[Int] = None,
+                            stateKeys: Option[Long] = None): Unit =
     drainAppend(stream
         .withWatermark("ts", delay)
         .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
         .agg(approx_count_distinct(col(keyCol), rsd).as("n_hll"))
         .select(unix_micros(col("window.start")).as("win_us"), col("n_hll")),
-      outDir, checkpointDir, statePartitions)(
+      outDir, checkpointDir, statePartitions, stateKeys)(
       _.format("parquet").option("path", outDir))
 }
