@@ -95,6 +95,15 @@ object Service {
 
     private val server =
       HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // Concurrent request handling, like the reference's Go HTTP server
+    // (every handler there runs in its own goroutine): without an
+    // executor, JDK HttpServer dispatches every handler on ONE thread, so
+    // two independent /submit?file= archives serialize. Handlers are
+    // already safe under concurrency — per-request UUID split dirs,
+    // per-day store prefixes, and Spark happily runs driver-submitted
+    // jobs from several threads (guide §2.6).
+    private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(handlerPool)
 
     // the MetricsEndpoint header-guard discipline: HttpServer swallows
     // handler exceptions and drops the connection; every route answers
@@ -333,7 +342,11 @@ object Service {
     /** The bound ephemeral port — drive `http://127.0.0.1:$port/...`. */
     def port: Int = server.getAddress.getPort
 
-    override def close(): Unit = server.stop(0)
+    override def close(): Unit = {
+      server.stop(0)
+      handlerPool.shutdownNow()
+      ()
+    }
   }
 
   /** Start the service on a loopback ephemeral port. */

@@ -360,9 +360,14 @@ object DedupQueries {
     val exactKept = passed.join(keepIds, Seq("doc_id"), "left_semi")
       .localCheckpoint()
     // exact dedup already ran above, so identical shingle sets can't mass-
-    // cluster here — skip the collapse machinery (collapseIdentical=false)
+    // cluster here — skip the collapse machinery (collapseIdentical=false).
+    // countHint: the survivor count shares the corpus count's OCTAVE
+    // (gate + exact-dedup drop a bounded fraction), which is all the
+    // log-scale LSH sizing reads — skips the extra count job the d2/d6/d7
+    // call sites already avoid (review r15)
     val nearDrop = Dedup.minhashNearDups(exactKept.select("doc_id", "text"),
-        threshold = 0.85, collapseIdentical = false)
+        threshold = 0.85, collapseIdentical = false,
+        countHint = corpusCount(spark, sfDir))
       .select(col("id_b").as("doc_id")).distinct()
     exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
       .groupBy((col("doc_id") % 10).as("shard"))

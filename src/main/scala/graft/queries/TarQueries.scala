@@ -465,13 +465,20 @@ object TarQueries {
     val statusRows =
       try {
         val client = java.net.http.HttpClient.newHttpClient()
+        // requests fire CONCURRENTLY (sendAsync), as real submit clients
+        // do against the reference's concurrent Go server — the service
+        // now handles them in parallel (guide §2.6), and each request's
+        // split writes its own UUID dir. Futures are joined in request
+        // order, so the graded rows are order-stable.
         reqRows.map { case (reqId, b) =>
-          val resp = client.send(
+          reqId -> client.sendAsync(
             java.net.http.HttpRequest.newBuilder()
               .uri(java.net.URI.create(s"http://127.0.0.1:${svc.port}/submit?file=" +
                 java.net.URLEncoder.encode(b, "UTF-8")))
               .GET().build(),
             java.net.http.HttpResponse.BodyHandlers.ofString())
+        }.map { case (reqId, fut) =>
+          val resp = fut.join()
           val status = (resp.statusCode(), resp.body()) match {
             case (200, _) => "accepted"
             case (500, body) if body.startsWith("Invalid filename:") =>
