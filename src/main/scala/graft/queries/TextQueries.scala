@@ -1780,7 +1780,10 @@ object TextQueries {
     c3Staged.computeIfAbsent(sfDir, _ => {
       graft.io.FsOps.deletePrefix(spark, src)
       val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-      docs.repartition(2).write.mode("overwrite").parquet(src)
+      // one base file (the st3/r21 trim): the graded property is the
+      // re-delivery file falling to cross-batch state — two batches
+      // suffice, each extra file is a paid micro-batch
+      docs.repartition(1).write.mode("overwrite").parquet(src)
       // the re-delivery file: copies of every 25th doc arrive in a later
       // micro-batch and must fall to cross-batch dedup state
       docs.filter(col("doc_id") % 25 === 0)
