@@ -225,7 +225,13 @@ object Bench {
     // guard warns ride the side file too, so a >1.8x drift is visible in
     // the committed record, not just a scrolled-away stdout line
     val warnsJson = guardWarns.map(jq).mkString("[", ",", "]")
-    val calJson = s""""calibration_sec":[${f3(calBefore)},${f3(calAfter)}],"calibration_ref":$CalRef,"value_normalized":${f3(totalNorm)}"""
+    // value_normalized only at the probe's own core count: CalRef was
+    // measured at 32 cores, and the driver ALSO benches at a lower core
+    // count — scaling a 8-core total by a 32-core reference would
+    // "normalize" the parallelism difference away and misread as a speedup
+    val normJson =
+      if (cpus == "32") s""","value_normalized":${f3(totalNorm)}""" else ""
+    val calJson = s""""calibration_sec":[${f3(calBefore)},${f3(calAfter)}],"calibration_ref":$CalRef$normJson"""
     val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calJson,"samples":$samples,"guard_warns":$warnsJson,"n_err":$nerr,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
