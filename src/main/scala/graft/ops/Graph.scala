@@ -43,12 +43,16 @@ object Graph {
     * edge-sized one.
     */
   private def edgeTable(edges: DataFrame, parts: Int = 0): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val part = edges.join(deg, "src")
     // parts = 0 → the session's shuffle width; a caller sizing for a
     // cluster passes the edge-list width explicitly (see tools/GraphAb)
-    (if (parts > 0) part.repartition(parts, col("src"))
-     else part.repartition(col("src"))).localCheckpoint()
+    val part = if (parts > 0) edges.repartition(parts, col("src"))
+      else edges.repartition(col("src"))
+    // out-degree as a window over the SAME src exchange the loop join
+    // needs anyway (guide §2.4: two operations keyed the same way share
+    // one exchange) — the former groupBy+join shape paid a second keyed
+    // exchange for `deg` plus the join itself
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    part.withColumn("d", count(lit(1)).over(w)).localCheckpoint()
   }
 
   /** ENFORCES the dangling-node precondition loudly (review r19): a node

@@ -1430,8 +1430,11 @@ object CoreQueries {
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // symmetrize with inline(), not unionAll: a union duplicates the pairs
+    // subtree in the physical plan, so the lineitem⋈orders→distinct pass ran
+    // TWICE per edge build (JobProf r22: two concurrent ~0.5 s jobs)
+    val edges = pairs.selectExpr(
+      "inline(array(struct(a AS src, b AS dst), struct(b AS src, a AS dst)))")
     graft.ops.Graph.pageRank(edges, iters = 3)
       .select(
         when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
