@@ -189,6 +189,20 @@ object KMeans {
     assign(pts, cents)
   }
 
+  /** [[fit]] over an ALREADY-PINNED point table — the caller holds the
+    * localCheckpoint, so two seedings can share ONE pin (a9). Same
+    * seeding/rounds/assignment as [[fit]], bit for bit.
+    */
+  private[graft] def fitPinned(pts: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && k <= MaxK, s"kmeans: k ($k) must be in [1, $MaxK]")
+    require(iters >= 1, s"kmeans: iters ($iters) must be >= 1")
+    val seedRows = pts.orderBy(col("id")).limit(k).collect()
+    require(seedRows.length == k,
+      s"kmeans: need at least k ($k) points, got ${seedRows.length}")
+    val cents0: Seq[Array[Long]] = seedRows.map(_.getSeq[Long](1).toArray).toSeq
+    assign(pts, lloydRounds(pts, cents0, iters))
+  }
+
   /** [[fit]] with deterministic k-means++ seeding ([[seedPlusPlus]])
     * instead of lowest-id seeds: same Lloyd engine, same assignment,
     * better-spread starting centroids — the form a real corpus run
@@ -197,6 +211,15 @@ object KMeans {
   def fitPlusPlus(points: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"kmeans: iters ($iters) must be >= 1")
     val pts = points.select(col("id"), col("q")).localCheckpoint()
+    fitPlusPlusPinned(pts, k, iters)
+  }
+
+  /** [[fitPlusPlus]] over an already-pinned point table (see
+    * [[fitPinned]]).
+    */
+  private[graft] def fitPlusPlusPinned(pts: DataFrame, k: Int,
+                                       iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeans: iters ($iters) must be >= 1")
     // the same loud n >= k guard fit/lloyd enforce (review r20), on
     // DISTINCT vectors (ADVICE r20): with fewer than k distinct points the
     // D2 argmax chain would re-pick an already-chosen vector (min-d2 = 0)

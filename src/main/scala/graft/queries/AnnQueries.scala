@@ -1530,8 +1530,26 @@ object AnnQueries {
         .withColumn("mean_d2", expr("inertia div n"))
         .select(lit(tag).as("seeding"), col("cluster"), col("n"),
           col("inertia"), col("mean_d2"))
-    roll(kmeansClusters(spark, sfDir), "lowest_id")
-      .unionAll(roll(kmeansPlusPlus(spark, sfDir), "kmeanspp"))
+    // ONE pinned point table shared by both seedings (each arm used to
+    // re-checkpoint the same quantized scan), and the two seedings'
+    // bounded driver-round chains — independent job sequences — overlap
+    // on two threads (guide §2.6): each chain is latency-bound small
+    // collects, so overlapping nearly halves the wall time. Both arms
+    // are the SAME fitPinned/fitPlusPlusPinned engines n14/n16 grade;
+    // rows are bit-identical to the sequential form.
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        graft.ops.KMeans.quantize(col("embedding")).as("q"))
+      .localCheckpoint()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val low = Future(graft.ops.KMeans.fitPinned(pts, k = 4, iters = 3)
+      .select(col("id").as("vec_id"), col("cluster"), col("d2")))
+    val pp = Future(graft.ops.KMeans.fitPlusPlusPinned(pts, k = 4, iters = 3)
+      .select(col("id").as("vec_id"), col("cluster"), col("d2")))
+    roll(Await.result(low, Duration.Inf), "lowest_id")
+      .unionAll(roll(Await.result(pp, Duration.Inf), "kmeanspp"))
   }
 
   /** One rollup arm of a9's oracle — the SQL mirror of the Scala-side
